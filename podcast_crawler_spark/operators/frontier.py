@@ -1,0 +1,263 @@
+"""URL frontier: seed scan, due-selection, per-host politeness priority
+queue, robots filtering, retry/backoff, salting.
+
+This is the Spark re-expression of the reference's scheduling machinery
+(SURVEY.md §2.6 W4/W5, §2.8, §2.9):
+
+* The tokio ``BinaryHeap<Task>`` retry queue ordered by ``backoff_timer``
+  (``/root/reference/src/crawler_refactor/task.rs:197-215``,
+  ``timer_queue.rs:11-117``) becomes a **partitioned priority queue**: a
+  window ``row_number() OVER (PARTITION BY host_hash ORDER BY
+  next_fetch_ts, priority, url_hash)`` — due rows ranked per host, budget
+  ``rank <= per_host_budget`` (the north rule's politeness budget; the
+  reference only had a *global* 2 req/s governor,
+  ``src/crawler/rate_limiter.rs:34-41``).
+* Round-robin worker placement (``distributor.rs:33-41``) becomes hash
+  partitioning by ``host_hash`` — politeness locality for free, no
+  broadcast-bus filtering (X5).
+* Retry semantics (R1/R2): failed fetches with ``retries < max_retries``
+  are rescheduled at ``epoch_ts + backoff``; exhausted rows become
+  ``failed`` with the error taxonomy.  Defaults mirror the reference:
+  ``max_retries=3`` with linear ``backoff_s*(retries+1)`` (legacy macro,
+  ``error/macros.rs:253-277``); pass ``max_retries=0`` for refactor parity
+  (``distributor.rs:99``).
+
+Scale notes (10^10 frontier): the frontier lives partitioned by
+``pmod(host_hash, P)`` — all per-host windowing shuffles once on that key
+and AQE handles residual skew; the *parse* stage doesn't need host
+locality, so hot hosts are salted (X6) with ``pmod(xxhash64(url), K)``
+before parsing and the politeness window is computed on the unsalted key
+beforehand.  Nothing here ever collects URLs to the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.urlfns import (
+    canonicalize_url,
+    host_hash,
+    is_valid_url,
+    url_hash,
+    url_host,
+)
+
+PENDING, SCHEDULED, PARSED, FAILED = "pending", "scheduled", "parsed", "failed"
+USER_AGENT = "PodcastCrawler/1.0"  # rss_fetcher.rs:20
+
+
+@dataclass
+class CrawlConfig:
+    """Reference configuration envelope (BASELINE.md)."""
+
+    per_host_budget: int = 5  # max_concurrent_tasks default (config/crawler.rs:55-63)
+    default_crawl_delay_s: float = 0.5  # 2 req/s governor default (rate_limiter.rs:34-41)
+    fetch_interval_s: int = 3600  # re-crawl cadence (config/crawler.rs:55-63)
+    max_retries: int = 3  # legacy retry macro (error/macros.rs:253-277)
+    backoff_s: float = 1.0  # refactor TimerQueue backoff (worker.rs:151-155)
+    salt_buckets: int = 8  # X6 hot-host salting for the parse stage
+    num_partitions: int = 32
+
+
+def seed_scan(seeds: DataFrame) -> DataFrame:
+    """S1: explode ``links``, keep ``name == 'rss'`` with non-empty url
+    (``podcast_rank_repository.rs:77-93``), then F1 URL validity.
+
+    Column-pruned: only ``rank`` + ``links`` are read (Catalyst pushes the
+    projection into the scan, matching the reference's SELECT links)."""
+    return (
+        seeds.select("rank", F.explode("links").alias("link"))
+        .filter(
+            (F.col("link.name") == "rss") & (F.length(F.col("link.url")) > 0)
+        )
+        .select(F.col("link.url").alias("url"), F.col("rank").alias("priority"))
+        .filter(is_valid_url(F.col("url")))
+    )
+
+
+def build_frontier(
+    seeds: DataFrame, epoch0: datetime, cfg: CrawlConfig = CrawlConfig()
+) -> DataFrame:
+    """Frontier rows from the seed list (FIXTURES.md §4 schema).  Duplicate
+    seed URLs collapse to the best (lowest-rank) row — the frontier is
+    keyed by canonical_url."""
+    urls = seed_scan(seeds)
+    w = Window.partitionBy("canonical_url").orderBy("priority", "url")
+    return (
+        urls.withColumn("canonical_url", canonicalize_url(F.col("url")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .select(
+            "url",
+            "canonical_url",
+            url_hash(F.col("canonical_url")).alias("url_hash"),
+            url_host(F.col("url")).alias("host"),
+            host_hash(url_host(F.col("url"))).alias("host_hash"),
+            F.col("priority").cast("int"),
+            F.lit(epoch0).cast("timestamp").alias("next_fetch_ts"),
+            F.lit(0).cast("int").alias("retries"),
+            F.lit(cfg.max_retries).cast("int").alias("max_retries"),
+            F.lit(PENDING).alias("state"),
+            F.lit(None).cast("string").alias("last_error"),
+            F.lit(None).cast("string").alias("error_kind"),
+            F.lit(None)
+            .cast(
+                "array<struct<name:string,status:string,start_ts:timestamp,"
+                "end_ts:timestamp,error:string>>"
+            )
+            .alias("stages"),
+        )
+    )
+
+
+def robots_filter(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+    """J4: left-join robots rules on host; deny rows whose URL path starts
+    with a disallowed prefix for our UA.  The rules table is tiny relative
+    to the frontier → broadcast join, no shuffle of the frontier."""
+    rules = robots.filter(
+        (F.col("user_agent") == USER_AGENT) | (F.col("user_agent") == "*")
+    ).select(
+        F.col("host").alias("r_host"),
+        "disallow_prefixes",
+        "crawl_delay_s",
+    )
+    path = F.regexp_extract(
+        F.col("url"), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    joined = frontier.join(
+        F.broadcast(rules), frontier["host"] == rules["r_host"], "left"
+    )
+    denied = F.coalesce(
+        F.exists(
+            F.col("disallow_prefixes"), lambda p: path.startswith(p)
+        ),
+        F.lit(False),
+    )
+    return joined.withColumn("robots_denied", denied).drop(
+        "r_host", "disallow_prefixes"
+    )
+
+
+def schedule_epoch(
+    frontier: DataFrame,
+    robots: DataFrame,
+    epoch_ts: datetime,
+    cfg: CrawlConfig = CrawlConfig(),
+) -> DataFrame:
+    """W4+W5: select due pending rows, apply robots, rank them per host by
+    ``(next_fetch_ts, priority, url_hash)`` and keep the per-host budget.
+    Emits ``host_seq`` (1-based per-host order) and ``planned_fetch_ts``
+    spaced by the host's crawl delay — the deterministic crawl ordering the
+    north rule asks to match (SURVEY.md §7.2)."""
+    due = frontier.filter(
+        (F.col("state") == PENDING)
+        & (F.col("next_fetch_ts") <= F.lit(epoch_ts).cast("timestamp"))
+    )
+    allowed = robots_filter(due, robots).filter(~F.col("robots_denied"))
+    delay = F.coalesce(F.col("crawl_delay_s"), F.lit(cfg.default_crawl_delay_s))
+    w = Window.partitionBy("host_hash").orderBy(
+        "next_fetch_ts", "priority", "url_hash"
+    )
+    return (
+        allowed.withColumn("host_seq", F.row_number().over(w))
+        .filter(F.col("host_seq") <= cfg.per_host_budget)
+        .withColumn(
+            "planned_fetch_ts",
+            F.lit(epoch_ts).cast("timestamp")
+            + F.make_dt_interval(secs=(F.col("host_seq") - 1) * delay),
+        )
+        .drop("robots_denied")
+    )
+
+
+def salted(df: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """X6: spread hot hosts across partitions for the fetch/parse stage.
+    Politeness was already enforced on the unsalted host key."""
+    return df.repartition(
+        cfg.num_partitions,
+        F.col("host_hash"),
+        F.pmod(F.xxhash64("url"), F.lit(cfg.salt_buckets)),
+    )
+
+
+def fetch_join(scheduled: DataFrame, pages: DataFrame) -> DataFrame:
+    """J3/S2: "fetch" = left equi-join of the scheduled frontier against the
+    pages table on url; a missing page (null html) is a fetch failure that
+    feeds the retry path.  At bench scale this is the one big shuffle of the
+    epoch; AQE's skew-join handles hot-host residuals."""
+    return scheduled.join(
+        pages.select("url", "html", "warc_ts"), "url", "left"
+    ).withColumn("fetch_ok", F.col("html").isNotNull())
+
+
+def apply_epoch_results(
+    frontier: DataFrame,
+    outcomes: DataFrame,
+    epoch_ts: datetime,
+    cfg: CrawlConfig = CrawlConfig(),
+) -> DataFrame:
+    """R1-R3 + reschedule: merge per-URL epoch outcomes back into the
+    frontier.  *outcomes* must carry ``url_hash, fetch_ok, parse_error_kind,
+    parse_error_message``.
+
+    - parsed ok        → state=parsed,  next_fetch_ts += fetch_interval
+    - parse failure    → state=failed   (deterministic; retry won't help)
+    - fetch failure    → retries+1; if ≤ max_retries stay pending with
+                         linear backoff (error/macros.rs:253-277) else failed
+    """
+    o = outcomes.select(
+        F.col("url_hash").alias("o_hash"),
+        "fetch_ok",
+        "parse_error_kind",
+        "parse_error_message",
+    )
+    epoch_lit = F.lit(epoch_ts).cast("timestamp")
+    merged = frontier.join(o, frontier["url_hash"] == o["o_hash"], "left")
+
+    attempted = F.col("o_hash").isNotNull()
+    parsed_ok = attempted & F.col("fetch_ok") & F.col("parse_error_kind").isNull()
+    parse_failed = attempted & F.col("fetch_ok") & F.col("parse_error_kind").isNotNull()
+    fetch_failed = attempted & ~F.col("fetch_ok")
+    can_retry = fetch_failed & (F.col("retries") + 1 <= F.col("max_retries"))
+
+    new_retries = F.when(fetch_failed, F.col("retries") + 1).otherwise(
+        F.col("retries")
+    )
+    backoff = F.make_dt_interval(secs=new_retries * F.lit(cfg.backoff_s))
+    interval = F.make_dt_interval(secs=F.lit(float(cfg.fetch_interval_s)))
+
+    return (
+        merged.withColumn(
+            "state",
+            F.when(parsed_ok, PARSED)
+            .when(parse_failed, FAILED)
+            .when(can_retry, PENDING)
+            .when(fetch_failed, FAILED)
+            .otherwise(F.col("state")),
+        )
+        .withColumn(
+            "next_fetch_ts",
+            F.when(parsed_ok, epoch_lit + interval)
+            .when(can_retry, epoch_lit + backoff)
+            .otherwise(F.col("next_fetch_ts")),
+        )
+        .withColumn("retries", new_retries)
+        .withColumn(
+            "error_kind",
+            F.when(parse_failed, F.col("parse_error_kind"))
+            .when(fetch_failed, F.lit("network"))
+            .otherwise(F.col("error_kind")),
+        )
+        .withColumn(
+            "last_error",
+            F.when(parse_failed, F.col("parse_error_message"))
+            .when(fetch_failed, F.lit("fetch returned no content"))
+            .otherwise(F.col("last_error")),
+        )
+        .drop("o_hash", "fetch_ok", "parse_error_kind", "parse_error_message")
+    )

@@ -1,0 +1,151 @@
+"""Frontier scheduling: politeness budget, robots, retries — and ordering
+equality against a pandas simulator of the reference scheduler (seed-order
+round-robin distributor, ``/root/reference/src/crawler_refactor/
+distributor.rs:33-41``, under the north-rule per-host budget)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import functions as F
+
+from podcast_crawler_spark.feedparse.scalars import validate_url
+from podcast_crawler_spark.operators.frontier import (
+    CrawlConfig,
+    apply_epoch_results,
+    build_frontier,
+    fetch_join,
+    schedule_epoch,
+    seed_scan,
+)
+from podcast_crawler_spark.sources.pagesgen import (
+    EPOCH0,
+    ROBOTS_DENIED,
+    feed_host,
+    feed_url,
+    gen_pages,
+    gen_robots,
+    gen_seeds,
+    seed_row,
+)
+
+N = 200
+CFG = CrawlConfig(per_host_budget=5, num_partitions=8)
+
+
+def _canonical(url: str) -> str:
+    # mirror urlfns.canonicalize_url for the http(s)-no-port corpus
+    scheme, rest = url.split("://", 1)
+    host, slash, tail = rest.partition("/")
+    tail = tail.split("#")[0]
+    return f"{scheme.lower()}://{host.lower()}{slash}{tail}"
+
+
+def simulate_reference_schedule(n_feeds: int, budget: int):
+    """The reference processes seeds in rank order (round-robin across
+    workers preserves per-host relative order); with the north-rule per-host
+    budget the scheduled set is the first *budget* valid URLs per host."""
+    per_host = {}
+    seen_canonical = set()
+    out = []
+    rows = sorted((seed_row(fid) for fid in range(n_feeds)), key=lambda r: r[1])
+    for _id, rank, _name, _genre, links in rows:
+        for name, url in links:
+            if name != "rss" or not url or not validate_url(url):
+                continue
+            canon = _canonical(url)
+            if canon in seen_canonical:
+                continue
+            seen_canonical.add(canon)
+            host = url.split("://", 1)[1].split("/", 1)[0].lower()
+            path = "/" + url.split("://", 1)[1].split("/", 1)[1]
+            if path.startswith("/private/"):  # robots disallow
+                continue
+            c = per_host.get(host, 0)
+            if c < budget:
+                per_host[host] = c + 1
+                out.append((url, host, c + 1))
+    return out
+
+
+def test_seed_scan_filters(spark):
+    seeds = gen_seeds(spark, N, partitions=4)
+    urls = seed_scan(seeds)
+    rows = urls.collect()
+    assert len(rows) == N  # one valid rss url per feed; negatives filtered
+    assert all(r.url.startswith("https://") for r in rows)
+
+
+def test_schedule_matches_reference_simulator(spark):
+    seeds = gen_seeds(spark, N, partitions=4)
+    robots = gen_robots(spark, N)
+    frontier = build_frontier(seeds, EPOCH0)
+    sched = schedule_epoch(frontier, robots, EPOCH0, CFG)
+    got = {(r.url, r.host, r.host_seq) for r in sched.collect()}
+    want = set(simulate_reference_schedule(N, CFG.per_host_budget))
+    assert got == want
+
+
+def test_robots_denied_excluded(spark):
+    seeds = gen_seeds(spark, N, partitions=4)
+    robots = gen_robots(spark, N)
+    frontier = build_frontier(seeds, EPOCH0)
+    sched = schedule_epoch(frontier, robots, EPOCH0, CFG)
+    denied_urls = {feed_url(fid) for fid in range(N) if fid % 97 == ROBOTS_DENIED}
+    assert denied_urls  # corpus contains denied feeds
+    got = {r.url for r in sched.collect()}
+    assert not (got & denied_urls)
+
+
+def test_politeness_spacing(spark):
+    seeds = gen_seeds(spark, N, partitions=4)
+    robots = gen_robots(spark, N)
+    frontier = build_frontier(seeds, EPOCH0)
+    sched = schedule_epoch(frontier, robots, EPOCH0, CFG)
+    hot = feed_host(0)  # network host, crawl_delay 2.0
+    rows = sorted(
+        (r for r in sched.collect() if r.host == hot), key=lambda r: r.host_seq
+    )
+    assert 1 < len(rows) <= CFG.per_host_budget
+    for a, b in zip(rows, rows[1:]):
+        assert (b.planned_fetch_ts - a.planned_fetch_ts).total_seconds() == 2.0
+
+
+def test_retry_backoff_and_failure(spark):
+    seeds = gen_seeds(spark, N, partitions=4)
+    robots = gen_robots(spark, N)
+    pages = gen_pages(spark, N, partitions=4)
+    cfg = CrawlConfig(per_host_budget=100, max_retries=1, num_partitions=8)
+    frontier = build_frontier(seeds, EPOCH0, cfg)
+    sched = schedule_epoch(frontier, robots, EPOCH0, cfg)
+    fetched = fetch_join(sched, pages)
+    outcomes = fetched.select(
+        "url_hash",
+        "fetch_ok",
+        F.lit(None).cast("string").alias("parse_error_kind"),
+        F.lit(None).cast("string").alias("parse_error_message"),
+    )
+    updated = apply_epoch_results(frontier, outcomes, EPOCH0, cfg).cache()
+
+    missing = {feed_url(fid) for fid in range(N) if fid % 97 == 61}
+    retry_rows = updated.filter(F.col("url").isin(*missing)).collect()
+    assert retry_rows
+    for r in retry_rows:
+        assert r.state == "pending" and r.retries == 1
+        assert r.next_fetch_ts == EPOCH0.replace(tzinfo=None) + timedelta(seconds=1)
+
+    # second epoch at +10s: the retry rows are due again; fail them for good
+    epoch1 = EPOCH0 + timedelta(seconds=10)
+    sched2 = schedule_epoch(updated, robots, epoch1, cfg)
+    urls2 = {r.url for r in sched2.collect()}
+    assert missing <= urls2
+    outcomes2 = fetch_join(sched2, pages).select(
+        "url_hash",
+        "fetch_ok",
+        F.lit(None).cast("string").alias("parse_error_kind"),
+        F.lit(None).cast("string").alias("parse_error_message"),
+    )
+    updated2 = apply_epoch_results(updated, outcomes2, epoch1, cfg)
+    final = updated2.filter(F.col("url").isin(*missing)).collect()
+    for r in final:
+        assert r.state == "failed" and r.error_kind == "network"
