@@ -1,0 +1,98 @@
+"""Epoch metrics — the Spark re-expression of the reference's stats and
+Prometheus surface (SURVEY.md §2.5 A3-A7, §2.1 K4).
+
+* A3 batch stats (``/root/reference/src/crawler/batch_processor/
+  stats.rs:31-142``): total/success/failure counts, success rate, total+avg
+  duration.
+* A4 error categorization (``stats.rs:144-156``): substring match →
+  {Timeout, Connection Refused, DNS Error, Parse Error, Other Error}.
+* A6 log analysis (``scripts/task_analysis.sh:5-135``): per-task duration
+  max/min/avg/median.
+* A7 Prometheus counters/histogram (``src/metrics.rs:47-116``): per-stage
+  status counts + stage-duration histogram with the reference's default
+  buckets 0.1/0.5/1/2/5/10 s.
+
+All pure ``groupBy``/``agg`` column expressions — metrics are tables, not a
+scrape endpoint (§7.3 non-goals).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# reference default histogram buckets (src/metrics.rs:74-86)
+STAGE_DURATION_BUCKETS = [0.1, 0.5, 1.0, 2.0, 5.0, 10.0]
+
+# stage names (src/metrics.rs:105)
+STAGES = ["distribution", "fetching", "parsing", "inserting"]
+
+
+def categorize_error(err: Column) -> Column:
+    """A4: the reference matches lowercase substrings of the error text."""
+    low = F.lower(err)
+    return (
+        F.when(err.isNull(), F.lit(None).cast("string"))
+        .when(low.contains("timeout") | low.contains("timed out"), "Timeout")
+        .when(low.contains("connection refused"), "Connection Refused")
+        .when(low.contains("dns"), "DNS Error")
+        .when(low.contains("parse") | low.contains("missing"), "Parse Error")
+        .otherwise("Other Error")
+    )
+
+
+def batch_stats(outcomes: DataFrame, duration_col: str = "duration_s") -> DataFrame:
+    """A3: one summary row per epoch.  *outcomes* needs ``success: bool``
+    and a duration column."""
+    return outcomes.agg(
+        F.count("*").alias("total_count"),
+        F.sum(F.col("success").cast("long")).alias("success_count"),
+        F.sum((~F.col("success")).cast("long")).alias("failure_count"),
+        (F.sum(F.col("success").cast("double")) / F.count("*")).alias(
+            "success_rate"
+        ),
+        F.sum(duration_col).alias("total_duration_s"),
+        F.avg(duration_col).alias("avg_duration_s"),
+        F.max(duration_col).alias("max_duration_s"),
+        F.min(duration_col).alias("min_duration_s"),
+        F.percentile_approx(duration_col, 0.5).alias("median_duration_s"),
+    )
+
+
+def error_histogram(outcomes: DataFrame, error_col: str = "last_error") -> DataFrame:
+    """A4: error-category histogram over failure rows."""
+    return (
+        outcomes.filter(F.col(error_col).isNotNull())
+        .groupBy(categorize_error(F.col(error_col)).alias("error_type"))
+        .count()
+        .withColumnRenamed("count", "n")
+    )
+
+
+def stage_status_counts(stage_rows: DataFrame) -> DataFrame:
+    """A7 gauge equivalent: counts per (stage, status)."""
+    return stage_rows.groupBy("stage", "status").count().withColumnRenamed(
+        "count", "n"
+    )
+
+
+def duration_bucket(duration: Column, buckets: List[float] = STAGE_DURATION_BUCKETS) -> Column:
+    """A7 histogram bucketing (cumulative ``le`` label, Prometheus-style)."""
+    expr = F.when(duration <= buckets[0], F.lit(f"le_{buckets[0]}"))
+    for b in buckets[1:]:
+        expr = expr.when(duration <= b, F.lit(f"le_{b}"))
+    return expr.otherwise(F.lit("inf"))
+
+
+def per_partition_lineage(df: DataFrame) -> List[dict]:
+    """North-rule per-partition lineage: rows per physical partition of the
+    epoch output (recorded into the snapshot manifest)."""
+    rows = (
+        df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .count()
+        .orderBy("partition_id")
+        .collect()
+    )
+    return [{"partition_id": r.partition_id, "rows": r["count"]} for r in rows]

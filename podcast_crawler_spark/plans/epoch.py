@@ -1,0 +1,343 @@
+"""The crawl epoch — one deterministic micro-batch of the crawl loop.
+
+Spark mapping of the reference's production lifecycle (SURVEY.md §3.1):
+
+    select-due → politeness window → fetch join → parse UDF → explode
+    episodes → validate → upsert podcasts/episodes → update frontier
+    (retries, reschedule) → commit snapshots + per-partition lineage +
+    metrics
+
+Driver = distributor; executors = workers; the hash shuffle replaces the
+broadcast task bus; the snapshot commit replaces the Postgres transaction.
+The reference's continuous tokio loop has no event-time semantics
+(SURVEY.md §2.10), so discrete epochs with deterministic timestamps give
+exact resume + reproducible ordering; the same ``run_epoch`` body plugs
+into Structured Streaming ``foreachBatch`` unchanged
+(``podcast_crawler_spark.streaming``).
+
+Upsert semantics (D1/D2): podcast identity = ``rss_feed_url``, episode
+identity = ``guid`` — the batch-path conflict keys of
+``/root/reference/src/infrastructure/persistence/repositories/
+podcast_repository.rs:178-183,212-218``; ``DO UPDATE`` = last-write-wins,
+implemented as union + per-key ``row_number`` keeping the newest epoch.
+In production these two become Iceberg ``MERGE INTO``; the snapshot-table
+rewrite here has identical semantics at sandbox scale.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from datetime import datetime, timedelta
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.udfs import explode_episodes, parse_pages
+from ..functions.urlfns import canonicalize_url, url_hash
+from ..operators.frontier import (
+    PARSED,
+    CrawlConfig,
+    apply_epoch_results,
+    build_frontier,
+    fetch_join,
+    salted,
+    schedule_epoch,
+)
+from ..operators.seen import build_bloom, filter_unseen
+from ..operators.stats import categorize_error, per_partition_lineage
+from .checkpoint import SnapshotTable
+
+PASSTHROUGH = [
+    "url",
+    "url_hash",
+    "host",
+    "host_hash",
+    "priority",
+    "host_seq",
+    "planned_fetch_ts",
+    "fetch_ok",
+]
+
+
+@dataclass
+class CrawlState:
+    root: str
+    frontier: SnapshotTable
+    podcasts: SnapshotTable
+    episodes: SnapshotTable
+    metrics: SnapshotTable
+
+    @classmethod
+    def open(cls, root: str) -> "CrawlState":
+        return cls(
+            root=root,
+            frontier=SnapshotTable(root, "frontier"),
+            podcasts=SnapshotTable(root, "podcasts"),
+            episodes=SnapshotTable(root, "episodes"),
+            metrics=SnapshotTable(root, "metrics"),
+        )
+
+    def completed_epochs(self) -> int:
+        return (self.frontier.current_snapshot_id() or 1) - 1
+
+
+def init_crawl(
+    spark: SparkSession,
+    seeds: DataFrame,
+    state_dir: str,
+    epoch0: datetime,
+    cfg: CrawlConfig = CrawlConfig(),
+) -> CrawlState:
+    """Build the initial frontier snapshot from the seed list (idempotent:
+    an existing initialized state dir is reopened, not rebuilt)."""
+    state = CrawlState.open(state_dir)
+    if state.frontier.current_snapshot_id() is None:
+        frontier = build_frontier(seeds, epoch0, cfg).repartition(
+            cfg.num_partitions, "host_hash"
+        )
+        state.frontier.commit(frontier, metrics={"epoch": 0})
+    return state
+
+
+def _upsert(
+    existing: Optional[DataFrame],
+    updates: DataFrame,
+    key: str,
+    order_col: str = "_epoch",
+) -> DataFrame:
+    """Last-write-wins merge on *key* (ON CONFLICT ... DO UPDATE parity)."""
+    merged = updates if existing is None else existing.unionByName(updates)
+    w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def run_epoch(
+    spark: SparkSession,
+    state: CrawlState,
+    pages: DataFrame,
+    robots: DataFrame,
+    epoch_ts: datetime,
+    cfg: CrawlConfig = CrawlConfig(),
+    use_bloom: bool = True,
+) -> Dict:
+    """Run one epoch; commits frontier/podcasts/episodes/metrics snapshots
+    atomically (frontier last — its snapshot id is the epoch counter, so a
+    crash before it re-runs the whole epoch idempotently: upserts are
+    keyed, re-insertion converges to the same state)."""
+    t0 = time.time()
+    epoch_no = state.completed_epochs() + 1
+    frontier = state.frontier.read(spark)
+
+    # 1-2. due selection + politeness priority queue (W4/W5) + robots (J4)
+    scheduled = schedule_epoch(frontier, robots, epoch_ts, cfg)
+
+    # 3. "fetch" = join against pages (J3), salted against hot hosts (X6)
+    fetched = fetch_join(salted(scheduled, cfg), pages)
+
+    # 4. parse stage (P1-P12) — Arrow-batched, frontier bookkeeping passes
+    # through so no re-join afterwards
+    parsed = parse_pages(fetched, passthrough=PASSTHROUGH).cache()
+
+    ok = parsed.filter(F.col("parse_error_kind").isNull())
+
+    # 5. outputs: podcasts (J2 key = xxhash64(rss_feed_url)) + episodes
+    epoch_lit = F.lit(epoch_no)
+    podcasts_new = ok.select(
+        F.xxhash64("podcast.rss_feed_url").alias("podcast_id"),
+        F.col("podcast.*"),
+        epoch_lit.alias("_epoch"),
+    )
+    episodes_new = explode_episodes(parsed).withColumn("_epoch", epoch_lit)
+
+    # 6. episode-seen pre-filter: bloom over already-stored guids, verified
+    # exactly by anti-join (D3) — then LWW upsert for re-crawled guids
+    existing_eps = state.episodes.read(spark)
+    if existing_eps is not None and use_bloom:
+        episodes_new = episodes_new.withColumn(
+            "guid_hash", F.xxhash64("guid")
+        )
+        seen_keys = existing_eps.select(F.xxhash64("guid").alias("guid_hash"))
+        bloom = build_bloom(
+            seen_keys, key_col="guid_hash",
+            expected_keys=state.episodes.manifest()["metrics"].get("rows", 10000),
+        )
+        fresh = filter_unseen(episodes_new, seen_keys, bloom, "guid_hash").drop(
+            "guid_hash"
+        )
+        # re-crawled guids (the non-fresh remainder) still upsert (LWW):
+        stale = episodes_new.join(
+            seen_keys, "guid_hash", "left_semi"
+        ).drop("guid_hash")
+        episodes_updates = fresh.unionByName(stale)
+    else:
+        episodes_updates = episodes_new
+
+    new_podcasts = _upsert(state.podcasts.read(spark), podcasts_new, "rss_feed_url")
+    new_episodes = _upsert(existing_eps, episodes_updates, "guid")
+
+    # 7. frontier update (R1-R3) + per-row stage lineage for this epoch
+    outcomes = parsed.select(
+        "url_hash", "fetch_ok", "parse_error_kind", "parse_error_message"
+    )
+    new_frontier = apply_epoch_results(frontier, outcomes, epoch_ts, cfg)
+    new_frontier = _stamp_stages(new_frontier, epoch_ts)
+
+    # 8. metrics (A3/A4/A7) + per-partition lineage for the manifest
+    mrows = parsed.select(
+        F.col("fetch_ok"),
+        F.col("parse_error_kind"),
+        categorize_error(F.col("parse_error_message")).alias("error_type"),
+    ).cache()
+    total = mrows.count()
+    n_fetch_ok = mrows.filter("fetch_ok").count()
+    n_parse_ok = mrows.filter(
+        F.col("fetch_ok") & F.col("parse_error_kind").isNull()
+    ).count()
+    err_hist = {
+        r.error_type: r.n
+        for r in mrows.filter(F.col("error_type").isNotNull())
+        .groupBy("error_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    lineage = per_partition_lineage(parsed.select("url_hash"))
+    ep_rows = new_episodes.count()
+    pod_rows = new_podcasts.count()
+
+    metrics = {
+        "epoch": epoch_no,
+        "epoch_ts": epoch_ts.isoformat(),
+        "scheduled": total,
+        "fetched": n_fetch_ok,
+        "parsed": n_parse_ok,
+        "fetch_failures": total - n_fetch_ok,
+        "parse_failures": n_fetch_ok - n_parse_ok,
+        "error_histogram": err_hist,
+        "podcast_rows": pod_rows,
+        "episode_rows": ep_rows,
+        "partition_lineage": lineage,
+        "wall_s": None,  # filled below
+    }
+
+    # 9. commit (frontier last = epoch boundary)
+    state.podcasts.commit(new_podcasts, metrics={"epoch": epoch_no, "rows": pod_rows})
+    state.episodes.commit(new_episodes, metrics={"epoch": epoch_no, "rows": ep_rows})
+    metrics_df = spark.createDataFrame(
+        [
+            (
+                epoch_no,
+                epoch_ts,
+                total,
+                n_fetch_ok,
+                n_parse_ok,
+                total - n_fetch_ok,
+                n_fetch_ok - n_parse_ok,
+            )
+        ],
+        "epoch int, epoch_ts timestamp, scheduled long, fetched long,"
+        " parsed long, fetch_failures long, parse_failures long",
+    )
+    prev_metrics = state.metrics.read(spark)
+    all_metrics = (
+        metrics_df
+        if prev_metrics is None
+        else prev_metrics.unionByName(metrics_df)
+    )
+    state.metrics.commit(all_metrics, metrics={"epoch": epoch_no})
+    metrics["wall_s"] = round(time.time() - t0, 3)
+    state.frontier.commit(
+        new_frontier.repartition(cfg.num_partitions, "host_hash"),
+        metrics=metrics,
+    )
+    parsed.unpersist()
+    mrows.unpersist()
+    return metrics
+
+
+def _stamp_stages(frontier: DataFrame, epoch_ts: datetime) -> DataFrame:
+    """Per-row lineage for rows touched this epoch, mirroring the Task
+    stages vec (``task.rs:33-41``; names ``src/metrics.rs:105``).  Bounded:
+    the row keeps only its latest epoch's stages; cross-epoch lineage lives
+    in the snapshot manifests."""
+    ts = F.lit(epoch_ts).cast("timestamp")
+    touched = F.col("state").isin(PARSED, "failed") | (
+        (F.col("retries") > 0) & (F.col("state") == "pending")
+    )
+    fetch_status = F.when(
+        F.col("error_kind") == "network", F.lit("Failed")
+    ).otherwise(F.lit("Completed"))
+    parse_status = (
+        F.when(F.col("error_kind") == "network", F.lit("Pending"))
+        .when(F.col("error_kind").isNotNull(), F.lit("Failed"))
+        .otherwise(F.lit("Completed"))
+    )
+    insert_status = F.when(F.col("state") == PARSED, F.lit("Completed")).otherwise(
+        F.lit("Pending")
+    )
+
+    def stage(name, status):
+        return F.struct(
+            F.lit(name).alias("name"),
+            status.alias("status"),
+            ts.alias("start_ts"),
+            ts.alias("end_ts"),
+            F.col("last_error").alias("error"),
+        )
+
+    stages = F.array(
+        stage("distribution", F.lit("Completed")),
+        stage("fetching", fetch_status),
+        stage("parsing", parse_status),
+        stage("inserting", insert_status),
+    )
+    return frontier.withColumn(
+        "stages", F.when(touched, stages).otherwise(F.col("stages"))
+    )
+
+
+def run_crawl(
+    spark: SparkSession,
+    state_dir: str,
+    seeds: DataFrame,
+    pages: DataFrame,
+    robots: DataFrame,
+    epochs: int,
+    epoch0: datetime,
+    epoch_interval_s: int = 60,
+    cfg: CrawlConfig = CrawlConfig(),
+    use_bloom: bool = True,
+) -> CrawlState:
+    """Run (or **resume**) the crawl until *epochs* epochs are committed.
+    Epoch timestamps are deterministic (epoch0 + i·interval), so resuming a
+    killed run reproduces byte-identical outputs (tested)."""
+    state = init_crawl(spark, seeds, state_dir, epoch0, cfg)
+    while state.completed_epochs() < epochs:
+        i = state.completed_epochs()
+        epoch_ts = epoch0 + timedelta(seconds=i * epoch_interval_s)
+        run_epoch(spark, state, pages, robots, epoch_ts, cfg, use_bloom=use_bloom)
+    return state
+
+
+def discovered_urls(state: CrawlState, spark: SparkSession) -> DataFrame:
+    """Frontier growth: episode enclosure/link URLs discovered by parsing,
+    canonicalized + hashed — candidates for seen-set filtering before
+    admission (north-star: seen set over feed **and** episode URLs)."""
+    eps = state.episodes.read(spark)
+    if eps is None:
+        raise ValueError("no episodes snapshot yet")
+    urls = (
+        eps.select(F.col("enclosure_url").alias("url"))
+        .unionByName(eps.select(F.col("link").alias("url")))
+        .filter(F.col("url").isNotNull())
+    )
+    return urls.select(
+        "url",
+        canonicalize_url(F.col("url")).alias("canonical_url"),
+    ).select("url", "canonical_url", url_hash(F.col("canonical_url")).alias("url_hash"))
