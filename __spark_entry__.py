@@ -1,38 +1,680 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (the politeness priority queue, the
+engine's signature operator W4/W5) over sf0.001.
+
+``queries()`` — one entry per implemented operator family from
+SURVEY.md §2 plus the training-data pipeline operators (dedup /
+similarity / text analysis / multimodal), each over the driver's
+testdata tables.  ``oracle_sql()`` carries the DuckDB-equivalent ANSI
+SQL; crawl-native and LSH/IVF/audio queries that are not
+SQL-expressible are rows-only by design (the pytest suite pins their
+semantics against pandas oracles and reference goldens instead).
+
+Column names are aliased identically on both sides; value-bearing
+doubles are rounded to 6 dp on both sides (md5-derived hashes are used
+wherever an oracle must reproduce a hash bit-for-bit).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from datetime import datetime, timezone
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from podcast_crawler_spark.operators import dedup, multimodal, similarity, textstats
+from podcast_crawler_spark.operators.frontier import CrawlConfig, schedule_epoch, seed_scan
+from podcast_crawler_spark.plans.epoch import init_crawl, run_crawl
+
+EPOCH0 = datetime(2025, 1, 1, tzinfo=timezone.utc)
+N_FEEDS = 200  # deterministic synthetic crawl corpus size for rows-only queries
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship: the partitioned politeness priority queue (W4/W5) mapped onto
+# the events table — user_id plays host_hash, ts plays next_fetch_ts.
+# --------------------------------------------------------------------------
+
+def _priority_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("event_id", "user_id", "ts", "rank")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _priority_queue(spark, "/root/testdata/sf0.001")
+
+
+# --------------------------------------------------------------------------
+# relational / scheduling operators over the testdata tables
+# --------------------------------------------------------------------------
+
+def _paginate_orders(spark, sf_dir):
+    # W1 pagination: ORDER BY o_orderkey LIMIT 20 OFFSET 40 (page 3)
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    return (
+        orders.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") > 40) & (F.col("_rn") <= 60))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def _orders_page_per_customer(spark, sf_dir):
+    # W2: newest 3 orders per customer + broadcast dim join (J1)
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey")
+    )
+    top = (
+        orders.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+    )
+    return top.join(
+        F.broadcast(customer.select("c_custkey", "c_name")),
+        top.o_custkey == F.col("c_custkey"),
+    ).select("o_custkey", "c_name", "o_orderkey", "o_orderdate", "rn")
+
+
+def _search_ilike(spark, sf_dir):
+    # F6: title ILIKE '%q%'
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").ilike("%red%"))
+        .select("p_partkey", "p_name", "p_brand")
+    )
+
+
+def _point_lookup(spark, sf_dir):
+    # F5: point lookup by key
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") == 42)
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def _count_per_group(spark, sf_dir):
+    # A2: per-parent child count
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def _batch_stats(spark, sf_dir):
+    # A3: batch success/failure stats analog
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+def _error_histogram(spark, sf_dir):
+    # A4: substring-match error categorization → histogram
+    et = F.col("event_type")
+    cat = (
+        F.when(et.contains("error"), F.lit("Error"))
+        .when(et.contains("click") | et.contains("view"), F.lit("Interaction"))
+        .when(et.contains("purchase") | et.contains("signup"), F.lit("Conversion"))
+        .otherwise(F.lit("Other"))
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .select(cat.alias("category"))
+        .groupBy("category")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _stats_median(spark, sf_dir):
+    # A6: per-group max/min/avg/exact-median
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("value"), 6).alias("max_value"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("median_value"),
+        )
+    )
+
+
+def _retry_backoff(spark, sf_dir):
+    # R1/R2: linear backoff reschedule for failed rows
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    retries = (F.col("event_id") % 3).cast("int")
+    backoff = ((retries + 1) * F.lit(1.0)).cast("double")
+    return ev.select(
+        "event_id",
+        retries.alias("retries"),
+        backoff.alias("backoff_s"),
+        F.round(
+            F.col("ts").cast("timestamp").cast("double") + backoff, 6
+        ).alias("next_fetch_epoch"),
+    )
+
+
+def _anti_join_unseen(spark, sf_dir):
+    # D3: "not yet seen" = left_anti
+    customer = _t(spark, sf_dir, "customer")
+    seen = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2001-01-01")
+    return customer.join(
+        seen.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def _dedup_lww(spark, sf_dir):
+    # D1/D2: last-write-wins upsert per identity key
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_type", "event_id", F.round("value", 6).alias("value"))
+    )
+
+
+def _region_rollup(spark, sf_dir):
+    # J1-chain with broadcast dims: customer ⋈ nation ⋈ region
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+        )
+    )
+
+
+def _q1_pricing_summary(spark, sf_dir):
+    # TPC-H Q1-shaped scan+agg (headline bench query; predicate pushdown)
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2000-09-02")
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _partition_balance(spark, sf_dir):
+    # X1/X2: hash-partition placement balance
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.pmod(F.col("o_orderkey"), F.lit(32)).alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _hot_users_topk(spark, sf_dir):
+    # W3 + X6: hot-key (skew) detection, deterministic top-10
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("user_id"))
+        .limit(10)
+    )
+
+
+def _duration_histogram(spark, sf_dir):
+    # A7: stage-duration histogram buckets (when-chain = width_bucket)
+    v = F.col("value")
+    b = (
+        F.when(v < 1, F.lit("lt_1"))
+        .when(v < 10, F.lit("lt_10"))
+        .when(v < 50, F.lit("lt_50"))
+        .when(v < 100, F.lit("lt_100"))
+        .otherwise(F.lit("ge_100"))
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline: dedup / similarity / text analysis / multimodal
+# --------------------------------------------------------------------------
+
+def _dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5("text").alias("text_md5"), "doc_id")
+        .groupBy("text_md5")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def _dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def _dedup_simhash(spark, sf_dir):
+    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def _embed_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, emb.filter("vec_id < 8"), k=5)
+
+
+def _embed_lsh_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, emb.filter("vec_id < 8"), k=5)
+
+
+def _embed_ivf_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, emb.filter("vec_id < 8"), k=5)
+
+
+def _embed_neardup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(emb, threshold=0.35)
+
+
+def _lang_id(spark, sf_dir):
+    return textstats.language_id(_t(spark, sf_dir, "documents"))
+
+
+def _quality_scores(spark, sf_dir):
+    return textstats.quality_scores(_t(spark, sf_dir, "documents"))
+
+
+def _token_counts(spark, sf_dir):
+    return textstats.token_counts(_t(spark, sf_dir, "documents"))
+
+
+def _doc_fingerprints(spark, sf_dir):
+    return textstats.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def _mm_image_meta(spark, sf_dir):
+    media = multimodal.docs_as_media(_t(spark, sf_dir, "documents"))
+    return multimodal.decode_image(media).select(
+        "media_id", "n_bytes", "format", "width", "height"
+    )
+
+
+def _mm_video_frames(spark, sf_dir):
+    media = multimodal.docs_as_media(_t(spark, sf_dir, "documents"))
+    return multimodal.sample_video_frames(media).select(
+        "media_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.length("frame").cast("long").alias("frame_bytes"),
+    )
+
+
+def _mm_audio_features(spark, sf_dir):
+    media = multimodal.docs_as_media(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_audio_features(media)
+
+
+# --------------------------------------------------------------------------
+# crawl-native queries over the deterministic synthetic corpus (rows-only:
+# their semantics are pinned by the pytest golden/oracle suite instead)
+# --------------------------------------------------------------------------
+
+def _crawl_seed_scan(spark, sf_dir):
+    from podcast_crawler_spark.sources.pagesgen import gen_seeds
+
+    return seed_scan(gen_seeds(spark, N_FEEDS, partitions=8)).orderBy("priority")
+
+
+def _crawl_schedule_order(spark, sf_dir):
+    from podcast_crawler_spark.sources.pagesgen import gen_robots, gen_seeds
+
+    cfg = CrawlConfig(num_partitions=8)
+    seeds = gen_seeds(spark, N_FEEDS, partitions=8)
+    robots = gen_robots(spark, N_FEEDS)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        state = init_crawl(spark, seeds, d, EPOCH0, cfg)
+        frontier = state.frontier.read(spark)
+        sched = schedule_epoch(frontier, robots, EPOCH0, cfg).select(
+            "url", "host", "host_seq", "planned_fetch_ts"
+        )
+        sched = spark.createDataFrame(sched.toPandas())  # materialize before tmpdir dies
+    return sched
+
+
+def _crawl_epoch_end2end(spark, sf_dir):
+    from podcast_crawler_spark.sources.pagesgen import gen_pages, gen_robots, gen_seeds
+
+    import tempfile
+
+    cfg = CrawlConfig(num_partitions=8, per_host_budget=100)
+    with tempfile.TemporaryDirectory() as d:
+        state = run_crawl(
+            spark,
+            d,
+            gen_seeds(spark, N_FEEDS, partitions=8),
+            gen_pages(spark, N_FEEDS, partitions=8),
+            gen_robots(spark, N_FEEDS),
+            epochs=1,
+            epoch0=EPOCH0,
+            cfg=cfg,
+        )
+        eps = (
+            state.episodes.read(spark)
+            .select("guid", "title", "enclosure_url", "enclosure_length", "pub_date")
+            .orderBy("guid")
+        )
+        out = spark.createDataFrame(eps.toPandas())
+    return out
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "flagship_priority_queue": _priority_queue,
+        "paginate_orders": _paginate_orders,
+        "orders_page_per_customer": _orders_page_per_customer,
+        "search_ilike": _search_ilike,
+        "point_lookup": _point_lookup,
+        "count_per_group": _count_per_group,
+        "batch_stats": _batch_stats,
+        "error_histogram": _error_histogram,
+        "stats_median": _stats_median,
+        "retry_backoff": _retry_backoff,
+        "anti_join_unseen": _anti_join_unseen,
+        "dedup_lww": _dedup_lww,
+        "region_rollup": _region_rollup,
+        "q1_pricing_summary": _q1_pricing_summary,
+        "partition_balance": _partition_balance,
+        "hot_users_topk": _hot_users_topk,
+        "duration_histogram": _duration_histogram,
+        "dedup_exact": _dedup_exact,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_simhash": _dedup_simhash,
+        "embed_cosine_topk": _embed_cosine_topk,
+        "embed_lsh_topk": _embed_lsh_topk,
+        "embed_ivf_topk": _embed_ivf_topk,
+        "embed_neardup": _embed_neardup,
+        "lang_id": _lang_id,
+        "quality_scores": _quality_scores,
+        "token_counts": _token_counts,
+        "doc_fingerprints": _doc_fingerprints,
+        "mm_image_meta": _mm_image_meta,
+        "mm_video_frames": _mm_video_frames,
+        "mm_audio_features": _mm_audio_features,
+        "crawl_seed_scan": _crawl_seed_scan,
+        "crawl_schedule_order": _crawl_schedule_order,
+        "crawl_epoch_end2end": _crawl_epoch_end2end,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+_JACCARD_CTE = """
+with toks as (select doc_id id, string_split(text,' ') t from documents),
+sh as (select id, list_distinct([array_to_string(t[i:i+2],' ')
+        for i in range(1, greatest(len(t)-2,1)+1)]) s from toks),
+pairs as (
+  select a.id id_a, b.id id_b,
+         len(list_intersect(a.s,b.s)) common, len(a.s) sz_a, len(b.s) sz_b
+  from sh a join sh b on a.id < b.id),
+j as (select id_a, id_b,
+         common::DOUBLE / (sz_a + sz_b - common) jaccard from pairs)
+select id_a, id_b, round(jaccard, 6) as jaccard from j where jaccard >= {thr}
+"""
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ",\n    ".join(
+        f"sum(case when (th >> {i}) & 1 = 1 then tf else -tf end) as s{i}"
+        for i in range(32)
+    )
+    sig_expr = " + ".join(
+        f"(case when s{i} > 0 then {1 << i}::BIGINT else 0 end)" for i in range(32)
+    )
+    return f"""
+with tf as (
+  select doc_id id, tok, count(*) tf,
+         ('0x' || substr(md5(tok),1,8))::BIGINT th
+  from (select doc_id, unnest(string_split(text,' ')) tok from documents)
+  where len(tok) > 0
+  group by doc_id, tok),
+sums as (select id, {bit_sums} from tf group by id),
+sig as (select id, ({sig_expr}) simhash from sums)
+select a.id id_a, b.id id_b,
+       bit_count(xor(a.simhash, b.simhash))::INT hamming
+from sig a join sig b on a.id < b.id
+where bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    en_stop = textstats.LANG_MARKERS["en"]
+
+    def cnt(word: str) -> str:
+        needle = f" {word} "
+        return (
+            f"((length(' '||text||' ') - length(replace(' '||text||' ', '{needle}', '')))"
+            f" / {len(needle)})::BIGINT"
+        )
+
+    stop_sum = " + ".join(cnt(w) for w in en_stop)
+    lang_score = {
+        lang: " + ".join(cnt(w) for w in words)
+        for lang, words in textstats.LANG_MARKERS.items()
+    }
+    greatest_all = "greatest(" + ", ".join(f"({s})" for s in lang_score.values()) + ")"
+    # alphabetical tie-break: iterate langs reverse-sorted, last when wins
+    pred_case = "'unk'"
+    for lang in sorted(lang_score, reverse=True):
+        pred_case = (
+            f"case when ({lang_score[lang]}) = {greatest_all} "
+            f"and {greatest_all} > 0 then '{lang}' else {pred_case} end"
+        )
+
+    return {
+        "flagship_priority_queue": """
+            select event_id, user_id, ts, rank from (
+              select event_id, user_id, ts,
+                     row_number() over (partition by user_id order by ts, event_id)::INT rank
+              from events) where rank <= 5
+        """,
+        "paginate_orders": """
+            select o_orderkey, o_custkey, o_totalprice from (
+              select *, row_number() over (order by o_orderkey) _rn from orders)
+            where _rn > 40 and _rn <= 60
+        """,
+        "orders_page_per_customer": """
+            select o_custkey, c_name, o_orderkey, o_orderdate, rn from (
+              select o_custkey, o_orderkey, o_orderdate,
+                     row_number() over (partition by o_custkey
+                        order by o_orderdate desc, o_orderkey)::INT rn
+              from orders) o
+            join customer on o.o_custkey = customer.c_custkey
+            where rn <= 3
+        """,
+        "search_ilike": """
+            select p_partkey, p_name, p_brand from part where p_name ilike '%red%'
+        """,
+        "point_lookup": """
+            select c_custkey, c_name, c_mktsegment from customer where c_custkey = 42
+        """,
+        "count_per_group": """
+            select o_custkey, count(*) n_orders from orders group by o_custkey
+        """,
+        "batch_stats": """
+            select event_type, count(*) n, round(sum(value),6) sum_value,
+                   round(avg(value),6) avg_value
+            from events group by event_type
+        """,
+        "error_histogram": """
+            select category, count(*) n from (
+              select case
+                when event_type like '%error%' then 'Error'
+                when event_type like '%click%' or event_type like '%view%' then 'Interaction'
+                when event_type like '%purchase%' or event_type like '%signup%' then 'Conversion'
+                else 'Other' end category
+              from events) group by category
+        """,
+        "stats_median": """
+            select event_type, round(max(value),6) max_value, round(min(value),6) min_value,
+                   round(avg(value),6) avg_value,
+                   round(quantile_cont(value, 0.5),6) median_value
+            from events group by event_type
+        """,
+        "retry_backoff": """
+            select event_id, (event_id % 3)::INT retries,
+                   ((event_id % 3) + 1) * 1.0 backoff_s,
+                   round(epoch(ts) + ((event_id % 3) + 1) * 1.0, 6) next_fetch_epoch
+            from events where event_type = 'error'
+        """,
+        "anti_join_unseen": """
+            select c_custkey, c_name from customer c
+            where not exists (select 1 from orders o where o.o_custkey = c.c_custkey
+                              and o.o_orderdate >= timestamp '2001-01-01')
+        """,
+        "dedup_lww": """
+            select user_id, event_type, event_id, round(value,6) as "value" from (
+              select *, row_number() over (partition by user_id, event_type
+                         order by ts desc, event_id desc) _rn
+              from events) where _rn = 1
+        """,
+        "region_rollup": """
+            select r_name, count(*) n_customers, round(avg(c_acctbal),6) avg_acctbal
+            from customer join nation on c_nationkey = n_nationkey
+            join region on n_regionkey = r_regionkey
+            group by r_name
+        """,
+        "q1_pricing_summary": """
+            select l_returnflag, l_linestatus,
+                   round(sum(l_quantity),6) sum_qty,
+                   round(sum(l_extendedprice),6) sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)),6) sum_disc_price,
+                   round(avg(l_quantity),6) avg_qty,
+                   round(avg(l_extendedprice),6) avg_price,
+                   count(*) count_order
+            from lineitem where l_shipdate <= timestamp '2000-09-02'
+            group by l_returnflag, l_linestatus
+        """,
+        "partition_balance": """
+            select o_orderkey % 32 bucket, count(*) n from orders group by 1
+        """,
+        "hot_users_topk": """
+            select user_id, count(*) n from events group by user_id
+            order by n desc, user_id limit 10
+        """,
+        "duration_histogram": """
+            select bucket, count(*) n from (
+              select case when value < 1 then 'lt_1' when value < 10 then 'lt_10'
+                          when value < 50 then 'lt_50' when value < 100 then 'lt_100'
+                          else 'ge_100' end bucket
+              from events) group by bucket
+        """,
+        "dedup_exact": """
+            select md5(text) text_md5, min(doc_id) keep_id, count(*) dup_count
+            from documents group by 1
+        """,
+        "dedup_ngram_jaccard": _JACCARD_CTE.format(thr=0.5),
+        "dedup_minhash_lsh": _JACCARD_CTE.format(thr=0.8),
+        "dedup_simhash": _simhash_oracle(),
+        "embed_cosine_topk": """
+            with q as (select vec_id qid, embedding qv from embeddings where vec_id < 8),
+            s as (select q.qid query_id, e.vec_id neighbor_id,
+                         list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) cos
+                  from embeddings e cross join q where e.vec_id <> q.qid)
+            select query_id, neighbor_id,
+                   row_number() over (partition by query_id
+                      order by cos desc, neighbor_id)::INT rank,
+                   round(cos, 6) cos
+            from s qualify rank <= 5
+        """,
+        "lang_id": f"""
+            select doc_id id, {pred_case} lang_pred, {greatest_all} lang_score
+            from documents
+        """,
+        "quality_scores": f"""
+            with b as (
+              select doc_id id, length(text) n_chars,
+                     len(list_filter(string_split(text,' '), x -> len(x) > 0)) n_tokens,
+                     ({stop_sum}) stop,
+                     length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) alnum
+              from documents)
+            select id, n_chars, n_tokens,
+                   round((n_chars - (n_tokens - 1))::DOUBLE / n_tokens, 6) mean_token_len,
+                   round(stop::DOUBLE / n_tokens, 6) stopword_ratio,
+                   round(alnum::DOUBLE / n_chars, 6) alnum_ratio,
+                   round(least(n_tokens / 20.0, 1.0) * 0.4
+                         + least(stop::DOUBLE / n_tokens * 10.0, 1.0) * 0.3
+                         + alnum::DOUBLE / n_chars * 0.3, 6) quality
+            from b
+        """,
+        "token_counts": """
+            with b as (select doc_id id, string_split(text,' ') t, text from documents)
+            select id,
+                   len(list_filter(t, x -> len(x) > 0)) ws_tokens,
+                   (list_sum(list_transform(t,
+                      x -> ceil(length(regexp_replace(x, '[^a-zA-Z0-9]', '', 'g')) / 4.0)))
+                    + length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')))::BIGINT bpe_pieces
+            from b
+        """,
+        "doc_fingerprints": """
+            with toks as (select doc_id id, string_split(text,' ') t from documents),
+            g as (select id, [md5(array_to_string(t[i:i+7],' '))
+                   for i in range(1, greatest(len(t)-8,0)+2)] gr from toks)
+            select id, list_min(gr) fp_min, list_max(gr) fp_max from g
+        """,
+        "mm_image_meta": """
+            with m as (select doc_id media_id, octet_length(encode(text))::BIGINT n from documents)
+            select media_id, n n_bytes,
+                   case when n % 2 = 0 then 'png' else 'jpeg' end format,
+                   (64 + n % 512)::INT width, (64 + (n // 7) % 512)::INT height
+            from m
+        """,
+        "mm_video_frames": """
+            with m as (select doc_id media_id, octet_length(encode(text))::BIGINT n from documents)
+            select media_id, i::INT frame_idx,
+                   least(16, greatest(n - i*1024, 0))::BIGINT frame_bytes
+            from m, unnest(range(least(4, greatest(n // 1024, 1)))) as t(i)
+        """,
+    }

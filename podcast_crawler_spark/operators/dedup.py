@@ -1,0 +1,333 @@
+"""Document deduplication operators for a web-scale training-data pipeline.
+
+The crawl engine's output (podcast show notes / extracted page text) feeds
+LLM-training corpora, so dedup is a first-class operator family here, built
+Spark-first:
+
+- **Exact dedup** — md5(text) hash-groupBy. One shuffle on a 16-byte key;
+  at 100 TB this is the cheapest possible full-corpus pass (the shuffle
+  carries only ``(hash, doc_id)``, never the text).
+- **N-gram Jaccard** — exact pairwise similarity via an *inverted index*
+  join on shingles (NOT a cross join): ``explode(shingles) → self-join on
+  shingle → count common → |A∩B|/|A∪B|``.  Common-shingle frequency cap
+  keeps the index join from quadratic blowup on stop-shingles (standard
+  web-dedup practice; at 10^9 docs the cap is what makes this tractable).
+- **MinHash + LSH** — the scale path: 64-perm signatures computed entirely
+  JVM-side (``min(xxhash64(shingle, seed_i))`` partial aggregation — one
+  shuffle, map-side combine, no Python), banded into LSH buckets, candidate
+  pairs generated per bucket, then **exactly verified** with true Jaccard so
+  false positives never survive (mirrors the bloom-then-anti-join discipline
+  of the URL-seen set, ``operators/seen.py``).
+- **SimHash** — 32-bit signatures from md5-derived token hashes (md5 so a
+  SQL oracle can reproduce them bit-for-bit), weighted by term frequency;
+  near-dup pairs via banded chunks + hamming verification with
+  ``bit_count(xor)``.
+- **Embedding cosine near-dup** — see ``operators/similarity.py``.
+
+Every operator returns a DataFrame and stays inside whole-stage codegen
+(built-in functions only; zero Python UDFs in this module).
+
+Reference parity note: the reference's only dedup is upsert-on-conflict-key
+(``/root/reference/src/infrastructure/persistence/repositories/
+podcast_repository.rs:178-183,212-218``); these operators generalize that
+idempotence discipline to content-level dedup as required for the
+training-data pipeline tier.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Tokenization contract shared with the DuckDB oracles: documents.text is
+# space-separated lowercase words, so a plain split is exact (no regex
+# dialect drift between Java regex and RE2).
+def tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: ``(id, shingle)``.
+
+    Built from the token array with ``transform(sequence(...))`` — stays in
+    codegen; the explode is the only row blowup (~n_tokens rows/doc).
+    """
+    tok = tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(tok) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(tok, i + 1, n), " "),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: ``(text_md5, keep_id, dup_count)``.
+
+    ``keep_id = min(id)`` is the canonical survivor (deterministic across
+    partitionings).  Only groups with >1 member are returned — the rows a
+    training pipeline would drop.  Shuffle key is the 16-byte digest, so the
+    exchange is tiny even when ``text`` is megabytes.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_md5"), F.col(id_col).alias("id"))
+        .groupBy("text_md5")
+        .agg(F.min("id").alias("keep_id"), F.count("*").alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: Optional[int] = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs ``(id_a, id_b, jaccard)``,
+    ``id_a < id_b``, ``jaccard >= threshold``.
+
+    Inverted-index self-join on shingle (hash join on a string key), then
+    ``|A∩B|`` by groupBy-count and ``|A∪B| = |A|+|B|-|A∩B|``.  With
+    ``max_shingle_freq`` set, shingles present in more than that many docs
+    are excluded from *candidate generation only* — the Jaccard itself is
+    then recomputed over the full sets for surviving candidates, so the cap
+    trades recall (may miss pairs whose overlap is only stop-shingles) for
+    the quadratic blowup on hot shingles.  At sandbox scale leave it None
+    for an exact result; at 10^9 docs set it (~1000) or use MinHash below.
+    """
+    sh = shingles(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+
+    cand_src = sh
+    if max_shingle_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df_"))
+            .filter(F.col("df_") > max_shingle_freq)
+            .select("shingle")
+        )
+        cand_src = sh.join(hot, "shingle", "left_anti")
+
+    a = cand_src.select(F.col("id").alias("id_a"), "shingle")
+    b = cand_src.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    if max_shingle_freq is not None:
+        # recompute the true intersection over the *uncapped* sets
+        a_full = sh.select(F.col("id").alias("id_a"), "shingle")
+        b_full = sh.select(F.col("id").alias("id_b"), "shingle")
+        common = (
+            common.select("id_a", "id_b")
+            .join(a_full, "id_a")
+            .join(b_full, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("common"))
+        )
+    out = (
+        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def minhash_signatures(
+    shingle_df: DataFrame, num_perm: int = 64
+) -> DataFrame:
+    """64-perm MinHash signatures, entirely JVM-side.
+
+    ``sig_i = min(xxhash64(shingle, i))`` over the doc's shingle set — a
+    single groupBy with ``num_perm`` partial-aggregated mins (map-side
+    combine ⇒ shuffle carries one row per doc, ``num_perm`` longs wide,
+    regardless of document length).  This is the 100 TB path: no Python, no
+    signature matrix materialization, one shuffle.
+    """
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    return shingle_df.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 32,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, **exactly verified**: returns
+    ``(id_a, id_b, jaccard)`` with true Jaccard ≥ threshold.
+
+    Banding: ``bands`` bands of ``num_perm/bands`` rows; a pair collides in
+    a band iff that band's hash slice matches.  With 32 bands × 2 rows,
+    P(candidate | s=0.8) = 1-(1-0.8²)^32 ≈ 1-6e-15 — recall at the
+    threshold is effectively exact, so the verified output equals the exact
+    ngram_jaccard_pairs result (this is what the DuckDB oracle checks).
+    False positives are killed by the exact verification join, mirroring
+    the bloom/anti-join discipline of the URL-seen set (D3).
+
+    Scale: candidate generation shuffles ``bands`` rows per doc keyed by a
+    16-byte band hash; per-bucket pair expansion is bounded by bucket size
+    (hot buckets at web scale → raise ``bands``' row count or pre-cap with
+    a bucket-size limit before the self-join).
+    """
+    rows_per_band = num_perm // bands
+    sh = shingles(df, text_col, id_col, n)
+    sig = minhash_signatures(sh, num_perm)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+        ).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("id", *band_cols)
+    # long-form (id, band_idx, band_hash) without re-shuffling per band
+    stacked = banded.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("bh"))
+                for b in range(bands)
+            ])
+        ).alias("e"),
+    ).select("id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+    l = stacked.select(F.col("id").alias("id_a"), "band", "bh")
+    r = stacked.select(F.col("id").alias("id_b"), "band", "bh")
+    candidates = (
+        l.join(r, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # exact verification: true Jaccard over the full shingle sets
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a_full = sh.select(F.col("id").alias("id_a"), "shingle")
+    b_full = sh.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        candidates.join(a_full, "id_a")
+        .join(b_full, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def _token_hash32(tok: Column) -> Column:
+    """Deterministic 32-bit token hash reproducible in ANSI SQL: the first
+    8 hex chars of md5, as a bigint in [0, 2^32).  md5 (not xxhash64) so
+    DuckDB computes the identical value."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 32) -> DataFrame:
+    """Term-frequency-weighted SimHash: ``(id, simhash)``.
+
+    Per token: hash to 32 bits (md5-derived, oracle-reproducible); each bit
+    contributes +tf if set else -tf; the signature bit is 1 where the sum is
+    positive.  Implemented as ``explode(tokens) → groupBy(id, token) count →
+    32 conditional sums → bit assembly`` — all built-ins, two shuffles (the
+    second keyed on id only).  At 100 TB the token groupBy has map-side
+    combine so the shuffle is ~vocab-per-doc sized.
+    """
+    tf = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("th", _token_hash32(F.col("tok")))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
+            .otherwise(-F.col("tf"))
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    summed = tf.groupBy("id").agg(*bit_sums)
+    sig = None
+    for i in range(bits):
+        bit_i = F.when(F.col(f"s{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = bit_i if sig is None else sig + bit_i
+    return summed.select("id", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 32,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Candidate generation by the pigeonhole chunk trick: split the signature
+    into ``chunks`` chunks; any pair within ``max_hamming < chunks`` bit
+    flips must agree on ≥1 whole chunk, so an equi-join per chunk finds all
+    candidates (no cross join).  Verified with ``bit_count(xor) ≤ k``.
+    """
+    assert max_hamming < chunks, "pigeonhole needs max_hamming < chunks"
+    chunk_bits = bits // chunks
+    sig = simhash(df, text_col, id_col, bits)
+    chunk_cols = [
+        (
+            F.shiftright(F.col("simhash"), c * chunk_bits)
+            .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+        ).alias(f"c{c}")
+        for c in range(chunks)
+    ]
+    chunked = sig.select("id", "simhash", *chunk_cols)
+    stacked = chunked.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(c).alias("ci"), F.col(f"c{c}").alias("cv"))
+                for c in range(chunks)
+            ])
+        ).alias("e"),
+    ).select("id", "simhash", F.col("e.ci").alias("ci"), F.col("e.cv").alias("cv"))
+    l = stacked.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "ci", "cv")
+    r = stacked.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "ci", "cv")
+    return (
+        l.join(r, ["ci", "cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,169 @@
+"""Multimodal column plumbing: images/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched pandas UDFs.
+
+The container has no image/audio codecs, so the *decode kernels* are
+deterministic fakes clearly marked below (`_fake_decode_*`) — but the
+Spark-side contract is real and tested: schemas, ``mapInPandas`` batch
+shape (Arrow RecordBatch → pandas, binary as bytes objects), partition
+sizing, and the metadata pushdown story.
+
+Swap-in points for production:
+  - ``decode_image``: replace ``_fake_decode_image`` with PIL/cv2.
+  - ``extract_audio_features``: replace with torchaudio/librosa.
+  - ``sample_video_frames``: replace with pyav frame iteration.
+
+Scale notes (100 TB of media):
+  - Binary payloads dominate partition size → size partitions by
+    ``spark.sql.files.maxPartitionBytes`` (128 MB) and NEVER shuffle the
+    binary column: all kernels are map-side (``mapInPandas``), and joins
+    against metadata happen on the extracted (small) feature columns.
+  - Feature extraction is CPU-bound per byte → Arrow batch transfer
+    amortizes serialization; ``spark.sql.execution.arrow.maxRecordsPerBatch``
+    tuned down (e.g. 64) for multi-MB blobs to bound executor memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+IMAGE_META_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("n_bytes", LongType(), False),
+    StructField("format", StringType(), True),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("sha1", StringType(), True),
+])
+
+AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("n_bytes", LongType(), False),
+    StructField("duration_s", DoubleType(), True),
+    StructField("rms", DoubleType(), True),
+])
+
+FRAME_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("frame_idx", IntegerType(), False),
+    StructField("frame", BinaryType(), True),
+])
+
+
+def docs_as_media(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Adapter for the sandbox: materialize an opaque ``blob: binary``
+    column (utf-8 bytes of text — a stand-in for image/audio payloads)
+    plus a ``media_type`` tag.  In production this column comes straight
+    from the source (WARC payload, tar shard member, …)."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("blob"),
+        F.element_at(
+            F.array(F.lit("image/png"), F.lit("audio/mpeg"), F.lit("video/mp4")),
+            (F.col(id_col) % 3 + 1).cast("int"),
+        ).alias("media_type"),
+    )
+
+
+def _fake_decode_image(blob: bytes):
+    """DETERMINISTIC FAKE (no codecs in container): derives pseudo
+    width/height/format from the bytes.  Replace with PIL in production."""
+    n = len(blob)
+    return ("png" if n % 2 == 0 else "jpeg", 64 + n % 512, 64 + (n // 7) % 512)
+
+
+def decode_image(media: DataFrame) -> DataFrame:
+    """Image decode → typed metadata, via ``mapInPandas`` (map-side only;
+    the blob never shuffles).  Output: IMAGE_META_SCHEMA."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                b = bytes(blob)
+                fmt, w, h = _fake_decode_image(b)
+                rows.append(
+                    (int(mid), len(b), fmt, w, h, hashlib.sha1(b).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_META_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "blob").mapInPandas(
+        _run, schema=IMAGE_META_SCHEMA
+    )
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Audio feature extraction (duration + RMS).  DETERMINISTIC FAKE
+    kernel: treats bytes as int8 PCM @16kHz.  Replace with torchaudio."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                b = np.frombuffer(bytes(blob), dtype=np.int8).astype(np.float64)
+                rows.append((
+                    int(mid),
+                    len(b),
+                    round(len(b) / 16000.0, 6),
+                    round(float(np.sqrt(np.mean(b * b))) if len(b) else 0.0, 6),
+                ))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "blob").mapInPandas(
+        _run, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+def sample_video_frames(media: DataFrame, every_n_bytes: int = 1024,
+                        max_frames: int = 4) -> DataFrame:
+    """Frame sampling: one row per sampled frame (UDTF-shaped: input row →
+    N output rows).  DETERMINISTIC FAKE: a "frame" is a 16-byte slice at
+    each stride.  Replace with pyav keyframe extraction."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                b = bytes(blob)
+                for i in range(min(max_frames, max(1, len(b) // every_n_bytes))):
+                    off = i * every_n_bytes
+                    rows.append((int(mid), i, b[off:off + 16]))
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return media.select("media_id", "blob").mapInPandas(_run, schema=FRAME_SCHEMA)
+
+
+def image_meta_sql_equivalent(media: DataFrame) -> DataFrame:
+    """The oracle-comparable slice of ``decode_image`` expressed as pure
+    column ops (n_bytes, format, width, height are deterministic functions
+    of byte length) — used by the correctness gate to pin the pipeline's
+    Spark-side plumbing against DuckDB."""
+    n = F.length(F.col("blob")).cast("long")
+    return media.select(
+        F.col("media_id"),
+        n.alias("n_bytes"),
+        F.when(n % 2 == 0, F.lit("png")).otherwise(F.lit("jpeg")).alias("format"),
+        (64 + n % 512).cast("int").alias("width"),
+        (64 + F.floor(n / 7) % 512).cast("int").alias("height"),
+    )

@@ -1,0 +1,323 @@
+"""Embedding similarity search: brute-force cosine top-k (the exact
+baseline) plus LSH- and IVF-bucketed approximate variants (the scale path).
+
+Design for 100 TB / 10^10 vectors:
+
+- **Brute force** is the correctness oracle and is still the right tool
+  when the *query* side is small: broadcast the queries, one scan over the
+  corpus, per-partition partial top-k folded by a final per-query window.
+  Dot products run JVM-side via ``aggregate(zip_with(...))`` inside
+  whole-stage codegen — no Python in the hot path.
+- **Random-hyperplane LSH**: deterministic hyperplanes (seeded numpy)
+  applied with one vectorized pandas UDF (a single matmul per Arrow
+  batch), giving a ``bucket`` sign-pattern column; search joins query
+  buckets (multi-probe: flip each bit once) to corpus buckets and
+  re-ranks exactly within the probed buckets.  The corpus can be
+  *written partitioned by bucket* so a query probe prunes partitions at
+  the scan (partition pruning does the index lookup).
+- **IVF**: coarse centroids (deterministic k-means on a sample), assign
+  each vector to its nearest centroid (one matmul per batch), search the
+  ``nprobe`` nearest centroid cells only.
+
+Cosine throughout = dot(a,b)/(|a||b|), computed in float64 with
+sequential summation so the DuckDB oracle (list_cosine_similarity /
+explicit list_sum) reproduces values bit-close; outputs round to 6 dp.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+SEED = 42
+
+
+def _dot(a, b):
+    """JVM-side dot product of two array<float/double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: ``(query_id, neighbor_id, rank, cos)``.
+
+    ``queries`` is broadcast (small side by contract); the join is a
+    BroadcastNestedLoopJoin over the corpus scan — one pass, no shuffle of
+    the corpus.  The final top-k is a per-query window over ``corpus_rows ×
+    n_queries`` scored rows; at 10^10 corpus rows insert a per-partition
+    pre-top-k (groupBy spark_partition_id + window) before the global one —
+    here n_queries·corpus fits the window directly.
+
+    Self-matches (same id) are excluded; ties break on neighbor id so
+    results are deterministic and oracle-comparable.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("cos", 6).alias("cos"),
+        )
+    )
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    tables: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs ``(id_a, id_b, cos)`` with
+    cos ≥ threshold, ``id_a < id_b``.
+
+    Candidate generation via multi-table sign-LSH (union of per-table
+    bucket collisions), then exact cosine verification — false positives
+    never survive.  For cos ≥ 0.95 (θ≈18°) the per-plane collision
+    probability is ≈0.9, so with 8 planes × 4 tables recall is
+    1-(1-0.9⁸)⁴ ≈ 0.97.  Scale: the self-join is per-(table, bucket),
+    never all-pairs.
+    """
+    bucketed = _with_lsh_tables(corpus, id_col, vec_col, planes, tables)
+    stacked = bucketed.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        F.explode("buckets").alias("tb"),
+    )
+    l = stacked.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "tb")
+    r = stacked.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "tb")
+    return (
+        l.join(r, "tb")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .distinct()
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )
+
+
+def _hyperplanes(dim: int, planes: int, tables: int) -> np.ndarray:
+    rng = np.random.RandomState(SEED)
+    return rng.standard_normal((dim, planes * tables)).astype(np.float64)
+
+
+def _with_lsh_tables(
+    df: DataFrame, id_col: str, vec_col: str, planes: int, tables: int
+) -> DataFrame:
+    """Append ``buckets: array<long>`` — one sign-pattern bucket per hash
+    table, table index encoded in the high bits so per-table buckets never
+    collide across tables.  One vectorized matmul per Arrow batch (the
+    only Python in the pipeline; ~10^6 vectors/s/core)."""
+    dim = len(df.select(vec_col).first()[0])
+    H = _hyperplanes(dim, planes, tables)
+    out_schema = StructType(
+        df.schema.fields + [StructField("buckets", ArrayType(LongType()), False)]
+    )
+    weights = (1 << np.arange(planes)).astype(np.int64)
+    offsets = (np.arange(tables) << planes).astype(np.int64)
+
+    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            signs = ((M @ H) > 0).reshape(len(pdf), tables, planes)
+            buckets = (signs @ weights) + offsets  # (n, tables)
+            pdf = pdf.copy()
+            pdf["buckets"] = list(buckets)
+            yield pdf
+
+    return df.mapInPandas(_assign, schema=out_schema)
+
+
+def _multiprobe_tables(bucketed: DataFrame, planes: int) -> DataFrame:
+    """Expand each per-table bucket to itself + its ``planes`` single-bit
+    flips (multi-probe LSH), as ``probe_bucket`` rows."""
+    probes = F.flatten(
+        F.transform(
+            F.col("buckets"),
+            lambda b: F.array(
+                b, *[b.bitwiseXOR(F.lit(1 << p)) for p in range(planes)]
+            ),
+        )
+    )
+    return bucketed.withColumn("probe_bucket", F.explode(probes))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 4,
+    tables: int = 8,
+) -> DataFrame:
+    """Approximate top-k: multi-table sign-LSH — probe each table's query
+    bucket + its 1-bit flips, exact re-rank inside probed buckets.  Output
+    shape matches ``cosine_topk``.
+
+    Tuning: recall per neighbor at angle θ is 1-(1-p^planes)^tables with
+    p = 1-θ/π; fewer planes / more tables raises recall and the scanned
+    fraction.  At scale the corpus is written ``partitionBy(table,
+    bucket)``, so each probe is a partition-pruned scan of
+    ~n·tables/2^planes vectors instead of n.
+    """
+    cb = _with_lsh_tables(corpus, id_col, vec_col, planes, tables).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.explode("buckets").alias("bucket"),
+    )
+    qb = _multiprobe_tables(
+        _with_lsh_tables(queries, id_col, vec_col, planes, tables), planes
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.col("probe_bucket").alias("bucket"),
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "qvec", "cvec")
+        .distinct()
+        .withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: Optional[int] = 2048,
+) -> tuple:
+    """IVF coarse quantizer: deterministic centroids (k-means, seeded, on a
+    driver-side sample — the sample is tiny; the *assignment* is
+    distributed) + the corpus with a ``cell`` column.
+
+    Returns ``(assigned_df, centroids ndarray)``.
+    """
+    pdf = (
+        corpus.select(vec_col)
+        .limit(sample or 2048)
+        .toPandas()
+    )
+    X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.RandomState(SEED)
+    C = Xn[rng.choice(len(Xn), size=min(n_cells, len(Xn)), replace=False)]
+    for _ in range(10):  # Lloyd iterations on the sample (driver-side, tiny)
+        a = np.argmax(Xn @ C.T, axis=1)
+        for j in range(len(C)):
+            m = a == j
+            if m.any():
+                v = Xn[m].mean(axis=0)
+                C[j] = v / (np.linalg.norm(v) or 1.0)
+
+    out_schema = StructType(
+        corpus.schema.fields + [StructField("cell", LongType(), False)]
+    )
+
+    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            M = np.vstack(b[vec_col].to_numpy()).astype(np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            b = b.copy()
+            b["cell"] = np.argmax(Mn @ C.T, axis=1).astype(np.int64)
+            yield b
+
+    return corpus.mapInPandas(_assign, schema=out_schema), C
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: search only the ``nprobe`` nearest cells.
+    Output shape matches ``cosine_topk``.  At scale: corpus written
+    ``partitionBy(cell)`` → each query touches nprobe/n_cells of the data
+    via partition pruning."""
+    assigned, C = ivf_assign(corpus, n_cells, id_col, vec_col)
+    spark = corpus.sparkSession
+
+    qpdf = queries.select(id_col, vec_col).toPandas()
+    Q = np.vstack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    probe_cells = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]
+    probe_rows = [
+        (int(qid), int(cell))
+        for qid, cells in zip(qpdf[id_col], probe_cells)
+        for cell in cells
+    ]
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell long")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).join(probes, "query_id")
+
+    scored = (
+        assigned.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "cell"
+        )
+        .join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+    )

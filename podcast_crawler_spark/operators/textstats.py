@@ -1,0 +1,155 @@
+"""Text analysis operators for the training-data pipeline: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All four are pure column expressions (whole-stage codegen, zero Python),
+and each has an exact ANSI-SQL oracle — the heuristics are deliberately
+specified as arithmetic over counts so DuckDB reproduces them bit-for-bit.
+
+At 100 TB these run as a single map-side pass over the corpus scan (no
+shuffle at all unless the caller aggregates), which is the dominant cost
+model for corpus curation: O(bytes scanned), embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets. Real language ID would use
+# character n-gram profiles (e.g. CLD3-style); the *operator contract*
+# (per-row scores → argmax label, fully vectorized) is identical, and this
+# heuristic is exactly reproducible in the SQL oracle.
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "la"],
+    "es": ["el", "y", "de"],
+}
+
+
+def _count_token(text: Column, word: str) -> Column:
+    """Occurrences of *word* as a whole space-delimited token."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    needle = f" {word} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+def lang_scores(text: Column) -> dict:
+    return {
+        lang: sum_cols([_count_token(text, w) for w in words])
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def sum_cols(cols):
+    out = cols[0]
+    for c in cols[1:]:
+        out = out + c
+    return out
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """``(id, lang_pred, lang_score)`` — argmax over marker-token counts;
+    ties resolve alphabetically ('unk' when all scores are 0)."""
+    scores = lang_scores(F.col(text_col))
+    best_score = F.greatest(*scores.values())
+    pred = F.lit("unk")
+    # build argmax with deterministic alphabetical tie-break: first lang
+    # (sorted) achieving the max wins
+    for lang in sorted(scores, reverse=True):
+        pred = F.when(
+            (scores[lang] == best_score) & (best_score > 0), F.lit(lang)
+        ).otherwise(pred)
+    return df.select(
+        F.col(id_col).alias("id"),
+        pred.alias("lang_pred"),
+        best_score.alias("lang_score"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality features + composite score:
+
+    - ``n_chars``, ``n_tokens``, ``mean_token_len``
+    - ``stopword_ratio`` — fraction of tokens in the English marker set
+    - ``alnum_ratio`` — alphanumeric chars / all chars
+    - ``quality`` — composite in [0,1]: penalizes too-short docs, zero
+      stopwords (gibberish) and low alnum ratio (boilerplate/markup).
+
+    Mirrors the C4/Gopher-style length+stopword+punctuation filters, as
+    deterministic arithmetic so the oracle matches exactly.
+    """
+    text = F.col(text_col)
+    toks = F.split(text, " ")
+    n_tokens = F.size(F.filter(toks, lambda t: F.length(t) > 0))
+    n_chars = F.length(text)
+    stop = sum_cols([_count_token(text, w) for w in LANG_MARKERS["en"]])
+    alnum = F.length(F.regexp_replace(text, "[^a-zA-Z0-9]", ""))
+    mean_tok = (n_chars - (n_tokens - 1)) / n_tokens  # chars net of separators
+    stopword_ratio = stop / n_tokens
+    alnum_ratio = alnum / n_chars
+    quality = (
+        F.least(n_tokens / F.lit(20.0), F.lit(1.0)) * 0.4
+        + F.least(stopword_ratio * 10.0, F.lit(1.0)) * 0.3
+        + alnum_ratio * 0.3
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(mean_tok, 6).alias("mean_token_len"),
+        F.round(stopword_ratio, 6).alias("stopword_ratio"),
+        F.round(alnum_ratio, 6).alias("alnum_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """``(id, ws_tokens, bpe_pieces)`` — whitespace token count plus a
+    BPE-ish piece estimate: alphanumeric runs contribute ceil(len/4)
+    pieces (the ~4-chars-per-BPE-token heuristic), other non-space chars
+    one piece each.  Pure arithmetic → exact oracle."""
+    text = F.col(text_col)
+    toks = F.split(text, " ")
+    ws_tokens = F.size(F.filter(toks, lambda t: F.length(t) > 0))
+    alnum_chars = F.length(F.regexp_replace(text, "[^a-zA-Z0-9]", ""))
+    other_chars = F.length(F.regexp_replace(text, "[a-zA-Z0-9 ]", ""))
+    # per-token ceil(len/4) summed == aggregate over the token array
+    bpe = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.ceil(F.length(F.regexp_replace(t, "[^a-zA-Z0-9]", "")) / 4.0).cast("long"),
+    ) + other_chars
+    return df.select(
+        F.col(id_col).alias("id"),
+        ws_tokens.alias("ws_tokens"),
+        bpe.alias("bpe_pieces"),
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 window: int = 8) -> DataFrame:
+    """Winnowing-style document fingerprint: min/max md5 over the doc's
+    8-token windows → ``(id, fp_min, fp_max)``.
+
+    Two docs sharing fp_min very likely share an 8-token run (MinHash with
+    one permutation over 8-gram shingles); used as a cheap containment /
+    clustering key.  md5 (not xxhash64) so the SQL oracle reproduces it.
+    All array ops — no explode, no shuffle.
+    """
+    toks = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - window, F.lit(0))),
+        lambda i: F.md5(F.array_join(F.slice(toks, i + 1, window), " ")),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_min(grams).alias("fp_min"),
+        F.array_max(grams).alias("fp_max"),
+    )

@@ -1,0 +1,101 @@
+"""Read-side query API tests — the seven reference routes (SURVEY.md
+§2.12) over a real crawl state, checked against the output tables."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from podcast_crawler_spark.api.queries import PodcastQueryAPI
+from podcast_crawler_spark.operators.frontier import CrawlConfig
+from podcast_crawler_spark.plans.epoch import run_crawl
+from podcast_crawler_spark.sources.pagesgen import (
+    EPOCH0,
+    gen_pages,
+    gen_robots,
+    gen_seeds,
+)
+
+N = 120
+CFG = CrawlConfig(per_host_budget=1000, max_retries=1, num_partitions=8)
+
+
+@pytest.fixture(scope="module")
+def api(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("apicrawl"))
+    state = run_crawl(
+        spark,
+        root,
+        gen_seeds(spark, N, partitions=4),
+        gen_pages(spark, N, partitions=4),
+        gen_robots(spark, N),
+        epochs=1,
+        epoch0=EPOCH0,
+        cfg=CFG,
+    )
+    return PodcastQueryAPI(spark, state)
+
+
+def test_metrics_route(api):
+    rows = api.metrics().collect()
+    assert len(rows) == 1
+    assert rows[0].epoch == 1 and rows[0].scheduled > 0
+
+
+def test_search_ilike(api):
+    # every generated title contains "Show"; ILIKE must be case-insensitive
+    total = api.podcast_count()
+    assert api.search("shOW").count() == total
+    assert api.search("no-such-title-xyz").count() == 0
+
+
+def test_podcast_by_title_point_lookup(api):
+    some = api.podcasts().select("title").first().title
+    rows = api.podcast_by_title(some).collect()
+    assert len(rows) >= 1 and rows[0].title == some
+
+
+def test_pagination_covers_all_exactly_once(api):
+    total = api.podcast_count()
+    per_page = 7
+    seen = []
+    page = 1
+    while True:
+        rows = api.podcasts_page(page, per_page).collect()
+        if not rows:
+            break
+        seen.extend(r.podcast_id for r in rows)
+        page += 1
+    assert len(seen) == total
+    assert len(set(seen)) == total
+    assert seen == sorted(seen)
+
+
+def test_episodes_page_newest_first(api):
+    pod = (
+        api.podcasts(include_episodes=True)
+        .filter(F.size("episodes") >= 3)
+        .first()
+    )
+    rows = api.episodes_page(pod.podcast_id, 1, 2).collect()
+    assert len(rows) == 2
+    dates = [r.pub_date for r in rows]
+    assert dates == sorted(dates, reverse=True)
+    assert api.episode_count(pod.podcast_id) == len(pod.episodes)
+
+
+def test_include_episodes_join(api):
+    joined = api.podcasts(include_episodes=True)
+    n_eps = joined.select(F.explode("episodes")).count()
+    assert n_eps == api._episodes().count()
+
+
+def test_add_task_appends_frontier(api, spark):
+    before = api.state.frontier.read(spark).count()
+    api.add_task("https://newhost.example/feeds/brand-new.xml", priority=1)
+    after = api.state.frontier.read(spark)
+    assert after.count() == before + 1
+    row = after.filter(F.col("url") == "https://newhost.example/feeds/brand-new.xml").first()
+    assert row.state == "pending" and row.host == "newhost.example"
+    # idempotent: same canonical URL is not added twice
+    api.add_task("https://newhost.example/feeds/brand-new.xml", priority=9)
+    assert api.state.frontier.read(spark).count() == before + 1

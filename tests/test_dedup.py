@@ -1,0 +1,134 @@
+"""Dedup operator tests: exact, n-gram Jaccard, MinHash+LSH, SimHash —
+pinned against straight-line pandas/python oracles (no Spark) on both a
+hand-built corpus and the driver's documents table."""
+
+import hashlib
+import itertools
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def py_shingles(text, n=3):
+    t = text.split(" ")
+    if len(t) <= n:
+        return {" ".join(t)}
+    return {" ".join(t[i:i + n]) for i in range(len(t) - n + 1)}
+
+
+def py_jaccard(a, b):
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs_pd(docs):
+    return docs.toPandas()
+
+
+def test_exact_dedup_matches_python(spark):
+    from podcast_crawler_spark.operators.dedup import exact_dedup
+
+    rows = [(1, "a b c"), (2, "a b c"), (3, "x y"), (4, "a b c"), (5, "x y z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.text_md5, r.keep_id, r.dup_count)
+        for r in exact_dedup(df).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert got == {(md5("a b c"), 1, 3)}
+
+
+def test_ngram_jaccard_matches_python_oracle(docs, docs_pd):
+    from podcast_crawler_spark.operators.dedup import ngram_jaccard_pairs
+
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    sh = {r.doc_id: py_shingles(r.text) for r in docs_pd.itertuples()}
+    want = {}
+    for a, b in itertools.combinations(sorted(sh), 2):
+        j = py_jaccard(sh[a], sh[b])
+        if j >= 0.5:
+            want[(a, b)] = round(j, 6)
+    assert got == want
+
+
+def test_minhash_lsh_equals_exact_at_threshold(docs):
+    """LSH with 32 bands × 2 rows has ≈1 recall at s≥0.8, and exact
+    verification kills FPs — so the result must equal the exact operator."""
+    from podcast_crawler_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    exact = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs, threshold=0.8).collect()
+    }
+    assert lsh == exact
+    assert len(exact) > 0  # corpus contains near-dups by construction
+
+
+def test_ngram_jaccard_freq_cap_keeps_high_pairs(docs):
+    """The candidate-generation frequency cap must not lose clearly-similar
+    pairs (their overlap includes rare shingles too)."""
+    from podcast_crawler_spark.operators.dedup import ngram_jaccard_pairs
+
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.9, max_shingle_freq=50).collect()
+    }
+    assert uncapped == capped
+
+
+def py_simhash32(text):
+    from collections import Counter
+
+    tf = Counter(t for t in text.split(" ") if t)
+    sums = [0] * 32
+    for tok, c in tf.items():
+        th = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+        for i in range(32):
+            sums[i] += c if (th >> i) & 1 else -c
+    return sum(1 << i for i in range(32) if sums[i] > 0)
+
+
+def test_simhash_matches_python(spark):
+    from podcast_crawler_spark.operators.dedup import simhash
+
+    rows = [(1, "the quick brown fox"), (2, "the quick brown dog"), (3, "lorem ipsum")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r.simhash for r in simhash(df).collect()}
+    assert got == {i: py_simhash32(t) for i, t in rows}
+
+
+def test_simhash_pairs_verified_hamming(docs, docs_pd):
+    from podcast_crawler_spark.operators.dedup import simhash_pairs
+
+    sigs = {r.doc_id: py_simhash32(r.text) for r in docs_pd.itertuples()}
+    want = set()
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        h = bin(sigs[a] ^ sigs[b]).count("1")
+        if h <= 3:
+            want.add((a, b, h))
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs(docs, max_hamming=3).collect()
+    }
+    assert got == want

@@ -1,0 +1,78 @@
+"""Multimodal plumbing tests: binary columns through Arrow-batched
+mapInPandas — schemas, batch shapes, deterministic stub kernels."""
+
+import hashlib
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    from podcast_crawler_spark.operators.multimodal import docs_as_media
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    return docs_as_media(docs).cache()
+
+
+def test_media_schema(media):
+    types = dict(media.dtypes)
+    assert types == {"media_id": "bigint", "blob": "binary", "media_type": "string"}
+
+
+def test_decode_image_matches_sql_equivalent(media):
+    """The UDF path and the pure-column path must agree — pins the Arrow
+    round-trip (bytes in pandas == bytes in JVM)."""
+    from podcast_crawler_spark.operators.multimodal import (
+        decode_image,
+        image_meta_sql_equivalent,
+    )
+
+    udf_rows = {
+        r.media_id: (r.n_bytes, r.format, r.width, r.height)
+        for r in decode_image(media).collect()
+    }
+    col_rows = {
+        r.media_id: (r.n_bytes, r.format, r.width, r.height)
+        for r in image_meta_sql_equivalent(media).collect()
+    }
+    assert udf_rows == col_rows
+
+
+def test_decode_image_sha1(spark, media):
+    from podcast_crawler_spark.operators.multimodal import decode_image
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(5).collect()
+    got = {r.media_id: r.sha1 for r in decode_image(media).collect()}
+    for d in docs:
+        assert got[d.doc_id] == hashlib.sha1(d.text.encode()).hexdigest()
+
+
+def test_audio_features_deterministic(media):
+    from podcast_crawler_spark.operators.multimodal import extract_audio_features
+
+    rows = extract_audio_features(media).collect()
+    assert len(rows) == media.count()
+    for r in rows[:10]:
+        assert r.duration_s == round(r.n_bytes / 16000.0, 6)
+        assert r.rms >= 0.0
+
+
+def test_video_frames_udtf_shape(media):
+    from podcast_crawler_spark.operators.multimodal import sample_video_frames
+
+    frames = sample_video_frames(media)
+    rows = frames.collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    blob_len = {r.media_id: len(bytes(r.blob)) for r in media.collect()}
+    for mid, frs in by_media.items():
+        n = blob_len[mid]
+        assert len(frs) == min(4, max(1, n // 1024))
+        idxs = sorted(f.frame_idx for f in frs)
+        assert idxs == list(range(len(frs)))
+        for f in frs:
+            off = f.frame_idx * 1024
+            assert len(bytes(f.frame)) == min(16, max(n - off, 0))

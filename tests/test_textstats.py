@@ -1,0 +1,107 @@
+"""Text-analysis operator tests against straight-line python oracles."""
+
+import hashlib
+import math
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs_pd(docs):
+    return docs.toPandas()
+
+
+def test_language_id(spark):
+    from podcast_crawler_spark.operators.textstats import language_id
+
+    rows = [
+        (1, "the cat and the dog of hearts"),
+        (2, "der hund und die katze und der vogel"),
+        (3, "zzz qqq www"),
+        (4, "le chat et la maison et le chien"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: (r.lang_pred, r.lang_score) for r in language_id(df).collect()}
+    assert got[1] == ("en", 4)  # the×2 + and×1 + of×1
+    assert got[2] == ("de", 5)  # der×2 + und×2 + die×1
+    assert got[3] == ("unk", 0)
+    assert got[4] == ("fr", 5)  # le×2 + et×2 + la×1
+
+
+def test_quality_scores_python_oracle(docs, docs_pd):
+    from podcast_crawler_spark.operators.textstats import quality_scores
+
+    got = {r.id: r for r in quality_scores(docs).collect()}
+    for row in docs_pd.head(25).itertuples():
+        text = row.text
+        toks = [t for t in text.split(" ") if t]
+        n_chars = len(text)
+        n_tokens = len(toks)
+        padded = f" {text} "
+        stop = sum(
+            (len(padded) - len(padded.replace(f" {w} ", ""))) // (len(w) + 2)
+            for w in ["the", "and", "of"]
+        )
+        alnum = sum(ch.isascii() and ch.isalnum() for ch in text)
+        r = got[row.doc_id]
+        assert r.n_chars == n_chars
+        assert r.n_tokens == n_tokens
+        assert math.isclose(r.stopword_ratio, round(stop / n_tokens, 6), abs_tol=1e-6)
+        assert math.isclose(r.alnum_ratio, round(alnum / n_chars, 6), abs_tol=1e-6)
+        q = (
+            min(n_tokens / 20.0, 1.0) * 0.4
+            + min(stop / n_tokens * 10.0, 1.0) * 0.3
+            + alnum / n_chars * 0.3
+        )
+        assert math.isclose(r.quality, round(q, 6), abs_tol=1e-6)
+
+
+def test_token_counts_python_oracle(docs, docs_pd):
+    from podcast_crawler_spark.operators.textstats import token_counts
+
+    got = {r.id: r for r in token_counts(docs).collect()}
+    for row in docs_pd.head(25).itertuples():
+        toks = row.text.split(" ")
+        ws = sum(1 for t in toks if t)
+        alnum_of = lambda s: "".join(c for c in s if c.isascii() and c.isalnum())
+        bpe = sum(math.ceil(len(alnum_of(t)) / 4.0) for t in toks) + sum(
+            1 for c in row.text if not (c.isascii() and c.isalnum()) and c != " "
+        )
+        r = got[row.doc_id]
+        assert r.ws_tokens == ws
+        assert r.bpe_pieces == bpe
+
+
+def test_fingerprints_python_oracle(docs, docs_pd):
+    from podcast_crawler_spark.operators.textstats import fingerprints
+
+    got = {r.id: (r.fp_min, r.fp_max) for r in fingerprints(docs).collect()}
+    for row in docs_pd.head(25).itertuples():
+        t = row.text.split(" ")
+        n_windows = max(len(t) - 8, 0) + 1
+        grams = [
+            hashlib.md5(" ".join(t[i:i + 8]).encode()).hexdigest()
+            for i in range(n_windows)
+        ]
+        assert got[row.doc_id] == (min(grams), max(grams))
+
+
+def test_fingerprint_shared_window_detection(spark):
+    """Two docs sharing an 8-token run share fp candidates (containment)."""
+    from podcast_crawler_spark.operators.textstats import fingerprints
+
+    shared = "one two three four five six seven eight"
+    rows = [(1, f"intro {shared} outro"), (2, f"{shared} totally different tail")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = fingerprints(df).collect()
+    # the shared 8-gram's md5 must appear in both docs' [fp_min, fp_max] range
+    h = __import__("hashlib").md5(shared.encode()).hexdigest()
+    for r in fps:
+        assert r.fp_min <= h <= r.fp_max
