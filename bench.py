@@ -1,0 +1,156 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Measures:
+1. **Crawl-epoch throughput** (the BASELINE.json metric): one full epoch —
+   due-selection → politeness window → fetch join → Arrow-batched parse →
+   explode → LWW upserts → snapshot commit + metrics — over a
+   deterministic synthetic corpus sized to the scale factor, reported as
+   URLs scheduled+parsed per second.  Corpus generation is excluded from
+   the timing (it is test scaffolding, not engine work).
+2. **Headline queries** from ``__spark_entry__.queries()`` at
+   ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1), each fully
+   materialized via a noop write.
+
+Environment knobs:
+  SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+  BENCH_FEEDS          synthetic crawl corpus size (default 500000 * sf)
+
+Output: {"metric": ..., "value": <total bench sec>, "unit": "sec",
+"queries": {name: sec}, "sf": <sf>, "crawl": {...}, "cpus": N}
+
+Scaling-efficiency evidence (north rule: ≥0.8 from N to 4N) is produced
+by ``tools/bench_scaling.py``, which runs this file at local[8] and
+local[32] on the same input and writes BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "flagship_priority_queue",
+    "q1_pricing_summary",
+    "region_rollup",
+    "dedup_lww",
+    "hot_users_topk",
+    "stats_median",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embed_cosine_topk",
+    "lang_id",
+    "quality_scores",
+    "token_counts",
+    "doc_fingerprints",
+]
+
+
+def guess_sf(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def main() -> None:
+    sf = guess_sf(SF_DIR)
+    n_feeds = int(os.environ.get("BENCH_FEEDS", str(max(2000, int(500_000 * sf)))))
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("podcast_crawler_spark_bench")
+        .config("spark.sql.shuffle.partitions", str(2 * CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "48g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+    from podcast_crawler_spark.operators.frontier import CrawlConfig
+    from podcast_crawler_spark.plans.epoch import init_crawl, run_crawl
+    from podcast_crawler_spark.sources.pagesgen import (
+        EPOCH0,
+        gen_pages,
+        gen_robots,
+        gen_seeds,
+    )
+
+    t_suite0 = time.time()
+    results: dict[str, float] = {}
+
+    # ---- crawl-epoch throughput ------------------------------------------
+    cfg = CrawlConfig(per_host_budget=10**9, num_partitions=2 * CPUS)
+    with tempfile.TemporaryDirectory() as tmp:
+        # materialize the corpus first (generation excluded from timing)
+        pages_path = f"{tmp}/pages"
+        seeds_path = f"{tmp}/seeds"
+        gen_pages(spark, n_feeds, partitions=2 * CPUS).write.parquet(pages_path)
+        gen_seeds(spark, n_feeds, partitions=2 * CPUS).write.parquet(seeds_path)
+        pages = spark.read.parquet(pages_path)
+        seeds = spark.read.parquet(seeds_path)
+        robots = gen_robots(spark, n_feeds, partitions=2 * CPUS)
+
+        # frontier build is one-time setup, not epoch work — init untimed
+        init_crawl(spark, seeds, f"{tmp}/state", EPOCH0, cfg)
+        t0 = time.time()
+        state = run_crawl(
+            spark, f"{tmp}/state", seeds, pages, robots,
+            epochs=1, epoch0=EPOCH0, cfg=cfg,
+        )
+        crawl_wall = time.time() - t0
+        m = state.frontier.manifest()["metrics"]
+        scheduled, parsed = m["scheduled"], m["parsed"]
+    results["crawl_epoch"] = round(crawl_wall, 3)
+    urls_per_sec = round(scheduled / crawl_wall, 1)
+
+    # ---- headline queries -------------------------------------------------
+    qs = entry_mod.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        results[name] = round(time.time() - t0, 3)
+
+    total = round(time.time() - t_suite0, 3)
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    "crawl-epoch throughput (urls scheduled+parsed/sec) "
+                    "+ headline query wall times"
+                ),
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": sf,
+                "cpus": CPUS,
+                "crawl": {
+                    "n_feeds": n_feeds,
+                    "scheduled": scheduled,
+                    "parsed": parsed,
+                    "wall_s": round(crawl_wall, 3),
+                    "urls_per_sec": urls_per_sec,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -192,7 +192,9 @@ def minhash_lsh_pairs(
     a bucket-size limit before the self-join).
     """
     rows_per_band = num_perm // bands
-    sh = shingles(df, text_col, id_col, n)
+    # shingles feed signature computation, set sizes AND exact verification
+    # — cache so the explode+distinct runs once, not three times
+    sh = shingles(df, text_col, id_col, n).cache()
     sig = minhash_signatures(sh, num_perm)
     band_cols = [
         F.md5(

@@ -29,6 +29,15 @@ STAGE_DURATION_BUCKETS = [0.1, 0.5, 1.0, 2.0, 5.0, 10.0]
 # stage names (src/metrics.rs:105)
 STAGES = ["distribution", "fetching", "parsing", "inserting"]
 
+# A4 error taxonomy (stats.rs:144-156)
+ERROR_TYPES = [
+    "Timeout",
+    "Connection Refused",
+    "DNS Error",
+    "Parse Error",
+    "Other Error",
+]
+
 
 def categorize_error(err: Column) -> Column:
     """A4: the reference matches lowercase substrings of the error text."""

@@ -71,16 +71,27 @@ class SnapshotTable:
         snap_id = (parent or 0) + 1
         data_dir = os.path.join(self.dir, "data", f"snap-{snap_id}")
         df.write.mode("overwrite").parquet(data_dir)
+        # per-partition lineage from the parquet footers — no extra Spark
+        # job; row counts come from file metadata (cheap local reads)
+        import pyarrow.parquet as pq
+
         files = []
         for f in sorted(os.listdir(data_dir)):
             if f.endswith(".parquet"):
                 p = os.path.join(data_dir, f)
-                files.append({"file": f, "bytes": os.path.getsize(p)})
+                files.append(
+                    {
+                        "file": f,
+                        "bytes": os.path.getsize(p),
+                        "rows": pq.ParquetFile(p).metadata.num_rows,
+                    }
+                )
         man = {
             "snapshot_id": snap_id,
             "parent_id": parent,
             "committed_at_unix": time.time(),
             "data_dir": data_dir,
+            "row_count": sum(f["rows"] for f in files),
             "files": files,
             "metrics": metrics or {},
         }

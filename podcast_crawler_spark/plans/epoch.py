@@ -47,7 +47,7 @@ from ..operators.frontier import (
     schedule_epoch,
 )
 from ..operators.seen import build_bloom, filter_unseen
-from ..operators.stats import categorize_error, per_partition_lineage
+from ..operators.stats import ERROR_TYPES, categorize_error
 from .checkpoint import SnapshotTable
 
 PASSTHROUGH = [
@@ -138,12 +138,45 @@ def run_epoch(
     # 1-2. due selection + politeness priority queue (W4/W5) + robots (J4)
     scheduled = schedule_epoch(frontier, robots, epoch_ts, cfg)
 
-    # 3. "fetch" = join against pages (J3), salted against hot hosts (X6)
-    fetched = fetch_join(salted(scheduled, cfg), pages)
+    # 3. "fetch" = join against pages (J3).  Salting (X6) goes AFTER the
+    # join, not before: the join's own hash(url) exchange would destroy any
+    # earlier placement, and AQE coalesces the join's output partitions by
+    # byte size, which would strangle the CPU-bound Python parse stage's
+    # parallelism — the explicit salted repartition both spreads hot hosts
+    # and pins the parse stage at full width.
+    fetched = salted(fetch_join(scheduled, pages), cfg)
 
     # 4. parse stage (P1-P12) — Arrow-batched, frontier bookkeeping passes
-    # through so no re-join afterwards
-    parsed = parse_pages(fetched, passthrough=PASSTHROUGH).cache()
+    # through so no re-join afterwards.  All scalar epoch metrics (A3/A4/A7)
+    # ride along as an Observation on the cached parse output: they are
+    # collected during the first materializing action, costing ZERO extra
+    # Spark jobs (the reference's Prometheus counters similarly piggyback on
+    # the task flow, src/metrics.rs:47-116).
+    from pyspark.sql import Observation
+
+    obs = Observation(f"epoch-{epoch_no}")
+    err_type = categorize_error(F.col("parse_error_message"))
+    parse_ok_c = F.col("fetch_ok") & F.col("parse_error_kind").isNull()
+    parsed = (
+        parse_pages(fetched, passthrough=PASSTHROUGH)
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("total"),
+            F.coalesce(F.sum(F.col("fetch_ok").cast("long")), F.lit(0)).alias(
+                "n_fetch_ok"
+            ),
+            F.coalesce(F.sum(parse_ok_c.cast("long")), F.lit(0)).alias(
+                "n_parse_ok"
+            ),
+            *[
+                F.coalesce(
+                    F.sum((err_type == t).cast("long")), F.lit(0)
+                ).alias(f"err_{t}")
+                for t in ERROR_TYPES
+            ],
+        )
+        .cache()
+    )
 
     ok = parsed.filter(F.col("parse_error_kind").isNull())
 
@@ -189,27 +222,20 @@ def run_epoch(
     new_frontier = apply_epoch_results(frontier, outcomes, epoch_ts, cfg)
     new_frontier = _stamp_stages(new_frontier, epoch_ts)
 
-    # 8. metrics (A3/A4/A7) + per-partition lineage for the manifest
-    mrows = parsed.select(
-        F.col("fetch_ok"),
-        F.col("parse_error_kind"),
-        categorize_error(F.col("parse_error_message")).alias("error_type"),
-    ).cache()
-    total = mrows.count()
-    n_fetch_ok = mrows.filter("fetch_ok").count()
-    n_parse_ok = mrows.filter(
-        F.col("fetch_ok") & F.col("parse_error_kind").isNull()
-    ).count()
+    # 8. commit podcasts/episodes (frontier last = epoch boundary).  The
+    # first write materializes the cached parse stage AND fires the
+    # Observation; row counts and per-partition lineage come from the
+    # committed parquet footers — metrics cost no extra Spark jobs.
+    state.podcasts.commit(new_podcasts, metrics={"epoch": epoch_no})
+    state.episodes.commit(new_episodes, metrics={"epoch": epoch_no})
+    pod_rows = state.podcasts.manifest()["row_count"]
+    ep_rows = state.episodes.manifest()["row_count"]
+
+    m = obs.get
+    total, n_fetch_ok, n_parse_ok = m["total"], m["n_fetch_ok"], m["n_parse_ok"]
     err_hist = {
-        r.error_type: r.n
-        for r in mrows.filter(F.col("error_type").isNotNull())
-        .groupBy("error_type")
-        .agg(F.count("*").alias("n"))
-        .collect()
+        t: m[f"err_{t}"] for t in ERROR_TYPES if m[f"err_{t}"]
     }
-    lineage = per_partition_lineage(parsed.select("url_hash"))
-    ep_rows = new_episodes.count()
-    pod_rows = new_podcasts.count()
 
     metrics = {
         "epoch": epoch_no,
@@ -222,13 +248,10 @@ def run_epoch(
         "error_histogram": err_hist,
         "podcast_rows": pod_rows,
         "episode_rows": ep_rows,
-        "partition_lineage": lineage,
+        "partition_lineage": state.episodes.manifest()["files"],
         "wall_s": None,  # filled below
     }
 
-    # 9. commit (frontier last = epoch boundary)
-    state.podcasts.commit(new_podcasts, metrics={"epoch": epoch_no, "rows": pod_rows})
-    state.episodes.commit(new_episodes, metrics={"epoch": epoch_no, "rows": ep_rows})
     metrics_df = spark.createDataFrame(
         [
             (
@@ -257,7 +280,6 @@ def run_epoch(
         metrics=metrics,
     )
     parsed.unpersist()
-    mrows.unpersist()
     return metrics
 
 

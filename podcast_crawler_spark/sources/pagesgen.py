@@ -212,20 +212,32 @@ def gen_seeds(spark: SparkSession, n_feeds: int, partitions: int = 32) -> DataFr
     )
 
 
-def gen_robots(spark: SparkSession, n_feeds: int) -> DataFrame:
+def gen_robots(spark: SparkSession, n_feeds: int, partitions: int = 32) -> DataFrame:
     """One rule row per distinct host that has rules.  The hot network hosts
-    get a tighter crawl delay; every host disallows ``/private/``."""
-    hosts = {feed_host(fid) for fid in range(n_feeds)}
-    rows = [
-        (
-            h,
-            "PodcastCrawler/1.0",  # matches the reference UA (rss_fetcher.rs:20)
-            ["/private/"],
-            2.0 if h in _NETWORK_HOSTS else 0.5,
-        )
-        for h in sorted(hosts)
-    ]
-    return spark.createDataFrame(rows, schema=ROBOTS_SCHEMA)
+    get a tighter crawl delay; every host disallows ``/private/``.
+    Generated distributed (the host list never passes through the driver)."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (
+                    h,
+                    "PodcastCrawler/1.0",  # reference UA (rss_fetcher.rs:20)
+                    ["/private/"],
+                    2.0 if h in _NETWORK_HOSTS else 0.5,
+                )
+                for h in (feed_host(int(fid)) for fid in pdf["id"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=["host", "user_agent", "disallow_prefixes", "crawl_delay_s"],
+            )
+
+    return (
+        spark.range(0, n_feeds, 1, partitions)
+        .mapInPandas(_gen, schema=ROBOTS_SCHEMA)
+        .dropDuplicates(["host"])
+    )
 
 
 def reference_fixture_pages(spark: SparkSession) -> Optional[DataFrame]:
