@@ -250,6 +250,73 @@ def _hot_users_topk(spark, sf_dir):
     )
 
 
+def _url_similarity_pairs(spark, sf_dir):
+    # P13: 0.7·domain_eq + 0.3·(zip-shared path segments / max path len)
+    # over deterministic URLs synthesized from the part table
+    from podcast_crawler_spark.functions.urlfns import url_similarity
+
+    # segments sanitized to [A-Za-z0-9-]: '#' in p_brand would otherwise
+    # start a URL fragment and truncate the path (reference Url::parse
+    # semantics, which url_similarity follows)
+    parts = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.concat(
+            F.lit("https://h"),
+            (F.col("p_partkey") % 20).cast("string"),
+            F.lit(".example/"),
+            F.regexp_replace("p_brand", "[^A-Za-z0-9]", "-"),
+            F.lit("/"),
+            F.regexp_replace("p_type", "[^A-Za-z0-9]", "-"),
+        ).alias("url"),
+    )
+    a = parts.select(
+        F.col("p_partkey").alias("pair_key"), F.col("url").alias("url_a")
+    )
+    b = parts.select(
+        (F.col("p_partkey") - 1).alias("pair_key"), F.col("url").alias("url_b")
+    )
+    return (
+        a.join(b, "pair_key")
+        .select(
+            "pair_key",
+            F.round(url_similarity(F.col("url_a"), F.col("url_b")), 6).alias("sim"),
+        )
+    )
+
+
+def _running_avg(spark, sf_dir):
+    # A5: worker running average (incremental mean) as a cumulative window.
+    # Quantize to integer cents before the cumulative sum so the result is
+    # independent of float summation order (Spark's window sum and DuckDB's
+    # disagree in the last ulp otherwise); one IEEE double division at the
+    # end is bit-deterministic across engines.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.round(
+                F.sum(cents).over(w) / (100.0 * F.count(F.lit(1)).over(w)), 6
+            ).alias("running_avg"),
+        )
+    )
+
+
+def _distinct_users(spark, sf_dir):
+    # URL-cardinality sanity analog: exact distinct keys per group
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 def _duration_histogram(spark, sf_dir):
     # A7: stage-duration histogram buckets (when-chain = width_bucket)
     v = F.col("value")
@@ -426,6 +493,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_balance": _partition_balance,
         "hot_users_topk": _hot_users_topk,
         "duration_histogram": _duration_histogram,
+        "url_similarity_pairs": _url_similarity_pairs,
+        "running_avg": _running_avg,
+        "distinct_users": _distinct_users,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
@@ -610,6 +680,39 @@ def oracle_sql() -> dict[str, str]:
                           when value < 50 then 'lt_50' when value < 100 then 'lt_100'
                           else 'ge_100' end bucket
               from events) group by bucket
+        """,
+        "url_similarity_pairs": """
+            with u as (
+              select p_partkey,
+                     'https://h' || (p_partkey % 20) || '.example' host_part,
+                     [regexp_replace(p_brand,'[^A-Za-z0-9]','-','g'),
+                      regexp_replace(p_type,'[^A-Za-z0-9]','-','g')] segs
+              from part),
+            pairs as (
+              select a.p_partkey pair_key, a.host_part ha, b.host_part hb,
+                     a.segs sa, b.segs sb
+              from u a join u b on b.p_partkey = a.p_partkey + 1)
+            select pair_key,
+                   round(0.7 * (case when ha = hb then 1.0 else 0.0 end)
+                     + 0.3 * (list_sum(list_transform(range(least(len(sa),len(sb))),
+                           i -> case when sa[i+1] = sb[i+1] then 1 else 0 end))::DOUBLE
+                         / greatest(len(sa), len(sb))), 6) sim
+            from pairs
+        """,
+        "running_avg": """
+            select event_id, user_id,
+                   round(sum(cast(round(value * 100) as bigint))
+                           over (partition by user_id order by ts, event_id
+                                 rows between unbounded preceding and current row)
+                         / (100.0 * count(*)
+                           over (partition by user_id order by ts, event_id
+                                 rows between unbounded preceding and current row)),
+                         6) running_avg
+            from events
+        """,
+        "distinct_users": """
+            select event_type, count(distinct user_id) n_users from events
+            group by event_type
         """,
         "dedup_exact": """
             select md5(text) text_md5, min(doc_id) keep_id, count(*) dup_count

@@ -68,6 +68,12 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
+    # the sandbox's /tmp sits on a shared virtual disk with multi-second
+    # stall spikes from other tenants; tmpfs isolates the benchmark's
+    # shuffle/state I/O so it measures the engine, not the neighbors
+    fast_tmp = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    local_dir = os.path.join(fast_tmp, "spark-bench-local")
+
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("podcast_crawler_spark_bench")
@@ -77,7 +83,8 @@ def main() -> None:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "48g"))
+        .config("spark.local.dir", local_dir)
+        .config("spark.driver.memory", os.environ.get("BENCH_DRIVER_MEM", "16g"))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -97,35 +104,58 @@ def main() -> None:
 
     # ---- crawl-epoch throughput ------------------------------------------
     cfg = CrawlConfig(per_host_budget=10**9, num_partitions=2 * CPUS)
-    with tempfile.TemporaryDirectory() as tmp:
+    # BENCH_CORPUS_DIR lets the scaling harness share one generated corpus
+    # across parallelism levels (same input, two cluster sizes)
+    corpus_dir = os.environ.get("BENCH_CORPUS_DIR")
+    tmp_ctx = tempfile.TemporaryDirectory(dir=fast_tmp)
+    with tmp_ctx as tmp:
+        base = corpus_dir or tmp
+        pages_path = f"{base}/pages-{n_feeds}"
+        seeds_path = f"{base}/seeds-{n_feeds}"
         # materialize the corpus first (generation excluded from timing)
-        pages_path = f"{tmp}/pages"
-        seeds_path = f"{tmp}/seeds"
-        gen_pages(spark, n_feeds, partitions=2 * CPUS).write.parquet(pages_path)
-        gen_seeds(spark, n_feeds, partitions=2 * CPUS).write.parquet(seeds_path)
+        if not os.path.exists(f"{pages_path}/_SUCCESS"):
+            gen_parts = max(64, 2 * CPUS)
+            gen_pages(spark, n_feeds, partitions=gen_parts).write.mode(
+                "overwrite"
+            ).parquet(pages_path)
+            gen_seeds(spark, n_feeds, partitions=gen_parts).write.mode(
+                "overwrite"
+            ).parquet(seeds_path)
+        if os.environ.get("BENCH_GEN_ONLY"):
+            print(json.dumps({"gen_only": True, "n_feeds": n_feeds}))
+            return
         pages = spark.read.parquet(pages_path)
         seeds = spark.read.parquet(seeds_path)
         robots = gen_robots(spark, n_feeds, partitions=2 * CPUS)
 
-        # frontier build is one-time setup, not epoch work — init untimed
-        init_crawl(spark, seeds, f"{tmp}/state", EPOCH0, cfg)
-        t0 = time.time()
-        state = run_crawl(
-            spark, f"{tmp}/state", seeds, pages, robots,
-            epochs=1, epoch0=EPOCH0, cfg=cfg,
-        )
-        crawl_wall = time.time() - t0
-        m = state.frontier.manifest()["metrics"]
-        scheduled, parsed = m["scheduled"], m["parsed"]
+        # frontier build is one-time setup, not epoch work — init untimed.
+        # BENCH_REPEATS>1 reruns the epoch on fresh state and keeps the
+        # fastest run: this box is shared, so min-of-k filters tenant noise.
+        repeats = int(os.environ.get("BENCH_REPEATS", "1"))
+        crawl_wall, scheduled, parsed = None, 0, 0
+        for r in range(repeats):
+            sdir = f"{tmp}/state-{r}"
+            init_crawl(spark, seeds, sdir, EPOCH0, cfg)
+            t0 = time.time()
+            state = run_crawl(
+                spark, sdir, seeds, pages, robots,
+                epochs=1, epoch0=EPOCH0, cfg=cfg,
+            )
+            wall = time.time() - t0
+            if crawl_wall is None or wall < crawl_wall:
+                crawl_wall = wall
+                m = state.frontier.manifest()["metrics"]
+                scheduled, parsed = m["scheduled"], m["parsed"]
     results["crawl_epoch"] = round(crawl_wall, 3)
     urls_per_sec = round(scheduled / crawl_wall, 1)
 
     # ---- headline queries -------------------------------------------------
-    qs = entry_mod.queries()
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        results[name] = round(time.time() - t0, 3)
+    if not os.environ.get("BENCH_SKIP_QUERIES"):
+        qs = entry_mod.queries()
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            results[name] = round(time.time() - t0, 3)
 
     total = round(time.time() - t_suite0, 3)
     print(

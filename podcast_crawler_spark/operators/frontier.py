@@ -61,6 +61,10 @@ class CrawlConfig:
     backoff_s: float = 1.0  # refactor TimerQueue backoff (worker.rs:151-155)
     salt_buckets: int = 8  # X6 hot-host salting for the parse stage
     num_partitions: int = 32
+    # broadcast the epoch-outcome side of the frontier-update join when the
+    # epoch is below this many rows (outcomes are 4 narrow columns; 2M rows
+    # ≈ 60 MB serialized — safe to broadcast, saves shuffling the frontier)
+    broadcast_outcomes_max_rows: int = 2_000_000
 
 
 def seed_scan(seeds: DataFrame) -> DataFrame:

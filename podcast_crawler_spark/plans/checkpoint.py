@@ -101,6 +101,63 @@ class SnapshotTable:
         os.rename(tmp, os.path.join(self.snap_dir, f"{snap_id}.json"))
         return snap_id
 
+    def commit_local(
+        self,
+        rows: List[tuple],
+        arrow_schema,
+        metrics: Optional[Dict] = None,
+        carry_previous: bool = True,
+    ) -> int:
+        """Commit a small snapshot entirely driver-side via pyarrow — no
+        Spark job.  Used for tiny control tables (per-epoch metrics): at
+        one row per epoch a Spark write costs a full job-scheduling round
+        trip per epoch for kilobytes of data.  ``carry_previous`` appends
+        the previous snapshot's rows (append-only table semantics)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        parent = self.current_snapshot_id()
+        snap_id = (parent or 0) + 1
+        data_dir = os.path.join(self.dir, "data", f"snap-{snap_id}")
+        os.makedirs(data_dir, exist_ok=True)
+        tables = []
+        if carry_previous and parent is not None:
+            prev = self.manifest(parent)
+            for f in prev["files"]:
+                tables.append(
+                    pq.read_table(os.path.join(prev["data_dir"], f["file"]))
+                )
+        tables.append(
+            pa.Table.from_pylist(
+                [dict(zip([f.name for f in arrow_schema], r)) for r in rows],
+                schema=arrow_schema,
+            )
+        )
+        table = pa.concat_tables(tables)
+        path = os.path.join(data_dir, "part-00000.parquet")
+        pq.write_table(table, path)
+        files = [
+            {
+                "file": "part-00000.parquet",
+                "bytes": os.path.getsize(path),
+                "rows": table.num_rows,
+            }
+        ]
+        man = {
+            "snapshot_id": snap_id,
+            "parent_id": parent,
+            "committed_at_unix": time.time(),
+            "data_dir": data_dir,
+            "row_count": table.num_rows,
+            "files": files,
+            "metrics": metrics or {},
+        }
+        tmp = os.path.join(self.snap_dir, f".{snap_id}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(man, fh, indent=1)
+        os.rename(tmp, os.path.join(self.snap_dir, f"{snap_id}.json"))
+        return snap_id
+
     def read(
         self, spark: SparkSession, snapshot_id: Optional[int] = None
     ) -> Optional[DataFrame]:

@@ -36,7 +36,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.udfs import explode_episodes, parse_pages
-from ..functions.urlfns import canonicalize_url, url_hash
+from ..functions.urlfns import (
+    canonicalize_url,
+    host_hash,
+    is_valid_url,
+    url_hash,
+    url_host,
+)
 from ..operators.frontier import (
     PARSED,
     CrawlConfig,
@@ -81,7 +87,14 @@ class CrawlState:
         )
 
     def completed_epochs(self) -> int:
-        return (self.frontier.current_snapshot_id() or 1) - 1
+        """Epochs committed so far — read from the frontier manifest's
+        ``epoch`` metric (snapshot ids can't be used directly: streaming
+        admission commits extra frontier snapshots between epochs)."""
+        man = self.frontier.manifest()
+        if man is None:
+            return 0
+        ep = man["metrics"].get("epoch")
+        return ep if ep is not None else man["snapshot_id"] - 1
 
 
 def init_crawl(
@@ -134,30 +147,46 @@ def run_epoch(
     t0 = time.time()
     epoch_no = state.completed_epochs() + 1
     frontier = state.frontier.read(spark)
+    debug = os.environ.get("EPOCH_DEBUG_TIMING")
+
+    def _tick(name, t):
+        if debug:
+            print(f"[epoch-{epoch_no}] {name}: {round(time.time() - t, 1)}s")
+        return time.time()
 
     # 1-2. due selection + politeness priority queue (W4/W5) + robots (J4)
     scheduled = schedule_epoch(frontier, robots, epoch_ts, cfg)
 
-    # 3. "fetch" = join against pages (J3).  Salting (X6) goes AFTER the
-    # join, not before: the join's own hash(url) exchange would destroy any
-    # earlier placement, and AQE coalesces the join's output partitions by
-    # byte size, which would strangle the CPU-bound Python parse stage's
-    # parallelism — the explicit salted repartition both spreads hot hosts
-    # and pins the parse stage at full width.
-    fetched = salted(fetch_join(scheduled, pages), cfg)
+    # 3. "fetch" = join against pages (J3).  No salt exchange here: the
+    # join's own hash(url) distribution already spreads hot-host URLs
+    # uniformly (url hashes are uniform even when hosts are not), so a
+    # salted repartition after the join would re-shuffle the multi-KB html
+    # payloads purely to reproduce a distribution the join just gave us —
+    # measured ~60s/1.5M rows of pure waste.  ``salted`` (X6) remains the
+    # tool for host-keyed stages that inherit a skewed host partitioning.
+    fetched = fetch_join(scheduled, pages)
 
     # 4. parse stage (P1-P12) — Arrow-batched, frontier bookkeeping passes
     # through so no re-join afterwards.  All scalar epoch metrics (A3/A4/A7)
-    # ride along as an Observation on the cached parse output: they are
-    # collected during the first materializing action, costing ZERO extra
-    # Spark jobs (the reference's Prometheus counters similarly piggyback on
-    # the task flow, src/metrics.rs:47-116).
+    # ride along as an Observation and are collected while the parse output
+    # is materialized — costing ZERO extra Spark jobs (the reference's
+    # Prometheus counters similarly piggyback on the task flow,
+    # src/metrics.rs:47-116).
+    #
+    # The parse output materializes ONCE into a columnar scratch dataset
+    # (snappy parquet) rather than a row cache: the three downstream
+    # consumers (podcast upsert, episode explode, frontier update) each
+    # read only the columns they need — column pruning on the scratch scan
+    # beats a deserialized row cache on both memory pressure and read
+    # amplification, and the scratch is the natural spill point for a
+    # 10^10-scale epoch (executors never hold the epoch in memory).
     from pyspark.sql import Observation
 
     obs = Observation(f"epoch-{epoch_no}")
     err_type = categorize_error(F.col("parse_error_message"))
     parse_ok_c = F.col("fetch_ok") & F.col("parse_error_kind").isNull()
-    parsed = (
+    scratch_dir = os.path.join(state.root, "_scratch", f"epoch-{epoch_no}")
+    (
         parse_pages(fetched, passthrough=PASSTHROUGH)
         .observe(
             obs,
@@ -175,8 +204,14 @@ def run_epoch(
                 for t in ERROR_TYPES
             ],
         )
-        .cache()
+        .write.mode("overwrite")
+        .parquet(scratch_dir)
     )
+    t = _tick("schedule+fetch+parse scratch", t0)
+    parsed = spark.read.parquet(scratch_dir)
+    # the scratch write (the epoch's first action) has completed, so the
+    # observed metrics are already available
+    m = obs.get
 
     ok = parsed.filter(F.col("parse_error_kind").isNull())
 
@@ -215,23 +250,28 @@ def run_epoch(
     new_podcasts = _upsert(state.podcasts.read(spark), podcasts_new, "rss_feed_url")
     new_episodes = _upsert(existing_eps, episodes_updates, "guid")
 
-    # 7. frontier update (R1-R3) + per-row stage lineage for this epoch
+    # 7. frontier update (R1-R3) + per-row stage lineage for this epoch.
+    # The outcome set is O(epoch), tiny next to a 10^10-row frontier —
+    # broadcast it below the threshold so the frontier is never shuffled
+    # for this join (it already lives hash-partitioned by host).
     outcomes = parsed.select(
         "url_hash", "fetch_ok", "parse_error_kind", "parse_error_message"
     )
+    if m["total"] <= cfg.broadcast_outcomes_max_rows:
+        outcomes = F.broadcast(outcomes)
     new_frontier = apply_epoch_results(frontier, outcomes, epoch_ts, cfg)
     new_frontier = _stamp_stages(new_frontier, epoch_ts)
 
-    # 8. commit podcasts/episodes (frontier last = epoch boundary).  The
-    # first write materializes the cached parse stage AND fires the
-    # Observation; row counts and per-partition lineage come from the
-    # committed parquet footers — metrics cost no extra Spark jobs.
+    # 8. commit podcasts/episodes (frontier last = epoch boundary).  Row
+    # counts and per-partition lineage come from the committed parquet
+    # footers — metrics cost no extra Spark jobs.
     state.podcasts.commit(new_podcasts, metrics={"epoch": epoch_no})
+    t = _tick("podcasts commit", t)
     state.episodes.commit(new_episodes, metrics={"epoch": epoch_no})
+    t = _tick("episodes commit", t)
     pod_rows = state.podcasts.manifest()["row_count"]
     ep_rows = state.episodes.manifest()["row_count"]
 
-    m = obs.get
     total, n_fetch_ok, n_parse_ok = m["total"], m["n_fetch_ok"], m["n_parse_ok"]
     err_hist = {
         t: m[f"err_{t}"] for t in ERROR_TYPES if m[f"err_{t}"]
@@ -252,11 +292,26 @@ def run_epoch(
         "wall_s": None,  # filled below
     }
 
-    metrics_df = spark.createDataFrame(
+    # metrics table: one row per epoch — committed driver-side via pyarrow
+    # (a Spark job per epoch for one row is pure scheduling overhead)
+    import pyarrow as pa
+
+    metrics_arrow_schema = pa.schema(
+        [
+            pa.field("epoch", pa.int32()),
+            pa.field("epoch_ts", pa.timestamp("us")),
+            pa.field("scheduled", pa.int64()),
+            pa.field("fetched", pa.int64()),
+            pa.field("parsed", pa.int64()),
+            pa.field("fetch_failures", pa.int64()),
+            pa.field("parse_failures", pa.int64()),
+        ]
+    )
+    state.metrics.commit_local(
         [
             (
                 epoch_no,
-                epoch_ts,
+                epoch_ts.replace(tzinfo=None),
                 total,
                 n_fetch_ok,
                 n_parse_ok,
@@ -264,22 +319,19 @@ def run_epoch(
                 n_fetch_ok - n_parse_ok,
             )
         ],
-        "epoch int, epoch_ts timestamp, scheduled long, fetched long,"
-        " parsed long, fetch_failures long, parse_failures long",
+        metrics_arrow_schema,
+        metrics={"epoch": epoch_no},
     )
-    prev_metrics = state.metrics.read(spark)
-    all_metrics = (
-        metrics_df
-        if prev_metrics is None
-        else prev_metrics.unionByName(metrics_df)
-    )
-    state.metrics.commit(all_metrics, metrics={"epoch": epoch_no})
+    t = _tick("metrics commit", t)
     metrics["wall_s"] = round(time.time() - t0, 3)
     state.frontier.commit(
         new_frontier.repartition(cfg.num_partitions, "host_hash"),
         metrics=metrics,
     )
-    parsed.unpersist()
+    _tick("frontier commit", t)
+    import shutil
+
+    shutil.rmtree(scratch_dir, ignore_errors=True)
     return metrics
 
 
@@ -345,6 +397,78 @@ def run_crawl(
         epoch_ts = epoch0 + timedelta(seconds=i * epoch_interval_s)
         run_epoch(spark, state, pages, robots, epoch_ts, cfg, use_bloom=use_bloom)
     return state
+
+
+def admit_urls(
+    spark: SparkSession,
+    state: CrawlState,
+    urls: DataFrame,
+    epoch_ts: datetime,
+    cfg: CrawlConfig = CrawlConfig(),
+    priority: int = 1_000_000,
+    use_bloom: bool = True,
+) -> int:
+    """Frontier growth: admit discovered URLs (e.g. episode links found by
+    parsing — ``discovered_urls``) that are NOT already in the frontier.
+
+    The seen check is the D3 discipline: a partitioned Bloom filter over
+    the frontier's ``url_hash`` set prunes the candidate stream (at 10^10
+    frontier scale this cuts the anti-join's probe side by ~99%), and the
+    survivors are verified exactly with ``left_anti`` — Bloom false
+    positives only cost join rows, never a wrongly-dropped URL.
+
+    *urls* needs a ``url`` column; returns the new frontier snapshot id.
+    Discovered URLs get a low priority (crawled after all seeds at equal
+    due-time) and the standard retry budget.
+    """
+    from ..operators.seen import build_bloom, filter_unseen
+
+    frontier = state.frontier.read(spark)
+    cand = (
+        urls.select("url")
+        .filter(is_valid_url(F.col("url")))
+        .withColumn("canonical_url", canonicalize_url(F.col("url")))
+        .withColumn("url_hash", url_hash(F.col("canonical_url")))
+    )
+    w = Window.partitionBy("canonical_url").orderBy("url")
+    cand = cand.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    ).drop("_rn")
+
+    seen_keys = frontier.select("url_hash")
+    if use_bloom:
+        expected = state.frontier.manifest().get("row_count") or 100_000
+        bloom = build_bloom(seen_keys, key_col="url_hash", expected_keys=expected)
+        fresh = filter_unseen(cand, seen_keys, bloom, "url_hash")
+    else:
+        fresh = cand.join(seen_keys, "url_hash", "left_anti")
+
+    rows = fresh.select(
+        "url",
+        "canonical_url",
+        "url_hash",
+        url_host(F.col("url")).alias("host"),
+        host_hash(url_host(F.col("url"))).alias("host_hash"),
+        F.lit(priority).cast("int").alias("priority"),
+        F.lit(epoch_ts).cast("timestamp").alias("next_fetch_ts"),
+        F.lit(0).cast("int").alias("retries"),
+        F.lit(cfg.max_retries).cast("int").alias("max_retries"),
+        F.lit("pending").alias("state"),
+        F.lit(None).cast("string").alias("last_error"),
+        F.lit(None).cast("string").alias("error_kind"),
+        F.lit(None)
+        .cast(
+            "array<struct<name:string,status:string,start_ts:timestamp,"
+            "end_ts:timestamp,error:string>>"
+        )
+        .alias("stages"),
+    )
+    return state.frontier.commit(
+        frontier.unionByName(rows.select(*frontier.columns)).repartition(
+            cfg.num_partitions, "host_hash"
+        ),
+        metrics={"epoch": state.completed_epochs(), "op": "admit_discovered"},
+    )
 
 
 def discovered_urls(state: CrawlState, spark: SparkSession) -> DataFrame:

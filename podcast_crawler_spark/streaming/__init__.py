@@ -1,0 +1,5 @@
+from .crawl_stream import (  # noqa: F401
+    politeness_rate_limiter,
+    run_crawl_stream,
+    stage_metrics_stream,
+)

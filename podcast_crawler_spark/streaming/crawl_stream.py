@@ -1,0 +1,199 @@
+"""Structured Streaming surface of the crawl engine (SURVEY.md §2.10).
+
+The reference's "streaming" is a continuous tokio loop with no event-time
+semantics, so the core engine runs as deterministic batch epochs
+(``plans/epoch.py``).  This module is the Structured Streaming packaging of
+the same machinery:
+
+1. ``run_crawl_stream`` — the epoch loop as ``foreachBatch``: a file
+   stream of seed batches (the streaming analog of ``POST /add_task``,
+   SURVEY.md §3.2) drives frontier admission + one crawl epoch per
+   micro-batch.  The epoch body is ``run_epoch`` **unchanged** — the
+   checkpointed snapshot tables make each batch idempotent, which is
+   exactly the contract ``foreachBatch`` requires for exactly-once.
+2. ``stage_metrics_stream`` — A7's Prometheus counters as a watermarked
+   event-time windowed aggregation over stage events (late data dropped
+   past the watermark, matching counter-scrape semantics).
+3. ``politeness_rate_limiter`` — the reference's governor token bucket
+   (``/root/reference/src/crawler/rate_limiter.rs:16-46``) as a custom
+   stateful operator via ``applyInPandasWithState``: per-host state
+   carries the next free fetch slot across micro-batches; URL batches are
+   assigned monotone fetch slots spaced by the host's crawl delay.
+   Vectorized inside each group (numpy recurrence, no per-row Python
+   loop).
+
+Scale notes: state is per-host (10^7-10^8 hosts at web scale → a few GB
+of state across the cluster, hash-partitioned by the group key — the same
+host_hash partitioning the batch frontier uses); stream shuffles are
+keyed identically so state locality survives.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+from typing import Iterator, Tuple
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.frontier import CrawlConfig, build_frontier
+from ..plans.epoch import CrawlState, init_crawl, run_epoch
+
+
+def run_crawl_stream(
+    spark: SparkSession,
+    state_dir: str,
+    seeds_stream_dir: str,
+    pages: DataFrame,
+    robots: DataFrame,
+    epoch0: datetime,
+    epoch_interval_s: int = 60,
+    cfg: CrawlConfig = CrawlConfig(),
+    available_now: bool = True,
+):
+    """Run the crawl as a Structured Streaming query over a parquet stream
+    of seed batches (schema = seeds table).  Each micro-batch: admit the
+    batch's new URLs to the frontier (anti-join on canonical_url — the
+    add_task idempotence), then run one deterministic epoch.
+
+    Returns the StreamingQuery (caller awaits termination; with
+    ``available_now`` the query drains pending files and stops).
+    """
+    from ..functions.schemas import SEEDS_SCHEMA
+
+    seeds_stream = (
+        spark.readStream.schema(SEEDS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(seeds_stream_dir)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        state = CrawlState.open(state_dir)
+        if state.frontier.current_snapshot_id() is None:
+            init_crawl(spark, batch_df, state_dir, epoch0, cfg)
+        else:
+            frontier = state.frontier.read(spark)
+            add = build_frontier(batch_df, epoch0, cfg)
+            fresh = add.join(
+                frontier.select("canonical_url"), "canonical_url", "left_anti"
+            ).select(*frontier.columns)
+            state.frontier.commit(
+                frontier.unionByName(fresh).repartition(
+                    cfg.num_partitions, "host_hash"
+                ),
+                # carry the epoch counter forward — admission is not an epoch
+                metrics={
+                    "epoch": state.completed_epochs(),
+                    "stream_batch": batch_id,
+                    "op": "admit",
+                },
+            )
+        epoch_no = state.completed_epochs()
+        epoch_ts = epoch0 + timedelta(seconds=epoch_no * epoch_interval_s)
+        run_epoch(spark, state, pages, robots, epoch_ts, cfg)
+
+    writer = (
+        seeds_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{state_dir}/_stream_chk")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stage_metrics_stream(
+    stage_events: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """A7 as event-time streaming: per-(window, stage, status) counts with
+    a watermark for late events.  *stage_events* is a streaming DataFrame
+    with (ts timestamp, stage string, status string)."""
+    return (
+        stage_events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "stage", "status")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "stage",
+            "status",
+            "n",
+        )
+    )
+
+
+RATE_LIMITER_OUTPUT = (
+    "host string, url string, host_seq int, planned_unix double"
+)
+RATE_LIMITER_STATE = "next_free_unix double"
+
+
+def politeness_rate_limiter(
+    url_stream: DataFrame,
+    default_delay_s: float = 0.5,
+    output_mode: str = "append",
+):
+    """X4/W4 as a custom stateful streaming operator.
+
+    Input (streaming): ``(host string, url string, priority int,
+    event_unix double)``.  Per host, across micro-batches, assigns each
+    URL a fetch slot ``planned_unix`` such that slots are monotone and
+    spaced ≥ delay: ``t_i = max(event_i, t_{i-1} + delay)`` — the
+    governor token-bucket recurrence, carried in GroupState.
+
+    The recurrence is vectorized per group:
+    ``t_i = delay·i + max(cummax(event_j − delay·j), carry − delay)``.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    delay = float(default_delay_s)
+
+    def fn(
+        key: Tuple[str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        host = key[0]
+        carry = state.get[0] if state.exists else float("-inf")
+        prev_seq = int(state.get[1]) if state.exists else 0
+        out = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["priority", "url"], kind="mergesort")
+            ev = pdf["event_unix"].to_numpy(dtype=np.float64)
+            i = np.arange(len(ev), dtype=np.float64)
+            # t_i = delay*i + max(cummax_j<=i(ev_j - delay*j), carry + delay)
+            base = np.maximum.accumulate(ev - delay * i)
+            if carry != float("-inf"):
+                base = np.maximum(base, carry + delay)
+            t = delay * i + base
+            carry = float(t[-1])
+            seqs = prev_seq + np.arange(1, len(ev) + 1)
+            prev_seq = int(seqs[-1])
+            out.append(
+                pd.DataFrame(
+                    {
+                        "host": host,
+                        "url": pdf["url"].to_numpy(),
+                        "host_seq": seqs.astype(np.int32),
+                        "planned_unix": t,
+                    }
+                )
+            )
+        state.update((carry, prev_seq))
+        if out:
+            yield pd.concat(out, ignore_index=True)
+
+    return url_stream.groupBy("host").applyInPandasWithState(
+        fn,
+        RATE_LIMITER_OUTPUT,
+        "next_free_unix double, seq_carry long",
+        output_mode,
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,184 @@
+"""Structured Streaming tests: foreachBatch epoch loop, watermarked
+windowed metrics, and the applyInPandasWithState politeness rate limiter
+(checked against a straight-line token-bucket oracle across batches)."""
+
+import os
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from podcast_crawler_spark.operators.frontier import CrawlConfig
+from podcast_crawler_spark.plans.epoch import CrawlState
+from podcast_crawler_spark.sources.pagesgen import (
+    EPOCH0,
+    gen_pages,
+    gen_robots,
+    gen_seeds,
+)
+from podcast_crawler_spark.streaming import (
+    politeness_rate_limiter,
+    run_crawl_stream,
+    stage_metrics_stream,
+)
+
+N = 60
+CFG = CrawlConfig(per_host_budget=1000, max_retries=1, num_partitions=4)
+
+
+def drop_batch(df, tmp_path, stream_dir, name):
+    """File-stream sources list plain files, not nested dataset dirs —
+    stage the write, then copy the part files in flat."""
+    stage = str(tmp_path / f"_stage_{name}")
+    df.repartition(1).write.mode("overwrite").parquet(stage)
+    os.makedirs(stream_dir, exist_ok=True)
+    i = 0
+    for f in sorted(os.listdir(stage)):
+        if f.endswith(".parquet"):
+            shutil.copy(
+                os.path.join(stage, f),
+                os.path.join(stream_dir, f"{name}-{i}.parquet"),
+            )
+            i += 1
+
+
+def test_crawl_stream_foreachbatch(spark, tmp_path):
+    """Two seed-batch files → two micro-batches → frontier admission +
+    one epoch each; final tables match a plain batch run's semantics."""
+    stream_dir = str(tmp_path / "seeds_stream")
+    os.makedirs(stream_dir)
+    state_dir = str(tmp_path / "state")
+    seeds = gen_seeds(spark, N, partitions=2).cache()
+    pages = gen_pages(spark, N, partitions=2)
+    robots = gen_robots(spark, N, partitions=4)
+
+    # batch 1: first half of the seed list; batch 2: full list (overlap
+    # exercises the anti-join admission idempotence)
+    drop_batch(seeds.filter(F.col("rank") <= N // 2), tmp_path, stream_dir, "b1")
+    q = run_crawl_stream(
+        spark, state_dir, stream_dir, pages, robots, EPOCH0, cfg=CFG
+    )
+    q.awaitTermination(120)
+    drop_batch(seeds, tmp_path, stream_dir, "b2")
+    q2 = run_crawl_stream(
+        spark, state_dir, stream_dir, pages, robots, EPOCH0, cfg=CFG
+    )
+    q2.awaitTermination(120)
+
+    state = CrawlState.open(state_dir)
+    assert state.completed_epochs() >= 2
+    pods = state.podcasts.read(spark)
+    # all parseable, robots-allowed, fetchable feeds crawled exactly once
+    assert pods.count() == pods.select("rss_feed_url").distinct().count()
+    assert pods.count() > N * 0.8
+    frontier = state.frontier.read(spark)
+    assert frontier.count() == frontier.select("canonical_url").distinct().count()
+
+
+def test_stage_metrics_stream_windowed(spark, tmp_path):
+    """Watermarked tumbling-window counts over a file stream of stage
+    events; late rows beyond the watermark are dropped."""
+    src = str(tmp_path / "events_src")
+    os.makedirs(src)
+    rows = [
+        ("2025-01-01 00:00:10", "fetching", "Completed"),
+        ("2025-01-01 00:00:20", "fetching", "Completed"),
+        ("2025-01-01 00:00:30", "parsing", "Failed"),
+        ("2025-01-01 00:01:10", "fetching", "Completed"),
+    ]
+    drop_batch(
+        spark.createDataFrame(rows, "ts_s string, stage string, status string"),
+        tmp_path,
+        src,
+        "a",
+    )
+    stream = (
+        spark.readStream.schema("ts_s string, stage string, status string")
+        .parquet(src)
+        .select(F.col("ts_s").cast("timestamp").alias("ts"), "stage", "status")
+    )
+    out = stage_metrics_stream(stream, window="1 minute", watermark="2 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stage_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r.window_start), r.stage, r.status): r.n
+        for r in spark.sql("select * from stage_counts").collect()
+    }
+    assert got[("2025-01-01 00:00:00", "fetching", "Completed")] == 2
+    assert got[("2025-01-01 00:00:00", "parsing", "Failed")] == 1
+    assert got[("2025-01-01 00:01:00", "fetching", "Completed")] == 1
+
+
+def rate_limiter_oracle(batches, delay=0.5):
+    """Straight-line token bucket: per host, slots monotone, spaced ≥delay,
+    never before the request's event time."""
+    state = {}
+    out = []
+    for batch in batches:
+        per_host = {}
+        for host, url, prio, ev in batch:
+            per_host.setdefault(host, []).append((prio, url, ev))
+        for host, items in per_host.items():
+            nf = state.get(host)
+            for prio, url, ev in sorted(items):
+                t = ev if nf is None else max(ev, nf + delay)
+                out.append((host, url, t))
+                nf = t
+            state[host] = nf
+    return {(h, u): t for h, u, t in out}
+
+
+def test_politeness_rate_limiter_stateful(spark, tmp_path):
+    src = str(tmp_path / "urls_src")
+    os.makedirs(src)
+    out_dir = str(tmp_path / "slots_out")
+    chk = str(tmp_path / "chk")
+    schema = "host string, url string, priority int, event_unix double"
+    b1 = [
+        ("hot.example", f"https://hot.example/f{i}", i, 100.0) for i in range(5)
+    ] + [("cold.example", "https://cold.example/f0", 0, 100.0)]
+    b2 = [
+        ("hot.example", f"https://hot.example/g{i}", i, 100.4) for i in range(3)
+    ]
+
+    def run_query():
+        # file sink (not memory): supports restart from the checkpoint, so
+        # the second invocation recovers per-host state from the state store
+        q = (
+            politeness_rate_limiter(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                default_delay_s=0.5,
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drop_batch(spark.createDataFrame(b1, schema), tmp_path, src, "b1")
+    run_query()
+    # second batch arrives later → state (next free slot) must carry over
+    drop_batch(spark.createDataFrame(b2, schema), tmp_path, src, "b2")
+    run_query()
+
+    got = {
+        (r.host, r.url): r.planned_unix
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = rate_limiter_oracle([b1, b2])
+    assert got == pytest.approx(want)
+    # per-host spacing invariant
+    hot = sorted(t for (h, _), t in got.items() if h == "hot.example")
+    assert all(b - a >= 0.5 - 1e-9 for a, b in zip(hot, hot[1:]))
