@@ -81,6 +81,12 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # fetch join: shuffled-hash beats sort-merge (no sort of the pages
+        # side); runtime bloom filter prunes the pages scan down to the
+        # scheduled slice — the at-scale lever when the frontier slice is
+        # tiny next to a 10^10-row pages table
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.local.dir", local_dir)

@@ -65,6 +65,18 @@ class CrawlConfig:
     # epoch is below this many rows (outcomes are 4 narrow columns; 2M rows
     # ≈ 60 MB serialized — safe to broadcast, saves shuffling the frontier)
     broadcast_outcomes_max_rows: int = 2_000_000
+    # epoch scratch strategy: False (default) = compressed columnar persist
+    # (MEMORY_AND_DISK, spills per executor); True = explicit lz4 parquet
+    # dataset for epochs far larger than cluster memory
+    scratch_parquet: bool = False
+    # broadcast the scheduled slice into the fetch join (streams the pages
+    # scan; html never shuffles) when the frontier is at most this many
+    # rows.  0 = disabled (default): A/B at 500k rows showed no reliable
+    # win over the shuffled join (the broadcast collect + duplicated
+    # schedule subplan offsets the saved html exchange); enable it when an
+    # epoch slice is orders of magnitude smaller than the pages table and
+    # the pages side isn't bucketed by url.
+    broadcast_fetch_max_rows: int = 0
 
 
 def seed_scan(seeds: DataFrame) -> DataFrame:
@@ -189,14 +201,34 @@ def salted(df: DataFrame, cfg: CrawlConfig) -> DataFrame:
     )
 
 
-def fetch_join(scheduled: DataFrame, pages: DataFrame) -> DataFrame:
+def fetch_join(
+    scheduled: DataFrame, pages: DataFrame, broadcast_scheduled: bool = False
+) -> DataFrame:
     """J3/S2: "fetch" = left equi-join of the scheduled frontier against the
     pages table on url; a missing page (null html) is a fetch failure that
-    feeds the retry path.  At bench scale this is the one big shuffle of the
-    epoch; AQE's skew-join handles hot-host residuals."""
-    return scheduled.join(
-        pages.select("url", "html", "warc_ts"), "url", "left"
-    ).withColumn("fetch_ok", F.col("html").isNotNull())
+    feeds the retry path.
+
+    Default: plain left join — the one big shuffle of the epoch (AQE's
+    skew-join handles hot-host residuals).  ``broadcast_scheduled``: when
+    the scheduled slice is small (size-gated by the caller), broadcast it
+    into an inner join that *streams* the pages scan — the multi-KB html
+    column never crosses an exchange; misses (fetch failures) come from a
+    url-column-only anti join.  At 10^10-page scale the production answer
+    is a pages table bucketed by url (co-located join, no shuffle of
+    either side); the broadcast mode is the same idea for epoch-sized
+    slices."""
+    pg = pages.select("url", "html", "warc_ts")
+    if broadcast_scheduled:
+        hit = pg.join(F.broadcast(scheduled), "url", "inner")
+        miss = scheduled.join(pg.select("url"), "url", "left_anti").select(
+            "*",
+            F.lit(None).cast("binary").alias("html"),
+            F.lit(None).cast("timestamp").alias("warc_ts"),
+        )
+        joined = hit.unionByName(miss)
+    else:
+        joined = scheduled.join(pg, "url", "left")
+    return joined.withColumn("fetch_ok", F.col("html").isNotNull())
 
 
 def apply_epoch_results(

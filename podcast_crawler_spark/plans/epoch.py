@@ -121,13 +121,19 @@ def _upsert(
     key: str,
     order_col: str = "_epoch",
 ) -> DataFrame:
-    """Last-write-wins merge on *key* (ON CONFLICT ... DO UPDATE parity)."""
+    """Last-write-wins merge on *key* (ON CONFLICT ... DO UPDATE parity).
+
+    LWW is an argmax per key, so it runs as ``max_by(struct(*), order)``
+    hash aggregation — one exchange, no sort, and map-side partial
+    aggregation collapses duplicate keys before the shuffle (a window
+    ``row_number`` would shuffle everything and then sort every
+    partition; at 10^10-row tables the sort is the dominant cost)."""
     merged = updates if existing is None else existing.unionByName(updates)
-    w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
+    row = F.struct(*[F.col(c) for c in merged.columns])
     return (
-        merged.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        merged.groupBy(key)
+        .agg(F.max_by(row, F.col(order_col)).alias("_row"))
+        .select("_row.*")
     )
 
 
@@ -154,8 +160,17 @@ def run_epoch(
             print(f"[epoch-{epoch_no}] {name}: {round(time.time() - t, 1)}s")
         return time.time()
 
-    # 1-2. due selection + politeness priority queue (W4/W5) + robots (J4)
-    scheduled = schedule_epoch(frontier, robots, epoch_ts, cfg)
+    # 1-2. due selection + politeness priority queue (W4/W5) + robots (J4).
+    # Prune the frontier to the scheduling columns first: the politeness
+    # window shuffles its input, and dragging the stages lineage array /
+    # error text through that exchange doubles its bytes for nothing (the
+    # frontier update below works off the full snapshot scan + outcome
+    # keys, not off the scheduled slice).
+    frontier_sched = frontier.select(
+        "url", "url_hash", "host", "host_hash", "priority",
+        "next_fetch_ts", "state",
+    )
+    scheduled = schedule_epoch(frontier_sched, robots, epoch_ts, cfg)
 
     # 3. "fetch" = join against pages (J3).  No salt exchange here: the
     # join's own hash(url) distribution already spreads hot-host URLs
@@ -164,7 +179,16 @@ def run_epoch(
     # payloads purely to reproduce a distribution the join just gave us —
     # measured ~60s/1.5M rows of pure waste.  ``salted`` (X6) remains the
     # tool for host-keyed stages that inherit a skewed host partitioning.
-    fetched = fetch_join(scheduled, pages)
+    # Epoch-sized slices take the broadcast fetch path (html never
+    # shuffles); the gate uses the frontier row count as a cheap upper
+    # bound on the scheduled slice.
+    man = state.frontier.manifest()
+    frontier_rows = (man or {}).get("row_count") or 0
+    fetched = fetch_join(
+        scheduled,
+        pages,
+        broadcast_scheduled=0 < frontier_rows <= cfg.broadcast_fetch_max_rows,
+    )
 
     # 4. parse stage (P1-P12) — Arrow-batched, frontier bookkeeping passes
     # through so no re-join afterwards.  All scalar epoch metrics (A3/A4/A7)
@@ -173,42 +197,50 @@ def run_epoch(
     # Prometheus counters similarly piggyback on the task flow,
     # src/metrics.rs:47-116).
     #
-    # The parse output materializes ONCE into a columnar scratch dataset
-    # (snappy parquet) rather than a row cache: the three downstream
-    # consumers (podcast upsert, episode explode, frontier update) each
-    # read only the columns they need — column pruning on the scratch scan
-    # beats a deserialized row cache on both memory pressure and read
-    # amplification, and the scratch is the natural spill point for a
-    # 10^10-scale epoch (executors never hold the epoch in memory).
+    # The parse output materializes ONCE — it has three downstream
+    # consumers (podcast upsert, episode explode, frontier update) and must
+    # never be parsed twice.  Two scratch strategies, both columnar with
+    # column pruning on re-read:
+    #   * persist (default): Spark's compressed columnar cache,
+    #     MEMORY_AND_DISK — re-reads prune columns via InMemoryTableScan,
+    #     spills per-executor when the epoch outgrows memory.  No
+    #     write+read round trip through a filesystem.
+    #   * parquet (cfg.scratch_parquet / huge epochs): an explicit lz4
+    #     dataset — the natural choice when one epoch is far larger than
+    #     cluster memory and cache-spill churn would thrash.
     from pyspark.sql import Observation
 
     obs = Observation(f"epoch-{epoch_no}")
     err_type = categorize_error(F.col("parse_error_message"))
     parse_ok_c = F.col("fetch_ok") & F.col("parse_error_kind").isNull()
     scratch_dir = os.path.join(state.root, "_scratch", f"epoch-{epoch_no}")
-    (
-        parse_pages(fetched, passthrough=PASSTHROUGH)
-        .observe(
-            obs,
-            F.count(F.lit(1)).alias("total"),
-            F.coalesce(F.sum(F.col("fetch_ok").cast("long")), F.lit(0)).alias(
-                "n_fetch_ok"
-            ),
-            F.coalesce(F.sum(parse_ok_c.cast("long")), F.lit(0)).alias(
-                "n_parse_ok"
-            ),
-            *[
-                F.coalesce(
-                    F.sum((err_type == t).cast("long")), F.lit(0)
-                ).alias(f"err_{t}")
-                for t in ERROR_TYPES
-            ],
-        )
-        .write.mode("overwrite")
-        .parquet(scratch_dir)
+    observed = parse_pages(fetched, passthrough=PASSTHROUGH).observe(
+        obs,
+        F.count(F.lit(1)).alias("total"),
+        F.coalesce(F.sum(F.col("fetch_ok").cast("long")), F.lit(0)).alias(
+            "n_fetch_ok"
+        ),
+        F.coalesce(F.sum(parse_ok_c.cast("long")), F.lit(0)).alias(
+            "n_parse_ok"
+        ),
+        *[
+            F.coalesce(F.sum((err_type == t).cast("long")), F.lit(0)).alias(
+                f"err_{t}"
+            )
+            for t in ERROR_TYPES
+        ],
     )
+    if cfg.scratch_parquet:
+        observed.write.mode("overwrite").option("compression", "lz4").parquet(
+            scratch_dir
+        )
+        parsed = spark.read.parquet(scratch_dir)
+    else:
+        parsed = observed.persist()
+        # materialize now so the Observation is complete and every consumer
+        # below hits the cache instead of re-running the parse
+        parsed.write.format("noop").mode("overwrite").save()
     t = _tick("schedule+fetch+parse scratch", t0)
-    parsed = spark.read.parquet(scratch_dir)
     # the scratch write (the epoch's first action) has completed, so the
     # observed metrics are already available
     m = obs.get
@@ -264,11 +296,23 @@ def run_epoch(
 
     # 8. commit podcasts/episodes (frontier last = epoch boundary).  Row
     # counts and per-partition lineage come from the committed parquet
-    # footers — metrics cost no extra Spark jobs.
-    state.podcasts.commit(new_podcasts, metrics={"epoch": epoch_no})
-    t = _tick("podcasts commit", t)
-    state.episodes.commit(new_episodes, metrics={"epoch": epoch_no})
-    t = _tick("episodes commit", t)
+    # footers — metrics cost no extra Spark jobs.  The two sinks are
+    # independent tables reading the same scratch, so their commit jobs
+    # run concurrently (Spark schedules jobs from separate driver threads
+    # across the same executors); the epoch-boundary protocol only
+    # requires both to be durable before the frontier commit below.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_pod = pool.submit(
+            state.podcasts.commit, new_podcasts, metrics={"epoch": epoch_no}
+        )
+        f_ep = pool.submit(
+            state.episodes.commit, new_episodes, metrics={"epoch": epoch_no}
+        )
+        f_pod.result()
+        f_ep.result()
+    t = _tick("podcasts+episodes commit", t)
     pod_rows = state.podcasts.manifest()["row_count"]
     ep_rows = state.episodes.manifest()["row_count"]
 
@@ -324,14 +368,22 @@ def run_epoch(
     )
     t = _tick("metrics commit", t)
     metrics["wall_s"] = round(time.time() - t0, 3)
-    state.frontier.commit(
-        new_frontier.repartition(cfg.num_partitions, "host_hash"),
-        metrics=metrics,
-    )
+    # When the outcome join was broadcast the whole frontier-update plan is
+    # narrow over the snapshot scan, so the stored host_hash file layout is
+    # preserved as-is and re-bucketing would be a full-frontier shuffle for
+    # nothing (the politeness window runs its own host_hash exchange
+    # regardless).  Only re-bucket when a shuffled outcome join (or a
+    # production bucketed-table contract) actually disturbed the layout.
+    if m["total"] > cfg.broadcast_outcomes_max_rows:
+        new_frontier = new_frontier.repartition(cfg.num_partitions, "host_hash")
+    state.frontier.commit(new_frontier, metrics=metrics)
     _tick("frontier commit", t)
-    import shutil
+    if cfg.scratch_parquet:
+        import shutil
 
-    shutil.rmtree(scratch_dir, ignore_errors=True)
+        shutil.rmtree(scratch_dir, ignore_errors=True)
+    else:
+        parsed.unpersist()
     return metrics
 
 

@@ -127,3 +127,29 @@ def test_frontier_update_broadcasts_outcomes(spark, tmp_path):
     # well under the threshold) — and the frontier table is intact
     f = state.frontier.read(spark)
     assert f.count() == f.select("url_hash").distinct().count()
+
+
+def test_commit_local_driver_side_snapshots(spark, tmp_path):
+    """SnapshotTable.commit_local: pyarrow-only commits (no Spark job) with
+    append-carry semantics, readable by Spark, time-travelable."""
+    import pyarrow as pa
+
+    from podcast_crawler_spark.plans.checkpoint import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "wh"), "metrics")
+    schema = pa.schema([pa.field("epoch", pa.int32()), pa.field("n", pa.int64())])
+    s1 = t.commit_local([(1, 10)], schema, metrics={"epoch": 1})
+    s2 = t.commit_local([(2, 20)], schema, metrics={"epoch": 2})
+    assert (s1, s2) == (1, 2)
+    # snapshot 2 carries snapshot 1's rows (append-only table semantics)
+    assert {(r.epoch, r.n) for r in t.read(spark).collect()} == {(1, 10), (2, 20)}
+    # time travel to snapshot 1
+    assert [(r.epoch, r.n) for r in t.read(spark, snapshot_id=1).collect()] == [
+        (1, 10)
+    ]
+    assert t.manifest()["parent_id"] == 1
+    # no-carry commit replaces instead of appending
+    t2 = SnapshotTable(str(tmp_path / "wh"), "latest_only")
+    t2.commit_local([(1, 1)], schema)
+    t2.commit_local([(2, 2)], schema, carry_previous=False)
+    assert [(r.epoch, r.n) for r in t2.read(spark).collect()] == [(2, 2)]

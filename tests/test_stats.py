@@ -1,0 +1,109 @@
+"""Unit tests for the stats operators (SURVEY.md §2.5 A3/A4/A6/A7)
+against straight-line pandas/python oracles."""
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from podcast_crawler_spark.operators.stats import (
+    ERROR_TYPES,
+    STAGE_DURATION_BUCKETS,
+    batch_stats,
+    categorize_error,
+    duration_bucket,
+    error_histogram,
+    per_partition_lineage,
+    stage_status_counts,
+)
+
+OUTCOMES = [
+    # (success, duration_s, last_error)
+    (True, 0.2, None),
+    (True, 1.4, None),
+    (False, 5.0, "request timed out after 5s"),
+    (False, 0.1, "Connection refused by peer"),
+    (False, 0.3, "DNS resolution failure"),
+    (False, 0.8, "parse error: missing field title"),
+    (False, 2.0, "weird thing happened"),
+    (True, 0.5, None),
+]
+
+
+@pytest.fixture()
+def outcomes(spark):
+    return spark.createDataFrame(
+        OUTCOMES, "success boolean, duration_s double, last_error string"
+    )
+
+
+def test_batch_stats_matches_python_oracle(outcomes):
+    row = batch_stats(outcomes).collect()[0]
+    durs = sorted(d for _, d, _ in OUTCOMES)
+    succ = sum(1 for s, _, _ in OUTCOMES if s)
+    assert row.total_count == len(OUTCOMES)
+    assert row.success_count == succ
+    assert row.failure_count == len(OUTCOMES) - succ
+    assert row.success_rate == pytest.approx(succ / len(OUTCOMES))
+    assert row.total_duration_s == pytest.approx(sum(durs))
+    assert row.avg_duration_s == pytest.approx(sum(durs) / len(durs))
+    assert row.max_duration_s == pytest.approx(max(durs))
+    assert row.min_duration_s == pytest.approx(min(durs))
+    # percentile_approx at 0.5 returns an actual data point around the median
+    assert durs[0] <= row.median_duration_s <= durs[-1]
+    assert row.median_duration_s in durs
+
+
+def test_error_categorization_reference_taxonomy(outcomes):
+    # A4 taxonomy: stats.rs:144-156 substring rules, lowercase match
+    got = dict(
+        outcomes.filter(F.col("last_error").isNotNull())
+        .select("last_error", categorize_error(F.col("last_error")).alias("t"))
+        .collect()
+    )
+    assert got["request timed out after 5s"] == "Timeout"
+    assert got["Connection refused by peer"] == "Connection Refused"
+    assert got["DNS resolution failure"] == "DNS Error"
+    assert got["parse error: missing field title"] == "Parse Error"
+    assert got["weird thing happened"] == "Other Error"
+    hist = {r.error_type: r.n for r in error_histogram(outcomes).collect()}
+    assert hist == {t: 1 for t in ERROR_TYPES}
+
+
+def test_stage_status_counts(spark):
+    rows = [
+        ("fetching", "Completed"),
+        ("fetching", "Completed"),
+        ("fetching", "Failed"),
+        ("parsing", "Completed"),
+    ]
+    df = spark.createDataFrame(rows, "stage string, status string")
+    got = {(r.stage, r.status): r.n for r in stage_status_counts(df).collect()}
+    assert got == {
+        ("fetching", "Completed"): 2,
+        ("fetching", "Failed"): 1,
+        ("parsing", "Completed"): 1,
+    }
+
+
+def test_duration_buckets_are_cumulative_le_labels(spark):
+    durs = [0.05, 0.1, 0.3, 1.5, 9.0, 60.0]
+    df = spark.createDataFrame([(d,) for d in durs], "d double")
+    got = [
+        r.b
+        for r in df.select(duration_bucket(F.col("d")).alias("b"))
+        .orderBy("d" if "d" in df.columns else "b")
+        .collect()
+    ]
+    # reference default buckets 0.1/0.5/1/2/5/10 (src/metrics.rs:74-86)
+    assert got == ["le_0.1", "le_0.1", "le_0.5", "le_2.0", "le_10.0", "inf"]
+    assert STAGE_DURATION_BUCKETS == [0.1, 0.5, 1.0, 2.0, 5.0, 10.0]
+
+
+def test_per_partition_lineage_accounts_for_every_row(spark):
+    df = spark.range(1000).repartition(7)
+    lineage = per_partition_lineage(df)
+    assert sum(p["rows"] for p in lineage) == 1000
+    assert len(lineage) <= 7
+    assert all(p["rows"] > 0 for p in lineage)

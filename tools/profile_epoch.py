@@ -17,14 +17,18 @@ CORPUS = sys.argv[3]
 
 from pyspark.sql import SparkSession
 
+FAST = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
 spark = (
     SparkSession.builder.master(f"local[{CPUS}]")
     .config("spark.sql.shuffle.partitions", str(2 * CPUS))
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.join.preferSortMergeJoin", "false")
+    .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     .config("spark.ui.enabled", "false")
     .config("spark.ui.showConsoleProgress", "false")
-    .config("spark.driver.memory", "48g")
+    .config("spark.local.dir", os.path.join(FAST, "spark-prof-local"))
+    .config("spark.driver.memory", "16g")
     .getOrCreate()
 )
 spark.sparkContext.setLogLevel("ERROR")
@@ -35,7 +39,6 @@ from podcast_crawler_spark.functions.udfs import explode_episodes, parse_pages
 from podcast_crawler_spark.operators.frontier import (
     CrawlConfig,
     fetch_join,
-    salted,
     schedule_epoch,
 )
 from podcast_crawler_spark.plans.epoch import PASSTHROUGH, init_crawl, run_epoch
@@ -56,7 +59,7 @@ pages = spark.read.parquet(pp)
 seeds = spark.read.parquet(sp)
 robots = gen_robots(spark, N, partitions=2 * CPUS)
 
-tmp = tempfile.mkdtemp()
+tmp = tempfile.mkdtemp(dir=FAST)
 state = init_crawl(spark, seeds, f"{tmp}/state", EPOCH0, cfg)
 frontier = state.frontier.read(spark)
 
@@ -69,8 +72,8 @@ def noop(name, df):
 
 sched = schedule_epoch(frontier, robots, EPOCH0, cfg)
 noop("schedule", sched)
-fetched = salted(fetch_join(sched, pages), cfg)
-noop("+fetch+salt", fetched)
+fetched = fetch_join(sched, pages)
+noop("+fetch", fetched)
 parsed = parse_pages(fetched, passthrough=PASSTHROUGH)
 noop("+parse", parsed)
 noop("+explode", explode_episodes(parsed))
