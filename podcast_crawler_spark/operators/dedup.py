@@ -60,10 +60,15 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         F.sequence(F.lit(0), F.greatest(F.size(tok) - n, F.lit(0))),
         lambda i: F.array_join(F.slice(tok, i + 1, n), " "),
     )
+    # array_distinct BEFORE the explode is the whole dedup: each (id,
+    # shingle) row is already unique, so no post-explode .distinct() —
+    # that would be a full shuffle of every shingle string for nothing
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle"))
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(grams)).alias("shingle"),
+        )
         .filter(F.length("shingle") > 0)
-        .distinct()
     )
 
 
