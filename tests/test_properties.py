@@ -1,0 +1,194 @@
+"""Hypothesis property tests for the pure-Python parse core (SURVEY.md §5
+t4): total functions (never raise on arbitrary input), round-trips, and
+invariants that the golden corpus can't cover exhaustively.
+
+All pure Python — no SparkSession, so this module runs in milliseconds
+per example and hundreds of examples per property.
+"""
+
+from datetime import datetime, timezone
+from email.utils import format_datetime
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from podcast_crawler_spark.feedparse.rssparse import parse_feed_result
+from podcast_crawler_spark.feedparse.sanitize import clean_html, clean_text
+from podcast_crawler_spark.feedparse.scalars import (
+    parse_bool,
+    parse_date,
+    validate_url,
+)
+from podcast_crawler_spark.feedparse.xmlscan import scan, xml_unescape
+
+# ---------------------------------------------------------------------------
+# scalars
+
+
+@given(st.text(max_size=50))
+def test_parse_bool_total_and_case_insensitive(s):
+    r = parse_bool(s)
+    assert r in (True, False, None)
+    assert parse_bool(s.upper()) == parse_bool(s.lower()) == r
+
+
+@given(st.sampled_from(["true", "yes", "1"]))
+def test_parse_bool_truthy(s):
+    assert parse_bool(s) is True and parse_bool(s.upper()) is True
+
+
+@given(st.sampled_from(["false", "no", "0"]))
+def test_parse_bool_falsy(s):
+    assert parse_bool(s) is False
+
+
+@given(st.text(max_size=80))
+def test_parse_date_never_raises(s):
+    r = parse_date(s)
+    assert r is None or isinstance(r, datetime)
+
+
+_dt = st.datetimes(
+    min_value=datetime(1971, 1, 1),
+    max_value=datetime(2100, 1, 1),
+).map(lambda d: d.replace(microsecond=0, tzinfo=timezone.utc))
+
+
+@given(_dt)
+def test_parse_date_rfc2822_roundtrip(dt):
+    # reference tries RFC2822 first (rss.rs:690-720)
+    assert parse_date(format_datetime(dt)) == dt
+
+
+@given(_dt)
+def test_parse_date_rfc3339_roundtrip(dt):
+    assert parse_date(dt.isoformat()) == dt
+
+
+@given(_dt)
+def test_parse_date_naive_formats_assume_utc(dt):
+    naive = dt.replace(tzinfo=None)
+    for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%dT%H:%M:%S"):
+        got = parse_date(naive.strftime(fmt))
+        assert got == dt  # naive → UTC (rss.rs:707-715)
+
+
+@given(st.text(max_size=100))
+def test_validate_url_total(u):
+    r = validate_url(u)
+    assert isinstance(r, bool)
+    if r:
+        assert u.lower().startswith(("http://", "https://"))
+
+
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40))
+def test_validate_url_accepts_simple_http_hosts(host_part):
+    # any URL we accept must round-trip through canonical-ish parsing —
+    # but at minimum the plain well-formed case is always accepted
+    assert validate_url("https://example.com/feed.xml")
+
+
+# ---------------------------------------------------------------------------
+# sanitizer (P7): total, idempotent-on-plain-text, script-stripping
+
+
+@given(st.text(max_size=300))
+def test_clean_html_total_and_strips_script(s):
+    out = clean_html(s)
+    assert isinstance(out, str)
+    assert "<script" not in out.lower()
+
+
+@given(st.text(alphabet="abcdefghij KLMNOP.,!?", max_size=200))
+def test_clean_text_idempotent_on_plain_text(s):
+    once = clean_text(s)
+    assert clean_text(once) == once
+
+
+@given(st.text(max_size=200))
+def test_clean_text_always_trimmed(s):
+    out = clean_text(s)
+    assert out == out.strip()
+
+
+# ---------------------------------------------------------------------------
+# tolerant XML scanner (P1): total over arbitrary input, entity unescape
+
+
+@given(st.text(max_size=300))
+def test_xml_unescape_str_or_typed_error(s):
+    # strict like quick_xml's unescape: dangling '&' / unknown entities
+    # raise the TYPED escape error (which the parser turns into a
+    # feed-level parse failure, rss.rs:297-304) — never anything else
+    from podcast_crawler_spark.feedparse.xmlscan import XmlEscapeError
+
+    try:
+        assert isinstance(xml_unescape(s), str)
+    except XmlEscapeError:
+        pass
+
+
+@given(st.text(max_size=120))
+def test_xml_unescape_roundtrip_of_escaped(s):
+    escaped = (
+        s.replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace('"', "&quot;")
+        .replace("'", "&apos;")
+    )
+    assert xml_unescape(escaped) == s
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=200)
+def test_scanner_total_on_arbitrary_text(doc):
+    # the scanner must never raise unhandled exceptions on garbage — it
+    # either yields events or raises its typed XmlScanError (which
+    # parse_feed_result converts to an error row)
+    from podcast_crawler_spark.feedparse.xmlscan import XmlScanError
+
+    try:
+        for _ in scan(doc):
+            pass
+    except XmlScanError:
+        pass
+
+
+# ---------------------------------------------------------------------------
+# full parser (the UDF body): total over arbitrary bytes → error rows,
+# never exceptions (an executor must not die on a malformed feed)
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=200)
+def test_parse_feed_result_total_on_garbage(b):
+    r = parse_feed_result(b, "https://example.com/feed.xml")
+    assert isinstance(r, dict)
+    assert ("error_kind" in r) or ("podcast" in r)
+    if r.get("error_kind") is None:
+        assert r["podcast"] is not None
+
+
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=60))
+@settings(max_examples=100)
+def test_parse_feed_result_title_survives(title):
+    # any title (post-sanitize/trim) survives the full parse pipeline
+    xml = (
+        "<rss><channel><title><![CDATA[" + title.replace("]]>", "") + "]]></title>"
+        "</channel></rss>"
+    )
+    r = parse_feed_result(xml.encode("utf-8"), "https://e.com/f.xml")
+    expect = clean_text(title.replace("]]>", ""))
+    if expect:
+        assert r["error_kind"] is None
+        assert r["podcast"]["title"] == expect
+    else:
+        # empty-after-clean title → required-field failure (F4)
+        assert r["error_kind"] is not None
+
+
+def test_parse_feed_result_none_content_is_network_error():
+    r = parse_feed_result(None, "https://e.com/f.xml")
+    assert r["error_kind"] == "network"
