@@ -65,6 +65,10 @@ class CrawlConfig:
     # epoch is below this many rows (outcomes are 4 narrow columns; 2M rows
     # ≈ 60 MB serialized — safe to broadcast, saves shuffling the frontier)
     broadcast_outcomes_max_rows: int = 2_000_000
+    # merge-on-read output tables: compact (full rewrite of the resolved
+    # view) once a table accumulates this many delta segments — bounds
+    # read amplification while keeping steady-state epochs O(delta)
+    compact_segments: int = 8
     # epoch scratch strategy: False (default) = compressed columnar persist
     # (MEMORY_AND_DISK, spills per executor); True = explicit lz4 parquet
     # dataset for epochs far larger than cluster memory
@@ -170,8 +174,13 @@ def schedule_epoch(
     Emits ``host_seq`` (1-based per-host order) and ``planned_fetch_ts``
     spaced by the host's crawl delay — the deterministic crawl ordering the
     north rule asks to match (SURVEY.md §7.2)."""
+    # due = any non-failed row whose fetch slot has arrived: pending rows
+    # (fresh or backing off) AND parsed rows rescheduled by the re-crawl
+    # cadence (apply_epoch_results sets next_fetch_ts += fetch_interval on
+    # success — the reference's CRAWLER_FETCH_INTERVAL loop,
+    # config/crawler.rs:55-63).  Failed rows are terminal.
     due = frontier.filter(
-        (F.col("state") == PENDING)
+        (F.col("state") != FAILED)
         & (F.col("next_fetch_ts") <= F.lit(epoch_ts).cast("timestamp"))
     )
     allowed = robots_filter(due, robots).filter(~F.col("robots_denied"))

@@ -28,6 +28,19 @@ import time
 from typing import Dict, List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def resolve_lww(df: DataFrame, key: str, order_col: str) -> DataFrame:
+    """Last-write-wins resolution on *key*: argmax per key over *order_col*
+    as a ``max_by(struct(*), order)`` hash aggregation — one exchange with
+    map-side partial aggregation, no sort (see epoch.py upsert notes)."""
+    row = F.struct(*[F.col(c) for c in df.columns])
+    return (
+        df.groupBy(key)
+        .agg(F.max_by(row, F.col(order_col)).alias("_row"))
+        .select("_row.*")
+    )
 
 
 class SnapshotTable:
@@ -158,11 +171,96 @@ class SnapshotTable:
         os.rename(tmp, os.path.join(self.snap_dir, f"{snap_id}.json"))
         return snap_id
 
+    def commit_delta(
+        self,
+        updates: DataFrame,
+        key: str,
+        order_col: str,
+        metrics: Optional[Dict] = None,
+    ) -> int:
+        """Merge-on-read commit: write ONLY the delta (this epoch's upsert
+        rows) as a new segment; reads resolve last-write-wins on *key*
+        across all segments.  This is how an upsert table stays O(delta)
+        per epoch instead of O(table) — the copy-on-write rewrite of a
+        10^10-row episodes table to apply a 10^5-row epoch would be the
+        bottleneck of the whole crawl (Iceberg calls the same idea MOR
+        delete/equality files; ``compact`` below is the rewrite).
+
+        If no base snapshot exists this degrades to a plain ``commit``
+        (with resolve metadata recorded so later deltas know the key)."""
+        parent = self.current_snapshot_id()
+        parent_man = self.manifest(parent) if parent is not None else None
+        snap_id = (parent or 0) + 1
+        data_dir = os.path.join(self.dir, "data", f"snap-{snap_id}")
+        updates.write.mode("overwrite").parquet(data_dir)
+        import pyarrow.parquet as pq
+
+        files = []
+        for f in sorted(os.listdir(data_dir)):
+            if f.endswith(".parquet"):
+                p = os.path.join(data_dir, f)
+                files.append(
+                    {
+                        "file": f,
+                        "bytes": os.path.getsize(p),
+                        "rows": pq.ParquetFile(p).metadata.num_rows,
+                    }
+                )
+        delta_rows = sum(f["rows"] for f in files)
+        if parent_man is None:
+            segments = [data_dir]
+            raw_rows = delta_rows
+        else:
+            segments = (
+                parent_man.get("segments") or [parent_man["data_dir"]]
+            ) + [data_dir]
+            raw_rows = parent_man["row_count"] + delta_rows
+        man = {
+            "snapshot_id": snap_id,
+            "parent_id": parent,
+            "committed_at_unix": time.time(),
+            "data_dir": data_dir,
+            "segments": segments,
+            "resolve": {"key": key, "order_col": order_col},
+            # raw (pre-resolve) rows across segments — an upper bound on
+            # the resolved count, like Iceberg's file-level stats
+            "row_count": raw_rows,
+            "delta_rows": delta_rows,
+            "files": files,
+            "metrics": metrics or {},
+        }
+        tmp = os.path.join(self.snap_dir, f".{snap_id}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(man, fh, indent=1)
+        os.rename(tmp, os.path.join(self.snap_dir, f"{snap_id}.json"))
+        return snap_id
+
+    def num_segments(self) -> int:
+        man = self.manifest()
+        if man is None:
+            return 0
+        return len(man.get("segments") or [man["data_dir"]])
+
+    def compact(self, spark: SparkSession, metrics: Optional[Dict] = None) -> int:
+        """Materialize the resolved view as a single-segment snapshot —
+        merge-on-read's periodic rewrite, amortizing resolve cost across
+        epochs instead of paying a full-table write every epoch."""
+        resolved = self.read(spark)
+        m = dict(metrics or {})
+        m.setdefault("op", "compact")
+        return self.commit(resolved, metrics=m)
+
     def read(
         self, spark: SparkSession, snapshot_id: Optional[int] = None
     ) -> Optional[DataFrame]:
-        """Read the current snapshot, or time-travel to *snapshot_id*."""
+        """Read the current snapshot, or time-travel to *snapshot_id*.
+        Delta snapshots resolve LWW across their segments at read time."""
         man = self.manifest(snapshot_id)
         if man is None:
             return None
-        return spark.read.parquet(man["data_dir"])
+        segments = man.get("segments") or [man["data_dir"]]
+        df = spark.read.parquet(*segments)
+        res = man.get("resolve")
+        if res and len(segments) > 1:
+            df = resolve_lww(df, res["key"], res["order_col"])
+        return df

@@ -153,3 +153,75 @@ def test_commit_local_driver_side_snapshots(spark, tmp_path):
     t2.commit_local([(1, 1)], schema)
     t2.commit_local([(2, 2)], schema, carry_previous=False)
     assert [(r.epoch, r.n) for r in t2.read(spark).collect()] == [(2, 2)]
+
+
+def test_delta_commit_merge_on_read(spark, tmp_path):
+    """commit_delta: read resolves LWW across segments, equal to the
+    copy-on-write upsert result; compaction materializes the same rows;
+    time travel still sees the pre-delta state."""
+    from podcast_crawler_spark.plans.checkpoint import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "wh"), "eps")
+    base = spark.createDataFrame(
+        [("g1", "old1", 1), ("g2", "old2", 1), ("g3", "old3", 1)],
+        "guid string, title string, _epoch int",
+    )
+    t.commit(base)
+    delta = spark.createDataFrame(
+        [("g2", "new2", 2), ("g4", "new4", 2)],
+        "guid string, title string, _epoch int",
+    )
+    s2 = t.commit_delta(delta, "guid", "_epoch")
+    want = {("g1", "old1"), ("g2", "new2"), ("g3", "old3"), ("g4", "new4")}
+    got = {(r.guid, r.title) for r in t.read(spark).collect()}
+    assert got == want
+    # delta snapshot wrote only the delta rows
+    assert t.manifest(s2)["delta_rows"] == 2
+    assert t.num_segments() == 2
+    # time travel to the base snapshot
+    assert {(r.guid, r.title) for r in t.read(spark, snapshot_id=1).collect()} == {
+        ("g1", "old1"), ("g2", "old2"), ("g3", "old3")
+    }
+    # compaction: single segment, same resolved rows
+    t.compact(spark)
+    assert t.num_segments() == 1
+    assert {(r.guid, r.title) for r in t.read(spark).collect()} == want
+
+
+def test_epoch_delta_commits_and_empty_skip(spark, tmp_path):
+    """Steady state: a second epoch with nothing newly parsed commits NO
+    podcast/episode snapshots (empty-delta skip), and a re-crawl epoch
+    commits only a delta segment."""
+    from podcast_crawler_spark.operators.frontier import CrawlConfig
+    from podcast_crawler_spark.plans.epoch import run_crawl
+    from podcast_crawler_spark.sources.pagesgen import (
+        EPOCH0,
+        gen_pages,
+        gen_robots,
+        gen_seeds,
+    )
+
+    n = 80
+    cfg = CrawlConfig(per_host_budget=1000, max_retries=0, num_partitions=4)
+    seeds = gen_seeds(spark, n, partitions=2)
+    pages = gen_pages(spark, n, partitions=2)
+    robots = gen_robots(spark, n, partitions=2)
+    state = run_crawl(
+        spark, str(tmp_path / "st"), seeds, pages, robots, 2, EPOCH0, cfg=cfg
+    )
+    # epoch 2 schedules nothing new (interval not elapsed, retries
+    # exhausted at max_retries=0) → no new output snapshots
+    assert state.podcasts.current_snapshot_id() == 1
+    assert state.episodes.current_snapshot_id() == 1
+    # epoch 3 at +interval re-crawls everything → ONE delta segment each
+    run_crawl(
+        spark, str(tmp_path / "st"), seeds, pages, robots, 3, EPOCH0,
+        epoch_interval_s=cfg.fetch_interval_s, cfg=cfg,
+    )
+    assert state.podcasts.num_segments() == 2
+    man = state.episodes.manifest()
+    assert man["resolve"] == {"key": "guid", "order_col": "_epoch"}
+    # resolved view keeps one row per guid (LWW with the epoch-3 rows)
+    eps = state.episodes.read(spark)
+    assert eps.count() == eps.select("guid").distinct().count()
+    assert eps.filter(F.col("_epoch") == 3).count() == eps.count()
