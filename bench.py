@@ -64,7 +64,13 @@ def guess_sf(sf_dir: str) -> float:
 
 def main() -> None:
     sf = guess_sf(SF_DIR)
-    n_feeds = int(os.environ.get("BENCH_FEEDS", str(max(2000, int(500_000 * sf)))))
+    # floor of 200k: below that the epoch is dominated by fixed job costs
+    # (~5s) and the urls/s number measures the scheduler, not the engine
+    n_feeds = int(
+        os.environ.get("BENCH_FEEDS", str(max(200_000, int(500_000 * sf))))
+    )
+    if sf < 0.05:  # tiny sf dirs are smoke-test runs — keep them fast
+        n_feeds = int(os.environ.get("BENCH_FEEDS", str(max(2000, int(500_000 * sf)))))
 
     from pyspark.sql import SparkSession
 
