@@ -59,7 +59,10 @@ class CrawlConfig:
     fetch_interval_s: int = 3600  # re-crawl cadence (config/crawler.rs:55-63)
     max_retries: int = 3  # legacy retry macro (error/macros.rs:253-277)
     backoff_s: float = 1.0  # refactor TimerQueue backoff (worker.rs:151-155)
-    salt_buckets: int = 8  # X6 hot-host salting for the parse stage
+    salt_buckets: int = 8  # X6 hot-host salting (parse stage + skew-safe window)
+    # two-phase politeness selection kicks in when budget·salt_buckets is
+    # at most this (above it, phase 1 prunes nothing worth an extra shuffle)
+    skew_safe_max_budget: int = 100_000
     num_partitions: int = 32
     # broadcast the epoch-outcome side of the frontier-update join when the
     # epoch is below this many rows (outcomes are 4 narrow columns; 2M rows
@@ -173,7 +176,20 @@ def schedule_epoch(
     ``(next_fetch_ts, priority, url_hash)`` and keep the per-host budget.
     Emits ``host_seq`` (1-based per-host order) and ``planned_fetch_ts``
     spaced by the host's crawl delay — the deterministic crawl ordering the
-    north rule asks to match (SURVEY.md §7.2)."""
+    north rule asks to match (SURVEY.md §7.2).
+
+    **Hot-host skew (X6)**: a window partitioned by host_hash puts a whole
+    host in one task, and AQE cannot split a window partition — at web
+    scale one podcast network with 10^7 due URLs would stall the stage.
+    When the budget is bounded (``per_host_budget * salt_buckets`` under
+    the skew threshold), selection runs in two exact phases: a per-(host,
+    salt) pre-rank keeps at most ``budget`` rows per salt bucket (bounded
+    partitions — the hot host splits into ``salt_buckets`` tasks), then
+    the final per-host rank runs over ≤ budget·salt_buckets survivors per
+    host.  The union of per-bucket top-k contains the global top-k, so
+    the result is IDENTICAL to the single-window plan (equality-tested).
+    Unbounded budgets (bench drain-the-frontier mode) use the single
+    window — nothing is pruned, so there is nothing to salt."""
     # due = any non-failed row whose fetch slot has arrived: pending rows
     # (fresh or backing off) AND parsed rows rescheduled by the re-crawl
     # cadence (apply_epoch_results sets next_fetch_ts += fetch_interval on
@@ -184,10 +200,22 @@ def schedule_epoch(
         & (F.col("next_fetch_ts") <= F.lit(epoch_ts).cast("timestamp"))
     )
     allowed = robots_filter(due, robots).filter(~F.col("robots_denied"))
-    delay = F.coalesce(F.col("crawl_delay_s"), F.lit(cfg.default_crawl_delay_s))
-    w = Window.partitionBy("host_hash").orderBy(
-        "next_fetch_ts", "priority", "url_hash"
+
+    order_cols = ["next_fetch_ts", "priority", "url_hash"]
+    two_phase = (
+        cfg.per_host_budget * cfg.salt_buckets <= cfg.skew_safe_max_budget
+        and cfg.salt_buckets > 1
     )
+    if two_phase:
+        w1 = Window.partitionBy(
+            "host_hash", F.pmod(F.xxhash64("url"), F.lit(cfg.salt_buckets))
+        ).orderBy(*order_cols)
+        allowed = allowed.withColumn("_pre", F.row_number().over(w1)).filter(
+            F.col("_pre") <= cfg.per_host_budget
+        ).drop("_pre")
+
+    delay = F.coalesce(F.col("crawl_delay_s"), F.lit(cfg.default_crawl_delay_s))
+    w = Window.partitionBy("host_hash").orderBy(*order_cols)
     return (
         allowed.withColumn("host_seq", F.row_number().over(w))
         .filter(F.col("host_seq") <= cfg.per_host_budget)

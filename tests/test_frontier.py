@@ -169,3 +169,53 @@ def test_fetch_join_broadcast_mode_equivalent(spark):
     }
     assert plain == bcast
     assert any(not ok for (_, _, ok) in plain)  # misses exist and survive
+
+
+def test_skew_safe_two_phase_schedule_identical(spark):
+    """The two-phase (salted pre-rank) politeness selection returns exactly
+    the single-window result — same scheduled set, same host_seq — on a
+    frontier with one hot host dominating the row count."""
+    from datetime import datetime, timezone
+
+    import podcast_crawler_spark.operators.frontier as fr
+
+    rows = [
+        # hot host: 500 urls; cold hosts: 3 urls each
+        (f"https://hot.example/f{i}", i % 7, "hot.example") for i in range(500)
+    ] + [
+        (f"https://cold{j}.example/f{i}", i, f"cold{j}.example")
+        for j in range(20)
+        for i in range(3)
+    ]
+    seeds_like = spark.createDataFrame(rows, "url string, priority int, host string")
+    frontier = seeds_like.select(
+        "url",
+        F.col("url").alias("canonical_url"),
+        F.xxhash64("url").alias("url_hash"),
+        "host",
+        F.xxhash64("host").alias("host_hash"),
+        "priority",
+        F.lit(EPOCH0).cast("timestamp").alias("next_fetch_ts"),
+        F.lit(0).alias("retries"),
+        F.lit(3).alias("max_retries"),
+        F.lit("pending").alias("state"),
+        F.lit(None).cast("string").alias("last_error"),
+        F.lit(None).cast("string").alias("error_kind"),
+    )
+    robots = spark.createDataFrame(
+        [], "host string, user_agent string, disallow_prefixes array<string>,"
+        " crawl_delay_s double"
+    )
+    budget = 5
+    single = CrawlConfig(
+        per_host_budget=budget, salt_buckets=1, num_partitions=8
+    )
+    two = CrawlConfig(per_host_budget=budget, salt_buckets=8, num_partitions=8)
+    assert two.per_host_budget * two.salt_buckets <= two.skew_safe_max_budget
+    key = lambda df: {
+        (r.url, r.host_seq) for r in df.select("url", "host_seq").collect()
+    }
+    got_single = key(fr.schedule_epoch(frontier, robots, EPOCH0, single))
+    got_two = key(fr.schedule_epoch(frontier, robots, EPOCH0, two))
+    assert got_single == got_two
+    assert len({u for u, _ in got_two if "hot" in u}) == budget

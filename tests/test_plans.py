@@ -87,7 +87,7 @@ def test_politeness_window_single_shuffle(spark):
         gen_seeds,
     )
 
-    cfg = CrawlConfig(num_partitions=4)
+    cfg = CrawlConfig(num_partitions=4, salt_buckets=1)
     seeds = gen_seeds(spark, 50, partitions=2)
     frontier = build_frontier(seeds, EPOCH0, cfg)
     robots = gen_robots(spark, 50, partitions=2)
@@ -95,9 +95,16 @@ def test_politeness_window_single_shuffle(spark):
     p = plan_of(sched)
     # robots join must broadcast (never shuffles the frontier)
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
-    # exactly one hashpartitioning exchange on host_hash for the window
-    n_exchanges = p.count("Exchange hashpartitioning(host_hash")
-    assert n_exchanges == 1, p
+    # single-phase: exactly one hashpartitioning exchange for the window
+    assert p.count("Exchange hashpartitioning(host_hash") == 1, p
+
+    # two-phase skew-safe selection (default budget): exactly two bounded
+    # exchanges — the salted pre-rank plus the final per-host rank
+    p2 = plan_of(
+        schedule_epoch(frontier, robots, EPOCH0, CrawlConfig(num_partitions=4))
+    )
+    assert p2.count("Exchange hashpartitioning(host_hash") == 2, p2
+    assert "pmod(xxhash64(url" in p2, p2
 
 
 def test_frontier_update_broadcasts_outcomes(spark, tmp_path):
