@@ -107,3 +107,40 @@ def test_per_partition_lineage_accounts_for_every_row(spark):
     assert sum(p["rows"] for p in lineage) == 1000
     assert len(lineage) <= 7
     assert all(p["rows"] > 0 for p in lineage)
+
+
+def test_running_avg_matches_pandas_oracle(spark):
+    """A5 incremental mean (cumulative window) vs a pandas expanding mean."""
+    import pandas as pd
+
+    rows = [(1, "u1", 10.0, 1), (2, "u1", 20.0, 2), (3, "u1", 0.0, 3),
+            (4, "u2", 5.0, 1), (5, "u2", 7.0, 2)]
+    df = spark.createDataFrame(rows, "event_id int, user_id string, value double, ts int")
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    got = {r.event_id: r.ra for r in df.select(
+        "event_id", F.avg("value").over(w).alias("ra")).collect()}
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "value", "ts"])
+    pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+    pdf["ra"] = pdf.groupby("user_id")["value"].expanding().mean().values
+    for _, r in pdf.iterrows():
+        assert got[r.event_id] == pytest.approx(r.ra)
+
+
+def test_hash_partition_placement_balanced(spark):
+    """X1/X2: pmod(xxhash64(url), P) placement spreads uniform keys evenly
+    (round-robin-equivalent without RNG, SURVEY.md §2.8)."""
+    P = 8
+    df = spark.range(8000).select(
+        F.concat(F.lit("https://h"), F.col("id"), F.lit(".example/f")).alias("url")
+    )
+    counts = [
+        r.n
+        for r in df.groupBy(F.pmod(F.xxhash64("url"), F.lit(P)).alias("p"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    assert len(counts) == P
+    assert max(counts) < 1.2 * (8000 / P)  # within 20% of perfectly even
