@@ -232,3 +232,42 @@ def test_epoch_delta_commits_and_empty_skip(spark, tmp_path):
     eps = state.episodes.read(spark)
     assert eps.count() == eps.select("guid").distinct().count()
     assert eps.filter(F.col("_epoch") == 3).count() == eps.count()
+
+
+def test_auto_compaction_bounds_segments(spark, tmp_path):
+    """A long crawl with re-crawl every epoch accumulates delta segments;
+    auto-compaction at cfg.compact_segments keeps the count bounded and
+    the resolved view correct."""
+    from podcast_crawler_spark.operators.frontier import CrawlConfig
+    from podcast_crawler_spark.plans.epoch import run_crawl
+    from podcast_crawler_spark.sources.pagesgen import (
+        EPOCH0,
+        gen_pages,
+        gen_robots,
+        gen_seeds,
+    )
+
+    n = 40
+    cfg = CrawlConfig(
+        per_host_budget=1000, max_retries=0, num_partitions=4,
+        compact_segments=3,
+    )
+    seeds = gen_seeds(spark, n, partitions=2)
+    pages = gen_pages(spark, n, partitions=2)
+    robots = gen_robots(spark, n, partitions=2)
+    # epoch interval == fetch interval → every epoch re-crawls everything
+    state = run_crawl(
+        spark, str(tmp_path / "st"), seeds, pages, robots, 7, EPOCH0,
+        epoch_interval_s=cfg.fetch_interval_s, cfg=cfg,
+    )
+    assert state.episodes.num_segments() <= cfg.compact_segments
+    eps = state.episodes.read(spark)
+    assert eps.count() == eps.select("guid").distinct().count()
+    # every surviving row carries the newest epoch's stamp
+    assert eps.filter(F.col("_epoch") == 7).count() == eps.count()
+    # compaction events are recorded in the manifest history
+    ops = [
+        (state.episodes.manifest(i) or {}).get("metrics", {}).get("op")
+        for i in state.episodes.snapshot_ids()
+    ]
+    assert "compact" in ops
