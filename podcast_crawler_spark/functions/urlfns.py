@@ -54,7 +54,14 @@ def canonicalize_url(url: Column) -> Column:
         (scheme == F.lit("https")) & authority_lc.endswith(":443"),
         F.substring(authority_lc, 1, F.length(authority_lc) - F.lit(4)),
     ).otherwise(authority_lc)
-    rest_norm = F.when(rest == F.lit("?"), F.lit("")).otherwise(rest)
+    # strip a trailing '?' only when the query is EMPTY: the first '?' is
+    # the last character (a '?' inside a non-empty query is preserved —
+    # path/query bytes are otherwise untouched, see module docstring)
+    qpos = F.instr(rest, "?")
+    rest_norm = F.when(
+        (qpos > 0) & (qpos == F.length(rest)),
+        F.substring(rest, 1, F.length(rest) - F.lit(1)),
+    ).otherwise(rest)
     return F.concat(scheme, F.lit("://"), authority_norm, rest_norm)
 
 

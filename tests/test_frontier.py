@@ -219,3 +219,46 @@ def test_skew_safe_two_phase_schedule_identical(spark):
     got_two = key(fr.schedule_epoch(frontier, robots, EPOCH0, two))
     assert got_single == got_two
     assert len({u for u, _ in got_two if "hot" in u}) == budget
+
+
+def test_canonicalize_idempotent_and_hash_stable(spark):
+    """Seen-set invariant: canonicalize(canonicalize(u)) == canonicalize(u)
+    (otherwise a re-admitted canonical URL would hash differently and
+    duplicate frontier rows), over adversarial URL shapes."""
+    from podcast_crawler_spark.functions.urlfns import (
+        canonicalize_url,
+        url_hash,
+    )
+
+    urls = [
+        "HTTP://Example.COM:80/Feed.xml",
+        "https://example.com:443/feed.xml?",
+        "https://example.com/feed.xml?a=1&b=2",
+        "https://EXAMPLE.com/CaseSensitive/Path?Q=UPPER",
+        "http://example.com:8080/feed",
+        "https://example.com/feed#fragment-part",
+        "https://example.com/percent%20encoded?x=%2F",
+        "http://user@example.com/feed",
+        "https://example.com/",
+        "https://example.com/a//b///c",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(
+        "url", canonicalize_url(F.col("url")).alias("c1")
+    )
+    twice = once.select(
+        "url", "c1", canonicalize_url(F.col("c1")).alias("c2"),
+        url_hash(F.col("c1")).alias("h1"),
+    ).withColumn("h2", F.xxhash64("c2"))
+    rows = twice.collect()
+    for r in rows:
+        assert r.c1 == r.c2, f"not idempotent: {r.url} -> {r.c1} -> {r.c2}"
+        assert r.h1 == r.h2
+    got = {r.url: r.c1 for r in rows}
+    # policy spot checks (module docstring): ports dropped, host lowered,
+    # fragment stripped, empty query stripped, path/query bytes preserved
+    assert got["HTTP://Example.COM:80/Feed.xml"] == "http://example.com/Feed.xml"
+    assert got["https://example.com:443/feed.xml?"] == "https://example.com/feed.xml"
+    assert got["https://example.com/feed#fragment-part"] == "https://example.com/feed"
+    assert got["https://example.com/feed.xml?a=1&b=2"].endswith("?a=1&b=2")
+    assert got["http://example.com:8080/feed"] == "http://example.com:8080/feed"
