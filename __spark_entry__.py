@@ -183,6 +183,49 @@ def _anti_join_unseen(spark, sf_dir):
     ).select("c_custkey", "c_name")
 
 
+def _cuckoo_seen_unseen(spark, sf_dir):
+    # D3 deletable fallback (SURVEY.md §2.7): cuckoo filter over hashed
+    # keys with inserts AND deletes (retiring re-crawlable keys — what a
+    # Bloom filter cannot do), exact-verified so filter false positives
+    # never change the result.  Seen = p_partkey%10<8 minus the deleted
+    # fifth (%5==0); the query returns the exact UNSEEN set.
+    import numpy as np
+
+    from podcast_crawler_spark.operators.seen import CuckooFilter
+
+    rows = (
+        _t(spark, sf_dir, "part")
+        .select("p_partkey", F.xxhash64(F.col("p_partkey")).alias("h"))
+        .collect()
+    )
+    hashes = {r.p_partkey: r.h for r in rows}
+    inserted = [pk for pk in hashes if pk % 10 < 8]
+    deleted = [pk for pk in inserted if pk % 5 == 0]
+    cf = CuckooFilter(num_buckets=max(64, len(hashes)))
+    cf.insert(np.array([hashes[pk] for pk in inserted], dtype=np.int64))
+    for pk in deleted:
+        assert cf.delete(int(hashes[pk]))
+    all_pk = list(hashes)
+    maybe_mask = cf.contains(
+        np.array([hashes[pk] for pk in all_pk], dtype=np.int64)
+    )
+    maybe = spark.createDataFrame(
+        [(int(pk),) for pk, m in zip(all_pk, maybe_mask) if m],
+        "p_partkey bigint",
+    )
+    part = _t(spark, sf_dir, "part")
+    truth = part.filter(
+        (F.col("p_partkey") % 10 < 8) & (F.col("p_partkey") % 5 != 0)
+    ).select("p_partkey")
+    # exact verification: cuckoo "maybe" hits confirmed against the true
+    # seen set (kills false positives); unseen = everything else
+    confirmed = maybe.join(truth, "p_partkey", "left_semi")
+    return (
+        part.join(confirmed, "p_partkey", "left_anti")
+        .select(F.col("p_partkey").alias("unseen_key"))
+    )
+
+
 def _dedup_lww(spark, sf_dir):
     # D1/D2: last-write-wins upsert per identity key
     w = Window.partitionBy("user_id", "event_type").orderBy(
@@ -487,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_median": _stats_median,
         "retry_backoff": _retry_backoff,
         "anti_join_unseen": _anti_join_unseen,
+        "cuckoo_seen_unseen": _cuckoo_seen_unseen,
         "dedup_lww": _dedup_lww,
         "region_rollup": _region_rollup,
         "q1_pricing_summary": _q1_pricing_summary,
@@ -643,6 +687,10 @@ def oracle_sql() -> dict[str, str]:
             select c_custkey, c_name from customer c
             where not exists (select 1 from orders o where o.o_custkey = c.c_custkey
                               and o.o_orderdate >= timestamp '2001-01-01')
+        """,
+        "cuckoo_seen_unseen": """
+            select p_partkey unseen_key from part
+            where not (p_partkey % 10 < 8 and p_partkey % 5 <> 0)
         """,
         "dedup_lww": """
             select user_id, event_type, event_id, round(value,6) as "value" from (
