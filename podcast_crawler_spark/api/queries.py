@@ -107,8 +107,13 @@ class PodcastQueryAPI:
         fresh = row.join(
             frontier.select("canonical_url"), "canonical_url", "left_anti"
         ).select(*frontier.columns)
+        # carry the epoch counter like admit_urls/run_crawl_stream do:
+        # without it, completed_epochs() falls back to snapshot_id-1 and
+        # over-counts after any admission commit (epochs then get skipped
+        # and stamped with wrong numbers on resume)
         return self.state.frontier.commit(
-            frontier.unionByName(fresh), metrics={"add_task": rss_url}
+            frontier.unionByName(fresh),
+            metrics={"epoch": self.state.completed_epochs(), "add_task": rss_url},
         )
 
     def search(self, q: str) -> DataFrame:

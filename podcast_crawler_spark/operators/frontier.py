@@ -278,7 +278,13 @@ def apply_epoch_results(
     frontier.  *outcomes* must carry ``url_hash, fetch_ok, parse_error_kind,
     parse_error_message``.
 
-    - parsed ok        → state=parsed,  next_fetch_ts += fetch_interval
+    - parsed ok        → state=parsed,  next_fetch_ts += fetch_interval,
+                         retries reset to 0 (each fetch cycle gets a fresh
+                         retry budget, like the reference's try_with_retry
+                         per-call attempt counter — error/macros.rs:253-277;
+                         without the reset a long-lived URL with transient
+                         failures between successes would accumulate
+                         lifetime retries and be wrongly failed)
     - parse failure    → state=failed   (deterministic; retry won't help)
     - fetch failure    → retries+1; if ≤ max_retries stay pending with
                          linear backoff (error/macros.rs:253-277) else failed
@@ -298,8 +304,10 @@ def apply_epoch_results(
     fetch_failed = attempted & ~F.col("fetch_ok")
     can_retry = fetch_failed & (F.col("retries") + 1 <= F.col("max_retries"))
 
-    new_retries = F.when(fetch_failed, F.col("retries") + 1).otherwise(
-        F.col("retries")
+    new_retries = (
+        F.when(parsed_ok, F.lit(0))
+        .when(fetch_failed, F.col("retries") + 1)
+        .otherwise(F.col("retries"))
     )
     backoff = F.make_dt_interval(secs=new_retries * F.lit(cfg.backoff_s))
     interval = F.make_dt_interval(secs=F.lit(float(cfg.fetch_interval_s)))

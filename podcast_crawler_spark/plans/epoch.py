@@ -319,6 +319,10 @@ def run_epoch(
     t = _tick("podcasts+episodes commit", t)
     pod_man = state.podcasts.manifest() or {}
     ep_man = state.episodes.manifest() or {}
+    # manifest row_count is the RAW segment total (delta segments include
+    # superseded rows until compaction), i.e. an upper bound on the
+    # resolved table — the metric keys say so explicitly so A1-style
+    # dashboards don't read it as the live row count
     pod_rows = pod_man.get("row_count", 0)
     ep_rows = ep_man.get("row_count", 0)
 
@@ -336,8 +340,8 @@ def run_epoch(
         "fetch_failures": total - n_fetch_ok,
         "parse_failures": n_fetch_ok - n_parse_ok,
         "error_histogram": err_hist,
-        "podcast_rows": pod_rows,
-        "episode_rows": ep_rows,
+        "podcast_rows_raw": pod_rows,
+        "episode_rows_raw": ep_rows,
         "partition_lineage": ep_man.get("files", []),
         "wall_s": None,  # filled below
     }

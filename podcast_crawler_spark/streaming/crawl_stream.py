@@ -130,7 +130,7 @@ def stage_metrics_stream(
 RATE_LIMITER_OUTPUT = (
     "host string, url string, host_seq int, planned_unix double"
 )
-RATE_LIMITER_STATE = "next_free_unix double"
+RATE_LIMITER_STATE = "next_free_unix double, seq_carry long"
 
 
 def politeness_rate_limiter(
@@ -147,7 +147,7 @@ def politeness_rate_limiter(
     governor token-bucket recurrence, carried in GroupState.
 
     The recurrence is vectorized per group:
-    ``t_i = delay·i + max(cummax(event_j − delay·j), carry − delay)``.
+    ``t_i = delay·i + max(cummax(event_j − delay·j), carry + delay)``.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -193,7 +193,7 @@ def politeness_rate_limiter(
     return url_stream.groupBy("host").applyInPandasWithState(
         fn,
         RATE_LIMITER_OUTPUT,
-        "next_free_unix double, seq_carry long",
+        RATE_LIMITER_STATE,
         output_mode,
         GroupStateTimeout.NoTimeout,
     )
