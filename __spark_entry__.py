@@ -184,42 +184,42 @@ def _anti_join_unseen(spark, sf_dir):
 
 
 def _cuckoo_seen_unseen(spark, sf_dir):
-    # D3 deletable fallback (SURVEY.md §2.7): cuckoo filter over hashed
-    # keys with inserts AND deletes (retiring re-crawlable keys — what a
-    # Bloom filter cannot do), exact-verified so filter false positives
-    # never change the result.  Seen = p_partkey%10<8 minus the deleted
-    # fifth (%5==0); the query returns the exact UNSEEN set.
-    import numpy as np
+    # D3 deletable fallback (SURVEY.md §2.7): DISTRIBUTED cuckoo seen set
+    # with inserts AND deletes (retiring re-crawlable keys — what a Bloom
+    # filter cannot do).  Keys shard by pmod(hash, S); each shard's cuckoo
+    # filter is built, deleted-from, and probed inside one executor task
+    # (operators/seen.cuckoo_filter_unseen) — no driver collect of any key
+    # set, vectorized numpy insert/contains.  Exact-verified so filter
+    # false positives never change the result.  Seen = p_partkey%10<8
+    # minus the deleted fifth (%5==0); the query returns the UNSEEN set.
+    from podcast_crawler_spark.operators.seen import cuckoo_filter_unseen
 
-    from podcast_crawler_spark.operators.seen import CuckooFilter
-
-    rows = (
-        _t(spark, sf_dir, "part")
-        .select("p_partkey", F.xxhash64(F.col("p_partkey")).alias("h"))
-        .collect()
-    )
-    hashes = {r.p_partkey: r.h for r in rows}
-    inserted = [pk for pk in hashes if pk % 10 < 8]
-    deleted = [pk for pk in inserted if pk % 5 == 0]
-    cf = CuckooFilter(num_buckets=max(64, len(hashes)))
-    cf.insert(np.array([hashes[pk] for pk in inserted], dtype=np.int64))
-    for pk in deleted:
-        assert cf.delete(int(hashes[pk]))
-    all_pk = list(hashes)
-    maybe_mask = cf.contains(
-        np.array([hashes[pk] for pk in all_pk], dtype=np.int64)
-    )
-    maybe = spark.createDataFrame(
-        [(int(pk),) for pk, m in zip(all_pk, maybe_mask) if m],
-        "p_partkey bigint",
-    )
     part = _t(spark, sf_dir, "part")
-    truth = part.filter(
+    keyed = part.select(
+        "p_partkey", F.xxhash64(F.col("p_partkey")).alias("url_hash")
+    )
+    seen = keyed.filter(
         (F.col("p_partkey") % 10 < 8) & (F.col("p_partkey") % 5 != 0)
-    ).select("p_partkey")
-    # exact verification: cuckoo "maybe" hits confirmed against the true
-    # seen set (kills false positives); unseen = everything else
-    confirmed = maybe.join(truth, "p_partkey", "left_semi")
+    )
+    deleted = keyed.filter(
+        (F.col("p_partkey") % 10 < 8) & (F.col("p_partkey") % 5 == 0)
+    )
+    # build with ALL once-seen keys, then retire the deleted fifth — the
+    # delete path is exercised, not simulated by never inserting
+    probed = cuckoo_filter_unseen(
+        keyed,
+        seen.unionByName(deleted).select("url_hash"),
+        deleted=deleted.select("url_hash"),
+        key_col="url_hash",
+        num_shards=8,
+    )
+    # exact verification: "maybe" hits confirmed against the true seen set
+    # (kills false positives); definite-negatives are unseen by no-false-
+    # negative guarantee (deletes only remove inserted copies)
+    maybe = probed.filter(F.col("maybe_seen")).select("p_partkey")
+    confirmed = maybe.join(
+        seen.select("p_partkey"), "p_partkey", "left_semi"
+    )
     return (
         part.join(confirmed, "p_partkey", "left_anti")
         .select(F.col("p_partkey").alias("unseen_key"))

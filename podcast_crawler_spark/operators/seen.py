@@ -10,26 +10,36 @@ set explicit at 10^10-URL scale (SURVEY.md §2.7 D3):
 * **Build**: each partition builds a numpy bit array over its 64-bit keys
   (``xxhash64(canonical_url)`` — already a uniform hash, so the k probe
   positions derive via Kirsch-Mitzenmacher double hashing h1+i·h2, no
-  per-key rehash).  Partition filters are OR-merged.  PySpark does not
-  expose Spark's internal BloomFilter aggregate, hence this Arrow-batched
-  construction (SURVEY.md §4).
-* **Probe**: the merged filter is broadcast; membership is evaluated
-  vectorized in numpy.  A Bloom "maybe" is only an *accelerator* —
-  candidate hits are verified exactly with a ``left_anti``/``left_semi``
-  join so false positives can never drop URLs; set equality with the
-  reference's upsert keys is therefore provable (SURVEY.md §7.2).
-* **Cuckoo fallback**: a partition-local cuckoo filter (numpy buckets,
-  4 slots × 16-bit fingerprints) supporting **delete** — used when keys
-  must be retired (e.g. re-crawl after ``fetch_interval``); same
-  broadcast-probe pattern.
+  per-key rehash).  PySpark does not expose Spark's internal BloomFilter
+  aggregate, hence this Arrow-batched construction (SURVEY.md §4).
+* **Probe**: membership is evaluated vectorized in numpy.  A Bloom
+  "maybe" is only an *accelerator* — candidate hits are verified exactly
+  with a ``left_anti``/``left_semi`` join so false positives can never
+  drop URLs; set equality with the reference's upsert keys is therefore
+  provable (SURVEY.md §7.2).
+* **Cuckoo fallback**: a cuckoo filter (numpy buckets, 4 slots × 16-bit
+  fingerprints) supporting **delete** — used when keys must be retired
+  (e.g. re-crawl after ``fetch_interval``).  All bulk operations are
+  vectorized (fancy-indexed bucket lookups); only the eviction-kick
+  slow path for an over-full bucket is scalar, as in any cuckoo
+  implementation.
 
-Scale math (documented for the 10^10 design point): bits = -n·ln(p)/ln(2)²;
-at n=10^10, p=1% → ~95.8 Gbit ≈ 12 GB — too big to broadcast, so in
-production the filter stays **partitioned by pmod(url_hash, P)** (each
-executor holds m/P bits and probes its own shard after the same hash
-partitioning; the driver never materializes it).  The sandbox corpus
-(≤10^6) uses the broadcast path; both share this code, switched by
-``partitioned=True``.
+Two deployment modes, selected by ``partitioned=``:
+
+* **Broadcast** (``partitioned=False``) — for seen sets that fit one
+  executor: per-partition filters are OR-merged on the driver and the
+  merged filter ships in the probe task closure.  Right up to ~10^8
+  keys (~120 MB at 1% fpp).
+* **Partitioned** (``partitioned=True``) — the 10^10 design point:
+  bits = -n·ln(p)/ln(2)² ⇒ at n=10^10, p=1% ~95.8 Gbit ≈ 12 GB, far too
+  big to broadcast or to materialize on the driver.  The key space is
+  sharded by ``pmod(url_hash, S)``; each shard's keys build their own
+  bloom via ``groupBy(shard).applyInPandas`` (one hash shuffle keyed on
+  the shard id — the bits live only in executors), and candidates probe
+  their own shard via a ``cogroup`` join on the shard id.  The driver
+  never sees a filter byte; each executor holds m/S bits.  A persisted
+  shard table (``bits`` per shard row) doubles as an incremental seen
+  index across epochs.
 """
 
 from __future__ import annotations
@@ -46,6 +56,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     BooleanType,
+    IntegerType,
     LongType,
     StructField,
     StructType,
@@ -108,8 +119,9 @@ def build_bloom(
     expected_keys: Optional[int] = None,
     fpp: float = 0.01,
 ) -> BloomFilter:
-    """Distributed build: per-partition numpy bit arrays, OR-merged on the
-    driver (merge payload = P × m/8 bytes, independent of row count)."""
+    """Broadcast-mode build: per-partition numpy bit arrays, OR-merged on
+    the driver (merge payload = P × m/8 bytes, independent of row count).
+    For seen sets beyond executor memory use ``build_bloom_shards``."""
     if expected_keys is None:
         expected_keys = df.count()
     num_bits, num_hashes = bloom_params(expected_keys, fpp)
@@ -159,19 +171,136 @@ def bloom_probe(
     return df.mapInPandas(_probe, schema=schema)
 
 
+# ---------------- partitioned (non-broadcast) mode ----------------
+
+SHARD_SCHEMA = StructType([
+    StructField("shard", IntegerType(), False),
+    StructField("bits", BinaryType(), False),
+    StructField("num_bits", LongType(), False),
+    StructField("num_hashes", IntegerType(), False),
+])
+
+
+def _shard_col(key_col: str, num_shards: int):
+    return F.pmod(F.col(key_col), F.lit(num_shards)).cast("int")
+
+
+def build_bloom_shards(
+    df: DataFrame,
+    key_col: str = "url_hash",
+    num_shards: int = 32,
+    expected_keys: Optional[int] = None,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Partitioned build: shard keys by ``pmod(key, S)`` and build one
+    bloom per shard inside ``applyInPandas`` — one hash shuffle keyed on
+    the shard id, **no driver materialization, no OR-merge**.  Returns a
+    lazy ``(shard, bits, num_bits, num_hashes)`` DataFrame whose rows
+    live (and stay) on executors; persist it as a table to reuse the
+    seen index across epochs.
+
+    Each shard is sized for its expected share of the keys, so total
+    memory is the same ~1.2 GB/10^9 keys as the broadcast mode but split
+    S ways across the cluster."""
+    if expected_keys is None:
+        expected_keys = df.count()
+    num_bits, num_hashes = bloom_params(
+        max(1, expected_keys // num_shards), fpp
+    )
+
+    def _build(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        bf = BloomFilter(
+            np.zeros(num_bits // 8, dtype=np.uint8), num_bits, num_hashes
+        )
+        bf.add(pdf[key_col].to_numpy(dtype=np.int64))
+        return pd.DataFrame(
+            {
+                "shard": [int(key[0])],
+                "bits": [bf.bits.tobytes()],
+                "num_bits": [num_bits],
+                "num_hashes": [num_hashes],
+            }
+        )
+
+    return (
+        df.select(key_col)
+        .withColumn("shard", _shard_col(key_col, num_shards))
+        .groupBy("shard")
+        .applyInPandas(_build, schema=SHARD_SCHEMA)
+    )
+
+
+def bloom_probe_partitioned(
+    candidates: DataFrame,
+    shards: DataFrame,
+    key_col: str = "url_hash",
+    num_shards: int = 32,
+    out_col: str = "maybe_seen",
+) -> DataFrame:
+    """Partitioned probe: candidates and shard rows are co-grouped on the
+    shard id (``cogroup`` → ``applyInPandas``) so each task probes its own
+    shard's bits vectorized.  The filter bytes move through exactly one
+    shuffle of S rows (executor→executor) and never visit the driver —
+    this is the 10^10 path the broadcast mode cannot take."""
+    cols = candidates.columns
+    schema = StructType(
+        candidates.schema.fields + [StructField(out_col, BooleanType())]
+    )
+
+    def _probe(key: tuple, cand: pd.DataFrame, shard: pd.DataFrame) -> pd.DataFrame:
+        out = cand[cols].copy()
+        if len(cand) == 0:
+            out[out_col] = np.zeros(0, dtype=bool)
+            return out
+        if len(shard) == 0:  # no seen keys in this shard ⇒ all unseen
+            out[out_col] = np.zeros(len(cand), dtype=bool)
+            return out
+        bf = BloomFilter(
+            np.frombuffer(shard["bits"].iloc[0], dtype=np.uint8),
+            int(shard["num_bits"].iloc[0]),
+            int(shard["num_hashes"].iloc[0]),
+        )
+        out[out_col] = bf.contains(cand[key_col].to_numpy(dtype=np.int64))
+        return out
+
+    cand = candidates.withColumn("_shard", _shard_col(key_col, num_shards))
+    return (
+        cand.groupBy("_shard")
+        .cogroup(shards.groupBy("shard"))
+        .applyInPandas(_probe, schema=schema)
+    )
+
+
 def filter_unseen(
     candidates: DataFrame,
     seen: DataFrame,
     bloom: Optional[BloomFilter],
     key_col: str = "url_hash",
+    partitioned: bool = False,
+    num_shards: int = 32,
+    expected_keys: Optional[int] = None,
 ) -> DataFrame:
     """Exact "not yet seen" (D3): Bloom pre-filter (definite-negatives skip
-    the join entirely) + ``left_anti`` verification of the maybes.  With
-    bloom=None this degrades to the plain anti-join — results are identical
-    by construction, which the tests assert."""
-    if bloom is None:
+    the join entirely) + ``left_anti`` verification of the maybes.
+
+    - ``bloom=None, partitioned=False``: plain anti-join (the semantic
+      baseline — results are identical by construction, tested).
+    - ``bloom=<BloomFilter>``: broadcast mode (filter in task closure).
+    - ``partitioned=True``: sharded mode — builds shard filters with
+      ``build_bloom_shards`` and probes via ``cogroup``; nothing filter-
+      sized ever reaches the driver.  *bloom* is ignored.
+    """
+    if partitioned:
+        shards = build_bloom_shards(
+            seen.select(key_col), key_col, num_shards, expected_keys
+        )
+        probed = bloom_probe_partitioned(
+            candidates, shards, key_col, num_shards
+        )
+    elif bloom is None:
         return candidates.join(seen.select(key_col), key_col, "left_anti")
-    probed = bloom_probe(candidates, bloom, key_col)
+    else:
+        probed = bloom_probe(candidates, bloom, key_col)
     definite_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybes = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     verified_new = maybes.join(seen.select(key_col), key_col, "left_anti")
@@ -184,7 +313,13 @@ def filter_unseen(
 class CuckooFilter:
     """Bucketized cuckoo filter: 4 slots/bucket, 16-bit fingerprints,
     partial-key cuckoo hashing (Fan et al., CoNEXT'14).  Supports delete —
-    the property Bloom lacks — for retiring re-crawlable keys."""
+    the property Bloom lacks — for retiring re-crawlable keys.
+
+    All bulk paths are vectorized numpy: ``contains`` is two fancy-indexed
+    bucket gathers; ``insert`` places whole batches per round (one key per
+    distinct bucket per round, so slot writes never race) and only falls
+    back to the scalar eviction-kick walk for keys whose both buckets are
+    full — the load-dependent tail every cuckoo implementation walks."""
 
     SLOTS = 4
     MAX_KICKS = 500
@@ -210,45 +345,75 @@ class CuckooFilter:
             np.int64
         )
 
-    def _try_place(self, bucket: int, fp: int) -> bool:
-        row = self.table[bucket]
-        empty = np.nonzero(row == 0)[0]
-        if len(empty):
-            row[empty[0]] = fp
-            return True
-        return False
+    def _bulk_place(
+        self, buckets: np.ndarray, fps: np.ndarray, todo: np.ndarray
+    ) -> np.ndarray:
+        """Vectorized first-fit: round-robin over distinct buckets (first
+        occurrence per bucket per round ⇒ no intra-batch slot races),
+        writing each selected fingerprint into its bucket's first empty
+        slot.  Returns the boolean placed-mask over the full batch."""
+        placed = np.zeros(len(buckets), dtype=bool)
+        blocked = np.zeros(len(buckets), dtype=bool)
+        active = todo.copy()
+        while True:
+            cand = np.nonzero(active & ~placed & ~blocked)[0]
+            if len(cand) == 0:
+                break
+            _, first = np.unique(buckets[cand], return_index=True)
+            sel = cand[first]
+            rows = self.table[buckets[sel]]  # (u, SLOTS) gather
+            empty = rows == 0
+            ok = empty.any(axis=1)
+            slots = np.argmax(empty, axis=1)
+            hit = sel[ok]
+            self.table[buckets[hit], slots[ok]] = fps[hit]
+            placed[hit] = True
+            blocked[sel[~ok]] = True  # bucket full — this pass can't help
+        return placed
 
     def insert(self, keys: np.ndarray) -> int:
+        """Batch insert; vectorized except the eviction-kick tail."""
+        keys = np.asarray(keys, dtype=np.int64)
         fps = self._fingerprint(keys)
         i1s = self._index1(keys)
-        inserted = 0
-        for fp, i1 in zip(fps.tolist(), i1s.tolist()):
-            i2 = int(self._index2(np.array([i1]), np.array([fp], dtype=np.uint16))[0])
-            if self._try_place(i1, fp) or self._try_place(i2, fp):
-                inserted += 1
-                continue
-            bucket, cur = (i1 if self.rng.integers(2) else i2), fp
-            ok = False
-            for _ in range(self.MAX_KICKS):
-                slot = int(self.rng.integers(self.SLOTS))
-                cur, self.table[bucket, slot] = (
-                    int(self.table[bucket, slot]),
-                    cur,
-                )
-                bucket = int(
-                    self._index2(
-                        np.array([bucket]), np.array([cur], dtype=np.uint16)
-                    )[0]
-                )
-                if self._try_place(bucket, cur):
-                    ok = True
-                    break
-            if ok:
-                inserted += 1
-            else:
-                raise RuntimeError("cuckoo filter full — grow num_buckets")
+        i2s = self._index2(i1s, fps)
+        placed = self._bulk_place(i1s, fps, np.ones(len(keys), dtype=bool))
+        if not placed.all():
+            placed |= self._bulk_place(i2s, fps, ~placed)
+        inserted = int(placed.sum())
+        for j in np.nonzero(~placed)[0]:  # rare: both buckets full → kick
+            self._insert_kick(int(fps[j]), int(i1s[j]), int(i2s[j]))
+            inserted += 1
         self.size += inserted
         return inserted
+
+    def _insert_kick(self, fp: int, i1: int, i2: int) -> None:
+        bucket, cur = (i1 if self.rng.integers(2) else i2), fp
+        for _ in range(self.MAX_KICKS):
+            slot = int(self.rng.integers(self.SLOTS))
+            cur, self.table[bucket, slot] = (int(self.table[bucket, slot]), cur)
+            bucket = int(
+                self._index2(
+                    np.array([bucket]), np.array([cur], dtype=np.uint16)
+                )[0]
+            )
+            row = self.table[bucket]
+            empty = np.nonzero(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = cur
+                return
+        raise RuntimeError("cuckoo filter full — grow num_buckets")
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        """Vectorized membership: two fancy-indexed bucket gathers + a
+        broadcast compare — no per-key Python."""
+        keys = np.asarray(keys, dtype=np.int64)
+        fps = self._fingerprint(keys)
+        i1s = self._index1(keys)
+        i2s = self._index2(i1s, fps)
+        return (self.table[i1s] == fps[:, None]).any(axis=1) | (
+            self.table[i2s] == fps[:, None]
+        ).any(axis=1)
 
     def _locate(self, key: int) -> Tuple[int, int, int]:
         k = np.array([key], dtype=np.int64)
@@ -256,13 +421,6 @@ class CuckooFilter:
         i1 = int(self._index1(k)[0])
         i2 = int(self._index2(np.array([i1]), np.array([fp], dtype=np.uint16))[0])
         return fp, i1, i2
-
-    def contains(self, keys: np.ndarray) -> np.ndarray:
-        out = np.zeros(len(keys), dtype=bool)
-        for j, key in enumerate(keys.tolist()):
-            fp, i1, i2 = self._locate(key)
-            out[j] = fp in self.table[i1] or fp in self.table[i2]
-        return out
 
     def delete(self, key: int) -> bool:
         fp, i1, i2 = self._locate(key)
@@ -273,3 +431,70 @@ class CuckooFilter:
                 self.size -= 1
                 return True
         return False
+
+    def delete_batch(self, keys: np.ndarray) -> int:
+        """Per-partition batch delete.  Deletes remove one stored copy per
+        call (cuckoo semantics), so the loop is per key — but it runs once
+        per Arrow batch inside an executor task, never on the driver."""
+        return sum(self.delete(int(k)) for k in np.asarray(keys, dtype=np.int64))
+
+
+def cuckoo_filter_unseen(
+    candidates: DataFrame,
+    seen: DataFrame,
+    deleted: Optional[DataFrame] = None,
+    key_col: str = "url_hash",
+    num_shards: int = 32,
+    expected_keys: Optional[int] = None,
+    out_col: str = "maybe_seen",
+) -> DataFrame:
+    """Distributed deletable seen-set probe (D3 cuckoo fallback): per-shard
+    cuckoo filters built, deleted-from, and probed entirely inside
+    executor tasks — the driver never collects a key or a filter.
+
+    Keys shard by ``pmod(key, S)`` exactly like the bloom path; each
+    shard's task cogroups (candidates, seen, deleted) for its shard,
+    builds the shard's cuckoo filter with a vectorized batch insert,
+    retires the deleted keys (the operation Bloom cannot do), and probes
+    the candidates with the vectorized ``contains``.  Output = candidates
+    + boolean *out_col*; callers MUST exact-verify positive hits against
+    the true seen set (false positives are inherent, ~2·SLOTS/2^16).
+    """
+    if expected_keys is None:
+        expected_keys = seen.count()
+    per_shard = max(64, (expected_keys // max(num_shards, 1)) * 2)
+    cols = candidates.columns
+    schema = StructType(
+        candidates.schema.fields + [StructField(out_col, BooleanType())]
+    )
+    deleted = deleted if deleted is not None else seen.limit(0)
+
+    # one row per (shard, kind, key): kind 0 = seen-insert, 1 = delete
+    seen_tagged = seen.select(
+        F.col(key_col).alias("k"), F.lit(0).alias("kind")
+    ).unionByName(
+        deleted.select(F.col(key_col).alias("k"), F.lit(1).alias("kind"))
+    ).withColumn("_shard", _shard_col("k", num_shards))
+
+    def _probe(key: tuple, cand: pd.DataFrame, keys: pd.DataFrame) -> pd.DataFrame:
+        out = cand[cols].copy()
+        if len(cand) == 0:
+            out[out_col] = np.zeros(0, dtype=bool)
+            return out
+        cf = CuckooFilter(num_buckets=max(64, per_shard // CuckooFilter.SLOTS))
+        if len(keys):
+            ins = keys.loc[keys["kind"] == 0, "k"].to_numpy(dtype=np.int64)
+            if len(ins):
+                cf.insert(ins)
+            dels = keys.loc[keys["kind"] == 1, "k"].to_numpy(dtype=np.int64)
+            if len(dels):
+                cf.delete_batch(dels)
+        out[out_col] = cf.contains(cand[key_col].to_numpy(dtype=np.int64))
+        return out
+
+    cand = candidates.withColumn("_shard", _shard_col(key_col, num_shards))
+    return (
+        cand.groupBy("_shard")
+        .cogroup(seen_tagged.groupBy("_shard"))
+        .applyInPandas(_probe, schema=schema)
+    )

@@ -472,17 +472,21 @@ def admit_urls(
     """Frontier growth: admit discovered URLs (e.g. episode links found by
     parsing — ``discovered_urls``) that are NOT already in the frontier.
 
-    The seen check is the D3 discipline: a partitioned Bloom filter over
-    the frontier's ``url_hash`` set prunes the candidate stream (at 10^10
-    frontier scale this cuts the anti-join's probe side by ~99%), and the
-    survivors are verified exactly with ``left_anti`` — Bloom false
-    positives only cost join rows, never a wrongly-dropped URL.
+    The seen check is the D3 discipline: a **partitioned** Bloom filter
+    over the frontier's ``url_hash`` set prunes the candidate stream (at
+    10^10 frontier scale this cuts the anti-join's probe side by ~99%),
+    and the survivors are verified exactly with ``left_anti`` — Bloom
+    false positives only cost join rows, never a wrongly-dropped URL.
+    The shard filters are built and probed entirely on executors
+    (``seen.build_bloom_shards`` + cogroup probe) — at the 10^10 design
+    point the ~12 GB of filter bits never exist in one place, least of
+    all the driver.
 
     *urls* needs a ``url`` column; returns the new frontier snapshot id.
     Discovered URLs get a low priority (crawled after all seeds at equal
     due-time) and the standard retry budget.
     """
-    from ..operators.seen import build_bloom, filter_unseen
+    from ..operators.seen import filter_unseen
 
     frontier = state.frontier.read(spark)
     cand = (
@@ -499,8 +503,15 @@ def admit_urls(
     seen_keys = frontier.select("url_hash")
     if use_bloom:
         expected = state.frontier.manifest().get("row_count") or 100_000
-        bloom = build_bloom(seen_keys, key_col="url_hash", expected_keys=expected)
-        fresh = filter_unseen(cand, seen_keys, bloom, "url_hash")
+        fresh = filter_unseen(
+            cand,
+            seen_keys,
+            None,
+            "url_hash",
+            partitioned=True,
+            num_shards=cfg.num_partitions,
+            expected_keys=expected,
+        )
     else:
         fresh = cand.join(seen_keys, "url_hash", "left_anti")
 

@@ -151,6 +151,33 @@ def test_retry_backoff_and_failure(spark):
         assert r.state == "failed" and r.error_kind == "network"
 
 
+def test_retries_reset_on_success(spark):
+    """A transient fetch failure followed by a successful parse resets the
+    retry counter — each fetch cycle gets a fresh budget (the reference's
+    try_with_retry counts attempts per call, error/macros.rs:253-277), so
+    lifetime transients can never exhaust max_retries."""
+    seeds = gen_seeds(spark, 20, partitions=2)
+    cfg = CrawlConfig(per_host_budget=100, max_retries=3, num_partitions=4)
+    frontier = build_frontier(seeds, EPOCH0, cfg)
+    target = frontier.select("url", "url_hash").first()
+
+    def outcome(ok):
+        return spark.createDataFrame(
+            [(target.url_hash, ok, None, None)],
+            "url_hash long, fetch_ok boolean, parse_error_kind string,"
+            " parse_error_message string",
+        )
+
+    after_fail = apply_epoch_results(frontier, outcome(False), EPOCH0, cfg)
+    r = after_fail.filter(F.col("url") == target.url).first()
+    assert r.state == "pending" and r.retries == 1
+
+    epoch1 = EPOCH0 + timedelta(seconds=10)
+    after_ok = apply_epoch_results(after_fail, outcome(True), epoch1, cfg)
+    r = after_ok.filter(F.col("url") == target.url).first()
+    assert r.state == "parsed" and r.retries == 0
+
+
 def test_fetch_join_broadcast_mode_equivalent(spark):
     """The broadcast fetch path (streamed pages scan + anti-join misses)
     returns exactly the shuffled left join's rows, fetch_ok included."""
