@@ -61,13 +61,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def _paginate_orders(spark, sf_dir):
-    # W1 pagination: ORDER BY o_orderkey LIMIT 20 OFFSET 40 (page 3)
+    # W1 pagination: ORDER BY o_orderkey LIMIT 20 OFFSET 40 (page 3) —
+    # scale-safe: TakeOrderedAndProject keeps per-partition top-60, never a
+    # global row_number over the whole table (api/queries.page_slice)
+    from podcast_crawler_spark.api.queries import page_slice
+
     orders = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderkey")
-    return (
-        orders.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") > 40) & (F.col("_rn") <= 60))
-        .select("o_orderkey", "o_custkey", "o_totalprice")
+    return page_slice(orders, [F.col("o_orderkey")], page=3, per_page=20).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
     )
 
 

@@ -34,15 +34,47 @@ from ..operators.frontier import PENDING, CrawlConfig
 from ..plans.epoch import CrawlState
 
 
-def _page(df: DataFrame, order_cols, page: int, per_page: int) -> DataFrame:
-    """W1: ``ORDER BY ... LIMIT per_page OFFSET (page-1)*per_page``."""
-    w = Window.orderBy(*order_cols)
+def page_slice(
+    df: DataFrame,
+    order_cols,
+    page: int,
+    per_page: int,
+    max_take: int = 1_000_000,
+) -> DataFrame:
+    """W1: ``ORDER BY ... LIMIT per_page OFFSET (page-1)*per_page``.
+
+    Scale-safe plan: ``orderBy(...).limit(page·per_page)`` compiles to
+    ``TakeOrderedAndProject`` — each partition keeps its own top
+    ``page·per_page`` rows and only those merge, so the full table never
+    funnels through one task (a bare global ``row_number`` window would —
+    the classic single-partition window scale-killer).  The offset is then
+    applied by a ``row_number`` over the already-limited slice, which is at
+    most ``page·per_page`` rows by construction.  The reference pushes
+    LIMIT/OFFSET to Postgres (``podcast_repository.rs:59-65``); this is
+    the distributed equivalent.
+
+    Pages beyond ``max_take`` rows deep are refused rather than silently
+    instantiating a global sort — deep OFFSET is O(offset) in any engine;
+    key-set pagination (range-filter on the sort key, which the frontier
+    tables support via their key layout) is the production answer there.
+    """
     lo = (page - 1) * per_page
+    hi = lo + per_page
+    if hi > max_take:
+        raise ValueError(
+            f"page depth {hi} exceeds max_take={max_take}; use key-set "
+            "pagination (range filter on the sort key) for deep offsets"
+        )
+    top = df.orderBy(*order_cols).limit(hi)
+    w = Window.orderBy(*order_cols)
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") > lo) & (F.col("_rn") <= lo + per_page))
+        top.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > lo)
         .drop("_rn")
     )
+
+
+_page = page_slice  # back-compat alias
 
 
 class PodcastQueryAPI:

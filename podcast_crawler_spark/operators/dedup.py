@@ -94,19 +94,26 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_freq: Optional[int] = None,
+    max_shingle_freq: Optional[int] = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs ``(id_a, id_b, jaccard)``,
     ``id_a < id_b``, ``jaccard >= threshold``.
 
     Inverted-index self-join on shingle (hash join on a string key), then
-    ``|A∩B|`` by groupBy-count and ``|A∪B| = |A|+|B|-|A∩B|``.  With
-    ``max_shingle_freq`` set, shingles present in more than that many docs
-    are excluded from *candidate generation only* — the Jaccard itself is
-    then recomputed over the full sets for surviving candidates, so the cap
-    trades recall (may miss pairs whose overlap is only stop-shingles) for
-    the quadratic blowup on hot shingles.  At sandbox scale leave it None
-    for an exact result; at 10^9 docs set it (~1000) or use MinHash below.
+    ``|A∩B|`` by groupBy-count and ``|A∪B| = |A|+|B|-|A∩B|``.
+    ``max_shingle_freq`` (default 1000)
+    excludes stop-shingles present in more than that many docs from
+    *candidate generation only* — a shingle shared by d docs contributes
+    d² join rows, so one hot shingle at 10^6 df is a 10^12-row blowup; the
+    cap bounds every shingle's contribution at max_shingle_freq².  The
+    Jaccard itself is then recomputed over the full *uncapped* sets for
+    surviving candidates, so precision is exact; the only recall loss is a
+    pair whose ENTIRE overlap above threshold is stop-shingles — at a
+    1000-doc frequency cap such a pair is overwhelmingly boilerplate, the
+    exact thing web dedup wants to ignore (standard practice, e.g.
+    suffix-array/CCNet-style df capping).  Pass ``None`` to force the
+    uncapped exact result on small corpora; above ~10^7 docs prefer
+    MinHash-LSH below (equal output at threshold, bounded buckets).
     """
     sh = shingles(df, text_col, id_col, n).cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))

@@ -116,20 +116,27 @@ def embedding_neardup_pairs(
     never survive.  For cos ≥ 0.95 (θ≈18°) the per-plane collision
     probability is ≈0.9, so with 8 planes × 4 tables recall is
     1-(1-0.9⁸)⁴ ≈ 0.97.  Scale: the self-join is per-(table, bucket),
-    never all-pairs.
+    never all-pairs — and only the 16-byte id pair crosses the bucket
+    join and its dedup exchange; the embedding vectors are re-joined onto
+    the (much smaller) deduplicated candidate set afterwards, so no
+    vector ever rides the candidate-generation shuffles.
     """
     bucketed = _with_lsh_tables(corpus, id_col, vec_col, planes, tables)
     stacked = bucketed.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-        F.explode("buckets").alias("tb"),
+        F.col(id_col).alias("id"), F.explode("buckets").alias("tb")
     )
-    l = stacked.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "tb")
-    r = stacked.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "tb")
-    return (
+    l = stacked.select(F.col("id").alias("id_a"), "tb")
+    r = stacked.select(F.col("id").alias("id_b"), "tb")
+    cand = (
         l.join(r, "tb")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
+        .select("id_a", "id_b")
         .distinct()
+    )
+    vecs = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    return (
+        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
         .withColumn("cos", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
@@ -213,12 +220,17 @@ def lsh_topk(
         F.col(vec_col).alias("qvec"),
         F.col("probe_bucket").alias("bucket"),
     )
+    # score inside the broadcast join (corpus side stays map-side), then
+    # dedup multi-table matches with a max(cos) hash aggregation — the
+    # shuffle carries (ids, double) with map-side combine; the vectors
+    # never cross an exchange (a distinct over (ids, qvec, cvec) would
+    # ship every duplicate's two embeddings through the wire)
     scored = (
         cb.join(F.broadcast(qb), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "qvec", "cvec")
-        .distinct()
         .withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cos").alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()

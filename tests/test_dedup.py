@@ -7,6 +7,8 @@ import itertools
 
 import pytest
 
+from pyspark.sql import functions as F
+
 SF = "/root/testdata/sf0.001"
 
 
@@ -132,3 +134,41 @@ def test_simhash_pairs_verified_hamming(docs, docs_pd):
         for r in simhash_pairs(docs, max_hamming=3).collect()
     }
     assert got == want
+
+
+def test_ngram_jaccard_hot_shingle_skew(spark):
+    """Hot-shingle (boilerplate) skew: a shingle shared by every doc would
+    contribute n² candidate rows uncapped.  With the cap at 5 (< corpus
+    size) the stop-shingles drop out of candidate generation, the join
+    stays bounded — and the true near-dup pairs (whose overlap includes
+    rare shingles) still come out with their EXACT jaccard, because the
+    verification recomputes over the uncapped sets."""
+    from podcast_crawler_spark.operators.dedup import ngram_jaccard_pairs, shingles
+
+    boiler = "subscribe to our newsletter for updates"
+    rows = []
+    for i in range(40):
+        body = f"doc {i} unique words alpha{i} beta{i} gamma{i} delta{i}"
+        rows.append((i, f"{body} {boiler}"))
+    # two planted near-dup pairs sharing their rare body
+    rows.append((100, f"doc 7 unique words alpha7 beta7 gamma7 delta7x {boiler}"))
+    rows.append((101, f"doc 9 unique words alpha9x beta9 gamma9 delta9 {boiler}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = ngram_jaccard_pairs(df, threshold=0.5, max_shingle_freq=5)
+    got = {(r.id_a, r.id_b): r.jaccard for r in capped.collect()}
+
+    sh = {i: py_shingles(t) for i, t in rows}
+    want = {}
+    for a, b in itertools.combinations(sorted(sh), 2):
+        j = py_jaccard(sh[a], sh[b])
+        if j >= 0.5:
+            want[(a, b)] = round(j, 6)
+    # the planted pairs are found with exact (uncapped) jaccard values
+    assert (7, 100) in got and (9, 101) in got
+    assert got == want
+    # and the cap really prunes: hot shingles exceed the freq threshold
+    hot = (
+        shingles(df).groupBy("shingle").count().filter(F.col("count") > 5).count()
+    )
+    assert hot > 0

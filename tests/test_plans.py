@@ -271,3 +271,34 @@ def test_auto_compaction_bounds_segments(spark, tmp_path):
         for i in state.episodes.snapshot_ids()
     ]
     assert "compact" in ops
+
+
+def test_page_slice_no_global_window_over_scan(spark):
+    """W1 pagination must not funnel the whole table through one task: the
+    plan's sort is a TakeOrderedAndProject (per-partition top-k + bounded
+    merge), and the single-partition row_number window runs only over the
+    already-limited page*per_page rows."""
+    from podcast_crawler_spark.api.queries import page_slice
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    q = page_slice(orders, [F.col("o_orderkey")], page=3, per_page=20)
+    p = plan_of(q)
+    assert "TakeOrderedAndProject" in p
+    # the window's child must be the limited slice, not the raw scan:
+    # TakeOrderedAndProject appears below the Window node in the tree
+    assert p.index("Window") < p.index("TakeOrderedAndProject")
+    # correctness: identical to the global-window formulation
+    from pyspark.sql import Window
+
+    w = Window.orderBy("o_orderkey")
+    ref = (
+        orders.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") > 40) & (F.col("_rn") <= 60))
+        .drop("_rn")
+    )
+    assert sorted(r.o_orderkey for r in q.collect()) == sorted(
+        r.o_orderkey for r in ref.collect()
+    )
+    # deep offsets refuse rather than silently instantiating a global sort
+    with pytest.raises(ValueError):
+        page_slice(orders, [F.col("o_orderkey")], page=10**7, per_page=100)
