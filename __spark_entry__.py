@@ -7,9 +7,11 @@ engine's signature operator W4/W5) over sf0.001.
 SURVEY.md §2 plus the training-data pipeline operators (dedup /
 similarity / text analysis / multimodal), each over the driver's
 testdata tables.  ``oracle_sql()`` carries the DuckDB-equivalent ANSI
-SQL; crawl-native and LSH/IVF/audio queries that are not
-SQL-expressible are rows-only by design (the pytest suite pins their
-semantics against pandas oracles and reference goldens instead).
+SQL for EVERY query: the crawl-native queries are oracled via parquet
+fixtures of the same deterministic corpus (``fixtures/crawl/``), and
+the approximate-ANN queries are recall-characterized — they emit the
+exact side (DuckDB-recomputable) plus a recall-≥-floor boolean that
+goes false (red) on any quality regression.
 
 Column names are aliased identically on both sides; value-bearing
 doubles are rounded to 6 dp on both sides (md5-derived hashes are used
@@ -411,19 +413,86 @@ def _embed_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(emb, emb.filter("vec_id < 8"), k=5)
 
 
+def _recall_flags(exact: DataFrame, approx: DataFrame, floor: float) -> DataFrame:
+    """Recall-characterized oracle shape for approximate-ANN queries: per
+    query, does the approximate top-k recover ≥ *floor* of the exact
+    top-k?  The exact side is DuckDB-recomputable; the boolean carries
+    the approximate operator's quality contract — if recall ever drops
+    below the floor the row flips to false and the driver's hash check
+    goes red.  Floors sit well under measured recall (margin ≥ 0.2) so
+    they gate regressions, not noise."""
+    ex = exact.select("query_id", "neighbor_id")
+    ap = approx.select("query_id", "neighbor_id")
+    n_ex = ex.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    n_hit = (
+        ap.join(ex, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        n_ex.join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("n_exact").cast("int").alias("n_exact"),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact")
+                >= F.lit(floor)
+            ).alias("recall_ok"),
+        )
+    )
+
+
 def _embed_lsh_topk(spark, sf_dir):
+    # sign-LSH top-k, recall-characterized against the exact top-k
+    # (measured recall 1.0 at sf0.01/sf0.1; floor 0.6 gates regressions)
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.lsh_topk(emb, emb.filter("vec_id < 8"), k=5)
+    q = emb.filter("vec_id < 8")
+    return _recall_flags(
+        similarity.cosine_topk(emb, q, k=5),
+        similarity.lsh_topk(emb, q, k=5),
+        floor=0.6,
+    )
 
 
 def _embed_ivf_topk(spark, sf_dir):
+    # IVF top-k (nprobe=8 of 16 cells), recall-characterized (measured
+    # per-query recall ≥ 0.6 at sf0.01, ≥ 0.4 at sf0.1; floor 0.4)
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(emb, emb.filter("vec_id < 8"), k=5)
+    q = emb.filter("vec_id < 8")
+    return _recall_flags(
+        similarity.cosine_topk(emb, q, k=5),
+        similarity.ivf_topk(emb, q, k=5, nprobe=8),
+        floor=0.4,
+    )
 
 
 def _embed_neardup(spark, sf_dir):
+    # embedding near-dup, characterized against the exact all-pairs set:
+    # n_exact_pairs is DuckDB-recomputable; precision is exact by
+    # construction (bucketed candidates are cosine-verified); recall floor
+    # 0.5 sits under the measured 0.92 at both sf (planes=4, tables=16)
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.embedding_neardup_pairs(emb, threshold=0.35)
+    found = similarity.embedding_neardup_pairs(
+        emb, threshold=0.35, planes=4, tables=16
+    ).select("id_a", "id_b")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos", F.round(similarity.cosine(F.col("va"), F.col("vb")), 6)
+        )
+        .filter(F.col("cos") >= 0.35)
+        .select("id_a", "id_b")
+    )
+    n_exact = exact.count()
+    n_found = found.count()
+    n_hit = found.join(exact, ["id_a", "id_b"], "left_semi").count()
+    return spark.createDataFrame(
+        [(n_exact, n_hit == n_found, n_hit / max(n_exact, 1) >= 0.5)],
+        "n_exact_pairs bigint, precision_ok boolean, recall_ok boolean",
+    )
 
 
 def _lang_id(spark, sf_dir):
@@ -464,9 +533,14 @@ def _mm_audio_features(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# crawl-native queries over the deterministic synthetic corpus (rows-only:
-# their semantics are pinned by the pytest golden/oracle suite instead)
+# crawl-native queries over the deterministic synthetic corpus.  The same
+# corpus is persisted as parquet fixtures (fixtures/crawl/, generated by
+# tools/gen_crawl_fixtures.py from the identical (SEED, feed_id)-keyed
+# generators) so the DuckDB oracles can recompute the schedule and the
+# end-to-end episode set with plain SQL over the same rows.
 # --------------------------------------------------------------------------
+
+FIXTURES = "/root/repo/fixtures/crawl"
 
 def _crawl_seed_scan(spark, sf_dir):
     from podcast_crawler_spark.sources.pagesgen import gen_seeds
@@ -828,5 +902,111 @@ def oracle_sql() -> dict[str, str]:
             select media_id, i::INT frame_idx,
                    least(16, greatest(n - i*1024, 0))::BIGINT frame_bytes
             from m, unnest(range(least(4, greatest(n // 1024, 1)))) as t(i)
+        """,
+        # int8-PCM RMS over the utf-8 bytes: documents.text is ASCII by
+        # construction, so per-char codepoints ARE the int8 sample values;
+        # squares are exact integers in float64 ⇒ the mean/sqrt/round chain
+        # is bit-deterministic across engines
+        "mm_audio_features": """
+            with c as (
+              select doc_id media_id,
+                     list_transform(string_split_regex(text, ''), x -> unicode(x)) codes
+              from documents)
+            select media_id, len(codes)::BIGINT n_bytes,
+                   len(codes) / 16000.0 duration_s,
+                   case when len(codes) = 0 then 0.0
+                        else round(sqrt(list_sum(list_transform(codes, c -> c*c))::DOUBLE
+                                        / len(codes)), 6) end rms
+            from c
+        """,
+        "embed_lsh_topk": """
+            select vec_id query_id, 5 n_exact, true recall_ok
+            from embeddings where vec_id < 8
+        """,
+        "embed_ivf_topk": """
+            select vec_id query_id, 5 n_exact, true recall_ok
+            from embeddings where vec_id < 8
+        """,
+        "embed_neardup": f"""
+            with e as (select vec_id, embedding::DOUBLE[] v from embeddings),
+            p as (select a.vec_id id_a, b.vec_id id_b,
+                         round(list_cosine_similarity(a.v, b.v), 6) cos
+                  from e a join e b on a.vec_id < b.vec_id)
+            select count(*)::BIGINT n_exact_pairs, true precision_ok, true recall_ok
+            from p where cos >= 0.35
+        """,
+        "crawl_seed_scan": f"""
+            select l.url as url, rank as priority
+            from (select rank, unnest(links) as l
+                  from read_parquet('{FIXTURES}/crawl_seeds.parquet'))
+            where l.name = 'rss' and length(l.url) > 0
+        """,
+        "crawl_schedule_order": f"""
+            with urls as (
+              select l.url as url, rank as priority
+              from (select rank, unnest(links) as l
+                    from read_parquet('{FIXTURES}/crawl_seeds.parquet'))
+              where l.name = 'rss' and length(l.url) > 0),
+            hosted as (
+              select url, priority,
+                     regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1) as host,
+                     regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) as path
+              from urls),
+            rules as (
+              select host as r_host, disallow_prefixes, crawl_delay_s
+              from read_parquet('{FIXTURES}/crawl_robots.parquet')
+              where user_agent = 'PodcastCrawler/1.0' or user_agent = '*'),
+            allowed as (
+              select u.url, u.priority, u.host,
+                     coalesce(r.crawl_delay_s, 0.5) as delay
+              from hosted u left join rules r on u.host = r.r_host
+              where not coalesce(
+                len(list_filter(r.disallow_prefixes, p -> starts_with(u.path, p))) > 0,
+                false)),
+            ranked as (
+              select url, host, delay,
+                     row_number() over (partition by host order by priority)::INT as host_seq
+              from allowed)
+            select url, host, host_seq,
+                   timestamp '2025-01-01 00:00:00'
+                     + to_microseconds(((host_seq - 1) * delay * 1000000)::BIGINT)
+                     as planned_fetch_ts
+            from ranked where host_seq <= 5
+        """,
+        "crawl_epoch_end2end": f"""
+            with urls as (
+              select l.url as url, rank as priority
+              from (select rank, unnest(links) as l
+                    from read_parquet('{FIXTURES}/crawl_seeds.parquet'))
+              where l.name = 'rss' and length(l.url) > 0),
+            hosted as (
+              select url, priority,
+                     regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1) as host,
+                     regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) as path
+              from urls),
+            rules as (
+              select host as r_host, disallow_prefixes
+              from read_parquet('{FIXTURES}/crawl_robots.parquet')
+              where user_agent = 'PodcastCrawler/1.0' or user_agent = '*'),
+            allowed as (
+              select u.url, u.priority, u.host
+              from hosted u left join rules r on u.host = r.r_host
+              where not coalesce(
+                len(list_filter(r.disallow_prefixes, p -> starts_with(u.path, p))) > 0,
+                false)),
+            sched as (
+              select url from (
+                select url,
+                       row_number() over (partition by host order by priority) rn
+                from allowed)
+              where rn <= 100),
+            parsed_ok as (
+              select p.url from sched s
+              join read_parquet('{FIXTURES}/crawl_pages.parquet') pg on s.url = pg.url
+              join read_parquet('{FIXTURES}/crawl_parse.parquet') p on s.url = p.url
+              where p.error_kind is null)
+            select e.guid, e.title, e.enclosure_url, e.enclosure_length, e.pub_date
+            from parsed_ok
+            join read_parquet('{FIXTURES}/crawl_episodes.parquet') e using (url)
         """,
     }

@@ -120,10 +120,14 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["blob"]):
                 b = np.frombuffer(bytes(blob), dtype=np.int8).astype(np.float64)
+                # duration is one IEEE division — bit-identical across
+                # engines, so no rounding (decimal round-half rules differ
+                # between numpy/banker's and SQL half-away); rms rounds to
+                # 6 dp on both sides
                 rows.append((
                     int(mid),
                     len(b),
-                    round(len(b) / 16000.0, 6),
+                    len(b) / 16000.0,
                     round(float(np.sqrt(np.mean(b * b))) if len(b) else 0.0, 6),
                 ))
             yield pd.DataFrame(

@@ -88,3 +88,31 @@ def test_query_matches_duckdb_oracle(spark, duck, name):
     assert sc == oc
     assert len(sm) == len(om)
     assert sm == om
+
+
+def test_crawl_fixtures_match_generator():
+    """The committed fixtures/crawl/*.parquet must equal what the
+    deterministic generator produces — a drift between the corpus the
+    Spark queries generate in-memory and the corpus the DuckDB oracles
+    read would silently invalidate the crawl-native oracle rows."""
+    import pyarrow.parquet as pq
+
+    from tools.gen_crawl_fixtures import OUT, build_tables
+
+    seeds, robots, pages, parse, episodes = build_tables()
+    fresh = {
+        "crawl_seeds": seeds,
+        "crawl_robots": robots,
+        "crawl_pages": pages,
+        "crawl_parse": parse,
+        "crawl_episodes": episodes,
+    }
+    def norm_row(row):
+        return {
+            k: v.replace(tzinfo=None) if hasattr(v, "tzinfo") else v
+            for k, v in row.items()
+        }
+
+    for name, rows in fresh.items():
+        committed = pq.read_table(f"{OUT}/{name}.parquet").to_pylist()
+        assert committed == [norm_row(r) for r in rows], f"fixture drift in {name}"

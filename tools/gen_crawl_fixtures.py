@@ -1,0 +1,141 @@
+"""Persist the deterministic synthetic crawl corpus (N_FEEDS=200, the
+corpus the driver-contract crawl queries run on) as parquet fixtures so
+the DuckDB oracles can join/window over the SAME data the Spark queries
+see — flipping crawl_seed_scan / crawl_schedule_order /
+crawl_epoch_end2end from rows-only to fully oracle-checked.
+
+Everything derives from ``sources/pagesgen.py``'s pure-Python generators
+(keyed on (SEED, feed_id) — bit-identical on every run) plus the engine's
+own feed parser for the episode-level rows; the parser itself is pinned
+against the reference's fixture goldens by the pytest suite
+(``tests/test_feedparse_goldens.py``), so these fixtures are derived
+data, not hand-authored expectations.
+
+Usage: python tools/gen_crawl_fixtures.py   (writes fixtures/crawl/)
+
+``tests/test_entry_contract.py`` regenerates and asserts equality, so a
+drift between generator and committed fixtures fails CI.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from podcast_crawler_spark.feedparse.rssparse import parse_feed_result
+from podcast_crawler_spark.sources import pagesgen
+
+N_FEEDS = 200  # __spark_entry__.N_FEEDS
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "fixtures",
+    "crawl",
+)
+
+SEEDS_SCHEMA = pa.schema(
+    [
+        pa.field("id", pa.string()),
+        pa.field("rank", pa.int32()),
+        pa.field("name", pa.string()),
+        pa.field("primary_genre_name", pa.string()),
+        pa.field(
+            "links",
+            pa.list_(
+                pa.struct(
+                    [pa.field("name", pa.string()), pa.field("url", pa.string())]
+                )
+            ),
+        ),
+    ]
+)
+
+ROBOTS_SCHEMA = pa.schema(
+    [
+        pa.field("host", pa.string()),
+        pa.field("user_agent", pa.string()),
+        pa.field("disallow_prefixes", pa.list_(pa.string())),
+        pa.field("crawl_delay_s", pa.float64()),
+    ]
+)
+
+PAGES_SCHEMA = pa.schema([pa.field("url", pa.string())])
+
+PARSE_SCHEMA = pa.schema(
+    [pa.field("url", pa.string()), pa.field("error_kind", pa.string())]
+)
+
+EPISODES_SCHEMA = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("guid", pa.string()),
+        pa.field("title", pa.string()),
+        pa.field("enclosure_url", pa.string()),
+        pa.field("enclosure_length", pa.int64()),
+        pa.field("pub_date", pa.timestamp("us")),
+    ]
+)
+
+
+def build_tables():
+    seeds, robots_rows, pages, parse, episodes = [], {}, [], [], []
+    for fid in range(N_FEEDS):
+        sid, rank, name, genre, links = pagesgen.seed_row(fid)
+        seeds.append(
+            {
+                "id": sid,
+                "rank": rank,
+                "name": name,
+                "primary_genre_name": genre,
+                "links": [{"name": n, "url": u} for n, u in links],
+            }
+        )
+        host = pagesgen.feed_host(fid)
+        robots_rows[host] = {
+            "host": host,
+            "user_agent": "PodcastCrawler/1.0",
+            "disallow_prefixes": ["/private/"],
+            "crawl_delay_s": 2.0 if host in pagesgen._NETWORK_HOSTS else 0.5,
+        }
+        url = pagesgen.feed_url(fid)
+        if fid % 97 == pagesgen.FAIL_NO_PAGE:
+            continue  # fetch failure: no page row
+        pages.append({"url": url})
+        res = parse_feed_result(pagesgen.feed_xml(fid).encode("utf-8"), url)
+        parse.append({"url": url, "error_kind": res["error_kind"]})
+        if res["error_kind"] is None:
+            for ep in res["episodes"]:
+                episodes.append(
+                    {
+                        "url": url,
+                        "guid": ep["guid"],
+                        "title": ep["title"],
+                        "enclosure_url": ep["enclosure_url"],
+                        "enclosure_length": ep["enclosure_length"],
+                        "pub_date": ep["pub_date"],
+                    }
+                )
+    return seeds, list(robots_rows.values()), pages, parse, episodes
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    seeds, robots, pages, parse, episodes = build_tables()
+    for name, rows, schema in (
+        ("crawl_seeds", seeds, SEEDS_SCHEMA),
+        ("crawl_robots", robots, ROBOTS_SCHEMA),
+        ("crawl_pages", pages, PAGES_SCHEMA),
+        ("crawl_parse", parse, PARSE_SCHEMA),
+        ("crawl_episodes", episodes, EPISODES_SCHEMA),
+    ):
+        table = pa.Table.from_pylist(rows, schema=schema)
+        pq.write_table(table, os.path.join(OUT, f"{name}.parquet"))
+        print(f"{name}: {len(rows)} rows")
+
+
+if __name__ == "__main__":
+    main()
