@@ -144,11 +144,18 @@ def run_epoch(
     robots: DataFrame,
     epoch_ts: datetime,
     cfg: CrawlConfig = CrawlConfig(),
+    fetcher=None,
 ) -> Dict:
     """Run one epoch; commits frontier/podcasts/episodes/metrics snapshots
     atomically (frontier last — its snapshot id is the epoch counter, so a
     crash before it re-runs the whole epoch idempotently: upserts are
-    keyed, re-insertion converges to the same state)."""
+    keyed, re-insertion converges to the same state).
+
+    *fetcher*: optional production fetch swap-in (S2) — a callable
+    ``scheduled -> DataFrame`` with ``fetch_join``'s output schema, e.g.
+    ``operators.fetcher.live_fetch`` bound to a transport.  When given,
+    the pages-table join is bypassed and everything downstream (parse,
+    upserts, frontier update, metrics) runs unchanged."""
     t0 = time.time()
     epoch_no = state.completed_epochs() + 1
     frontier = state.frontier.read(spark)
@@ -181,13 +188,16 @@ def run_epoch(
     # Epoch-sized slices take the broadcast fetch path (html never
     # shuffles); the gate uses the frontier row count as a cheap upper
     # bound on the scheduled slice.
-    man = state.frontier.manifest()
-    frontier_rows = (man or {}).get("row_count") or 0
-    fetched = fetch_join(
-        scheduled,
-        pages,
-        broadcast_scheduled=0 < frontier_rows <= cfg.broadcast_fetch_max_rows,
-    )
+    if fetcher is not None:
+        fetched = fetcher(scheduled)
+    else:
+        man = state.frontier.manifest()
+        frontier_rows = (man or {}).get("row_count") or 0
+        fetched = fetch_join(
+            scheduled,
+            pages,
+            broadcast_scheduled=0 < frontier_rows <= cfg.broadcast_fetch_max_rows,
+        )
 
     # 4. parse stage (P1-P12) — Arrow-batched, frontier bookkeeping passes
     # through so no re-join afterwards.  All scalar epoch metrics (A3/A4/A7)
