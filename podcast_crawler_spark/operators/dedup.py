@@ -119,8 +119,13 @@ def ngram_jaccard_pairs(
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
 
     cand_src = sh
+    hot = None
     if max_shingle_freq is not None:
-        hot = (
+        # the hot set is tiny by construction (few DISTINCT shingles can
+        # exceed the cap) → broadcast it into both the anti-join below and
+        # the hot-contribution joins, so the shingle stream never shuffles
+        # for the cap bookkeeping
+        hot = F.broadcast(
             sh.groupBy("shingle")
             .agg(F.count("*").alias("df_"))
             .filter(F.col("df_") > max_shingle_freq)
@@ -137,15 +142,26 @@ def ngram_jaccard_pairs(
         .agg(F.count("*").alias("common"))
     )
     if max_shingle_freq is not None:
-        # recompute the true intersection over the *uncapped* sets
-        a_full = sh.select(F.col("id").alias("id_a"), "shingle")
-        b_full = sh.select(F.col("id").alias("id_b"), "shingle")
-        common = (
+        # exact |A∩B| for candidates = cold overlap (just counted) + hot
+        # overlap, recomputed ONLY over the hot shingle occurrences —
+        # |pairs|·hot-per-doc join rows, not the full-set re-join; when no
+        # shingle is hot this whole branch joins empty inputs for free
+        hot_occ = sh.join(hot, "shingle", "left_semi")
+        hot_a = hot_occ.select(F.col("id").alias("id_a"), "shingle")
+        hot_b = hot_occ.select(F.col("id").alias("id_b"), "shingle")
+        hot_common = (
             common.select("id_a", "id_b")
-            .join(a_full, "id_a")
-            .join(b_full, ["id_b", "shingle"])
+            .join(hot_a, "id_a")
+            .join(hot_b, ["id_b", "shingle"])
             .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("common"))
+            .agg(F.count("*").alias("hot_common"))
+        )
+        common = common.join(hot_common, ["id_a", "id_b"], "left").select(
+            "id_a",
+            "id_b",
+            (
+                F.col("common") + F.coalesce(F.col("hot_common"), F.lit(0))
+            ).alias("common"),
         )
     out = (
         common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
