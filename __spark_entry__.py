@@ -408,6 +408,19 @@ def _dedup_simhash(spark, sf_dir):
     )
 
 
+def _dedup_clusters(spark, sf_dir):
+    # connected components over verified MinHash-LSH near-dup pairs:
+    # (id, cluster_id=min id of component) — the keep/drop decision of a
+    # training-data dedup pass.  Oracled by a DuckDB recursive-CTE
+    # transitive closure over the exact-Jaccard pair set (LSH ≡ exact at
+    # threshold 0.8, already proven by dedup_minhash_lsh).
+    pairs = dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+    return dedup.dedup_clusters(pairs).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
 def _embed_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_topk(emb, emb.filter("vec_id < 8"), k=5)
@@ -616,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_avg": _running_avg,
         "distinct_users": _distinct_users,
         "dedup_exact": _dedup_exact,
+        "dedup_clusters": _dedup_clusters,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
@@ -843,6 +857,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": _JACCARD_CTE.format(thr=0.5),
         "dedup_minhash_lsh": _JACCARD_CTE.format(thr=0.8),
+        "dedup_clusters": f"""
+            with recursive pairs as ({_JACCARD_CTE.format(thr=0.8)}),
+            edges as (
+              select id_a u, id_b v from pairs
+              union
+              select id_b u, id_a v from pairs),
+            reach(u, v) as (
+              select u, v from edges
+              union
+              select r.u, e.v from reach r join edges e on r.v = e.u)
+            select u as id, least(u, min(v)) as cluster_id
+            from reach group by u
+        """,
         "dedup_simhash": _simhash_oracle(),
         "embed_cosine_topk": """
             with q as (select vec_id qid, embedding qv from embeddings where vec_id < 8),

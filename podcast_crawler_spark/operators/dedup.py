@@ -274,6 +274,68 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over near-dup pairs → ``(id, cluster_id)``
+    with ``cluster_id = min(id)`` of the component: the survivor a
+    training pipeline keeps while dropping the rest of the cluster.
+
+    Min-label propagation to fixpoint: each node adopts the smallest
+    label among itself and its neighbors; iterate until no label changes.
+    Converges in O(component diameter) rounds — near-dup components are
+    shallow (dup clusters are quasi-cliques), so this terminates in a
+    handful of rounds; at web scale the same loop is the standard
+    alternating large-star/small-star construction and each round is one
+    self-join + min-aggregation (shuffle carries two longs per edge).
+    The per-round ``.count()`` convergence check collects one scalar, not
+    data.  Input needs ``id_a < id_b`` pair columns (any generator above).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("cluster_id"))
+        .cache()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["v"] == labels["id"])
+            .groupBy(F.col("u").alias("id"))
+            .agg(F.min("cluster_id").alias("n_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("n_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def _token_hash32(tok: Column) -> Column:
     """Deterministic 32-bit token hash reproducible in ANSI SQL: the first
     8 hex chars of md5, as a bigint in [0, 2^32).  md5 (not xxhash64) so

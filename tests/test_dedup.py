@@ -172,3 +172,30 @@ def test_ngram_jaccard_hot_shingle_skew(spark):
         shingles(df).groupBy("shingle").count().filter(F.col("count") > 5).count()
     )
     assert hot > 0
+
+
+def test_dedup_clusters_union_find_oracle(spark):
+    """Connected components over pairs must match a straight union-find."""
+    from podcast_crawler_spark.operators.dedup import dedup_clusters
+
+    pairs = [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (3, 11), (20, 21)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {(r.id, r.cluster_id) for r in dedup_clusters(df).collect()}
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(x, find(x)) for x in parent}
+    assert got == want
+    # chain 1-2-3-11 collapses to cluster 1 (diameter > 1 ⇒ iteration)
+    assert (11, 1) in got
