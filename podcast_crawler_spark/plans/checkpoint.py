@@ -75,11 +75,16 @@ class SnapshotTable:
 
     # -- commit / read -------------------------------------------------------
 
-    def commit(self, df: DataFrame, metrics: Optional[Dict] = None) -> int:
-        """Write *df* as the next snapshot; returns the new snapshot id.
-        The manifest lands via write-tmp + atomic rename **after** the data
-        files are fully written — a crash mid-write is invisible to
-        readers (exact-resume property, tested in test_checkpoint.py)."""
+    def prepare(self, df: DataFrame) -> Dict:
+        """Phase 1 of a two-phase commit: write the data files and gather
+        per-partition lineage, WITHOUT publishing a manifest.  Readers see
+        nothing until ``publish`` renames the manifest in — so a prepare
+        can safely overlap other tables' commits even when the commit
+        *protocol* orders this table's publication after theirs (the epoch
+        loop overlaps the frontier's big parquet write with the output
+        commits and publishes its manifest last).  A crash between prepare
+        and publish leaves only an orphan data dir that the idempotent
+        retry overwrites."""
         parent = self.current_snapshot_id()
         snap_id = (parent or 0) + 1
         data_dir = os.path.join(self.dir, "data", f"snap-{snap_id}")
@@ -99,20 +104,39 @@ class SnapshotTable:
                         "rows": pq.ParquetFile(p).metadata.num_rows,
                     }
                 )
-        man = {
+        return {
             "snapshot_id": snap_id,
             "parent_id": parent,
-            "committed_at_unix": time.time(),
             "data_dir": data_dir,
             "row_count": sum(f["rows"] for f in files),
             "files": files,
-            "metrics": metrics or {},
         }
+
+    def publish(self, staged: Dict, metrics: Optional[Dict] = None) -> int:
+        """Phase 2: atomically publish a prepared snapshot (write-tmp +
+        rename — the commit point).  Refuses if another snapshot committed
+        since prepare (single-writer-per-table protocol)."""
+        snap_id = staged["snapshot_id"]
+        current = self.current_snapshot_id()
+        if current is not None and current >= snap_id:
+            raise RuntimeError(
+                f"snapshot {current} committed since prepare of {snap_id}"
+            )
+        man = dict(staged)
+        man["committed_at_unix"] = time.time()
+        man["metrics"] = metrics or {}
         tmp = os.path.join(self.snap_dir, f".{snap_id}.json.tmp")
         with open(tmp, "w") as fh:
             json.dump(man, fh, indent=1)
         os.rename(tmp, os.path.join(self.snap_dir, f"{snap_id}.json"))
         return snap_id
+
+    def commit(self, df: DataFrame, metrics: Optional[Dict] = None) -> int:
+        """Write *df* as the next snapshot; returns the new snapshot id.
+        The manifest lands via write-tmp + atomic rename **after** the data
+        files are fully written — a crash mid-write is invisible to
+        readers (exact-resume property, tested in test_checkpoint.py)."""
+        return self.publish(self.prepare(df), metrics=metrics)
 
     def commit_local(
         self,

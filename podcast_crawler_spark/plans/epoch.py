@@ -292,32 +292,41 @@ def run_epoch(
     new_frontier = apply_epoch_results(frontier, outcomes, epoch_ts, cfg)
     new_frontier = _stamp_stages(new_frontier, epoch_ts)
 
-    # 7. commit podcasts/episodes (frontier last = epoch boundary).  Row
-    # counts and per-partition lineage come from the committed parquet
-    # footers — metrics cost no extra Spark jobs.  The two sinks are
-    # independent tables reading the same scratch, so their commit jobs
-    # run concurrently (Spark schedules jobs from separate driver threads
-    # across the same executors); the epoch-boundary protocol only
-    # requires both to be durable before the frontier commit below.
-    # An epoch with nothing parsed has an empty delta — skip both commits
-    # (the parent snapshots remain current; retry-only epochs cost zero
-    # table writes).
+    # 7. commit podcasts/episodes + PREPARE the frontier, all overlapped.
+    # Row counts and per-partition lineage come from the committed parquet
+    # footers — metrics cost no extra Spark jobs.  The three writers are
+    # independent jobs reading the same scratch, so they run concurrently
+    # from separate driver threads across the same executors.  The
+    # epoch-boundary protocol only requires the outputs to be DURABLE
+    # before the frontier manifest PUBLISHES — and the commit point of a
+    # snapshot is the manifest rename, not the data write, so the
+    # frontier's (large) parquet write overlaps the output commits and
+    # only its manifest waits (two-phase prepare/publish,
+    # plans/checkpoint.py).  An epoch with nothing parsed has an empty
+    # delta — skip both output commits (the parent snapshots remain
+    # current; retry-only epochs cost zero output writes).
     from concurrent.futures import ThreadPoolExecutor
 
-    if m["n_parse_ok"] > 0:
-        def _commit_out(table, updates, key):
-            if table.current_snapshot_id() is None:
-                table.commit(updates, metrics={"epoch": epoch_no})
-            else:
-                table.commit_delta(
-                    updates, key, "_epoch", metrics={"epoch": epoch_no}
-                )
-            # periodic rewrite: resolve cost is amortized, read
-            # amplification stays bounded by cfg.compact_segments
-            if table.num_segments() >= cfg.compact_segments:
-                table.compact(spark, metrics={"epoch": epoch_no})
+    # frontier file layout decision must precede the write (see the
+    # comment at the bottom of this function for the rationale)
+    if m["total"] > cfg.broadcast_outcomes_max_rows:
+        new_frontier = new_frontier.repartition(cfg.num_partitions, "host_hash")
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
+    def _commit_out(table, updates, key):
+        if table.current_snapshot_id() is None:
+            table.commit(updates, metrics={"epoch": epoch_no})
+        else:
+            table.commit_delta(
+                updates, key, "_epoch", metrics={"epoch": epoch_no}
+            )
+        # periodic rewrite: resolve cost is amortized, read
+        # amplification stays bounded by cfg.compact_segments
+        if table.num_segments() >= cfg.compact_segments:
+            table.compact(spark, metrics={"epoch": epoch_no})
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_front = pool.submit(state.frontier.prepare, new_frontier)
+        if m["n_parse_ok"] > 0:
             f_pod = pool.submit(
                 _commit_out, state.podcasts, podcasts_new, "rss_feed_url"
             )
@@ -326,7 +335,8 @@ def run_epoch(
             )
             f_pod.result()
             f_ep.result()
-    t = _tick("podcasts+episodes commit", t)
+        frontier_staged = f_front.result()
+    t = _tick("podcasts+episodes commit + frontier prepare", t)
     pod_man = state.podcasts.manifest() or {}
     ep_man = state.episodes.manifest() or {}
     # manifest row_count is the RAW segment total (delta segments include
@@ -388,16 +398,16 @@ def run_epoch(
     )
     t = _tick("metrics commit", t)
     metrics["wall_s"] = round(time.time() - t0, 3)
-    # When the outcome join was broadcast the whole frontier-update plan is
+    # Layout note (decision made before the overlapped write above): when
+    # the outcome join was broadcast the whole frontier-update plan is
     # narrow over the snapshot scan, so the stored host_hash file layout is
     # preserved as-is and re-bucketing would be a full-frontier shuffle for
     # nothing (the politeness window runs its own host_hash exchange
     # regardless).  Only re-bucket when a shuffled outcome join (or a
     # production bucketed-table contract) actually disturbed the layout.
-    if m["total"] > cfg.broadcast_outcomes_max_rows:
-        new_frontier = new_frontier.repartition(cfg.num_partitions, "host_hash")
-    state.frontier.commit(new_frontier, metrics=metrics)
-    _tick("frontier commit", t)
+    # The epoch boundary = this manifest publish (outputs are durable).
+    state.frontier.publish(frontier_staged, metrics=metrics)
+    _tick("frontier publish", t)
     if cfg.scratch_parquet:
         import shutil
 
