@@ -524,6 +524,42 @@ def _doc_fingerprints(spark, sf_dir):
     return textstats.fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def _sample_documents(spark, sf_dir):
+    # deterministic hash-threshold sampling (reproducible across runs,
+    # partitionings, and engines — md5-derived so DuckDB recomputes the
+    # identical membership); map-side filter, no shuffle
+    from podcast_crawler_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.sample_by_hash(docs, "doc_id", 0.2).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def _sample_stratified(spark, sf_dir):
+    # per-language rebalancing rates, same deterministic membership rule
+    from podcast_crawler_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        docs,
+        "doc_id",
+        "lang",
+        rates={"en": 0.5, "de": 0.1},
+        default_rate=0.25,
+    ).select("doc_id", "lang")
+
+
+def _vocab_top_terms(spark, sf_dir):
+    # corpus vocabulary/document-frequency table, top-100 by df
+    # (TakeOrderedAndProject shape — no global sort of the vocab)
+    return (
+        textstats.vocab_df(_t(spark, sf_dir, "documents"))
+        .orderBy(F.col("doc_freq").desc(), F.col("token"))
+        .limit(100)
+    )
+
+
 def _mm_image_meta(spark, sf_dir):
     media = multimodal.docs_as_media(_t(spark, sf_dir, "documents"))
     return multimodal.decode_image(media).select(
@@ -641,6 +677,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _quality_scores,
         "token_counts": _token_counts,
         "doc_fingerprints": _doc_fingerprints,
+        "sample_documents": _sample_documents,
+        "sample_stratified": _sample_stratified,
+        "vocab_top_terms": _vocab_top_terms,
         "mm_image_meta": _mm_image_meta,
         "mm_video_frames": _mm_video_frames,
         "mm_audio_features": _mm_audio_features,
@@ -929,6 +968,24 @@ def oracle_sql() -> dict[str, str]:
             select media_id, i::INT frame_idx,
                    least(16, greatest(n - i*1024, 0))::BIGINT frame_bytes
             from m, unnest(range(least(4, greatest(n // 1024, 1)))) as t(i)
+        """,
+        "sample_documents": """
+            select doc_id, lang, source from documents
+            where ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                  < (0.2 * 4294967296)::BIGINT
+        """,
+        "sample_stratified": """
+            select doc_id, lang from documents
+            where ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                  < (case lang when 'en' then 0.5 when 'de' then 0.1
+                     else 0.25 end * 4294967296)::BIGINT
+        """,
+        "vocab_top_terms": """
+            with tok as (
+              select doc_id, unnest(string_split(text, ' ')) t from documents)
+            select t token, count(distinct doc_id) doc_freq, count(*) total_tf
+            from tok where length(t) > 0
+            group by t order by doc_freq desc, t limit 100
         """,
         # int8-PCM RMS over the utf-8 bytes: documents.text is ASCII by
         # construction, so per-char codepoints ARE the int8 sample values;

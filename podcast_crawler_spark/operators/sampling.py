@@ -1,0 +1,66 @@
+"""Deterministic corpus sampling for training-data pipelines.
+
+Random sampling by `rand()` is irreproducible across retries, partitions
+and engines; web-scale pipelines sample by **key hash threshold** instead:
+a row is in the p-sample iff ``h(key) < p · 2^32`` for a fixed hash.  The
+same key always lands the same way — resumable jobs, consistent joins
+across derived tables (both sides of a join sampled by the same key keep
+referential integrity), and exact SQL reproducibility.
+
+The hash is md5-derived (first 8 hex chars as a 32-bit integer) rather
+than xxhash64 so an ANSI-SQL oracle computes the identical bit pattern
+(same trick as ``dedup._token_hash32``).  Everything here is a map-side
+filter on built-in expressions: no shuffle, pushdown-friendly, and at
+100 TB the sample predicate rides the scan.
+
+The reference has no sampling (it crawls everything); this family exists
+for the training-data tier, like dedup/similarity (SURVEY.md §7.3 scope).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HASH_SPACE = 1 << 32
+
+
+def key_hash32(key: Column) -> Column:
+    """32-bit deterministic, SQL-reproducible hash of a key column."""
+    return F.conv(
+        F.substring(F.md5(key.cast("string")), 1, 8), 16, 10
+    ).cast("long")
+
+
+def sample_by_hash(
+    df: DataFrame, key_col: str, rate: float
+) -> DataFrame:
+    """Deterministic p-sample: keep rows with ``h32(key) < rate·2^32``.
+    Map-side filter, no shuffle; the same key is kept or dropped
+    identically in every run, partition layout, and engine."""
+    threshold = int(rate * _HASH_SPACE)
+    return df.filter(key_hash32(F.col(key_col)) < threshold)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: Dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. per-language rates when
+    rebalancing a multilingual corpus): each row's threshold comes from
+    its stratum, membership from its key hash.  Still one map-side
+    filter — the when-chain folds into the scan."""
+    threshold: Optional[Column] = None
+    expr = F.lit(int(default_rate * _HASH_SPACE))
+    for value, rate in sorted(rates.items()):
+        expr = (
+            F.when(F.col(strata_col) == value, F.lit(int(rate * _HASH_SPACE)))
+            .otherwise(expr)
+        )
+    threshold = expr
+    return df.filter(key_hash32(F.col(key_col)) < threshold)

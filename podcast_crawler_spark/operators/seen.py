@@ -230,6 +230,57 @@ def build_bloom_shards(
     )
 
 
+def update_bloom_shards(
+    shards: DataFrame,
+    new_keys: DataFrame,
+    key_col: str = "url_hash",
+    num_shards: int = 32,
+) -> DataFrame:
+    """Incrementally fold *new_keys* into an existing shard table — the
+    cross-epoch seen index: admit a batch of URLs, OR their bits into
+    each shard, persist the returned table for the next epoch.  One
+    cogroup per update, O(new keys + S rows) — never a rebuild over the
+    full history.  Shards with no new keys pass through untouched; new
+    keys landing in a shard with no filter yet get a fresh filter sized
+    like its siblings (bloom bits don't resize, so expected-keys sizing
+    at bootstrap should include growth headroom — standard practice is
+    to size for the corpus target, ~1.2 GB per 10^9 keys at 1% fpp,
+    split S ways)."""
+    keyed = new_keys.select(key_col).withColumn(
+        "shard", _shard_col(key_col, num_shards)
+    )
+
+    def _merge(key: tuple, shard: pd.DataFrame, keys: pd.DataFrame) -> pd.DataFrame:
+        if len(shard) == 0 and len(keys) == 0:
+            return pd.DataFrame(
+                {"shard": [], "bits": [], "num_bits": [], "num_hashes": []}
+            )
+        if len(shard):
+            num_bits = int(shard["num_bits"].iloc[0])
+            num_hashes = int(shard["num_hashes"].iloc[0])
+            bits = np.frombuffer(shard["bits"].iloc[0], dtype=np.uint8).copy()
+        else:  # first keys for this shard: size like a default shard
+            num_bits, num_hashes = bloom_params(max(1, len(keys) * 4))
+            bits = np.zeros(num_bits // 8, dtype=np.uint8)
+        bf = BloomFilter(bits, num_bits, num_hashes)
+        if len(keys):
+            bf.add(keys[key_col].to_numpy(dtype=np.int64))
+        return pd.DataFrame(
+            {
+                "shard": [int(key[0])],
+                "bits": [bf.bits.tobytes()],
+                "num_bits": [num_bits],
+                "num_hashes": [num_hashes],
+            }
+        )
+
+    return (
+        shards.groupBy("shard")
+        .cogroup(keyed.groupBy("shard"))
+        .applyInPandas(_merge, schema=SHARD_SCHEMA)
+    )
+
+
 def bloom_probe_partitioned(
     candidates: DataFrame,
     shards: DataFrame,

@@ -153,3 +153,25 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         F.array_min(grams).alias("fp_min"),
         F.array_max(grams).alias("fp_max"),
     )
+
+
+def vocab_df(df: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Corpus vocabulary statistics: ``(token, doc_freq, total_tf)``.
+
+    The table behind df-capping (see ``dedup.ngram_jaccard_pairs``),
+    stopword induction, and tokenizer-vocab planning over a training
+    corpus.  One explode + one aggregation; ``count(distinct id)`` and
+    ``count(*)`` share the groupBy, and map-side partial aggregation
+    collapses each partition's term counts before the shuffle, so the
+    exchange is ~vocab-sized, not corpus-sized.
+    """
+    tok = (
+        df.select(F.col(id_col).alias("id"),
+                  F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    return tok.groupBy("token").agg(
+        F.countDistinct("id").alias("doc_freq"),
+        F.count("*").alias("total_tf"),
+    )

@@ -152,3 +152,27 @@ def test_cuckoo_full_raises():
     keys = np.arange(0, 64, dtype=np.int64)
     with pytest.raises(RuntimeError):
         cf.insert(keys)
+
+
+def test_update_bloom_shards_incremental_equals_rebuild(spark):
+    """Folding a new key batch into an existing shard table must produce
+    byte-identical bits to rebuilding over the union (bloom insertion is
+    an order-independent OR at fixed (m, k)) — the cross-epoch seen index
+    never needs a rebuild."""
+    from podcast_crawler_spark.operators.seen import update_bloom_shards
+
+    a = _keys_df(spark, 0, 2_000)
+    b = _keys_df(spark, 2_000, 3_000)
+    base = build_bloom_shards(a, num_shards=8, expected_keys=4_000)
+    updated = update_bloom_shards(base, b.select("url_hash"), num_shards=8)
+    rebuilt = build_bloom_shards(
+        a.unionByName(b), num_shards=8, expected_keys=4_000
+    )
+    got = {r.shard: bytes(r.bits) for r in updated.collect()}
+    want = {r.shard: bytes(r.bits) for r in rebuilt.collect()}
+    assert got == want
+    # and the updated table probes the union with no false negatives
+    probed = bloom_probe_partitioned(
+        a.unionByName(b), updated, num_shards=8
+    )
+    assert probed.filter(~F.col("maybe_seen")).count() == 0

@@ -105,3 +105,52 @@ def test_fingerprint_shared_window_detection(spark):
     h = __import__("hashlib").md5(shared.encode()).hexdigest()
     for r in fps:
         assert r.fp_min <= h <= r.fp_max
+
+
+def test_sample_by_hash_deterministic_and_rate(spark):
+    """Hash-threshold sampling: same keys in or out on every run /
+    partitioning; realized rate near nominal; membership matches the
+    straight-python md5 rule."""
+    import hashlib
+
+    from podcast_crawler_spark.operators.sampling import sample_by_hash
+
+    df = spark.range(0, 5_000, 1, 4).withColumnRenamed("id", "k")
+    got = {r.k for r in sample_by_hash(df, "k", 0.3).collect()}
+    got2 = {r.k for r in sample_by_hash(df.repartition(13), "k", 0.3).collect()}
+    assert got == got2  # partitioning-independent
+    want = {
+        k for k in range(5_000)
+        if int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+        < int(0.3 * 2**32)
+    }
+    assert got == want
+    assert 0.25 < len(got) / 5_000 < 0.35
+
+
+def test_stratified_sample_rates(spark):
+    from podcast_crawler_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(4_000)]
+    df = spark.createDataFrame(rows, "k long, lang string")
+    out = stratified_sample(df, "k", "lang", {"en": 0.5, "de": 0.1}).collect()
+    en = sum(1 for r in out if r.lang == "en") / 2_000
+    de = sum(1 for r in out if r.lang == "de") / 2_000
+    assert 0.45 < en < 0.55 and 0.05 < de < 0.15
+
+
+def test_vocab_df_matches_python(spark):
+    from collections import Counter
+
+    from podcast_crawler_spark.operators.textstats import vocab_df
+
+    rows = [(1, "a b b c"), (2, "b c c"), (3, "a  a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.token, r.doc_freq, r.total_tf) for r in vocab_df(df).collect()}
+    tf, dfreq = Counter(), Counter()
+    for _, text in rows:
+        toks = [t for t in text.split(" ") if t]
+        tf.update(toks)
+        dfreq.update(set(toks))
+    want = {(t, dfreq[t], tf[t]) for t in tf}
+    assert got == want
