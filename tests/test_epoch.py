@@ -164,3 +164,37 @@ def test_discovered_urls(spark, crawl_state):
     rows = d.limit(5).collect()
     assert rows and all(r.url_hash is not None for r in rows)
     assert d.count() >= crawl_state.episodes.read(spark).count()
+
+
+def test_crash_between_prepare_and_publish_is_invisible(spark, tmp_path):
+    """Two-phase commit crash window: data files written (prepare) but no
+    manifest (publish) must be invisible to readers, and the idempotent
+    epoch retry must overwrite the orphan and converge to the same state
+    as an uninterrupted run."""
+    seeds = gen_seeds(spark, 60, partitions=4)
+    pages = gen_pages(spark, 60, partitions=4)
+    robots = gen_robots(spark, 60)
+    cfg = CrawlConfig(per_host_budget=10, max_retries=1, num_partitions=8)
+
+    clean = run_crawl(
+        spark, str(tmp_path / "clean"), seeds, pages, robots, 2, EPOCH0, cfg=cfg
+    )
+
+    crash_dir = str(tmp_path / "crash")
+    state = run_crawl(spark, crash_dir, seeds, pages, robots, 1, EPOCH0, cfg=cfg)
+    # simulate the crash: epoch 2's frontier data written, manifest never
+    # published — exactly what a kill between prepare() and publish() leaves
+    snap_before = state.frontier.current_snapshot_id()
+    staged = state.frontier.prepare(state.frontier.read(spark))
+    assert state.frontier.current_snapshot_id() == snap_before  # invisible
+    assert staged["snapshot_id"] == snap_before + 1
+
+    # resume: the retry re-runs epoch 2, overwriting the orphan data dir
+    resumed = run_crawl(
+        spark, crash_dir, seeds, pages, robots, 2, EPOCH0, cfg=cfg
+    )
+    assert resumed.completed_epochs() == 2
+    fr_cols = ["url", "state", "retries", "next_fetch_ts", "error_kind"]
+    a = _table_digest(clean.frontier.read(spark), fr_cols, "url")
+    b = _table_digest(resumed.frontier.read(spark), fr_cols, "url")
+    assert a == b
