@@ -591,6 +591,22 @@ def _mm_audio_features(spark, sf_dir):
 
 FIXTURES = "/root/repo/fixtures/crawl"
 
+def _robots_rules(spark, sf_dir):
+    # robots.txt parse operator: raw bodies → the rules table the J4
+    # scheduler join consumes; exact-UA group precedence over '*', last
+    # crawl-delay wins, comments/blank lines ignored.  Oracle recomputes
+    # the same grammar in SQL (window-numbered groups) over the fixture.
+    from podcast_crawler_spark.operators.robots import parse_robots
+
+    bodies = spark.read.parquet(f"{FIXTURES}/crawl_robots_txt.parquet")
+    return parse_robots(bodies).select(
+        "host",
+        "user_agent",
+        "crawl_delay_s",
+        F.explode("disallow_prefixes").alias("prefix"),
+    )
+
+
 def _crawl_seed_scan(spark, sf_dir):
     from podcast_crawler_spark.sources.pagesgen import gen_seeds
 
@@ -683,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_meta": _mm_image_meta,
         "mm_video_frames": _mm_video_frames,
         "mm_audio_features": _mm_audio_features,
+        "robots_rules": _robots_rules,
         "crawl_seed_scan": _crawl_seed_scan,
         "crawl_schedule_order": _crawl_schedule_order,
         "crawl_epoch_end2end": _crawl_epoch_end2end,
@@ -1018,6 +1035,44 @@ def oracle_sql() -> dict[str, str]:
                   from e a join e b on a.vec_id < b.vec_id)
             select count(*)::BIGINT n_exact_pairs, true precision_ok, true recall_ok
             from p where cos >= 0.35
+        """,
+        "robots_rules": f"""
+            with l0 as (
+              select host, string_split(body, chr(10)) ls
+              from read_parquet('{FIXTURES}/crawl_robots_txt.parquet')),
+            lines as (
+              select host, i + 1 as i,
+                     trim(regexp_replace(ls[i + 1], '#.*', '')) as line
+              from l0, unnest(range(len(ls))) t(i)),
+            keyed as (
+              select host, i,
+                     lower(trim(line[1 : strpos(line, ':') - 1])) as k,
+                     trim(line[strpos(line, ':') + 1 :]) as v
+              from lines where line <> '' and strpos(line, ':') > 0),
+            grp as (
+              select *, sum(case when k = 'user-agent' then 1 else 0 end)
+                        over (partition by host order by i) as gid
+              from keyed),
+            gua as (
+              select host, gid, max(case when k = 'user-agent' then v end) as ua
+              from grp group by host, gid),
+            pick as (
+              select host, gid, ua, row_number() over (partition by host
+                       order by case when ua = 'PodcastCrawler/1.0' then 0
+                                     else 1 end) rn
+              from gua where ua in ('PodcastCrawler/1.0', '*')),
+            sel as (select host, gid, ua from pick where rn = 1),
+            dis as (
+              select g.host, s.ua, g.v as prefix from grp g
+              join sel s on g.host = s.host and g.gid = s.gid
+              where g.k = 'disallow' and g.v <> ''),
+            delay as (
+              select g.host, max_by(try_cast(g.v as double), g.i) as d
+              from grp g
+              join sel s on g.host = s.host and g.gid = s.gid
+              where g.k = 'crawl-delay' group by g.host)
+            select d.host, d.ua as user_agent, dl.d as crawl_delay_s, d.prefix
+            from dis d left join delay dl on d.host = dl.host
         """,
         "crawl_seed_scan": f"""
             select l.url as url, rank as priority

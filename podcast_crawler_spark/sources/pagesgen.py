@@ -212,6 +212,63 @@ def gen_seeds(spark: SparkSession, n_feeds: int, partitions: int = 32) -> DataFr
     )
 
 
+def robots_txt(host: str) -> str:
+    """Deterministic raw robots.txt body for *host* — the rules match
+    ``gen_robots`` exactly (Disallow /private/, network-host delay 2.0
+    else 0.5) whichever group layout the host draws, so the parse
+    operator (``operators/robots.parse_robots``) closes the loop from
+    raw bytes to the same rules table.  Layout variety by host hash:
+    star-group-only, star-group-first (exact-UA precedence exercised),
+    star-group-last, plain — with comments and blank lines throughout."""
+    import hashlib
+
+    h = int(hashlib.md5(host.encode()).hexdigest()[:8], 16)
+    delay = 2.0 if host in _NETWORK_HOSTS else 0.5
+    ours = (
+        "User-agent: PodcastCrawler/1.0\n"
+        "Disallow: /private/  # members-only feeds\n"
+        f"Crawl-delay: {delay}"
+    )
+    star_other = (
+        "User-agent: *\nDisallow: /tmp/\nDisallow:\nCrawl-delay: 9.0"
+    )
+    star_std = (
+        f"User-agent: *\nDisallow: /private/\nCrawl-delay: {delay}"
+    )
+    mode = h % 5
+    parts = [f"# robots.txt for {host}", ""]
+    if mode == 0:
+        parts += [star_std]
+    elif mode == 1:
+        parts += [star_other, "", ours]
+    elif mode == 2:
+        parts += [ours, "", star_other]
+    else:
+        parts += [ours]
+    return "\n".join(parts) + "\n"
+
+
+def gen_robots_bodies(
+    spark: SparkSession, n_feeds: int, partitions: int = 32
+) -> DataFrame:
+    """Raw (host, body) robots.txt rows for the corpus hosts — input for
+    the robots parse operator; generated distributed like everything else."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (h, robots_txt(h))
+                for h in (feed_host(int(fid)) for fid in pdf["id"])
+            ]
+            yield pd.DataFrame(rows, columns=["host", "body"])
+
+    return (
+        spark.range(0, n_feeds, 1, partitions)
+        .mapInPandas(_gen, schema="host string, body string")
+        .dropDuplicates(["host"])
+    )
+
+
 def gen_robots(spark: SparkSession, n_feeds: int, partitions: int = 32) -> DataFrame:
     """One rule row per distinct host that has rules.  The hot network hosts
     get a tighter crawl delay; every host disallows ``/private/``.

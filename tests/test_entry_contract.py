@@ -99,13 +99,14 @@ def test_crawl_fixtures_match_generator():
 
     from tools.gen_crawl_fixtures import OUT, build_tables
 
-    seeds, robots, pages, parse, episodes = build_tables()
+    seeds, robots, pages, parse, episodes, robots_txt = build_tables()
     fresh = {
         "crawl_seeds": seeds,
         "crawl_robots": robots,
         "crawl_pages": pages,
         "crawl_parse": parse,
         "crawl_episodes": episodes,
+        "crawl_robots_txt": robots_txt,
     }
     def norm_row(row):
         return {

@@ -289,3 +289,46 @@ def test_canonicalize_idempotent_and_hash_stable(spark):
     assert got["https://example.com/feed#fragment-part"] == "https://example.com/feed"
     assert got["https://example.com/feed.xml?a=1&b=2"].endswith("?a=1&b=2")
     assert got["http://example.com:8080/feed"] == "http://example.com:8080/feed"
+
+
+def test_parse_robots_unit_grammar():
+    """Grammar unit cases: precedence, comments, empty Disallow, bad
+    delay, no applicable group."""
+    from podcast_crawler_spark.operators.robots import parse_robots_text
+
+    body = (
+        "# hello\n"
+        "User-agent: *\nDisallow: /tmp/\nCrawl-delay: 9\n\n"
+        "User-agent: PodcastCrawler/1.0\n"
+        "Disallow: /a/  # comment\nDisallow:\nDisallow: /b/\n"
+        "Crawl-delay: oops\nCrawl-delay: 1.5\n"
+    )
+    r = parse_robots_text(body)
+    assert r == {
+        "user_agent": "PodcastCrawler/1.0",
+        "disallow_prefixes": ["/a/", "/b/"],
+        "crawl_delay_s": 1.5,
+    }
+    star = parse_robots_text("User-agent: *\nDisallow: /x/\n", "OtherBot")
+    assert star["user_agent"] == "*" and star["disallow_prefixes"] == ["/x/"]
+    assert parse_robots_text("User-agent: GoogleBot\nDisallow: /\n") is None
+    assert parse_robots_text("") is None
+
+
+def test_parse_robots_closes_loop_with_gen_robots(spark):
+    """Parsing the raw deterministic robots.txt bodies must reproduce the
+    rules table gen_robots emits directly — raw bytes → scheduler input
+    round-trips (delay + prefixes identical for every host; UA may be
+    '*' for star-only hosts, which robots_filter accepts equally)."""
+    from podcast_crawler_spark.operators.robots import parse_robots
+    from podcast_crawler_spark.sources.pagesgen import gen_robots_bodies
+
+    parsed = {
+        r.host: (list(r.disallow_prefixes), r.crawl_delay_s)
+        for r in parse_robots(gen_robots_bodies(spark, N, partitions=4)).collect()
+    }
+    direct = {
+        r.host: (list(r.disallow_prefixes), r.crawl_delay_s)
+        for r in gen_robots(spark, N).collect()
+    }
+    assert parsed == direct

@@ -65,6 +65,10 @@ ROBOTS_SCHEMA = pa.schema(
 
 PAGES_SCHEMA = pa.schema([pa.field("url", pa.string())])
 
+ROBOTS_TXT_SCHEMA = pa.schema(
+    [pa.field("host", pa.string()), pa.field("body", pa.string())]
+)
+
 PARSE_SCHEMA = pa.schema(
     [pa.field("url", pa.string()), pa.field("error_kind", pa.string())]
 )
@@ -83,6 +87,7 @@ EPISODES_SCHEMA = pa.schema(
 
 def build_tables():
     seeds, robots_rows, pages, parse, episodes = [], {}, [], [], []
+    robots_txt_rows = {}
     for fid in range(N_FEEDS):
         sid, rank, name, genre, links = pagesgen.seed_row(fid)
         seeds.append(
@@ -101,6 +106,7 @@ def build_tables():
             "disallow_prefixes": ["/private/"],
             "crawl_delay_s": 2.0 if host in pagesgen._NETWORK_HOSTS else 0.5,
         }
+        robots_txt_rows[host] = {"host": host, "body": pagesgen.robots_txt(host)}
         url = pagesgen.feed_url(fid)
         if fid % 97 == pagesgen.FAIL_NO_PAGE:
             continue  # fetch failure: no page row
@@ -119,18 +125,26 @@ def build_tables():
                         "pub_date": ep["pub_date"],
                     }
                 )
-    return seeds, list(robots_rows.values()), pages, parse, episodes
+    return (
+        seeds,
+        list(robots_rows.values()),
+        pages,
+        parse,
+        episodes,
+        list(robots_txt_rows.values()),
+    )
 
 
 def main():
     os.makedirs(OUT, exist_ok=True)
-    seeds, robots, pages, parse, episodes = build_tables()
+    seeds, robots, pages, parse, episodes, robots_txt = build_tables()
     for name, rows, schema in (
         ("crawl_seeds", seeds, SEEDS_SCHEMA),
         ("crawl_robots", robots, ROBOTS_SCHEMA),
         ("crawl_pages", pages, PAGES_SCHEMA),
         ("crawl_parse", parse, PARSE_SCHEMA),
         ("crawl_episodes", episodes, EPISODES_SCHEMA),
+        ("crawl_robots_txt", robots_txt, ROBOTS_TXT_SCHEMA),
     ):
         table = pa.Table.from_pylist(rows, schema=schema)
         pq.write_table(table, os.path.join(OUT, f"{name}.parquet"))
