@@ -591,6 +591,22 @@ def _mm_audio_features(spark, sf_dir):
 
 FIXTURES = "/root/repo/fixtures/crawl"
 
+def _warc_scan(spark, sf_dir):
+    # WARC source (Common-Crawl-style archive → pages rows): parse the
+    # fixture archive and fingerprint every record's body.  The oracle
+    # meta table was derived straight from the generator's page bytes,
+    # never through the WARC parser — matching md5/byte-counts proves the
+    # parser extracts every record intact.
+    from podcast_crawler_spark.sources.warc import read_warc
+
+    return read_warc(spark, f"{FIXTURES}/crawl_sample.warc.gz").select(
+        "url",
+        "http_status",
+        F.length("html").cast("long").alias("n_bytes"),
+        F.md5("html").alias("body_md5"),
+    )
+
+
 def _robots_rules(spark, sf_dir):
     # robots.txt parse operator: raw bodies → the rules table the J4
     # scheduler join consumes; exact-UA group precedence over '*', last
@@ -699,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_meta": _mm_image_meta,
         "mm_video_frames": _mm_video_frames,
         "mm_audio_features": _mm_audio_features,
+        "warc_scan": _warc_scan,
         "robots_rules": _robots_rules,
         "crawl_seed_scan": _crawl_seed_scan,
         "crawl_schedule_order": _crawl_schedule_order,
@@ -1035,6 +1052,10 @@ def oracle_sql() -> dict[str, str]:
                   from e a join e b on a.vec_id < b.vec_id)
             select count(*)::BIGINT n_exact_pairs, true precision_ok, true recall_ok
             from p where cos >= 0.35
+        """,
+        "warc_scan": f"""
+            select url, 200 as http_status, n_bytes, body_md5
+            from read_parquet('{FIXTURES}/crawl_warc_meta.parquet')
         """,
         "robots_rules": f"""
             with l0 as (

@@ -69,6 +69,14 @@ ROBOTS_TXT_SCHEMA = pa.schema(
     [pa.field("host", pa.string()), pa.field("body", pa.string())]
 )
 
+WARC_META_SCHEMA = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("n_bytes", pa.int64()),
+        pa.field("body_md5", pa.string()),
+    ]
+)
+
 PARSE_SCHEMA = pa.schema(
     [pa.field("url", pa.string()), pa.field("error_kind", pa.string())]
 )
@@ -135,6 +143,38 @@ def build_tables():
     )
 
 
+def write_warc_fixture():
+    """A WARC archive of the corpus pages plus an INDEPENDENTLY derived
+    (url, n_bytes, body_md5) meta table: the meta comes straight from the
+    generator's page bytes, never through the WARC parser — so the
+    ``warc_scan`` oracle check proves the parser extracts every record's
+    bytes intact."""
+    import hashlib
+
+    from podcast_crawler_spark.sources.warc import write_warc_file
+
+    records, meta = [], []
+    for fid in range(N_FEEDS):
+        row = pagesgen.page_row(fid)
+        if row is None:
+            continue
+        url, warc_ts, html, _text, _lang = row
+        records.append((url, warc_ts, 200, html))
+        meta.append(
+            {
+                "url": url,
+                "n_bytes": len(html),
+                "body_md5": hashlib.md5(html).hexdigest(),
+            }
+        )
+    write_warc_file(records, os.path.join(OUT, "crawl_sample.warc.gz"), compress=True)
+    pq.write_table(
+        pa.Table.from_pylist(meta, schema=WARC_META_SCHEMA),
+        os.path.join(OUT, "crawl_warc_meta.parquet"),
+    )
+    print(f"crawl_sample.warc.gz + crawl_warc_meta: {len(records)} records")
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     seeds, robots, pages, parse, episodes, robots_txt = build_tables()
@@ -149,6 +189,7 @@ def main():
         table = pa.Table.from_pylist(rows, schema=schema)
         pq.write_table(table, os.path.join(OUT, f"{name}.parquet"))
         print(f"{name}: {len(rows)} rows")
+    write_warc_fixture()
 
 
 if __name__ == "__main__":
