@@ -19,7 +19,7 @@ for the training-data tier, like dedup/similarity (SURVEY.md §7.3 scope).
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -55,12 +55,9 @@ def stratified_sample(
     rebalancing a multilingual corpus): each row's threshold comes from
     its stratum, membership from its key hash.  Still one map-side
     filter — the when-chain folds into the scan."""
-    threshold: Optional[Column] = None
-    expr = F.lit(int(default_rate * _HASH_SPACE))
+    threshold = F.lit(int(default_rate * _HASH_SPACE))
     for value, rate in sorted(rates.items()):
-        expr = (
-            F.when(F.col(strata_col) == value, F.lit(int(rate * _HASH_SPACE)))
-            .otherwise(expr)
-        )
-    threshold = expr
+        threshold = F.when(
+            F.col(strata_col) == value, F.lit(int(rate * _HASH_SPACE))
+        ).otherwise(threshold)
     return df.filter(key_hash32(F.col(key_col)) < threshold)
