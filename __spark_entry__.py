@@ -524,6 +524,37 @@ def _doc_fingerprints(spark, sf_dir):
     return textstats.fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def _curation_pipeline(spark, sf_dir):
+    # end-to-end training-data curation over documents, composing the
+    # already-oracled stages: quality filter (≥0.5) → exact-dedup keep
+    # (min doc_id per md5) → near-dup cluster pruning (MinHash-LSH pairs
+    # at 0.8 → connected components → keep cluster heads) → deterministic
+    # 0.9 hash sample.  The DuckDB oracle recomputes the whole chain in
+    # one SQL statement, so stage ORDER and interactions are checked, not
+    # just each stage alone.
+    from podcast_crawler_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    q = textstats.quality_scores(docs).select(
+        F.col("id").alias("doc_id"), "quality"
+    )
+    good = docs.join(q.filter(F.col("quality") >= 0.5), "doc_id")
+    heads = good.groupBy(F.md5("text").alias("m")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = good.join(heads.select("doc_id"), "doc_id", "left_semi")
+    pairs = dedup.minhash_lsh_pairs(kept, threshold=0.8)
+    drop = (
+        dedup.dedup_clusters(pairs)
+        .filter(F.col("id") != F.col("cluster_id"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    survivors = kept.join(drop, "doc_id", "left_anti")
+    return sampling.sample_by_hash(survivors, "doc_id", 0.9).select(
+        "doc_id", "lang", "quality"
+    )
+
+
 def _sample_documents(spark, sf_dir):
     # deterministic hash-threshold sampling (reproducible across runs,
     # partitionings, and engines — md5-derived so DuckDB recomputes the
@@ -709,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _quality_scores,
         "token_counts": _token_counts,
         "doc_fingerprints": _doc_fingerprints,
+        "curation_pipeline": _curation_pipeline,
         "sample_documents": _sample_documents,
         "sample_stratified": _sample_stratified,
         "vocab_top_terms": _vocab_top_terms,
@@ -728,7 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 
 _JACCARD_CTE = """
-with toks as (select doc_id id, string_split(text,' ') t from documents),
+with toks as (select doc_id id, string_split(text,' ') t from {src}),
 sh as (select id, list_distinct([array_to_string(t[i:i+2],' ')
         for i in range(1, greatest(len(t)-2,1)+1)]) s from toks),
 pairs as (
@@ -928,10 +960,10 @@ def oracle_sql() -> dict[str, str]:
             select md5(text) text_md5, min(doc_id) keep_id, count(*) dup_count
             from documents group by 1
         """,
-        "dedup_ngram_jaccard": _JACCARD_CTE.format(thr=0.5),
-        "dedup_minhash_lsh": _JACCARD_CTE.format(thr=0.8),
+        "dedup_ngram_jaccard": _JACCARD_CTE.format(thr=0.5, src="documents"),
+        "dedup_minhash_lsh": _JACCARD_CTE.format(thr=0.8, src="documents"),
         "dedup_clusters": f"""
-            with recursive pairs as ({_JACCARD_CTE.format(thr=0.8)}),
+            with recursive pairs as ({_JACCARD_CTE.format(thr=0.8, src="documents")}),
             edges as (
               select id_a u, id_b v from pairs
               union
@@ -1013,6 +1045,43 @@ def oracle_sql() -> dict[str, str]:
             where ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
                   < (case lang when 'en' then 0.5 when 'de' then 0.1
                      else 0.25 end * 4294967296)::BIGINT
+        """,
+        "curation_pipeline": f"""
+            with recursive b as (
+              select doc_id id,
+                     length(text) n_chars,
+                     len(list_filter(string_split(text,' '), x -> len(x) > 0)) n_tokens,
+                     ({stop_sum}) stop,
+                     length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) alnum
+              from documents),
+            qual as (
+              select id, round(least(n_tokens / 20.0, 1.0) * 0.4
+                       + least(stop::DOUBLE / n_tokens * 10.0, 1.0) * 0.3
+                       + alnum::DOUBLE / n_chars * 0.3, 6) quality
+              from b),
+            good as (
+              select d.doc_id, d.text, d.lang, q.quality
+              from documents d join qual q on d.doc_id = q.id
+              where q.quality >= 0.5),
+            heads as (select min(doc_id) doc_id from good group by md5(text)),
+            kept as (select g.* from good g join heads using (doc_id)),
+            pairs as ({_JACCARD_CTE.format(thr=0.8, src="kept")}),
+            edges as (
+              select id_a u, id_b v from pairs
+              union
+              select id_b u, id_a v from pairs),
+            reach(u, v) as (
+              select u, v from edges
+              union
+              select r.u, e.v from reach r join edges e on r.v = e.u),
+            labels as (select u id, least(u, min(v)) cid from reach group by u),
+            dropped as (select id from labels where id <> cid),
+            surv as (
+              select * from kept
+              where doc_id not in (select id from dropped))
+            select doc_id, lang, quality from surv
+            where ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                  < (0.9 * 4294967296)::BIGINT
         """,
         "vocab_top_terms": """
             with tok as (
