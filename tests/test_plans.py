@@ -302,3 +302,68 @@ def test_page_slice_no_global_window_over_scan(spark):
     # deep offsets refuse rather than silently instantiating a global sort
     with pytest.raises(ValueError):
         page_slice(orders, [F.col("o_orderkey")], page=10**7, per_page=100)
+
+
+def test_bucketed_fetch_join_no_pages_exchange(spark, tmp_path):
+    """Production J3 contract: with the pages table bucketed by url, the
+    fetch join reads html in place — the plan has NO Exchange above the
+    bucketed pages scan (only the narrow scheduled side shuffles), and
+    the result equals the plain shuffled join."""
+    from podcast_crawler_spark.operators.frontier import (
+        CrawlConfig,
+        build_frontier,
+        fetch_join,
+        schedule_epoch,
+    )
+    from podcast_crawler_spark.sources.bucketed import (
+        fetch_join_bucketed,
+        write_bucketed_pages,
+    )
+    from podcast_crawler_spark.sources.pagesgen import (
+        EPOCH0,
+        gen_pages,
+        gen_robots,
+        gen_seeds,
+    )
+
+    n = 120
+    cfg = CrawlConfig(per_host_budget=100, num_partitions=4)
+    pages = gen_pages(spark, n, partitions=4)
+    sched = schedule_epoch(
+        build_frontier(gen_seeds(spark, n, partitions=4), EPOCH0, cfg),
+        gen_robots(spark, n),
+        EPOCH0,
+        cfg,
+    ).cache()
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path: with a broadcastable probe side the
+        # planner broadcasts instead (also zero pages exchange, but then
+        # the bucketed layout isn't what's being exercised)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed_pages(pages, "pages_bucketed_t", buckets=8)
+        joined = fetch_join_bucketed(sched, spark, "pages_bucketed_t")
+        plan = plan_of(joined)
+        # the bucketed scan appears with its bucket spec and no shuffle:
+        # Exchange nodes in the plan must all be on the scheduled side,
+        # i.e. below the join's left leg — assert none mention the pages
+        # table's output partitioning being re-established
+        assert "SelectedBucketsCount: 8 out of 8" in plan
+        # the pages leg reads bucketed files in place: the scan's direct
+        # ancestors (the lines printed immediately above it in the tree)
+        # are Sort/Filter only — NO Exchange between join and pages scan
+        lines = plan.splitlines()
+        scan_idx = next(
+            i for i, l in enumerate(lines) if "pages_bucketed_t" in l
+        )
+        ancestry = "\n".join(lines[max(0, scan_idx - 3):scan_idx])
+        assert "Exchange" not in ancestry, ancestry
+        cols = ["url", "url_hash", "fetch_ok"]
+        got = {tuple(r) for r in joined.select(*cols).collect()}
+        want = {
+            tuple(r) for r in fetch_join(sched, pages).select(*cols).collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("drop table if exists pages_bucketed_t")
