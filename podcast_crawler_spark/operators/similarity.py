@@ -295,15 +295,28 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_driver_queries: int = 100_000,
 ) -> DataFrame:
     """IVF approximate top-k: search only the ``nprobe`` nearest cells.
     Output shape matches ``cosine_topk``.  At scale: corpus written
     ``partitionBy(cell)`` → each query touches nprobe/n_cells of the data
-    via partition pruning."""
+    via partition pruning.
+
+    The query side is small BY CONTRACT (it's collected to the driver for
+    cell-probe planning and broadcast into the search) — the guard below
+    turns a violated contract into a loud error instead of a silent
+    driver OOM; for query sets beyond it, assign cells to queries
+    distributed (``ivf_assign`` on the query side) and join on cell."""
     assigned, C = ivf_assign(corpus, n_cells, id_col, vec_col)
     spark = corpus.sparkSession
 
-    qpdf = queries.select(id_col, vec_col).toPandas()
+    qpdf = queries.select(id_col, vec_col).limit(max_driver_queries + 1).toPandas()
+    if len(qpdf) > max_driver_queries:
+        raise ValueError(
+            f"ivf_topk query side exceeds max_driver_queries="
+            f"{max_driver_queries}; use distributed cell assignment for "
+            "bulk query sets"
+        )
     Q = np.vstack(qpdf[vec_col].to_numpy()).astype(np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     probe_cells = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]
