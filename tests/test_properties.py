@@ -192,3 +192,49 @@ def test_parse_feed_result_title_survives(title):
 def test_parse_feed_result_none_content_is_network_error():
     r = parse_feed_result(None, "https://e.com/f.xml")
     assert r["error_kind"] == "network"
+
+
+# ---- seen-set filter invariants (pure numpy, no Spark) ----
+
+_keys = st.lists(
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    min_size=1,
+    max_size=300,
+    unique=True,
+)
+
+
+@given(_keys)
+@settings(max_examples=30, deadline=None)
+def test_bloom_never_false_negative(keys):
+    import numpy as np
+
+    from podcast_crawler_spark.operators.seen import BloomFilter, bloom_params
+
+    m, k = bloom_params(len(keys), 0.01)
+    bf = BloomFilter(np.zeros(m // 8, dtype=np.uint8), m, k)
+    arr = np.array(keys, dtype=np.int64)
+    bf.add(arr)
+    assert bf.contains(arr).all()
+
+
+@given(_keys)
+@settings(max_examples=30, deadline=None)
+def test_cuckoo_insert_delete_invariants(keys):
+    """Vectorized cuckoo: every inserted key is found; deleting half the
+    keys (each inserted exactly once) never causes a false negative on
+    the still-live half (copy-count safety of partial-key deletes)."""
+    import numpy as np
+
+    from podcast_crawler_spark.operators.seen import CuckooFilter
+
+    arr = np.array(keys, dtype=np.int64)
+    cf = CuckooFilter(num_buckets=max(64, len(arr)))
+    inserted = cf.insert(arr)
+    assert inserted == len(arr)
+    assert cf.contains(arr).all()
+    dead, live = arr[::2], arr[1::2]
+    assert cf.delete_batch(dead) == len(dead)
+    if len(live):
+        assert cf.contains(live).all()
+    assert cf.size == len(live)
