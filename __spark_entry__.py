@@ -704,6 +704,53 @@ def _crawl_epoch_end2end(spark, sf_dir):
     return out
 
 
+def _crawl_retry_diff(spark, sf_dir):
+    # R3/R4 + time travel, oracled: run TWO epochs, then diff the frontier
+    # between snapshot 2 (after epoch 1) and snapshot 3 (after epoch 2)
+    # via snapshot-id time travel.  Epoch 2 at +60 s schedules only the
+    # retry re-injections (parsed rows sleep until +fetch_interval;
+    # robots-denied rows are never attempted), so the changed rows are
+    # exactly the no-page fetch failures on their second attempt —
+    # recomputable from the corpus fixtures as seeds minus pages minus
+    # robots-denied.
+    from podcast_crawler_spark.sources.pagesgen import gen_pages, gen_robots, gen_seeds
+
+    import tempfile
+
+    cfg = CrawlConfig(per_host_budget=100, num_partitions=8)
+    with tempfile.TemporaryDirectory() as d:
+        state = run_crawl(
+            spark,
+            d,
+            gen_seeds(spark, N_FEEDS, partitions=8),
+            gen_pages(spark, N_FEEDS, partitions=8),
+            gen_robots(spark, N_FEEDS),
+            epochs=2,
+            epoch0=EPOCH0,
+            cfg=cfg,
+        )
+        f_after_1 = state.frontier.read(spark, snapshot_id=2)
+        f_after_2 = state.frontier.read(spark, snapshot_id=3)
+        o = f_after_1.select(
+            "url",
+            F.col("retries").alias("o_retries"),
+            F.col("state").alias("o_state"),
+            F.col("next_fetch_ts").alias("o_nft"),
+        )
+        n = f_after_2.select("url", "retries", "state", "next_fetch_ts")
+        diff = (
+            n.join(o, "url")
+            .filter(
+                (F.col("retries") != F.col("o_retries"))
+                | (F.col("state") != F.col("o_state"))
+                | (F.col("next_fetch_ts") != F.col("o_nft"))
+            )
+            .select("url", F.col("retries").cast("int").alias("retries"), "state")
+        )
+        out = spark.createDataFrame(diff.toPandas())
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_priority_queue": _priority_queue,
@@ -752,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_seed_scan": _crawl_seed_scan,
         "crawl_schedule_order": _crawl_schedule_order,
         "crawl_epoch_end2end": _crawl_epoch_end2end,
+        "crawl_retry_diff": _crawl_retry_diff,
     }
 
 
@@ -1163,6 +1211,31 @@ def oracle_sql() -> dict[str, str]:
               where g.k = 'crawl-delay' group by g.host)
             select d.host, d.ua as user_agent, dl.d as crawl_delay_s, d.prefix
             from dis d left join delay dl on d.host = dl.host
+        """,
+        "crawl_retry_diff": f"""
+            with urls as (
+              select l.url as url
+              from (select rank, unnest(links) as l
+                    from read_parquet('{FIXTURES}/crawl_seeds.parquet'))
+              where l.name = 'rss' and length(l.url) > 0),
+            hosted as (
+              select url,
+                     regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1) as host,
+                     regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) as path
+              from urls),
+            rules as (
+              select host as r_host, disallow_prefixes
+              from read_parquet('{FIXTURES}/crawl_robots.parquet')
+              where user_agent = 'PodcastCrawler/1.0' or user_agent = '*'),
+            allowed as (
+              select u.url from hosted u left join rules r on u.host = r.r_host
+              where not coalesce(
+                len(list_filter(r.disallow_prefixes, p -> starts_with(u.path, p))) > 0,
+                false))
+            select url, 2 as retries, 'pending' as state
+            from allowed
+            where url not in (
+              select url from read_parquet('{FIXTURES}/crawl_pages.parquet'))
         """,
         "crawl_seed_scan": f"""
             select l.url as url, rank as priority
