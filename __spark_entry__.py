@@ -524,6 +524,27 @@ def _doc_fingerprints(spark, sf_dir):
     return textstats.fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def _rate_limit_slots(spark, sf_dir):
+    # X4 governor recurrence as a batch operator (the SAME numpy kernel
+    # the stateful streaming rate limiter carries across micro-batches):
+    # per-host monotone slots spaced ≥ delay.  The closed form is a SQL
+    # cumulative-max window — the oracle pins the kernel exactly.
+    from podcast_crawler_spark.streaming.crawl_stream import politeness_slots_batch
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").cast("double").alias("ev"),
+    )
+    out = politeness_slots_batch(ev, "user_id", "ev", ["event_id"], 0.5)
+    return out.select(
+        "event_id",
+        "user_id",
+        "host_seq",
+        F.round("planned_unix", 6).alias("planned_unix"),
+    )
+
+
 def _curation_pipeline(spark, sf_dir):
     # end-to-end training-data curation over documents, composing the
     # already-oracled stages: quality filter (≥0.5) → exact-dedup keep
@@ -787,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _quality_scores,
         "token_counts": _token_counts,
         "doc_fingerprints": _doc_fingerprints,
+        "rate_limit_slots": _rate_limit_slots,
         "curation_pipeline": _curation_pipeline,
         "sample_documents": _sample_documents,
         "sample_stratified": _sample_stratified,
@@ -1093,6 +1115,18 @@ def oracle_sql() -> dict[str, str]:
             where ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
                   < (case lang when 'en' then 0.5 when 'de' then 0.1
                      else 0.25 end * 4294967296)::BIGINT
+        """,
+        "rate_limit_slots": """
+            with e as (
+              select event_id, user_id, epoch(ts) ev,
+                     (row_number() over (partition by user_id order by event_id) - 1) i
+              from events)
+            select event_id, user_id, (i + 1)::INT host_seq,
+                   round(0.5 * i
+                         + max(ev - 0.5 * i) over (partition by user_id order by i
+                             rows between unbounded preceding and current row),
+                         6) planned_unix
+            from e
         """,
         "curation_pipeline": f"""
             with recursive b as (

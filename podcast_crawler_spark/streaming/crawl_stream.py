@@ -133,6 +133,57 @@ RATE_LIMITER_OUTPUT = (
 RATE_LIMITER_STATE = "next_free_unix double, seq_carry long"
 
 
+def politeness_slots(
+    ev: np.ndarray, delay: float, carry: float = float("-inf")
+) -> Tuple[np.ndarray, float]:
+    """The governor recurrence, vectorized: slot_i = max(event_i,
+    slot_{i-1} + delay), closed-form ``t_i = delay·i +
+    max(cummax_j≤i(ev_j − delay·j), carry + delay)``.  Shared by the
+    stateful streaming operator (carry = previous batch's last slot) and
+    the batch operator below (carry = −inf).  Returns (slots, new_carry).
+    """
+    if not len(ev):
+        return ev.astype(np.float64), carry
+    i = np.arange(len(ev), dtype=np.float64)
+    base = np.maximum.accumulate(ev - delay * i)
+    if carry != float("-inf"):
+        base = np.maximum(base, carry + delay)
+    t = delay * i + base
+    return t, float(t[-1])
+
+
+def politeness_slots_batch(
+    df: DataFrame,
+    host_col: str,
+    ev_col: str,
+    order_cols,
+    delay_s: float,
+) -> DataFrame:
+    """X4 as a batch operator: per-host monotone fetch slots spaced ≥
+    delay over already-arrived events — the same numpy kernel the
+    streaming operator carries across micro-batches, applied per group
+    with no carry.  One shuffle on the host key; output adds
+    ``host_seq`` (1-based) and ``planned_unix``.
+
+    The closed form is SQL-expressible (a cumulative max window), which
+    is how the driver oracle pins this kernel exactly."""
+    cols = df.columns
+    schema = ", ".join(f"{c} {df.schema[c].dataType.simpleString()}" for c in cols)
+    schema += ", host_seq int, planned_unix double"
+
+    def _fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        slots, _ = politeness_slots(
+            pdf[ev_col].to_numpy(dtype=np.float64), float(delay_s)
+        )
+        out = pdf.copy()
+        out["host_seq"] = np.arange(1, len(pdf) + 1, dtype=np.int32)
+        out["planned_unix"] = slots
+        return out
+
+    return df.groupBy(host_col).applyInPandas(_fn, schema=schema)
+
+
 def politeness_rate_limiter(
     url_stream: DataFrame,
     default_delay_s: float = 0.5,
@@ -167,13 +218,7 @@ def politeness_rate_limiter(
                 continue
             pdf = pdf.sort_values(["priority", "url"], kind="mergesort")
             ev = pdf["event_unix"].to_numpy(dtype=np.float64)
-            i = np.arange(len(ev), dtype=np.float64)
-            # t_i = delay*i + max(cummax_j<=i(ev_j - delay*j), carry + delay)
-            base = np.maximum.accumulate(ev - delay * i)
-            if carry != float("-inf"):
-                base = np.maximum(base, carry + delay)
-            t = delay * i + base
-            carry = float(t[-1])
+            t, carry = politeness_slots(ev, delay, carry)
             seqs = prev_seq + np.arange(1, len(ev) + 1)
             prev_seq = int(seqs[-1])
             out.append(
