@@ -99,6 +99,15 @@ def main() -> None:
         "embedding vectors re-joined after dedup, so no vector crosses the\n"
         "candidate-generation exchanges.",
     )
+    add(
+        "curation_pipeline (composite training-data chain)",
+        qs["curation_pipeline"](spark, SF),
+        "Expected: the whole chain stays declarative — quality scoring in\n"
+        "codegen column expressions over one documents scan, exact-dedup\n"
+        "keep as a 16-byte-digest hash aggregation, LSH candidate joins\n"
+        "carrying only id pairs, anti-join pruning, and the hash-sample\n"
+        "threshold folded into a scan-level filter.",
+    )
     keys = spark.range(0, 2000, 1, 4).select(
         F.xxhash64(F.col("id").cast("string")).alias("url_hash"), "id"
     )
