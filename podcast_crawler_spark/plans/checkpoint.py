@@ -283,7 +283,14 @@ class SnapshotTable:
         if man is None:
             return None
         segments = man.get("segments") or [man["data_dir"]]
-        df = spark.read.parquet(*segments)
+        reader = spark.read
+        if len(segments) > 1:
+            # delta segments may carry evolved schemas (a later ingest
+            # version adding a column); merge them so older segments read
+            # with nulls in the new column — Iceberg's add-column
+            # semantics.  Single-segment reads skip the footer merge cost.
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*segments)
         res = man.get("resolve")
         if res and len(segments) > 1:
             df = resolve_lww(df, res["key"], res["order_col"])

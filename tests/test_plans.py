@@ -367,3 +367,26 @@ def test_bucketed_fetch_join_no_pages_exchange(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("drop table if exists pages_bucketed_t")
+
+
+def test_delta_schema_evolution_merges(spark, tmp_path):
+    """Merge-on-read schema evolution: a delta segment adding a column
+    reads merged (older rows null in the new column) and LWW still
+    resolves per key — Iceberg add-column semantics."""
+    from podcast_crawler_spark.plans.checkpoint import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path), "evo")
+    v1 = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1)], "k long, v string, _epoch int"
+    )
+    t.commit(v1)
+    v2 = spark.createDataFrame(
+        [(2, "b2", "extra", 2), (3, "c", "x", 2)],
+        "k long, v string, newcol string, _epoch int",
+    )
+    t.commit_delta(v2, "k", "_epoch")
+    got = {
+        (r.k, r.v, r.newcol)
+        for r in t.read(spark).select("k", "v", "newcol").collect()
+    }
+    assert got == {(1, "a", None), (2, "b2", "extra"), (3, "c", "x")}
