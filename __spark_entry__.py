@@ -628,6 +628,16 @@ def _mm_video_frames(spark, sf_dir):
     )
 
 
+def _mm_image_resize(spark, sf_dir):
+    # resize plumbing: fixed 64×64 buffer whose CONTENT is an exact
+    # function of the source bytes (cycle/truncate — np.resize), so the
+    # oracle recomputes the full resized payload's md5, not just its size
+    media = multimodal.docs_as_media(_t(spark, sf_dir, "documents"))
+    return multimodal.resize_image(media).select(
+        "media_id", "width", "height", F.md5("resized").alias("resized_md5")
+    )
+
+
 def _mm_audio_features(spark, sf_dir):
     media = multimodal.docs_as_media(_t(spark, sf_dir, "documents"))
     return multimodal.extract_audio_features(media)
@@ -815,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top_terms": _vocab_top_terms,
         "mm_image_meta": _mm_image_meta,
         "mm_video_frames": _mm_video_frames,
+        "mm_image_resize": _mm_image_resize,
         "mm_audio_features": _mm_audio_features,
         "warc_scan": _warc_scan,
         "robots_rules": _robots_rules,
@@ -1171,6 +1182,12 @@ def oracle_sql() -> dict[str, str]:
             select t token, count(distinct doc_id) doc_freq, count(*) total_tf
             from tok where length(t) > 0
             group by t order by doc_freq desc, t limit 100
+        """,
+        "mm_image_resize": """
+            select doc_id media_id, 64 width, 64 height,
+                   md5(left(repeat(text, (4096 / length(text))::INT + 1), 4096))
+                     resized_md5
+            from documents
         """,
         # int8-PCM RMS over the utf-8 bytes: documents.text is ASCII by
         # construction, so per-char codepoints ARE the int8 sample values;

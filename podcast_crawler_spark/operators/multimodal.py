@@ -139,6 +139,39 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("width", IntegerType(), False),
+    StructField("height", IntegerType(), False),
+    StructField("resized", BinaryType(), False),
+])
+
+
+def resize_image(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Image resize → fixed-size pixel buffer, via ``mapInPandas``
+    (map-side; neither source nor resized blob ever shuffles).
+    DETERMINISTIC FAKE kernel (no codecs in container): the "resized
+    pixels" are the source bytes cycled/truncated to width·height
+    (``np.resize`` semantics — repeat then cut), so output size AND
+    content are exact functions of the input bytes that an oracle can
+    recompute.  Replace with PIL ``Image.resize`` in production — the
+    schema, batch shape, and partitioning contract stay identical."""
+    npix = width * height
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                src = np.frombuffer(bytes(blob), dtype=np.uint8)
+                out = np.resize(src, npix) if len(src) else np.zeros(npix, np.uint8)
+                rows.append((int(mid), width, height, out.tobytes()))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZE_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "blob").mapInPandas(_run, schema=RESIZE_SCHEMA)
+
+
 def sample_video_frames(media: DataFrame, every_n_bytes: int = 1024,
                         max_frames: int = 4) -> DataFrame:
     """Frame sampling: one row per sampled frame (UDTF-shaped: input row →

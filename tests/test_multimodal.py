@@ -76,3 +76,23 @@ def test_video_frames_udtf_shape(media):
         for f in frs:
             off = f.frame_idx * 1024
             assert len(bytes(f.frame)) == min(16, max(n - off, 0))
+
+
+def test_resize_image_cycle_semantics(spark):
+    """Fake resize kernel: output is exactly np.resize (cycle/truncate)
+    of the source bytes at 64x64."""
+    import numpy as np
+
+    from podcast_crawler_spark.operators.multimodal import docs_as_media, resize_image
+
+    rows = [(1, "abc"), (2, "x" * 5000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.media_id: bytes(r.resized)
+        for r in resize_image(docs_as_media(df)).collect()
+    }
+    for i, text in rows:
+        want = np.resize(
+            np.frombuffer(text.encode(), dtype=np.uint8), 64 * 64
+        ).tobytes()
+        assert got[i] == want and len(got[i]) == 4096
