@@ -705,7 +705,10 @@ def _crawl_schedule_order(spark, sf_dir):
         sched = schedule_epoch(frontier, robots, EPOCH0, cfg).select(
             "url", "host", "host_seq", "planned_fetch_ts"
         )
-        sched = spark.createDataFrame(sched.toPandas())  # materialize before tmpdir dies
+        sched = spark.createDataFrame(
+            sched.toPandas(),
+            "url string, host string, host_seq int, planned_fetch_ts timestamp",
+        )  # materialize (with explicit schema) before tmpdir dies
     return sched
 
 
@@ -731,7 +734,11 @@ def _crawl_epoch_end2end(spark, sf_dir):
             .select("guid", "title", "enclosure_url", "enclosure_length", "pub_date")
             .orderBy("guid")
         )
-        out = spark.createDataFrame(eps.toPandas())
+        out = spark.createDataFrame(
+            eps.toPandas(),
+            "guid string, title string, enclosure_url string,"
+            " enclosure_length bigint, pub_date timestamp",
+        )
     return out
 
 
@@ -778,7 +785,11 @@ def _crawl_retry_diff(spark, sf_dir):
             )
             .select("url", F.col("retries").cast("int").alias("retries"), "state")
         )
-        out = spark.createDataFrame(diff.toPandas())
+        # explicit schema: an empty diff must return zero rows, not crash
+        # schema inference on an empty pandas frame
+        out = spark.createDataFrame(
+            diff.toPandas(), "url string, retries int, state string"
+        )
     return out
 
 

@@ -306,6 +306,7 @@ def dedup_clusters(
         .select("id", F.col("id").alias("cluster_id"))
         .cache()
     )
+    changed = -1
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges["v"] == labels["id"])
@@ -333,6 +334,15 @@ def dedup_clusters(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # propagation needs O(component diameter) rounds; a chain longer
+        # than max_iters would otherwise return silently-split clusters
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} rounds "
+            "(component diameter exceeds max_iters) — raise max_iters or "
+            "switch to alternating large-star/small-star for path-like "
+            "components"
+        )
     return labels
 
 

@@ -91,9 +91,14 @@ def live_fetch(
 
     def _fetch(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("host_seq", kind="mergesort")
+        planned_col = (
+            pdf["planned_fetch_ts"]
+            if "planned_fetch_ts" in pdf.columns
+            else pd.Series([None] * len(pdf), index=pdf.index)
+        )
         bodies = []
-        for url, planned in zip(pdf["url"], pdf["planned_fetch_ts"]):
-            if pace and planned is not None:
+        for url, planned in zip(pdf["url"], planned_col):
+            if pace and pd.notna(planned):  # notna: None AND NaT skip pacing
                 wait = planned.timestamp() - time.time()
                 if wait > 0:
                     time.sleep(min(wait, timeout_s))
@@ -103,8 +108,11 @@ def live_fetch(
                 bodies.append(None)  # any transport error = fetch failure
         out = pdf.copy()
         out["html"] = bodies
-        out["warc_ts"] = ts
-        out["fetch_ok"] = [b is not None for b in bodies]
+        ok = [b is not None for b in bodies]
+        # warc_ts only on successful fetches — fetch_join leaves misses
+        # null, and the swap-in contract is bit-for-bit column parity
+        out["warc_ts"] = [ts if o else None for o in ok]
+        out["fetch_ok"] = ok
         return out
 
     return scheduled.groupBy("host_hash").applyInPandas(_fetch, schema=schema)

@@ -34,14 +34,20 @@ def key_hash32(key: Column) -> Column:
     ).cast("long")
 
 
+def _threshold(rate: float) -> int:
+    """Round-half-up like SQL's ``::BIGINT`` cast — Python ``int()``
+    truncates, which disagrees with the DuckDB oracle by one hash value
+    for rates like 0.1 (0.1·2^32 = ...29.6 → 30 in SQL, 29 truncated)."""
+    return int(rate * _HASH_SPACE + 0.5)
+
+
 def sample_by_hash(
     df: DataFrame, key_col: str, rate: float
 ) -> DataFrame:
     """Deterministic p-sample: keep rows with ``h32(key) < rate·2^32``.
     Map-side filter, no shuffle; the same key is kept or dropped
     identically in every run, partition layout, and engine."""
-    threshold = int(rate * _HASH_SPACE)
-    return df.filter(key_hash32(F.col(key_col)) < threshold)
+    return df.filter(key_hash32(F.col(key_col)) < _threshold(rate))
 
 
 def stratified_sample(
@@ -55,9 +61,9 @@ def stratified_sample(
     rebalancing a multilingual corpus): each row's threshold comes from
     its stratum, membership from its key hash.  Still one map-side
     filter — the when-chain folds into the scan."""
-    threshold = F.lit(int(default_rate * _HASH_SPACE))
+    threshold = F.lit(_threshold(default_rate))
     for value, rate in sorted(rates.items()):
         threshold = F.when(
-            F.col(strata_col) == value, F.lit(int(rate * _HASH_SPACE))
+            F.col(strata_col) == value, F.lit(_threshold(rate))
         ).otherwise(threshold)
     return df.filter(key_hash32(F.col(key_col)) < threshold)

@@ -185,6 +185,16 @@ def _shard_col(key_col: str, num_shards: int):
     return F.pmod(F.col(key_col), F.lit(num_shards)).cast("int")
 
 
+def _free_col_name(df: DataFrame, base: str) -> str:
+    """A grouping-column name that cannot clobber caller data: suffix
+    underscores until it's free (a caller whose candidates already carry
+    ``_shard`` would otherwise get pmod values back in that column)."""
+    name = base
+    while name in df.columns:
+        name += "_"
+    return name
+
+
 def build_bloom_shards(
     df: DataFrame,
     key_col: str = "url_hash",
@@ -235,17 +245,21 @@ def update_bloom_shards(
     new_keys: DataFrame,
     key_col: str = "url_hash",
     num_shards: int = 32,
+    expected_keys_per_shard: Optional[int] = None,
 ) -> DataFrame:
     """Incrementally fold *new_keys* into an existing shard table — the
     cross-epoch seen index: admit a batch of URLs, OR their bits into
     each shard, persist the returned table for the next epoch.  One
     cogroup per update, O(new keys + S rows) — never a rebuild over the
-    full history.  Shards with no new keys pass through untouched; new
-    keys landing in a shard with no filter yet get a fresh filter sized
-    like its siblings (bloom bits don't resize, so expected-keys sizing
-    at bootstrap should include growth headroom — standard practice is
-    to size for the corpus target, ~1.2 GB per 10^9 keys at 1% fpp,
-    split S ways)."""
+    full history.  Shards with no new keys pass through untouched.
+
+    A shard receiving its FIRST keys here has no sibling metadata in its
+    task, so pass ``expected_keys_per_shard`` (the bootstrap sizing —
+    corpus target / S, ~1.2 GB per 10^9 keys at 1% fpp split S ways);
+    without it the fresh shard is sized from its first batch ×4, which
+    under-sizes a shard that keeps growing (bloom bits don't resize —
+    its fpp then degrades toward 1 and the pre-filter stops pruning;
+    correctness is still saved by the exact verify join)."""
     keyed = new_keys.select(key_col).withColumn(
         "shard", _shard_col(key_col, num_shards)
     )
@@ -259,8 +273,12 @@ def update_bloom_shards(
             num_bits = int(shard["num_bits"].iloc[0])
             num_hashes = int(shard["num_hashes"].iloc[0])
             bits = np.frombuffer(shard["bits"].iloc[0], dtype=np.uint8).copy()
-        else:  # first keys for this shard: size like a default shard
-            num_bits, num_hashes = bloom_params(max(1, len(keys) * 4))
+        else:  # first keys for this shard
+            num_bits, num_hashes = bloom_params(
+                expected_keys_per_shard
+                if expected_keys_per_shard
+                else max(1, len(keys) * 4)
+            )
             bits = np.zeros(num_bits // 8, dtype=np.uint8)
         bf = BloomFilter(bits, num_bits, num_hashes)
         if len(keys):
@@ -314,9 +332,10 @@ def bloom_probe_partitioned(
         out[out_col] = bf.contains(cand[key_col].to_numpy(dtype=np.int64))
         return out
 
-    cand = candidates.withColumn("_shard", _shard_col(key_col, num_shards))
+    sc = _free_col_name(candidates, "_shard")
+    cand = candidates.withColumn(sc, _shard_col(key_col, num_shards))
     return (
-        cand.groupBy("_shard")
+        cand.groupBy(sc)
         .cogroup(shards.groupBy("shard"))
         .applyInPandas(_probe, schema=schema)
     )
@@ -543,9 +562,10 @@ def cuckoo_filter_unseen(
         out[out_col] = cf.contains(cand[key_col].to_numpy(dtype=np.int64))
         return out
 
-    cand = candidates.withColumn("_shard", _shard_col(key_col, num_shards))
+    sc = _free_col_name(candidates, "_shard")
+    cand = candidates.withColumn(sc, _shard_col(key_col, num_shards))
     return (
-        cand.groupBy("_shard")
+        cand.groupBy(sc)
         .cogroup(seen_tagged.groupBy("_shard"))
         .applyInPandas(_probe, schema=schema)
     )

@@ -199,3 +199,12 @@ def test_dedup_clusters_union_find_oracle(spark):
     assert got == want
     # chain 1-2-3-11 collapses to cluster 1 (diameter > 1 ⇒ iteration)
     assert (11, 1) in got
+
+
+def test_dedup_clusters_raises_on_non_convergence(spark):
+    from podcast_crawler_spark.operators.dedup import dedup_clusters
+
+    chain = [(i, i + 1) for i in range(8)]  # diameter 8 > max_iters 3
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(df, max_iters=3)

@@ -122,7 +122,7 @@ def test_sample_by_hash_deterministic_and_rate(spark):
     want = {
         k for k in range(5_000)
         if int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
-        < int(0.3 * 2**32)
+        < int(0.3 * 2**32 + 0.5)
     }
     assert got == want
     assert 0.25 < len(got) / 5_000 < 0.35
