@@ -28,8 +28,9 @@ print(f"SUBMIT_OK scheduled={n}")
 
 
 def test_spark_submit_py_files(tmp_path):
+    zip_path = str(tmp_path / "podcast_crawler_spark.zip")
     subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "package.py")],
+        [sys.executable, os.path.join(REPO, "tools", "package.py"), zip_path],
         check=True,
         capture_output=True,
     )
@@ -44,7 +45,7 @@ def test_spark_submit_py_files(tmp_path):
             "--conf",
             "spark.ui.enabled=false",
             "--py-files",
-            os.path.join(REPO, "dist", "podcast_crawler_spark.zip"),
+            zip_path,
             str(job),
         ],
         cwd=str(tmp_path),  # repo NOT on sys.path — imports come from the zip
