@@ -34,10 +34,22 @@ def main() -> None:
 
     qs = entry.queries()
 
+    MAX_LINES = 300
+
     def fmt(df) -> str:
-        return df._sc._jvm.PythonSQLUtils.explainString(
+        s = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
+        lines = s.splitlines()
+        if len(lines) > MAX_LINES:
+            # wide expression trees (e.g. the language-marker count chains)
+            # repeat per column in "formatted" output — the plan SHAPE is in
+            # the first section, so cap the dump
+            lines = lines[:MAX_LINES] + [
+                f"… [{len(lines) - MAX_LINES} more lines truncated — "
+                "run tools/explain_report.py for the full dump]"
+            ]
+        return "\n".join(lines)
 
     sections = []
 
