@@ -114,6 +114,12 @@ def ngram_jaccard_pairs(
     suffix-array/CCNet-style df capping).  Pass ``None`` to force the
     uncapped exact result on small corpora; above ~10^7 docs prefer
     MinHash-LSH below (equal output at threshold, bounded buckets).
+
+    .. versionchanged:: round 2
+       ``max_shingle_freq`` default changed ``None`` → ``1000``: the
+       exact-by-default contract now excludes pairs whose entire overlap
+       above threshold is stop-shingles (df > 1000).  Callers needing the
+       old behavior pass ``max_shingle_freq=None`` explicitly.
     """
     sh = shingles(df, text_col, id_col, n).cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
@@ -194,6 +200,54 @@ def minhash_signatures(
     return shingle_df.groupBy("id").agg(*aggs)
 
 
+def _lsh_candidates(
+    stacked: DataFrame, max_bucket_size: Optional[int]
+) -> DataFrame:
+    """Candidate pairs from long-form ``(id, band, bh)`` bucket rows.
+
+    Buckets at or under ``max_bucket_size`` expand all-pairs (complete
+    candidate recall).  A bucket of d members contributes d² join rows, so
+    ONE degenerate bucket — e.g. thousands of boilerplate-identical docs
+    sharing every band hash — is a quadratic blowup; oversized buckets
+    therefore degrade to **star** candidates (each member paired with the
+    bucket's min id): O(d) rows, full connectivity preserved, so the
+    downstream connected-components keep/drop decision is unchanged
+    (near-dup clusters are quasi-cliques and every star pair still passes
+    exact verification).  The only loss is non-star pair *enumeration*
+    inside a degenerate bucket — the same df-cap discipline as
+    ``max_shingle_freq``.  ``None`` disables the cap."""
+    if max_bucket_size is None:
+        l = stacked.select(F.col("id").alias("id_a"), "band", "bh")
+        r = stacked.select(F.col("id").alias("id_b"), "band", "bh")
+        return (
+            l.join(r, ["band", "bh"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    # one exchange on (band, bh); count + min are unbounded-frame window
+    # aggregates (no sort) and both branches below reuse the partitioning
+    wb = Window.partitionBy("band", "bh")
+    sized = stacked.withColumn("bucket_n", F.count("*").over(wb)).withColumn(
+        "rep", F.min("id").over(wb)
+    )
+    small = sized.filter(F.col("bucket_n") <= max_bucket_size)
+    l = small.select(F.col("id").alias("id_a"), "band", "bh")
+    r = small.select(F.col("id").alias("id_b"), "band", "bh")
+    pairs_small = (
+        l.join(r, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    pairs_big = (
+        sized.filter(
+            (F.col("bucket_n") > max_bucket_size) & (F.col("id") != F.col("rep"))
+        )
+        .select(F.col("rep").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    return pairs_small.unionByName(pairs_big).distinct()
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -202,6 +256,7 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 32,
     threshold: float = 0.8,
+    max_bucket_size: Optional[int] = 2000,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, **exactly verified**: returns
     ``(id_a, id_b, jaccard)`` with true Jaccard ≥ threshold.
@@ -215,9 +270,11 @@ def minhash_lsh_pairs(
     the bloom/anti-join discipline of the URL-seen set (D3).
 
     Scale: candidate generation shuffles ``bands`` rows per doc keyed by a
-    16-byte band hash; per-bucket pair expansion is bounded by bucket size
-    (hot buckets at web scale → raise ``bands``' row count or pre-cap with
-    a bucket-size limit before the self-join).
+    16-byte band hash; per-bucket pair expansion is bounded by
+    ``max_bucket_size`` (default 2000): buckets above it contribute
+    star-shaped candidates instead of all-pairs (``_lsh_candidates``), so
+    one degenerate boilerplate bucket can never go quadratic — the skew
+    test pins 1000 identical docs at O(n) candidates.
     """
     rows_per_band = num_perm // bands
     # shingles feed signature computation, set sizes AND exact verification
@@ -244,14 +301,7 @@ def minhash_lsh_pairs(
             ])
         ).alias("e"),
     ).select("id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
-    l = stacked.select(F.col("id").alias("id_a"), "band", "bh")
-    r = stacked.select(F.col("id").alias("id_b"), "band", "bh")
-    candidates = (
-        l.join(r, ["band", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    candidates = _lsh_candidates(stacked, max_bucket_size)
     # exact verification: true Jaccard over the full shingle sets
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a_full = sh.select(F.col("id").alias("id_a"), "shingle")

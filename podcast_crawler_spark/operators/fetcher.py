@@ -52,8 +52,14 @@ Transport = Callable[[str, float, str], Optional[bytes]]
 def urllib_transport(url: str, timeout_s: float, user_agent: str) -> Optional[bytes]:
     """Stdlib HTTP transport: GET with the politeness UA and the
     reference's 5 s timeout semantics.  Non-200 → None (fetch failure)."""
+    from urllib.parse import urlparse
     from urllib.request import Request, urlopen
 
+    # scheme allowlist: the frontier admits *discovered* URLs, so a hostile
+    # file:// or ftp:// link must never reach urlopen (which would happily
+    # read local files into the pages table)
+    if urlparse(url).scheme not in ("http", "https"):
+        return None
     req = Request(url, headers={"User-Agent": user_agent})
     with urlopen(req, timeout=timeout_s) as resp:
         if getattr(resp, "status", 200) != 200:
@@ -99,9 +105,14 @@ def live_fetch(
         bodies = []
         for url, planned in zip(pdf["url"], planned_col):
             if pace and pd.notna(planned):  # notna: None AND NaT skip pacing
-                wait = planned.timestamp() - time.time()
-                if wait > 0:
-                    time.sleep(min(wait, timeout_s))
+                # sleep the FULL politeness gap (looped against wall clock —
+                # a single sleep capped at timeout_s would silently under-
+                # wait hosts whose crawl-delay exceeds the fetch timeout)
+                while True:
+                    wait = planned.timestamp() - time.time()
+                    if wait <= 0:
+                        break
+                    time.sleep(wait)
             try:
                 bodies.append(transport(url, timeout_s, user_agent))
             except Exception:

@@ -185,6 +185,20 @@ def _shard_col(key_col: str, num_shards: int):
     return F.pmod(F.col(key_col), F.lit(num_shards)).cast("int")
 
 
+def _one_shard_row(shard: pd.DataFrame) -> None:
+    """A persisted shard table must hold EXACTLY one row per shard id.
+    Duplicate rows (e.g. an append where an overwrite was intended) would
+    silently drop bits here — and a dropped bit is a Bloom *false
+    negative*, the one failure mode the exact-verify join never catches
+    (definite-negatives skip verification).  Fail loudly instead."""
+    if len(shard) > 1:
+        raise ValueError(
+            f"shard table has {len(shard)} rows for shard "
+            f"{int(shard['shard'].iloc[0])}; expected at most 1 — was the "
+            "shard table appended instead of overwritten?"
+        )
+
+
 def _free_col_name(df: DataFrame, base: str) -> str:
     """A grouping-column name that cannot clobber caller data: suffix
     underscores until it's free (a caller whose candidates already carry
@@ -269,6 +283,7 @@ def update_bloom_shards(
             return pd.DataFrame(
                 {"shard": [], "bits": [], "num_bits": [], "num_hashes": []}
             )
+        _one_shard_row(shard)
         if len(shard):
             num_bits = int(shard["num_bits"].iloc[0])
             num_hashes = int(shard["num_hashes"].iloc[0])
@@ -324,6 +339,7 @@ def bloom_probe_partitioned(
         if len(shard) == 0:  # no seen keys in this shard ⇒ all unseen
             out[out_col] = np.zeros(len(cand), dtype=bool)
             return out
+        _one_shard_row(shard)
         bf = BloomFilter(
             np.frombuffer(shard["bits"].iloc[0], dtype=np.uint8),
             int(shard["num_bits"].iloc[0]),

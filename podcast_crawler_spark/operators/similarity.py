@@ -66,10 +66,16 @@ def cosine_topk(
 
     ``queries`` is broadcast (small side by contract); the join is a
     BroadcastNestedLoopJoin over the corpus scan — one pass, no shuffle of
-    the corpus.  The final top-k is a per-query window over ``corpus_rows ×
-    n_queries`` scored rows; at 10^10 corpus rows insert a per-partition
-    pre-top-k (groupBy spark_partition_id + window) before the global one —
-    here n_queries·corpus fits the window directly.
+    the corpus.  The final top-k is two-phase: Catalyst rewrites the
+    ``row_number() ≤ k`` filter into ``WindowGroupLimit [query_id] …
+    Partial`` BELOW the exchange (each map task keeps only its own top-k
+    per query, bounded by its scan slice) and ``… Final`` above it — so
+    the per-query reduce task receives ~``num_partitions × k`` rows, never
+    the whole scored corpus, and the shuffle itself carries only the
+    surviving ``(ids, cos)`` triples.  This is the same union-of-partial-
+    top-k argument as the politeness window's two-phase selection
+    (``frontier.py``), done by the optimizer; the plan shape is pinned by
+    ``tests/test_similarity.py::test_topk_partial_window_group_limit``.
 
     Self-matches (same id) are excluded; ties break on neighbor id so
     results are deterministic and oracle-comparable.
@@ -287,6 +293,40 @@ def ivf_assign(
     return corpus.mapInPandas(_assign, schema=out_schema), C
 
 
+def _probe_cells(
+    queries: DataFrame,
+    C: np.ndarray,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Distributed query→probe-cell assignment: one matmul per Arrow batch
+    appends ``probe_cells: array<long>`` (the ``nprobe`` nearest centroid
+    cells, same argsort tie-break as the driver path).  No driver collect —
+    this is the bulk/corpus-vs-corpus path."""
+    out_schema = StructType(
+        [
+            queries.schema[id_col],
+            queries.schema[vec_col],
+            StructField("probe_cells", ArrayType(LongType()), False),
+        ]
+    )
+
+    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = b[[id_col, vec_col]].copy()
+            if len(b):
+                M = np.vstack(b[vec_col].to_numpy()).astype(np.float64)
+                Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+                order = np.argsort(-(Mn @ C.T), axis=1)[:, :nprobe]
+                out["probe_cells"] = list(order.astype(np.int64))
+            else:
+                out["probe_cells"] = []
+            yield out
+
+    return queries.select(id_col, vec_col).mapInPandas(_assign, out_schema)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -296,45 +336,65 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_driver_queries: int = 100_000,
+    distributed_queries: bool = False,
 ) -> DataFrame:
     """IVF approximate top-k: search only the ``nprobe`` nearest cells.
     Output shape matches ``cosine_topk``.  At scale: corpus written
     ``partitionBy(cell)`` → each query touches nprobe/n_cells of the data
     via partition pruning.
 
-    The query side is small BY CONTRACT (it's collected to the driver for
-    cell-probe planning and broadcast into the search) — the guard below
-    turns a violated contract into a loud error instead of a silent
-    driver OOM; for query sets beyond it, assign cells to queries
-    distributed (``ivf_assign`` on the query side) and join on cell."""
+    Two query-side modes:
+
+    - **small query set** (≤ ``max_driver_queries``): probe cells are
+      planned on the driver and the (query, cell) rows broadcast into the
+      search — the corpus never shuffles.
+    - **bulk query set** (``distributed_queries=True``, or automatically
+      when the guard count is exceeded): cells are assigned to queries
+      DISTRIBUTED (``_probe_cells`` — a mapInPandas matmul, no
+      ``toPandas``) and the search is a shuffle hash join on ``cell``;
+      each query's vector crosses the exchange ``nprobe`` times, which is
+      inherent to corpus-vs-corpus ANN.  Hot cells are ordinary join skew
+      — AQE's skew-join split applies.
+    """
     assigned, C = ivf_assign(corpus, n_cells, id_col, vec_col)
     spark = corpus.sparkSession
 
-    qpdf = queries.select(id_col, vec_col).limit(max_driver_queries + 1).toPandas()
-    if len(qpdf) > max_driver_queries:
-        raise ValueError(
-            f"ivf_topk query side exceeds max_driver_queries="
-            f"{max_driver_queries}; use distributed cell assignment for "
-            "bulk query sets"
+    if not distributed_queries:
+        qpdf = (
+            queries.select(id_col, vec_col)
+            .limit(max_driver_queries + 1)
+            .toPandas()
         )
-    Q = np.vstack(qpdf[vec_col].to_numpy()).astype(np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    probe_cells = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]
-    probe_rows = [
-        (int(qid), int(cell))
-        for qid, cells in zip(qpdf[id_col], probe_cells)
-        for cell in cells
-    ]
-    probes = spark.createDataFrame(probe_rows, "query_id long, cell long")
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    ).join(probes, "query_id")
+        if len(qpdf) > max_driver_queries:
+            distributed_queries = True  # bulk set → distributed assignment
+
+    corpus_side = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "cell"
+    )
+    if distributed_queries:
+        q = _probe_cells(queries, C, nprobe, id_col, vec_col).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.explode("probe_cells").alias("cell"),
+        )
+        joined = corpus_side.join(q, "cell")
+    else:
+        Q = np.vstack(qpdf[vec_col].to_numpy()).astype(np.float64)
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        probe_cells = np.argsort(-(Qn @ C.T), axis=1)[:, :nprobe]
+        probe_rows = [
+            (int(qid), int(cell))
+            for qid, cells in zip(qpdf[id_col], probe_cells)
+            for cell in cells
+        ]
+        probes = spark.createDataFrame(probe_rows, "query_id long, cell long")
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        ).join(probes, "query_id")
+        joined = corpus_side.join(F.broadcast(q), "cell")
 
     scored = (
-        assigned.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"), "cell"
-        )
-        .join(F.broadcast(q), "cell")
+        joined
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
     )

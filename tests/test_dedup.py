@@ -208,3 +208,64 @@ def test_dedup_clusters_raises_on_non_convergence(spark):
     df = spark.createDataFrame(chain, "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup_clusters(df, max_iters=3)
+
+
+def test_lsh_bucket_cap_star_candidates(spark):
+    """One degenerate bucket must contribute O(d) star candidates, never
+    d²/2 all-pairs."""
+    from podcast_crawler_spark.operators.dedup import _lsh_candidates
+
+    stacked = spark.range(1000).select(
+        "id", F.lit(0).alias("band"), F.lit("x").alias("bh")
+    )
+    cands = _lsh_candidates(stacked, 100).collect()
+    assert len(cands) == 999  # star to min id, not 499_500 all-pairs
+    assert all(r.id_a == 0 and r.id_b > 0 for r in cands)
+    # under the cap the same bucket expands all-pairs
+    small = spark.range(4).select(
+        "id", F.lit(0).alias("band"), F.lit("x").alias("bh")
+    )
+    assert _lsh_candidates(small, 100).count() == 6
+
+
+def test_lsh_bucket_cap_degenerate_corpus_end_to_end(spark):
+    """1000 identical docs (the all-boilerplate worst case): candidate
+    generation stays bounded, every star pair verifies at jaccard 1.0,
+    and the cluster decision is unchanged — one component, min-id head."""
+    from podcast_crawler_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit(
+            "the same boilerplate sentence repeated for every single "
+            "document in this degenerate corpus"
+        ).alias("text"),
+    )
+    pairs = minhash_lsh_pairs(docs, threshold=0.8, max_bucket_size=100)
+    rows = pairs.collect()
+    assert len(rows) == 999
+    assert all(r.id_a == 0 and abs(r.jaccard - 1.0) < 1e-12 for r in rows)
+    labels = dedup_clusters(pairs)
+    assert labels.filter(F.col("cluster_id") != 0).count() == 0
+    assert labels.count() == 1000
+
+
+def test_lsh_cap_equals_uncapped_without_hot_buckets(docs):
+    """On a corpus with no oversized bucket the capped default must return
+    the identical pair set as the uncapped exact path."""
+    from podcast_crawler_spark.operators.dedup import minhash_lsh_pairs
+
+    capped = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs, threshold=0.8).collect()
+    }
+    uncapped = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(
+            docs, threshold=0.8, max_bucket_size=None
+        ).collect()
+    }
+    assert capped == uncapped and len(capped) > 0

@@ -98,3 +98,64 @@ def test_embedding_neardup_verified(emb, emb_np):
         assert true_cos >= 0.35 - 1e-9
         assert abs(true_cos - r.cos) < 1e-5
         assert r.id_a < r.id_b
+
+
+def test_topk_partial_window_group_limit(emb):
+    """The 10^10 scale contract of every top-k: Catalyst must split the
+    rank filter into WindowGroupLimit Partial (below the exchange — each
+    map task keeps only its top-k per query) and Final (above it), so no
+    single task ever receives a query's whole scored corpus."""
+    from podcast_crawler_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    q = emb.filter(emb.vec_id < 4)
+    for name, df in [
+        ("cosine", cosine_topk(emb, q, k=5)),
+        ("lsh", lsh_topk(emb, q, k=5)),
+        ("ivf", ivf_topk(emb, q, k=5, n_cells=8, nprobe=4)),
+    ]:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        lines = plan.splitlines()
+        partial = [
+            i for i, l in enumerate(lines)
+            if "WindowGroupLimit" in l and "Partial" in l
+        ]
+        final = [
+            i for i, l in enumerate(lines)
+            if "WindowGroupLimit" in l and "Final" in l
+        ]
+        assert partial and final, (name, plan)
+        # Partial appears BELOW (later in the tree dump than) the Final +
+        # its exchange: Final line index < exchange < Partial line index
+        exch = [
+            i for i, l in enumerate(lines)
+            if "Exchange hashpartitioning(query_id" in l
+        ]
+        assert exch and final[0] < exch[0] < partial[0], (name, plan)
+
+
+def test_ivf_topk_distributed_bulk_queries(emb):
+    """A query set exceeding the driver guard no longer raises: it takes
+    the distributed cell-assignment path (mapInPandas matmul + shuffle
+    join on cell, zero toPandas).  With nprobe == n_cells every cell is
+    probed, so the result must EQUAL exact brute force."""
+    from podcast_crawler_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    q = emb.filter(emb.vec_id < 8)
+    got = ivf_topk(
+        emb, q, k=5, n_cells=8, nprobe=8, max_driver_queries=4
+    ).collect()
+    exact = cosine_topk(emb, q, k=5).collect()
+    key = lambda r: (r.query_id, r.rank)
+    got_m = {key(r): (r.neighbor_id, r.cos) for r in got}
+    exact_m = {key(r): (r.neighbor_id, r.cos) for r in exact}
+    assert set(got_m) == set(exact_m)
+    for kk, (nid, cos) in exact_m.items():
+        assert got_m[kk][0] == nid, (kk, got_m[kk], (nid, cos))
+        assert abs(got_m[kk][1] - cos) < 1e-6
