@@ -889,6 +889,24 @@ where bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
+# Shared oracle for the recall-characterized ANN queries: the exact side
+# (n_exact per query = size of the exact cosine top-5) is recomputed with
+# the same CTE as embed_cosine_topk; only the recall boolean is a
+# constant-true tripwire (it flips red via hash mismatch on regression).
+_ANN_RECALL_ORACLE = """
+    with q as (select vec_id qid, embedding qv from embeddings where vec_id < 8),
+    s as (select q.qid query_id, e.vec_id neighbor_id,
+                 list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) cos
+          from embeddings e cross join q where e.vec_id <> q.qid),
+    topk as (select query_id, neighbor_id,
+                    row_number() over (partition by query_id
+                       order by cos desc, neighbor_id) rank
+             from s qualify rank <= 5)
+    select query_id, count(*)::INT n_exact, true recall_ok
+    from topk group by query_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     en_stop = textstats.LANG_MARKERS["en"]
 
@@ -1216,14 +1234,13 @@ def oracle_sql() -> dict[str, str]:
                                         / len(codes)), 6) end rms
             from c
         """,
-        "embed_lsh_topk": """
-            select vec_id query_id, 5 n_exact, true recall_ok
-            from embeddings where vec_id < 8
-        """,
-        "embed_ivf_topk": """
-            select vec_id query_id, 5 n_exact, true recall_ok
-            from embeddings where vec_id < 8
-        """,
+        # n_exact is genuinely recomputed (the same exact-top-k CTE as
+        # embed_cosine_topk), so a Spark-side miscount of the exact top-k
+        # goes red on its own; recall_ok remains the quality tripwire —
+        # a recall regression below the floor flips it and the hash check
+        # fails
+        "embed_lsh_topk": _ANN_RECALL_ORACLE,
+        "embed_ivf_topk": _ANN_RECALL_ORACLE,
         "embed_neardup": f"""
             with e as (select vec_id, embedding::DOUBLE[] v from embeddings),
             p as (select a.vec_id id_a, b.vec_id id_b,
