@@ -20,6 +20,10 @@ wherever an oracle must reproduce a hash bit-for-bit).
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
+import tempfile
 from collections.abc import Callable
 from datetime import datetime, timezone
 
@@ -32,6 +36,26 @@ from podcast_crawler_spark.plans.epoch import init_crawl, run_crawl
 
 EPOCH0 = datetime(2025, 1, 1, tzinfo=timezone.utc)
 N_FEEDS = 200  # deterministic synthetic crawl corpus size for rows-only queries
+
+_SCRATCH_ROOT: str | None = None
+_SCRATCH_SEQ = 0
+
+
+def _scratch_dir(tag: str) -> str:
+    """A crawl-state dir that OUTLIVES the query builder: the driver
+    collects the returned DataFrame after the builder returns, so epoch
+    state must not live inside a ``with TemporaryDirectory()`` (the r2
+    workaround was a ``toPandas()`` round-trip — a driver-side collect in
+    the signature queries; this keeps them distributed end-to-end).
+    One root per process, removed at interpreter exit; /dev/shm when
+    present so the small contract-corpus parquet IO is memory-speed."""
+    global _SCRATCH_ROOT, _SCRATCH_SEQ
+    if _SCRATCH_ROOT is None:
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="pcs_entry_", dir=base)
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    _SCRATCH_SEQ += 1
+    return os.path.join(_SCRATCH_ROOT, f"{tag}-{_SCRATCH_SEQ}")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -697,49 +721,37 @@ def _crawl_schedule_order(spark, sf_dir):
     cfg = CrawlConfig(num_partitions=8)
     seeds = gen_seeds(spark, N_FEEDS, partitions=8)
     robots = gen_robots(spark, N_FEEDS)
-    import tempfile
-
-    with tempfile.TemporaryDirectory() as d:
-        state = init_crawl(spark, seeds, d, EPOCH0, cfg)
-        frontier = state.frontier.read(spark)
-        sched = schedule_epoch(frontier, robots, EPOCH0, cfg).select(
-            "url", "host", "host_seq", "planned_fetch_ts"
-        )
-        sched = spark.createDataFrame(
-            sched.toPandas(),
-            "url string, host string, host_seq int, planned_fetch_ts timestamp",
-        )  # materialize (with explicit schema) before tmpdir dies
-    return sched
+    state = init_crawl(spark, seeds, _scratch_dir("sched"), EPOCH0, cfg)
+    frontier = state.frontier.read(spark)
+    return schedule_epoch(frontier, robots, EPOCH0, cfg).select(
+        "url",
+        "host",
+        F.col("host_seq").cast("int").alias("host_seq"),
+        F.col("planned_fetch_ts").cast("timestamp").alias("planned_fetch_ts"),
+    )
 
 
 def _crawl_epoch_end2end(spark, sf_dir):
     from podcast_crawler_spark.sources.pagesgen import gen_pages, gen_robots, gen_seeds
 
-    import tempfile
-
     cfg = CrawlConfig(num_partitions=8, per_host_budget=100)
-    with tempfile.TemporaryDirectory() as d:
-        state = run_crawl(
-            spark,
-            d,
-            gen_seeds(spark, N_FEEDS, partitions=8),
-            gen_pages(spark, N_FEEDS, partitions=8),
-            gen_robots(spark, N_FEEDS),
-            epochs=1,
-            epoch0=EPOCH0,
-            cfg=cfg,
-        )
-        eps = (
-            state.episodes.read(spark)
-            .select("guid", "title", "enclosure_url", "enclosure_length", "pub_date")
-            .orderBy("guid")
-        )
-        out = spark.createDataFrame(
-            eps.toPandas(),
-            "guid string, title string, enclosure_url string,"
-            " enclosure_length bigint, pub_date timestamp",
-        )
-    return out
+    state = run_crawl(
+        spark,
+        _scratch_dir("end2end"),
+        gen_seeds(spark, N_FEEDS, partitions=8),
+        gen_pages(spark, N_FEEDS, partitions=8),
+        gen_robots(spark, N_FEEDS),
+        epochs=1,
+        epoch0=EPOCH0,
+        cfg=cfg,
+    )
+    return state.episodes.read(spark).select(
+        "guid",
+        "title",
+        "enclosure_url",
+        F.col("enclosure_length").cast("bigint").alias("enclosure_length"),
+        F.col("pub_date").cast("timestamp").alias("pub_date"),
+    )
 
 
 def _crawl_retry_diff(spark, sf_dir):
@@ -753,44 +765,94 @@ def _crawl_retry_diff(spark, sf_dir):
     # robots-denied.
     from podcast_crawler_spark.sources.pagesgen import gen_pages, gen_robots, gen_seeds
 
-    import tempfile
-
     cfg = CrawlConfig(per_host_budget=100, num_partitions=8)
-    with tempfile.TemporaryDirectory() as d:
-        state = run_crawl(
-            spark,
-            d,
-            gen_seeds(spark, N_FEEDS, partitions=8),
-            gen_pages(spark, N_FEEDS, partitions=8),
-            gen_robots(spark, N_FEEDS),
-            epochs=2,
-            epoch0=EPOCH0,
-            cfg=cfg,
+    state = run_crawl(
+        spark,
+        _scratch_dir("retrydiff"),
+        gen_seeds(spark, N_FEEDS, partitions=8),
+        gen_pages(spark, N_FEEDS, partitions=8),
+        gen_robots(spark, N_FEEDS),
+        epochs=2,
+        epoch0=EPOCH0,
+        cfg=cfg,
+    )
+    f_after_1 = state.frontier.read(spark, snapshot_id=2)
+    f_after_2 = state.frontier.read(spark, snapshot_id=3)
+    o = f_after_1.select(
+        "url",
+        F.col("retries").alias("o_retries"),
+        F.col("state").alias("o_state"),
+        F.col("next_fetch_ts").alias("o_nft"),
+    )
+    n = f_after_2.select("url", "retries", "state", "next_fetch_ts")
+    return (
+        n.join(o, "url")
+        .filter(
+            (F.col("retries") != F.col("o_retries"))
+            | (F.col("state") != F.col("o_state"))
+            | (F.col("next_fetch_ts") != F.col("o_nft"))
         )
-        f_after_1 = state.frontier.read(spark, snapshot_id=2)
-        f_after_2 = state.frontier.read(spark, snapshot_id=3)
-        o = f_after_1.select(
-            "url",
-            F.col("retries").alias("o_retries"),
-            F.col("state").alias("o_state"),
-            F.col("next_fetch_ts").alias("o_nft"),
-        )
-        n = f_after_2.select("url", "retries", "state", "next_fetch_ts")
-        diff = (
-            n.join(o, "url")
-            .filter(
-                (F.col("retries") != F.col("o_retries"))
-                | (F.col("state") != F.col("o_state"))
-                | (F.col("next_fetch_ts") != F.col("o_nft"))
-            )
-            .select("url", F.col("retries").cast("int").alias("retries"), "state")
-        )
-        # explicit schema: an empty diff must return zero rows, not crash
-        # schema inference on an empty pandas frame
-        out = spark.createDataFrame(
-            diff.toPandas(), "url string, retries int, state string"
-        )
-    return out
+        .select("url", F.col("retries").cast("int").alias("retries"), "state")
+    )
+
+
+def _crawl_discovery_loop(spark, sf_dir):
+    # The reference's frontier-growth lifecycle, end-to-end with a hard
+    # oracle: POST /add_task enqueues a URL that the NEXT cycle crawls
+    # (src/metrics.rs:30-43 -> task_management_system.rs:272-296).  Here
+    # epoch 1 crawls the seeds; parsing discovers episode enclosure +
+    # link URLs; ``admit_urls`` gates them through the persisted bloom
+    # shard index into the frontier; epoch 2 schedules and attempts
+    # them.  Output = the ADMITTED set (frontier snapshot diff across
+    # the admission, D3 seen-set semantics) with each row's
+    # post-epoch-2 scheduler outcome — the corpus has no pages for
+    # episode URLs, so every admitted row is a first-attempt fetch
+    # failure: retries=1, state='pending' (R1 taxonomy).  The oracle
+    # recomputes the same set from the parquet fixtures: episode
+    # enclosure/link URLs of cleanly-parsed scheduled feeds, minus the
+    # seed frontier.
+    from podcast_crawler_spark.plans.epoch import admit_urls, discovered_urls
+    from podcast_crawler_spark.sources.pagesgen import gen_pages, gen_robots, gen_seeds
+
+    # budget far above the corpus so the oracle needs no budget model:
+    # every due row is attempted each epoch
+    cfg = CrawlConfig(per_host_budget=100_000, num_partitions=8)
+    pages = gen_pages(spark, N_FEEDS, partitions=8)
+    robots = gen_robots(spark, N_FEEDS)
+    d = _scratch_dir("discovery")
+    state = run_crawl(
+        spark,
+        d,
+        gen_seeds(spark, N_FEEDS, partitions=8),
+        pages,
+        robots,
+        epochs=1,
+        epoch0=EPOCH0,
+        cfg=cfg,
+    )
+    pre_admit = state.frontier.current_snapshot_id()
+    admit_urls(spark, state, discovered_urls(state, spark), EPOCH0, cfg)
+    # resume: epoch 2 at +60 s picks up the admitted rows (due at EPOCH0)
+    run_crawl(
+        spark,
+        d,
+        gen_seeds(spark, N_FEEDS, partitions=8),
+        pages,
+        robots,
+        epochs=2,
+        epoch0=EPOCH0,
+        cfg=cfg,
+    )
+    f_pre = state.frontier.read(spark, snapshot_id=pre_admit)
+    f_post = state.frontier.read(spark)
+    return f_post.join(
+        f_pre.select("url_hash"), "url_hash", "left_anti"
+    ).select(
+        "canonical_url",
+        F.col("priority").cast("int").alias("priority"),
+        F.col("retries").cast("int").alias("retries"),
+        "state",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -844,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_schedule_order": _crawl_schedule_order,
         "crawl_epoch_end2end": _crawl_epoch_end2end,
         "crawl_retry_diff": _crawl_retry_diff,
+        "crawl_discovery_loop": _crawl_discovery_loop,
     }
 
 
@@ -1353,6 +1416,44 @@ def oracle_sql() -> dict[str, str]:
                      + to_microseconds(((host_seq - 1) * delay * 1000000)::BIGINT)
                      as planned_fetch_ts
             from ranked where host_seq <= 5
+        """,
+        "crawl_discovery_loop": f"""
+            with urls as (
+              select l.url as url, rank as priority
+              from (select rank, unnest(links) as l
+                    from read_parquet('{FIXTURES}/crawl_seeds.parquet'))
+              where l.name = 'rss' and length(l.url) > 0),
+            hosted as (
+              select url, priority,
+                     regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1) as host,
+                     regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) as path
+              from urls),
+            rules as (
+              select host as r_host, disallow_prefixes
+              from read_parquet('{FIXTURES}/crawl_robots.parquet')
+              where user_agent = 'PodcastCrawler/1.0' or user_agent = '*'),
+            allowed as (
+              select u.url from hosted u left join rules r on u.host = r.r_host
+              where not coalesce(
+                len(list_filter(r.disallow_prefixes, p -> starts_with(u.path, p))) > 0,
+                false)),
+            parsed_ok as (
+              select p.url from allowed a
+              join read_parquet('{FIXTURES}/crawl_pages.parquet') pg on a.url = pg.url
+              join read_parquet('{FIXTURES}/crawl_parse.parquet') p on a.url = p.url
+              where p.error_kind is null),
+            disc as (
+              select e.enclosure_url as url
+              from parsed_ok join read_parquet('{FIXTURES}/crawl_episodes.parquet') e using (url)
+              union
+              select e.link
+              from parsed_ok join read_parquet('{FIXTURES}/crawl_episodes.parquet') e using (url)),
+            admitted as (
+              select distinct url from disc
+              where url is not null and url not in (select url from urls))
+            select url as canonical_url, 1000000 as priority,
+                   1 as retries, 'pending' as state
+            from admitted
         """,
         "crawl_epoch_end2end": f"""
             with urls as (

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from datetime import datetime, timedelta, timezone
+from typing import Optional
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -76,6 +77,15 @@ class CrawlConfig:
     # (MEMORY_AND_DISK, spills per executor); True = explicit lz4 parquet
     # dataset for epochs far larger than cluster memory
     scratch_parquet: bool = False
+    # persisted seen-shard index (D3): bloom bits are sized ONCE at
+    # bootstrap for the crawl's target key count — set this to the
+    # expected final corpus (e.g. 10^10); None = 8× the bootstrap-time
+    # frontier as growth headroom (sandbox default)
+    seen_expected_keys: Optional[int] = None
+    # admission exact-verify strategy: bloom-maybe sets at most this big
+    # verify via broadcast-semi against the frontier scan (frontier never
+    # shuffled); beyond it, fall back to a plain shuffled anti-join
+    verify_broadcast_max_rows: int = 4_000_000
     # broadcast the scheduled slice into the fetch join (streams the pages
     # scan; html never shuffles) when the frontier is at most this many
     # rows.  0 = disabled (default): A/B at 500k rows showed no reliable

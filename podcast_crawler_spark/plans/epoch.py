@@ -74,6 +74,17 @@ class CrawlState:
     podcasts: SnapshotTable
     episodes: SnapshotTable
     metrics: SnapshotTable
+    # persisted D3 seen index: one bloom-bits row per key shard
+    # (pmod(url_hash, S)), bootstrapped once from the frontier and folded
+    # incrementally on every admission (``update_bloom_shards``) — the
+    # cross-epoch seen set the reference keeps implicitly in Postgres
+    # unique indexes (podcast_repository.rs:178-183,212-218).  INVARIANT:
+    # frontier membership only ever grows through ``init_crawl`` (seeds,
+    # pre-bootstrap) and ``admit_urls`` (which folds what it admits), so
+    # the shard bits always cover every frontier key — a Bloom false
+    # negative (the one failure the exact-verify join can't catch) cannot
+    # occur unless a caller writes frontier rows out-of-band.
+    seen_shards: SnapshotTable
 
     @classmethod
     def open(cls, root: str) -> "CrawlState":
@@ -83,6 +94,7 @@ class CrawlState:
             podcasts=SnapshotTable(root, "podcasts"),
             episodes=SnapshotTable(root, "episodes"),
             metrics=SnapshotTable(root, "metrics"),
+            seen_shards=SnapshotTable(root, "seen_shards"),
         )
 
     def completed_epochs(self) -> int:
@@ -480,6 +492,45 @@ def run_crawl(
     return state
 
 
+def seen_shards_current(
+    spark: SparkSession, state: CrawlState, cfg: CrawlConfig = CrawlConfig()
+) -> DataFrame:
+    """The persisted seen-shard table (one bloom-bits row per
+    ``pmod(url_hash, S)`` shard), bootstrapping it from the current
+    frontier on first use.
+
+    Bootstrap sizing: bloom bits never resize, so the filters are sized
+    for the crawl's TARGET key count (``cfg.seen_expected_keys``), not
+    today's frontier — default 8× the current frontier as growth
+    headroom.  Undersizing only degrades the pre-filter's pruning rate
+    (more maybes reach the exact verify); it never drops a URL.
+    """
+    existing = state.seen_shards.read(spark)
+    if existing is not None:
+        return existing
+    man = state.frontier.manifest() or {}
+    expected = cfg.seen_expected_keys or max(
+        (man.get("row_count") or 0) * 8, 100_000
+    )
+    from ..operators.seen import build_bloom_shards
+
+    shards = build_bloom_shards(
+        state.frontier.read(spark).select("url_hash"),
+        "url_hash",
+        cfg.num_partitions,
+        expected_keys=expected,
+    )
+    state.seen_shards.commit(
+        shards,
+        metrics={
+            "op": "seen_bootstrap",
+            "epoch": state.completed_epochs(),
+            "expected_keys": expected,
+        },
+    )
+    return state.seen_shards.read(spark)
+
+
 def admit_urls(
     spark: SparkSession,
     state: CrawlState,
@@ -492,22 +543,34 @@ def admit_urls(
     """Frontier growth: admit discovered URLs (e.g. episode links found by
     parsing — ``discovered_urls``) that are NOT already in the frontier.
 
-    The seen check is the D3 discipline: a **partitioned** Bloom filter
-    over the frontier's ``url_hash`` set prunes the candidate stream (at
-    10^10 frontier scale this cuts the anti-join's probe side by ~99%),
-    and the survivors are verified exactly with ``left_anti`` — Bloom
-    false positives only cost join rows, never a wrongly-dropped URL.
-    The shard filters are built and probed entirely on executors
-    (``seen.build_bloom_shards`` + cogroup probe) — at the 10^10 design
-    point the ~12 GB of filter bits never exist in one place, least of
-    all the driver.
+    The seen check is the D3 discipline over the PERSISTED shard index
+    (``state.seen_shards`` — bootstrapped once, folded incrementally):
+
+    * **probe** — candidates cogroup against the S persisted shard rows
+      (``seen.bloom_probe_partitioned``); cost O(candidates + S), the
+      frontier is not touched.  Definite-negatives (the vast majority of
+      genuinely-new URLs) are admitted with NO frontier access at all.
+    * **exact verify** — bloom "maybe" rows are verified against the
+      frontier key column without shuffling it: the frontier scan
+      semi-joins a *broadcast* of the maybe keys (a narrow, column-pruned
+      pass over the snapshot — the only O(frontier) cost, IO not
+      shuffle), and the resulting hit set (≤ maybes, tiny) broadcasts
+      back into an anti-join.  False positives therefore only cost join
+      rows, never a wrongly-dropped URL.  Above
+      ``cfg.verify_broadcast_max_rows`` maybes the verify falls back to
+      a plain anti-join (shuffle both sides) — the safe path when an
+      admission batch is almost entirely duplicates at 10^9+ scale.
+    * **fold** — after the frontier commit the candidate keys are OR-ed
+      into the shard table (``seen.update_bloom_shards``: one cogroup of
+      O(new keys + S rows)) and committed as the next ``seen_shards``
+      snapshot.  Never a rebuild over the full frontier — the r2 design
+      rebuilt the shards from the frontier on every call, O(frontier)
+      per admission.
 
     *urls* needs a ``url`` column; returns the new frontier snapshot id.
     Discovered URLs get a low priority (crawled after all seeds at equal
     due-time) and the standard retry budget.
     """
-    from ..operators.seen import filter_unseen
-
     frontier = state.frontier.read(spark)
     cand = (
         urls.select("url")
@@ -520,20 +583,62 @@ def admit_urls(
         F.col("_rn") == 1
     ).drop("_rn")
 
-    seen_keys = frontier.select("url_hash")
     if use_bloom:
-        expected = state.frontier.manifest().get("row_count") or 100_000
-        fresh = filter_unseen(
-            cand,
-            seen_keys,
-            None,
-            "url_hash",
-            partitioned=True,
-            num_shards=cfg.num_partitions,
-            expected_keys=expected,
+        shards = seen_shards_current(spark, state, cfg)
+        fresh, probed = _unseen_via_shards(frontier, cand, shards, cfg)
+        try:
+            snap = _commit_admission(
+                state, frontier, cand, fresh, epoch_ts, cfg, priority
+            )
+        finally:
+            probed.unpersist()
+        return snap
+    fresh = cand.join(frontier.select("url_hash"), "url_hash", "left_anti")
+    return _commit_admission(state, frontier, cand, fresh, epoch_ts, cfg, priority)
+
+
+def _unseen_via_shards(
+    frontier: DataFrame, cand: DataFrame, shards: DataFrame, cfg: CrawlConfig
+):
+    """The shard-probe + exact-verify lineage (see ``admit_urls``).
+    Returns ``(fresh, probed)`` — *probed* is persisted; the caller
+    unpersists it once *fresh* has been consumed."""
+    from ..operators.seen import bloom_probe_partitioned
+
+    probed = bloom_probe_partitioned(
+        cand, shards, "url_hash", cfg.num_partitions
+    ).persist()
+    definite_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybes = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+    # cheap after the persist above — gates the verify strategy
+    n_maybes = maybes.count()
+    seen_keys = frontier.select("url_hash")
+    if n_maybes == 0:
+        fresh = definite_new
+    elif n_maybes <= cfg.verify_broadcast_max_rows:
+        hits = seen_keys.join(
+            F.broadcast(maybes.select("url_hash")), "url_hash", "left_semi"
+        )
+        fresh = definite_new.unionByName(
+            maybes.join(F.broadcast(hits), "url_hash", "left_anti")
         )
     else:
-        fresh = cand.join(seen_keys, "url_hash", "left_anti")
+        fresh = definite_new.unionByName(
+            maybes.join(seen_keys, "url_hash", "left_anti")
+        )
+    return fresh, probed
+
+
+def _commit_admission(
+    state: CrawlState,
+    frontier: DataFrame,
+    cand: DataFrame,
+    fresh: DataFrame,
+    epoch_ts: datetime,
+    cfg: CrawlConfig,
+    priority: int,
+) -> int:
+    from ..operators.seen import update_bloom_shards
 
     rows = fresh.select(
         "url",
@@ -555,12 +660,40 @@ def admit_urls(
         )
         .alias("stages"),
     )
-    return state.frontier.commit(
+    snap = state.frontier.commit(
         frontier.unionByName(rows.select(*frontier.columns)).repartition(
             cfg.num_partitions, "host_hash"
         ),
         metrics={"epoch": state.completed_epochs(), "op": "admit_discovered"},
     )
+    # Fold the admission's keys into the persisted shard index so the next
+    # admission probes a complete seen set.  Folding ALL candidate keys
+    # (not just the admitted subset) is equivalent and cheaper: a
+    # candidate either was admitted (must fold) or was already in the
+    # frontier (its bits are already set — OR is idempotent), and it
+    # avoids re-running the probe+verify lineage just to isolate the
+    # admitted keys.  Runs whenever the shard table exists (even on the
+    # use_bloom=False path) so the index never goes stale.
+    spark = frontier.sparkSession
+    if state.seen_shards.current_snapshot_id() is not None:
+        man = state.seen_shards.manifest() or {}
+        expected = (man.get("metrics") or {}).get("expected_keys") or 100_000
+        new_shards = update_bloom_shards(
+            state.seen_shards.read(spark),
+            cand.select("url_hash"),
+            "url_hash",
+            cfg.num_partitions,
+            expected_keys_per_shard=max(1, expected // cfg.num_partitions),
+        )
+        state.seen_shards.commit(
+            new_shards,
+            metrics={
+                "op": "seen_fold",
+                "epoch": state.completed_epochs(),
+                "expected_keys": expected,
+            },
+        )
+    return snap
 
 
 def discovered_urls(state: CrawlState, spark: SparkSession) -> DataFrame:

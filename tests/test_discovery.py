@@ -75,6 +75,106 @@ def test_admit_discovered_bloom_vs_exact(spark, crawled):
     assert crawled.frontier.read(spark).count() == n_before + expected_new
 
 
+def _url_batch(spark, lo, hi, extra=()):
+    urls = [f"https://h{i % 7}.pods.example/ep/{i}.mp3" for i in range(lo, hi)]
+    urls.extend(extra)
+    return spark.createDataFrame([(u,) for u in urls], "url string")
+
+
+def test_admission_incremental_shards_equals_rebuild(spark, tmp_path_factory):
+    """Three admission rounds through the PERSISTED shard index (bootstrap
+    once, then incremental ``update_bloom_shards`` folds) admit exactly
+    the frontier the plain anti-join path admits — including rounds whose
+    batches overlap earlier admissions (true-positive maybes) — and each
+    round after the first is a FOLD commit, never a rebuild."""
+    roots = [str(tmp_path_factory.mktemp(k)) for k in ("inc", "exact")]
+    states = []
+    for root in roots:
+        states.append(
+            run_crawl(
+                spark,
+                root,
+                gen_seeds(spark, 40, partitions=2),
+                gen_pages(spark, 40, partitions=2),
+                gen_robots(spark, 40, partitions=2),
+                epochs=1,
+                epoch0=EPOCH0,
+                cfg=CFG,
+            )
+        )
+    inc, exact = states
+    # round 2 re-offers round 1's URLs (maybes that ARE seen); round 3
+    # mixes new URLs with round-1 stragglers
+    batches = [
+        _url_batch(spark, 0, 50),
+        _url_batch(spark, 0, 80),
+        _url_batch(spark, 70, 120, extra=["https://h1.pods.example/ep/3.mp3"]),
+    ]
+    for b in batches:
+        admit_urls(spark, inc, b, EPOCH0, CFG, use_bloom=True)
+        admit_urls(spark, exact, b, EPOCH0, CFG, use_bloom=False)
+        fa = inc.frontier.read(spark)
+        fb = exact.frontier.read(spark)
+        assert fa.count() == fb.count()
+        assert (
+            fa.select("canonical_url")
+            .exceptAll(fb.select("canonical_url"))
+            .count()
+            == 0
+        )
+    # shard-table lineage: 1 bootstrap + one fold per admission round
+    ops = [
+        (inc.seen_shards.manifest(s).get("metrics") or {}).get("op")
+        for s in inc.seen_shards.snapshot_ids()
+    ]
+    assert ops == ["seen_bootstrap", "seen_fold", "seen_fold", "seen_fold"]
+    # the exact path never bootstrapped a shard table
+    assert exact.seen_shards.current_snapshot_id() is None
+
+
+def test_admission_definite_new_never_scans_frontier(spark, tmp_path_factory):
+    """O(new keys + S) admission: when the shard probe says definitely-new
+    for every candidate, the admitted-set lineage contains NO scan of the
+    frontier snapshot — the only frontier access is the final union for
+    the commit.  (Bloom false positives add a narrow column-pruned verify
+    pass; they never shuffle the frontier.)"""
+    from podcast_crawler_spark.plans.epoch import (
+        _unseen_via_shards,
+        seen_shards_current,
+    )
+    from podcast_crawler_spark.functions.urlfns import (
+        canonicalize_url,
+        url_hash,
+    )
+
+    root = str(tmp_path_factory.mktemp("plan"))
+    state = run_crawl(
+        spark,
+        root,
+        gen_seeds(spark, 30, partitions=2),
+        gen_pages(spark, 30, partitions=2),
+        gen_robots(spark, 30, partitions=2),
+        epochs=1,
+        epoch0=EPOCH0,
+        cfg=CFG,
+    )
+    shards = seen_shards_current(spark, state, CFG)
+    cand = (
+        _url_batch(spark, 500, 540)
+        .withColumn("canonical_url", canonicalize_url(F.col("url")))
+        .withColumn("url_hash", url_hash(F.col("canonical_url")))
+    )
+    frontier = state.frontier.read(spark)
+    fresh, probed = _unseen_via_shards(frontier, cand, shards, CFG)
+    try:
+        plan = fresh._jdf.queryExecution().executedPlan().toString()
+        # the frontier parquet lives under <root>/frontier/data/
+        assert "frontier/data" not in plan
+        assert fresh.count() == 40
+    finally:
+        probed.unpersist()
+
+
 def test_admitted_urls_schedule_after_seeds(spark, crawled):
     """Discovered URLs carry low priority: within a host, seeds rank
     before discovered rows in the politeness queue."""

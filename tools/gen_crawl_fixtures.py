@@ -89,6 +89,7 @@ EPISODES_SCHEMA = pa.schema(
         pa.field("enclosure_url", pa.string()),
         pa.field("enclosure_length", pa.int64()),
         pa.field("pub_date", pa.timestamp("us")),
+        pa.field("link", pa.string()),
     ]
 )
 
@@ -131,6 +132,7 @@ def build_tables():
                         "enclosure_url": ep["enclosure_url"],
                         "enclosure_length": ep["enclosure_length"],
                         "pub_date": ep["pub_date"],
+                        "link": ep["link"],
                     }
                 )
     return (
