@@ -131,13 +131,20 @@ def ngram_jaccard_pairs(
         # exceed the cap) → broadcast it into both the anti-join below and
         # the hot-contribution joins, so the shingle stream never shuffles
         # for the cap bookkeeping
-        hot = F.broadcast(
+        hot_df = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("df_"))
             .filter(F.col("df_") > max_shingle_freq)
             .select("shingle")
         )
-        cand_src = sh.join(hot, "shingle", "left_anti")
+        # eager emptiness probe (one map-side-combine agg over the cached
+        # shingles): most corpora have NO hot shingle, and the cap's
+        # bookkeeping — anti-join + three hot-overlap joins — measured
+        # ~40% overhead at sf0.1 when it all joins empty inputs.  With no
+        # hot shingle the capped plan is exactly the uncapped plan.
+        if not hot_df.isEmpty():
+            hot = F.broadcast(hot_df)
+            cand_src = sh.join(hot, "shingle", "left_anti")
 
     a = cand_src.select(F.col("id").alias("id_a"), "shingle")
     b = cand_src.select(F.col("id").alias("id_b"), "shingle")
@@ -147,11 +154,10 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("common"))
     )
-    if max_shingle_freq is not None:
+    if hot is not None:
         # exact |A∩B| for candidates = cold overlap (just counted) + hot
         # overlap, recomputed ONLY over the hot shingle occurrences —
-        # |pairs|·hot-per-doc join rows, not the full-set re-join; when no
-        # shingle is hot this whole branch joins empty inputs for free
+        # |pairs|·hot-per-doc join rows, not the full-set re-join
         hot_occ = sh.join(hot, "shingle", "left_semi")
         hot_a = hot_occ.select(F.col("id").alias("id_a"), "shingle")
         hot_b = hot_occ.select(F.col("id").alias("id_b"), "shingle")
