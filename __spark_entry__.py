@@ -30,7 +30,7 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from podcast_crawler_spark.operators import dedup, multimodal, similarity, textstats
+from podcast_crawler_spark.operators import curation, dedup, multimodal, similarity, textstats
 from podcast_crawler_spark.operators.frontier import CrawlConfig, schedule_epoch, seed_scan
 from podcast_crawler_spark.plans.epoch import init_crawl, run_crawl
 
@@ -548,6 +548,48 @@ def _doc_fingerprints(spark, sf_dir):
     return textstats.fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def _repetition_scores(spark, sf_dir):
+    return curation.repetition_scores(_t(spark, sf_dir, "documents"))
+
+
+def _decontaminate(spark, sf_dir):
+    # benchmark set = every 97th document; a training doc is contaminated
+    # iff it shares an 8-token gram with any benchmark doc (which flags
+    # the benchmark members themselves plus their near-copies)
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return curation.contamination(docs, bench)
+
+
+def _pii_scrub(spark, sf_dir):
+    # the synthetic corpus carries no PII, so the query injects a
+    # deterministic email/phone/IP suffix into every 7th doc — the oracle
+    # injects the identical suffix, so counts and the redacted-text md5
+    # are exact
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-867-5309 at 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".1"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    out = curation.pii_scrub(docs)
+    return out.select(
+        "id",
+        "n_emails",
+        "n_phones",
+        "n_ips",
+        F.md5("redacted").alias("red_md5"),
+    )
+
+
 def _rate_limit_slots(spark, sf_dir):
     # X4 governor recurrence as a batch operator (the SAME numpy kernel
     # the stateful streaming rate limiter carries across micro-batches):
@@ -896,6 +938,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_documents": _sample_documents,
         "sample_stratified": _sample_stratified,
         "vocab_top_terms": _vocab_top_terms,
+        "repetition_scores": _repetition_scores,
+        "decontaminate": _decontaminate,
+        "pii_scrub": _pii_scrub,
         "mm_image_meta": _mm_image_meta,
         "mm_video_frames": _mm_video_frames,
         "mm_image_resize": _mm_image_resize,
@@ -1274,6 +1319,58 @@ def oracle_sql() -> dict[str, str]:
             select t token, count(distinct doc_id) doc_freq, count(*) total_tf
             from tok where length(t) > 0
             group by t order by doc_freq desc, t limit 100
+        """,
+        "repetition_scores": """
+            with toks as (
+              select doc_id id,
+                     list_filter(string_split(text,' '), x -> len(x)>0)[1:256] t
+              from documents),
+            g as (select id, [array_to_string(t[i:i+1],' ')
+                   for i in range(1, greatest(len(t)-2,0)+2)] gr from toks),
+            d as (select id, gr, list_distinct(gr) dg from g),
+            tc as (select id, gr, dg,
+                   list_max(list_transform(dg,
+                     y -> len(list_filter(gr, x -> x = y)))) top_c from d)
+            select id, len(gr)::INT n_grams, len(dg)::INT n_distinct,
+                   round((len(gr)-len(dg))/len(gr), 6) dup_ngram_frac,
+                   top_c::INT top_ngram_count,
+                   round(top_c/len(gr), 6) top_ngram_frac
+            from tc
+        """,
+        "decontaminate": """
+            with toks as (
+              select doc_id id,
+                     list_filter(string_split(text,' '), x -> len(x)>0)[1:256] t
+              from documents),
+            g as (select id, [md5(array_to_string(t[i:i+7],' '))
+                   for i in range(1, greatest(len(t)-8,0)+2)] gr from toks),
+            bench as (select distinct g from
+                      (select unnest(gr) g from g where id % 97 = 0)),
+            dg as (select id, unnest(list_distinct(gr)) g from g),
+            hits as (select dg.id, count(*) n from dg
+                     join bench using(g) group by dg.id)
+            select g.id, coalesce(hits.n, 0)::INT n_contaminated,
+                   coalesce(hits.n, 0) > 0 contaminated
+            from g left join hits using(id)
+        """,
+        "pii_scrub": """
+            with d as (select doc_id,
+              case when doc_id % 7 = 0 then
+                text || ' contact user' || doc_id::VARCHAR
+                     || '@example.com or 555-867-5309 at 10.0.'
+                     || (doc_id % 256)::VARCHAR || '.1'
+              else text end t from documents)
+            select doc_id id,
+              len(regexp_extract_all(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::INT n_emails,
+              len(regexp_extract_all(t, '\\b\\d{3}-\\d{3}-\\d{4}\\b'))::INT n_phones,
+              len(regexp_extract_all(t,
+                '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::INT n_ips,
+              md5(regexp_replace(regexp_replace(regexp_replace(t,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+                '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g')) red_md5
+            from d
         """,
         "mm_image_resize": """
             select doc_id media_id, 64 width, 64 height,

@@ -1,0 +1,199 @@
+"""Corpus-curation operators beyond dedup: repetition filtering,
+benchmark decontamination, PII redaction.
+
+These are the remaining standard passes of a web-text training-data
+pipeline (Gopher §A.1.1 repetition rules, GPT-3/PaLM-style benchmark
+decontamination, pre-release PII scrubbing).  Reference anchor: the
+crawler's own sanitize/validate stage (`feed_parser/mod.rs:118-141`
+rejects empty/invalid text per-item) — these operators are the
+corpus-level generalization of that per-item hygiene.
+
+Scale design, same contract as :mod:`textstats`:
+
+- ``repetition_scores`` and ``pii_scrub`` are pure column expressions —
+  whole-stage codegen, zero shuffle, O(bytes scanned), embarrassingly
+  parallel at 100 TB.  Repetition n-gram statistics are computed over
+  the first ``max_tokens`` tokens (default 256) so the per-document
+  array work is bounded (≤ max_tokens² comparisons) regardless of
+  document length — the standard truncation used by production quality
+  classifiers.
+- ``contamination`` joins the corpus against a benchmark n-gram set.
+  The default path aggregates the benchmark grams into a single-row
+  ``collect_set`` and broadcasts it (one broadcast nested-loop join
+  against ONE row, then a map-side ``array_intersect`` — the corpus
+  never shuffles).  That holds while the benchmark gram set fits in a
+  broadcast (~10^7 grams ≈ 300 MB of md5 strings); for larger benchmark
+  suites pass ``broadcast_bench=False`` to switch to the exploded
+  semi-join path whose shuffle is keyed by gram hash (corpus-sized map
+  output, benchmark-sized build side).
+
+Every operator is deterministic arithmetic/regex over the text, so the
+ANSI-SQL oracles reproduce it bit-for-bit (Java and RE2 regex semantics
+coincide on the conservative character-class patterns used here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Conservative PII patterns valid (and identical) in Java regex and RE2.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def _tokens(text: Column, max_tokens: int) -> Column:
+    return F.slice(
+        F.filter(F.split(text, " "), lambda t: F.length(t) > 0), 1, max_tokens
+    )
+
+
+def _grams(toks: Column, n: int) -> Column:
+    """Token n-grams as joined strings; a doc shorter than *n* tokens
+    yields its single (short) whole-doc gram — same convention as
+    :func:`textstats.fingerprints`."""
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+
+
+def repetition_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    max_tokens: int = 256,
+) -> DataFrame:
+    """Gopher-style repetition features over token *n*-grams:
+
+    - ``n_grams`` / ``n_distinct`` — gram count and distinct-gram count
+    - ``dup_ngram_frac`` — fraction of grams that repeat an earlier gram
+    - ``top_ngram_count`` / ``top_ngram_frac`` — occurrences and mass of
+      the single most frequent gram (the "most common 2-gram fraction"
+      rule used to drop looping/boilerplate pages)
+
+    All array expressions (no explode, no shuffle).  The top-gram count
+    is a sort + one run-length pass over the sorted gram array —
+    O(g log g) per document.  (A nested ``transform(distinct,
+    filter(grams, ...))`` formulation is O(g³): higher-order-function
+    lambdas re-evaluate the captured gram-construction expression per
+    outer element, which measured ~10× slower.)
+    """
+    toks = _tokens(F.col(text_col), max_tokens)
+    staged = df.select(
+        F.col(id_col).alias("id"), _grams(toks, n).alias("grams")
+    )
+    grams = F.col("grams")
+    # Longest run in the sorted array == max gram multiplicity.  The
+    # accumulator's prev starts NULL so the first element always takes
+    # the otherwise(1) branch (x == NULL is NULL, never true).
+    top_count = F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    n_grams = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    return staged.select(
+        "id",
+        n_grams.alias("n_grams"),
+        n_distinct.alias("n_distinct"),
+        F.round((n_grams - n_distinct) / n_grams, 6).alias("dup_ngram_frac"),
+        top_count.alias("top_ngram_count"),
+        F.round(top_count / n_grams, 6).alias("top_ngram_frac"),
+    )
+
+
+def contamination(
+    df: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    max_tokens: int = 256,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: ``(id, n_contaminated, contaminated)``
+    — per corpus document, the number of DISTINCT token *n*-grams it
+    shares with *bench* (any document of the benchmark set), and whether
+    that is > 0.  Grams are md5-hashed so only 16-byte digests travel.
+
+    The broadcast path (default) never shuffles the corpus: benchmark
+    grams collapse to one ``collect_set`` row, cross-joined (1 row)
+    and intersected map-side.  ``broadcast_bench=False`` switches to an
+    exploded gram semi-join + per-doc count for benchmark suites too
+    large to broadcast; both paths are equality-tested.
+    """
+    doc_grams = F.transform(
+        _grams(_tokens(F.col(text_col), max_tokens), n), F.md5
+    )
+    docs = df.select(F.col(id_col).alias("id"), doc_grams.alias("gr"))
+    bench_grams = bench.select(
+        F.explode(F.transform(_grams(_tokens(F.col(text_col), max_tokens), n), F.md5)).alias("g")
+    ).distinct()
+    if broadcast_bench:
+        bench_set = bench_grams.agg(F.collect_set("g").alias("bench_set"))
+        hit = (
+            docs.crossJoin(F.broadcast(bench_set))
+            .select(
+                "id",
+                F.size(F.array_intersect("gr", "bench_set")).alias("n_contaminated"),
+            )
+        )
+    else:
+        exploded = docs.select("id", F.explode_outer(F.array_distinct("gr")).alias("g"))
+        counts = (
+            exploded.join(bench_grams, "g", "left_semi")
+            .groupBy("id")
+            .agg(F.count("*").alias("n_hit"))
+        )
+        hit = (
+            docs.select("id")
+            .join(counts, "id", "left")
+            .select(
+                "id",
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("int").alias("n_contaminated"),
+            )
+        )
+    return hit.withColumn("contaminated", F.col("n_contaminated") > 0)
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails, US-style phone numbers and IPv4 literals:
+    ``(id, redacted, n_emails, n_phones, n_ips)``.
+
+    Emails are replaced first (their domain part could otherwise be
+    re-matched as an IPv4), then IPs, then phones.  Counts are taken on
+    the original text.  Pure regex column expressions — map-side only.
+    """
+    text = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        redacted.alias("redacted"),
+        F.regexp_count(text, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(text, F.lit(PHONE_RE)).alias("n_phones"),
+        F.regexp_count(text, F.lit(IPV4_RE)).alias("n_ips"),
+    )

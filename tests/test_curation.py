@@ -1,0 +1,134 @@
+"""Curation operator tests (repetition, decontamination, PII) against
+straight-line python oracles and brute-force recomputations."""
+
+from collections import Counter
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def _brute_rep(text, n=2, max_tokens=256):
+    toks = [t for t in text.split(" ") if t][:max_tokens]
+    grams = [" ".join(toks[i : i + n]) for i in range(max(len(toks) - n, 0) + 1)]
+    top = max(Counter(grams).values())
+    return (
+        len(grams),
+        len(set(grams)),
+        round((len(grams) - len(set(grams))) / len(grams), 6),
+        top,
+        round(top / len(grams), 6),
+    )
+
+
+def test_repetition_scores_handcrafted(spark):
+    from podcast_crawler_spark.operators.curation import repetition_scores
+
+    rows = [
+        (1, "a b a b a b a b"),  # "a b" x4, "b a" x3
+        (2, "x x x x x"),  # single repeated gram "x x" x4
+        (3, "one two three four"),  # all distinct
+        (4, "solo"),  # shorter than n -> one whole-doc gram
+        (5, "  padded   tokens  "),  # empty-token filtering
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r for r in repetition_scores(df).collect()}
+    for doc_id, text in rows:
+        ng, nd, dup, top, topf = _brute_rep(text)
+        r = got[doc_id]
+        assert (r.n_grams, r.n_distinct, r.top_ngram_count) == (ng, nd, top), text
+        assert abs(r.dup_ngram_frac - dup) < 1e-9
+        assert abs(r.top_ngram_frac - topf) < 1e-9
+    # spot values: doc 1 has 7 grams, 2 distinct, top "a b" x4
+    assert got[1].n_grams == 7 and got[1].n_distinct == 2
+    assert got[1].top_ngram_count == 4
+    assert got[2].top_ngram_count == 4 and got[2].n_distinct == 1
+    assert got[3].dup_ngram_frac == 0.0
+    assert got[4].n_grams == 1 and got[4].top_ngram_count == 1
+
+
+def test_repetition_scores_brute_force_corpus(docs):
+    from podcast_crawler_spark.operators.curation import repetition_scores
+
+    got = {r.id: r for r in repetition_scores(docs).collect()}
+    for row in docs.toPandas().head(40).itertuples():
+        ng, nd, dup, top, topf = _brute_rep(row.text)
+        r = got[row.doc_id]
+        assert (r.n_grams, r.n_distinct, r.top_ngram_count) == (ng, nd, top)
+        assert abs(r.dup_ngram_frac - dup) < 1e-9
+
+
+def test_repetition_scores_map_side_only(docs):
+    from podcast_crawler_spark.operators.curation import repetition_scores
+
+    plan = repetition_scores(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_contamination_handcrafted(spark):
+    from podcast_crawler_spark.operators.curation import contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5 w6 w7 w8 tail"),  # shares the 8-gram prefix
+            (2, "clean text with no overlap at all here ok"),
+            (3, "w1 w2 w3 w4 w5 w6 w7 w8"),  # the benchmark doc itself
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(3, "w1 w2 w3 w4 w5 w6 w7 w8")], "doc_id long, text string"
+    )
+    got = {r.id: r for r in contamination(corpus, bench).collect()}
+    assert got[1].contaminated and got[1].n_contaminated == 1
+    assert not got[2].contaminated and got[2].n_contaminated == 0
+    assert got[3].contaminated
+
+
+def test_contamination_broadcast_vs_exploded(spark, docs):
+    from podcast_crawler_spark.operators.curation import contamination
+
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    a = contamination(docs, bench, broadcast_bench=True)
+    b = contamination(docs, bench, broadcast_bench=False)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_pii_scrub_handcrafted(spark):
+    from podcast_crawler_spark.operators.curation import pii_scrub
+
+    rows = [
+        (1, "mail me at jo.doe+x@sub.example.org thanks"),
+        (2, "call 555-867-5309 or 123-456-7890 now"),
+        (3, "server at 10.0.0.1 and 192.168.12.255 up"),
+        (4, "mixed a@b.co 1.2.3.4 999-888-7777"),
+        (5, "none of the above"),
+        # email domain must NOT be re-matched as phone/ip after redaction
+        (6, "x@10.22.33.com stays one email"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r for r in pii_scrub(df).collect()}
+    assert (got[1].n_emails, got[1].n_phones, got[1].n_ips) == (1, 0, 0)
+    assert got[1].redacted == "mail me at <EMAIL> thanks"
+    assert (got[2].n_emails, got[2].n_phones, got[2].n_ips) == (0, 2, 0)
+    assert got[2].redacted == "call <PHONE> or <PHONE> now"
+    assert (got[3].n_emails, got[3].n_phones, got[3].n_ips) == (0, 0, 2)
+    assert got[3].redacted == "server at <IP> and <IP> up"
+    assert got[4].redacted == "mixed <EMAIL> <IP> <PHONE>"
+    assert got[5].redacted == "none of the above"
+    assert (got[6].n_emails, got[6].n_phones, got[6].n_ips) == (1, 0, 0)
+    assert got[6].redacted == "<EMAIL> stays one email"
+
+
+def test_pii_scrub_map_side_only(docs):
+    from podcast_crawler_spark.operators.curation import pii_scrub
+
+    plan = pii_scrub(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
