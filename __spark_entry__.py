@@ -590,6 +590,18 @@ def _pii_scrub(spark, sf_dir):
     )
 
 
+def _pack_shards(spark, sf_dir):
+    # concatenate-and-chunk sequence packing: exclusive prefix sum of
+    # whitespace token counts in doc_id order -> start_offset, and
+    # shard_id = start_offset // budget.  Spark runs the two-phase
+    # bucketed distributed scan (curation.pack_shards); the oracle is
+    # the textbook single-node global window, so the distributed
+    # offset-folding is checked bit-for-bit.
+    return curation.pack_shards(
+        _t(spark, sf_dir, "documents"), budget=2048
+    )
+
+
 def _rate_limit_slots(spark, sf_dir):
     # X4 governor recurrence as a batch operator (the SAME numpy kernel
     # the stateful streaming rate limiter carries across micro-batches):
@@ -941,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": _repetition_scores,
         "decontaminate": _decontaminate,
         "pii_scrub": _pii_scrub,
+        "pack_shards": _pack_shards,
         "mm_image_meta": _mm_image_meta,
         "mm_video_frames": _mm_video_frames,
         "mm_image_resize": _mm_image_resize,
@@ -1371,6 +1384,21 @@ def oracle_sql() -> dict[str, str]:
                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
                 '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g')) red_md5
             from d
+        """,
+        "pack_shards": """
+            with toks as (
+              select doc_id id,
+                     len(list_filter(string_split(text, ' '),
+                         x -> len(x) > 0))::BIGINT n_tokens
+              from documents),
+            packed as (select id, n_tokens,
+              coalesce(sum(n_tokens) over (order by id
+                rows between unbounded preceding and 1 preceding),
+                0)::BIGINT start_offset
+              from toks)
+            select id, n_tokens::INT n_tokens, start_offset,
+                   (start_offset // 2048)::BIGINT shard_id
+            from packed
         """,
         "mm_image_resize": """
             select doc_id media_id, 64 width, 64 height,

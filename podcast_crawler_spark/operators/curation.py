@@ -1,5 +1,5 @@
 """Corpus-curation operators beyond dedup: repetition filtering,
-benchmark decontamination, PII redaction.
+benchmark decontamination, PII redaction, sequence packing.
 
 These are the remaining standard passes of a web-text training-data
 pipeline (Gopher §A.1.1 repetition rules, GPT-3/PaLM-style benchmark
@@ -26,6 +26,17 @@ Scale design, same contract as :mod:`textstats`:
   suites pass ``broadcast_bench=False`` to switch to the exploded
   semi-join path whose shuffle is keyed by gram hash (corpus-sized map
   output, benchmark-sized build side).
+- ``pack_shards`` needs a GLOBAL prefix sum over the corpus — the one
+  curation primitive a naive ``Window.orderBy`` turns into a single
+  task holding every row.  It is implemented as the classic two-phase
+  distributed scan over order-aligned buckets: ``bkt = (id - min_id)
+  // width`` is monotonic in the order key, so every row of bucket b
+  precedes every row of bucket b+1 and a per-bucket windowed cumsum is
+  a *local* prefix sum.  The bucket window's own hash exchange is the
+  single corpus-size shuffle in the plan; the windowed rows are cached
+  (4 longs/row) so both consumers read one shuffle write, and the B
+  per-bucket totals (B ≈ shuffle partitions, metadata-scale) fold into
+  exclusive bucket offsets under a B-row window and broadcast back.
 
 Every operator is deterministic arithmetic/regex over the text, so the
 ANSI-SQL oracles reproduce it bit-for-bit (Java and RE2 regex semantics
@@ -34,7 +45,7 @@ coincide on the conservative character-class patterns used here).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Conservative PII patterns valid (and identical) in Java regex and RE2.
@@ -196,4 +207,114 @@ def pii_scrub(
         F.regexp_count(text, F.lit(EMAIL_RE)).alias("n_emails"),
         F.regexp_count(text, F.lit(PHONE_RE)).alias("n_phones"),
         F.regexp_count(text, F.lit(IPV4_RE)).alias("n_ips"),
+    )
+
+
+def pack_shards(
+    df: DataFrame,
+    budget: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Concatenate-and-chunk sequence packing: lay the corpus out in
+    deterministic ``id_col`` order, take the exclusive prefix sum of
+    whitespace token counts as each document's ``start_offset`` in the
+    concatenated token stream, and assign ``shard_id = start_offset //
+    budget`` — the training block a document STARTS in (the standard LM
+    concat-packing convention; a document longer than *budget* simply
+    runs into the following blocks).  Returns
+    ``(id, n_tokens, start_offset, shard_id)``.
+
+    This is the one curation pass that needs a global ordered scan, so
+    the implementation is a two-phase distributed prefix sum instead of
+    a single-task ``Window.orderBy``:
+
+    1. bucket each row by ``bkt = (id - min_id) // width`` — monotonic
+       in the order key (every row of bucket b precedes every row of
+       bucket b+1), with *width* sized so B ≈ ``num_partitions``
+       buckets cover the id span.  ``min_id``/``max_id`` come from one
+       metadata-cheap min/max aggregate (parquet column stats), the
+       same dim-probe budget as the IVF centroid sample.
+    2. per-bucket cumulative sum via ``Window.partitionBy("bkt")`` —
+       its required hashpartitioning(bkt) exchange is the ONLY
+       corpus-size shuffle in the plan, and each task sorts only its
+       bucket.  The windowed rows are ``.cache()``-ed (same convention
+       as the dedup shingle index, :mod:`dedup`): Catalyst's
+       ReuseExchange would serve the totals branch from the shuffle
+       write when the input is a bare file scan, but AQE fails to match
+       the stages when the input is itself a cached relation
+       (TableCacheQueryStage breaks stage-reuse canonicalization in
+       Spark 4.x), and an explicit cache guarantees one scan + one
+       tokenize + one corpus shuffle in ALL cases.
+    3. the B per-bucket totals — ``max(local_cum)`` per bucket, an
+       exchange-free aggregation because the cached rows are already
+       hash-partitioned by bkt — fold into exclusive bucket offsets
+       under a B-row window and broadcast-join back.
+
+    At 10^10 documents every row moves through exactly one exchange;
+    the only ``SinglePartition`` exchange carries B rows (asserted in
+    ``tests/test_curation.py::test_pack_shards_plan``); the cached
+    intermediate is 4 longs/row, far smaller than the text corpus, and
+    spills via MEMORY_AND_DISK.  Bucket balance equals id-density
+    balance: dense ids or uniform hash ids spread evenly; pass a larger
+    *num_partitions* to shrink buckets if the id domain is lumpy.
+    Fully deterministic — no sampling anywhere.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: F.length(t) > 0)
+    # explicit non-null order key: keeps the join's isnotnull(bkt) filter
+    # from being pushed into only one branch, which would defeat
+    # ReuseExchange below
+    staged = df.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.size(toks).cast("long").alias("n_tokens")
+    )
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    lo, hi = staged.agg(F.min("id"), F.max("id")).first()
+    if lo is None:  # empty input
+        width = 1
+        lo = 0
+    else:
+        width = max((hi - lo) // num_partitions + 1, 1)
+    # coalesce makes bkt provably non-nullable (the cast alone is not),
+    # so the broadcast join adds no isnotnull(bkt) push-down to one
+    # branch — both exchange subtrees stay identical for ReuseExchange
+    bucketed = staged.withColumn(
+        "bkt",
+        F.coalesce(
+            ((F.col("id") - F.lit(lo)) / F.lit(width)).cast("long"), F.lit(0)
+        ),
+    )
+    local_w = (
+        Window.partitionBy("bkt")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bucketed.withColumn(
+        "local_cum", F.sum("n_tokens").over(local_w)
+    ).cache()
+    offsets_w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    # bucket total == max running sum; the cached `local` rows are
+    # already hash-partitioned by bkt, so this aggregation adds no
+    # exchange — and the cache (not ReuseExchange, which AQE drops when
+    # the INPUT is a cached relation) guarantees the corpus is scanned,
+    # tokenized and shuffled exactly once
+    offsets = (
+        local.groupBy("bkt")
+        .agg(F.max("local_cum").alias("bkt_total"))
+        .withColumn(
+            "bkt_offset", F.coalesce(F.sum("bkt_total").over(offsets_w), F.lit(0))
+        )
+        .select("bkt", "bkt_offset")
+    )
+    start = F.col("bkt_offset") + F.col("local_cum") - F.col("n_tokens")
+    return local.join(F.broadcast(offsets), "bkt").select(
+        "id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        start.alias("start_offset"),
+        (start / F.lit(budget)).cast("long").alias("shard_id"),
     )

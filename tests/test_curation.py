@@ -132,3 +132,80 @@ def test_pii_scrub_map_side_only(docs):
 
     plan = pii_scrub(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def _naive_pack(spark, df, budget):
+    """Single-task global-window reference implementation."""
+    from pyspark.sql import Window
+
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
+    w = (
+        Window.orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.select(F.col("doc_id").alias("id"), F.size(toks).cast("long").alias("n_tokens"))
+        .withColumn("start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            "id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            "start_offset",
+            (F.col("start_offset") / 7).cast("long").alias("shard_id"),
+        )
+    )
+
+
+def test_pack_shards_handcrafted(spark):
+    from podcast_crawler_spark.operators.curation import pack_shards
+
+    rows = [
+        (1, "a b c"),  # 3 tokens, start 0, shard 0
+        (2, "d e f g h"),  # 5 tokens, start 3, shard 0
+        (3, "i j"),  # start 8, shard 1 (budget 7)
+        (4, ""),  # zero tokens, start 10, shard 1
+        (5, "k " * 20),  # 20 tokens (> budget): starts in shard 1, spans on
+        (6, "end"),  # start 30, shard 4
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r for r in pack_shards(df, budget=7).collect()}
+    assert (got[1].n_tokens, got[1].start_offset, got[1].shard_id) == (3, 0, 0)
+    assert (got[2].start_offset, got[2].shard_id) == (3, 0)
+    assert (got[3].start_offset, got[3].shard_id) == (8, 1)
+    assert (got[4].n_tokens, got[4].start_offset) == (0, 10)
+    assert (got[5].n_tokens, got[5].start_offset, got[5].shard_id) == (20, 10, 1)
+    assert (got[6].start_offset, got[6].shard_id) == (30, 4)
+
+
+def test_pack_shards_equals_naive_global_window(spark, docs):
+    from podcast_crawler_spark.operators.curation import pack_shards
+
+    # force many range partitions so partition offsets really matter
+    a = pack_shards(docs, budget=7, num_partitions=13)
+    b = _naive_pack(spark, docs, 7)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_pack_shards_plan(docs):
+    """The corpus-scale prefix sum must never pass through a single
+    task: the corpus moves through exactly ONE hashpartitioning(bkt)
+    exchange whose shuffle write also serves the totals branch
+    (ReusedExchange — AQE materializes the reuse at runtime, so the
+    query must execute first), and the only SinglePartition exchange
+    carries the B per-bucket totals."""
+    from podcast_crawler_spark.operators.curation import pack_shards
+
+    q = pack_shards(docs, budget=2048, num_partitions=13)
+    q.collect()  # finalize the adaptive plan on THIS QueryExecution
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # AdaptiveSparkPlan's toString appends the pre-AQE "Initial Plan";
+    # assert on the final plan only
+    final = plan.split("Initial Plan")[0]
+    assert "isFinalPlan=true" in final, plan
+    # single corpus-size shuffle; the totals branch reads the cached
+    # windowed rows, it never re-shuffles (or re-tokenizes) the corpus
+    assert final.count("Exchange hashpartitioning(bkt") == 1, plan
+    assert final.count("lambdafunction") <= 1, plan  # one tokenize pass
+    # corpus window is per-bucket, never an empty spec over the data
+    assert "windowspecdefinition(bkt" in final, plan
+    # the lone single-task exchange carries only the B bucket totals
+    assert final.count("Exchange SinglePartition") <= 1, plan
