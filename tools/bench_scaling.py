@@ -181,6 +181,36 @@ def main() -> None:
         "pass": ok(p_main) or ok(p_low),
     }
 
+    # append this window to the committed measurement history and render
+    # the full repeatability table from it — noisy windows stay in the
+    # record; raw and normalized are always reported side by side
+    hist_path = os.path.join(REPO, "tools", "bench_history.json")
+    try:
+        with open(hist_path) as fh:
+            history = json.load(fh)
+    except FileNotFoundError:
+        history = []
+    history.append(
+        {
+            "window": os.environ.get(
+                "BENCH_WINDOW_LABEL",
+                f"run @ {datetime.now(timezone.utc).strftime('%Y-%m-%d %H:%MZ')}",
+            ),
+            "e_main": p_main["scaling_efficiency"],
+            "e_hw": p_main["hardware_ceiling"]["ceiling"],
+            "e_norm": p_main["scaling_efficiency_vs_hardware"],
+            "tp_4n": p_main["crawl_4n"]["urls_per_sec"],
+            "e_low": p_low["scaling_efficiency"],
+        }
+    )
+    with open(hist_path, "w") as fh:
+        json.dump(history, fh, indent=1)
+    hrows = "\n".join(
+        f"| {h['window']} | {h['e_main']} | {h['e_hw']} | {h['e_norm']} |"
+        f" {h['tp_4n']:,} | {h['e_low']} |"
+        for h in history
+    )
+
     qrows = "\n".join(
         f"| {name} | {p_main['queries'][name]} |"
         for name in p_main["queries"]
@@ -226,6 +256,18 @@ scaling; the 8→32 pair is capped by the box itself (E_hw =
 {p_main['hardware_ceiling']['ceiling']}) and its normalized efficiency is
 E/E_hw = {p_main['scaling_efficiency_vs_hardware']}.
 
+## Repeatability across measurement windows
+
+Every harness run appends to `tools/bench_history.json`; the table keeps
+noisy windows rather than discarding them.  The 8→32 pair tracks the
+box's own per-window ceiling (E_hw, engine-free parse probe at the same
+pinned parallelism); the 2→8 pair — where 4N leaves hardware headroom —
+isolates the engine's own N→4N behavior.
+
+| window | 8→32 raw E | 8→32 E_hw (probe) | 8→32 E/E_hw | 8→32 tp@4N (urls/s) | 2→8 raw E |
+|---|---|---|---|---|---|
+{hrows}
+
 ## Headline query wall times at {sf_dir} (seconds, local[32])
 
 | query | wall (s) |
@@ -241,10 +283,15 @@ E/E_hw = {p_main['scaling_efficiency_vs_hardware']}.
 - **Politeness window state**: row_number per host needs no global sort —
   per-partition sort over (host_hash, next_fetch_ts, priority, url_hash).
 - **Seen-set blooms**: 10^10 keys at 10 bits/key = ~12.5 GB total, built
-  as P partitioned blooms of ~6 MB each via Arrow UDFs, OR-merged on the
-  driver only for the per-partition slice actually probed; candidate
-  hits are verified by exact left_anti join so bloom FP rate only costs
-  extra join rows, never correctness.
+  as S partitioned shard filters of ~6 MB each entirely on executors
+  (`build_bloom_shards` per-shard `applyInPandas`, probed via cogroup —
+  the driver never holds a filter byte; `test_seen.py` asserts the
+  plan). Shards persist in `CrawlState.seen_shards` and fold new keys
+  incrementally via `update_bloom_shards` at admission time, so an
+  admission job scans O(new keys + S shard rows), not O(frontier).
+  Candidate hits are verified by exact left_anti join so bloom FP rate
+  only costs extra join rows, never correctness. (A broadcast OR-merge
+  mode remains as the documented small-scale path.)
 - **Parse stage**: pure-Python cost ~1.7 ms/feed ⇒ ~60 core-days per
   10^9 feeds per epoch — embarrassingly parallel; the fetch join's
   hash(url) exchange already spreads hot podcast-network hosts uniformly
