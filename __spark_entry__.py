@@ -602,6 +602,17 @@ def _pack_shards(spark, sf_dir):
     )
 
 
+def _global_shuffle(spark, sf_dir):
+    # deterministic seeded corpus shuffle: position in md5(id:seed)
+    # order plus the output file (shuffle_pos // rows_per_file).  Spark
+    # runs the bucketed two-phase rank (curation.global_shuffle); the
+    # oracle is the naive single-node row_number window over the same
+    # md5 key, so the distributed rank folding is checked bit-for-bit.
+    return curation.global_shuffle(
+        _t(spark, sf_dir, "documents"), seed=42, rows_per_file=100
+    )
+
+
 def _rate_limit_slots(spark, sf_dir):
     # X4 governor recurrence as a batch operator (the SAME numpy kernel
     # the stateful streaming rate limiter carries across micro-batches):
@@ -954,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _decontaminate,
         "pii_scrub": _pii_scrub,
         "pack_shards": _pack_shards,
+        "global_shuffle": _global_shuffle,
         "mm_image_meta": _mm_image_meta,
         "mm_video_frames": _mm_video_frames,
         "mm_image_resize": _mm_image_resize,
@@ -1399,6 +1411,17 @@ def oracle_sql() -> dict[str, str]:
             select id, n_tokens::INT n_tokens, start_offset,
                    (start_offset // 2048)::BIGINT shard_id
             from packed
+        """,
+        "global_shuffle": """
+            with ranked as (
+              select doc_id id,
+                     row_number() over (
+                       order by md5(doc_id::VARCHAR || ':42'), doc_id
+                     ) - 1 pos
+              from documents)
+            select id, pos::BIGINT shuffle_pos,
+                   (pos // 100)::BIGINT out_file
+            from ranked
         """,
         "mm_image_resize": """
             select doc_id media_id, 64 width, 64 height,

@@ -54,6 +54,10 @@ BENCH_QUERIES = [
     "quality_scores",
     "token_counts",
     "doc_fingerprints",
+    "repetition_scores",
+    "decontaminate",
+    "pack_shards",
+    "global_shuffle",
 ]
 
 

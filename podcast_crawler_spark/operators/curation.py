@@ -1,5 +1,6 @@
 """Corpus-curation operators beyond dedup: repetition filtering,
-benchmark decontamination, PII redaction, sequence packing.
+benchmark decontamination, PII redaction, sequence packing, seeded
+global shuffle.
 
 These are the remaining standard passes of a web-text training-data
 pipeline (Gopher §A.1.1 repetition rules, GPT-3/PaLM-style benchmark
@@ -37,6 +38,9 @@ Scale design, same contract as :mod:`textstats`:
   (4 longs/row) so both consumers read one shuffle write, and the B
   per-bucket totals (B ≈ shuffle partitions, metadata-scale) fold into
   exclusive bucket offsets under a B-row window and broadcast back.
+  ``global_shuffle`` rides the same scan with val = 1 (prefix COUNT =
+  global rank) over md5-digest order, its buckets cut from the digest's
+  own hex prefix — uniform by construction, no range sampling.
 
 Every operator is deterministic arithmetic/regex over the text, so the
 ANSI-SQL oracles reproduce it bit-for-bit (Java and RE2 regex semantics
@@ -210,6 +214,51 @@ def pii_scrub(
     )
 
 
+def _bucketed_prefix_sum(
+    df: DataFrame, val_col: str, order_cols: list
+) -> DataFrame:
+    """Two-phase distributed prefix sum over order-aligned buckets — the
+    shared core of :func:`pack_shards` and :func:`global_shuffle`.
+
+    *df* must carry a non-null LONG ``bkt`` column that is monotonic in
+    ``order_cols`` (every row of bucket b precedes every row of bucket
+    b+1 in the global order).  Phase 1 computes the within-bucket
+    inclusive running sum of *val_col* under ``Window.partitionBy("bkt")``
+    — its hashpartitioning(bkt) exchange is the only corpus-size shuffle,
+    and each task sorts only its bucket.  The windowed rows are
+    ``.cache()``-ed (same convention as the dedup shingle index):
+    Catalyst's ReuseExchange would serve the totals branch from the
+    shuffle write when the input is a bare file scan, but AQE fails to
+    match the stages when the input is itself a cached relation
+    (TableCacheQueryStage breaks stage-reuse canonicalization in Spark
+    4.x), and an explicit cache guarantees one scan + one corpus shuffle
+    in ALL cases.  Phase 2 folds the B per-bucket totals —
+    ``max(local_cum)`` per bucket, an exchange-free aggregation because
+    the cached rows are already hash-partitioned by bkt — into exclusive
+    bucket offsets under a B-row window and broadcast-joins them back.
+
+    Returns the cached rows plus ``local_cum`` and ``bkt_offset``; the
+    global inclusive prefix sum is ``bkt_offset + local_cum``.
+    """
+    local_w = (
+        Window.partitionBy("bkt")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = df.withColumn("local_cum", F.sum(val_col).over(local_w)).cache()
+    offsets_w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("bkt")
+        .agg(F.max("local_cum").alias("bkt_total"))
+        .withColumn(
+            "bkt_offset",
+            F.coalesce(F.sum("bkt_total").over(offsets_w), F.lit(0)),
+        )
+        .select("bkt", "bkt_offset")
+    )
+    return local.join(F.broadcast(offsets), "bkt")
+
+
 def pack_shards(
     df: DataFrame,
     budget: int = 2048,
@@ -236,21 +285,10 @@ def pack_shards(
        buckets cover the id span.  ``min_id``/``max_id`` come from one
        metadata-cheap min/max aggregate (parquet column stats), the
        same dim-probe budget as the IVF centroid sample.
-    2. per-bucket cumulative sum via ``Window.partitionBy("bkt")`` —
-       its required hashpartitioning(bkt) exchange is the ONLY
-       corpus-size shuffle in the plan, and each task sorts only its
-       bucket.  The windowed rows are ``.cache()``-ed (same convention
-       as the dedup shingle index, :mod:`dedup`): Catalyst's
-       ReuseExchange would serve the totals branch from the shuffle
-       write when the input is a bare file scan, but AQE fails to match
-       the stages when the input is itself a cached relation
-       (TableCacheQueryStage breaks stage-reuse canonicalization in
-       Spark 4.x), and an explicit cache guarantees one scan + one
-       tokenize + one corpus shuffle in ALL cases.
-    3. the B per-bucket totals — ``max(local_cum)`` per bucket, an
-       exchange-free aggregation because the cached rows are already
-       hash-partitioned by bkt — fold into exclusive bucket offsets
-       under a B-row window and broadcast-join back.
+    2./3. the two-phase scan of :func:`_bucketed_prefix_sum` — one
+       corpus-size hashpartitioning(bkt) exchange, cached windowed rows
+       (so the totals branch never re-scans or re-tokenizes), B-row
+       offset fold, broadcast join back.
 
     At 10^10 documents every row moves through exactly one exchange;
     the only ``SinglePartition`` exchange carries B rows (asserted in
@@ -264,9 +302,7 @@ def pack_shards(
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: F.length(t) > 0)
-    # explicit non-null order key: keeps the join's isnotnull(bkt) filter
-    # from being pushed into only one branch, which would defeat
-    # ReuseExchange below
+    # non-null order key: _bucketed_prefix_sum requires a non-null bkt
     staged = df.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.size(toks).cast("long").alias("n_tokens")
     )
@@ -280,41 +316,71 @@ def pack_shards(
         lo = 0
     else:
         width = max((hi - lo) // num_partitions + 1, 1)
-    # coalesce makes bkt provably non-nullable (the cast alone is not),
-    # so the broadcast join adds no isnotnull(bkt) push-down to one
-    # branch — both exchange subtrees stay identical for ReuseExchange
+    # coalesce makes bkt provably non-nullable (the cast alone is not)
     bucketed = staged.withColumn(
         "bkt",
         F.coalesce(
             ((F.col("id") - F.lit(lo)) / F.lit(width)).cast("long"), F.lit(0)
         ),
     )
-    local_w = (
-        Window.partitionBy("bkt")
-        .orderBy("id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = bucketed.withColumn(
-        "local_cum", F.sum("n_tokens").over(local_w)
-    ).cache()
-    offsets_w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    # bucket total == max running sum; the cached `local` rows are
-    # already hash-partitioned by bkt, so this aggregation adds no
-    # exchange — and the cache (not ReuseExchange, which AQE drops when
-    # the INPUT is a cached relation) guarantees the corpus is scanned,
-    # tokenized and shuffled exactly once
-    offsets = (
-        local.groupBy("bkt")
-        .agg(F.max("local_cum").alias("bkt_total"))
-        .withColumn(
-            "bkt_offset", F.coalesce(F.sum("bkt_total").over(offsets_w), F.lit(0))
-        )
-        .select("bkt", "bkt_offset")
-    )
     start = F.col("bkt_offset") + F.col("local_cum") - F.col("n_tokens")
-    return local.join(F.broadcast(offsets), "bkt").select(
+    return _bucketed_prefix_sum(bucketed, "n_tokens", ["id"]).select(
         "id",
         F.col("n_tokens").cast("int").alias("n_tokens"),
         start.alias("start_offset"),
         (start / F.lit(budget)).cast("long").alias("shard_id"),
+    )
+
+
+def global_shuffle(
+    df: DataFrame,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    bucket_chars: int = 3,
+    rows_per_file: int = 8192,
+) -> DataFrame:
+    """Deterministic seeded full-corpus shuffle: assign every document
+    its 0-based position in the pseudorandom permutation ordered by
+    ``md5(id || ':' || seed)`` (ties broken by id), plus the output file
+    it lands in (``out_file = shuffle_pos // rows_per_file``) — the
+    standard data-order pass before LM training, where examples must be
+    globally shuffled but bit-for-bit reproducibly so a run can resume
+    mid-epoch.  Returns ``(id, shuffle_pos, out_file)``.
+
+    md5 (not xxhash64) is the order key for the same reason
+    :mod:`sampling` uses it: DuckDB computes the identical lowercase-hex
+    digest, so the oracle reproduces the permutation exactly.
+
+    A naive ``row_number() over (order by m)`` is a single task sorting
+    the corpus; this instead rides :func:`_bucketed_prefix_sum` counting
+    rows (val = 1, so the inclusive prefix sum at a row is its 1-based
+    global rank): the bucket key is the first *bucket_chars* hex chars
+    of the digest — a PREFIX of the order key, hence monotonic in it —
+    and digests are uniform, so the 16^bucket_chars buckets are balanced
+    by construction (no min/max probe, no sampling; at 10^10 docs the
+    default 4096 buckets hold ~2.4M rows each, a per-task sort that
+    spills fine).  One corpus-size exchange total, B-row offset fold,
+    same plan shape asserted for ``pack_shards``.
+    """
+    if not 1 <= bucket_chars <= 8:
+        raise ValueError(f"bucket_chars must be in [1,8], got {bucket_chars}")
+    if rows_per_file <= 0:
+        raise ValueError(f"rows_per_file must be positive, got {rows_per_file}")
+    m = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
+    )
+    bucketed = df.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("id"), m.alias("m"), F.lit(1).alias("one")
+    ).withColumn(
+        "bkt",
+        F.coalesce(
+            F.conv(F.substring("m", 1, bucket_chars), 16, 10).cast("long"),
+            F.lit(0),
+        ),
+    )
+    pos = F.col("bkt_offset") + F.col("local_cum") - 1
+    return _bucketed_prefix_sum(bucketed, "one", ["m", "id"]).select(
+        "id",
+        pos.cast("long").alias("shuffle_pos"),
+        F.floor(pos / F.lit(rows_per_file)).cast("long").alias("out_file"),
     )

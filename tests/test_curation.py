@@ -209,3 +209,54 @@ def test_pack_shards_plan(docs):
     assert "windowspecdefinition(bkt" in final, plan
     # the lone single-task exchange carries only the B bucket totals
     assert final.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_global_shuffle_matches_python_permutation(spark, docs):
+    """The distributed rank must equal the single-process permutation:
+    sort ids by md5(f"{id}:{seed}") in plain python."""
+    import hashlib
+
+    from podcast_crawler_spark.operators.curation import global_shuffle
+
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    expect = {
+        i: pos
+        for pos, i in enumerate(
+            sorted(ids, key=lambda i: (hashlib.md5(f"{i}:7".encode()).hexdigest(), i))
+        )
+    }
+    got = {
+        r.id: (r.shuffle_pos, r.out_file)
+        for r in global_shuffle(docs, seed=7, rows_per_file=100).collect()
+    }
+    assert len(got) == len(expect)
+    for i, pos in expect.items():
+        assert got[i] == (pos, pos // 100), (i, pos, got[i])
+
+
+def test_global_shuffle_seed_changes_order(spark, docs):
+    from podcast_crawler_spark.operators.curation import global_shuffle
+
+    a = {r.id: r.shuffle_pos for r in global_shuffle(docs, seed=1).collect()}
+    b = {r.id: r.shuffle_pos for r in global_shuffle(docs, seed=2).collect()}
+    assert a.keys() == b.keys()
+    assert any(a[i] != b[i] for i in a), "different seeds must permute differently"
+    # and each is a permutation of 0..n-1
+    assert sorted(a.values()) == list(range(len(a)))
+    assert sorted(b.values()) == list(range(len(b)))
+
+
+def test_global_shuffle_plan(docs):
+    """Same plan contract as pack_shards: one corpus-size exchange, the
+    totals branch reads the cache, B-row single-task exchange only."""
+    from podcast_crawler_spark.operators.curation import global_shuffle
+
+    q = global_shuffle(docs, seed=7)
+    q.collect()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]
+    assert "isFinalPlan=true" in final, plan
+    assert final.count("Exchange hashpartitioning(bkt") == 1, plan
+    assert final.count("md5") <= 1, plan  # digest computed in one pass
+    assert "windowspecdefinition(bkt" in final, plan
+    assert final.count("Exchange SinglePartition") <= 1, plan
