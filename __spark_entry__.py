@@ -30,7 +30,15 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from podcast_crawler_spark.operators import curation, dedup, multimodal, similarity, textstats
+from podcast_crawler_spark.operators import (
+    clustering,
+    curation,
+    dedup,
+    multimodal,
+    ranking,
+    similarity,
+    textstats,
+)
 from podcast_crawler_spark.operators.frontier import CrawlConfig, schedule_epoch, seed_scan
 from podcast_crawler_spark.plans.epoch import init_crawl, run_crawl
 
@@ -532,6 +540,42 @@ def _embed_neardup(spark, sf_dir):
     )
 
 
+# k-means / SemDeDup / BM25 parameters, shared verbatim by the Spark
+# builders and the DuckDB oracle generators below (embeddings dim is 64
+# at every sf — the oracle CTE hardcodes it)
+_KM_K, _KM_ITERS, _KM_DIM = 8, 3, 64
+_SEMDEDUP_THRESHOLD = 0.35
+_BM25_TERMS = ["hash", "join", "stream"]
+_BM25_K = 20
+
+
+def _kmeans_clusters(spark, sf_dir):
+    # distributed spherical k-means, deterministic init (k smallest ids)
+    # and fixed iterations — the full assignment is hash-checked against
+    # a DuckDB CTE chain that re-runs the identical algorithm
+    return clustering.kmeans_clusters(
+        _t(spark, sf_dir, "embeddings"), k=_KM_K, iters=_KM_ITERS
+    )
+
+
+def _semantic_dedup(spark, sf_dir):
+    # SemDeDup: within-k-means-cluster cosine pairs, keep-lowest-id
+    return clustering.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=_SEMDEDUP_THRESHOLD,
+        k=_KM_K,
+        iters=_KM_ITERS,
+    )
+
+
+def _bm25_topk(spark, sf_dir):
+    # ranked search: two scans, zero corpus shuffles (stats pass + map-
+    # side scoring with literal idf), TakeOrderedAndProject top-k
+    return ranking.bm25_topk(
+        _t(spark, sf_dir, "documents"), _BM25_TERMS, k=_BM25_K
+    )
+
+
 def _lang_id(spark, sf_dir):
     return textstats.language_id(_t(spark, sf_dir, "documents"))
 
@@ -952,6 +996,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_lsh_topk": _embed_lsh_topk,
         "embed_ivf_topk": _embed_ivf_topk,
         "embed_neardup": _embed_neardup,
+        "kmeans_clusters": _kmeans_clusters,
+        "semantic_dedup": _semantic_dedup,
+        "bm25_topk": _bm25_topk,
         "lang_id": _lang_id,
         "quality_scores": _quality_scores,
         "token_counts": _token_counts,
@@ -1038,6 +1085,92 @@ _ANN_RECALL_ORACLE = """
     select query_id, count(*)::INT n_exact, true recall_ok
     from topk group by query_id
 """
+
+
+def _kmeans_oracle_cte(k=_KM_K, iters=_KM_ITERS, d=_KM_DIM) -> str:
+    """DuckDB CTE chain re-running the exact fixed-iteration spherical
+    k-means of operators/clustering.py: unit-normalize, init = k smallest
+    ids (components rounded to 7 dp), per iteration assign by cosine
+    (argmax, tie → lowest cluster) and update centroids as round(avg, 7)
+    per component with empty clusters keeping their previous centroid.
+    Ends with ``afinal(vec_id, cluster_id)``."""
+    parts = [
+        "base as (select vec_id, list_transform(embedding::DOUBLE[], "
+        "x -> x / sqrt(list_inner_product(embedding::DOUBLE[], "
+        "embedding::DOUBLE[]))) vn from embeddings)",
+        f"c0 as (select row_number() over (order by vec_id) - 1 cluster_id, "
+        f"list_transform(vn, x -> round(x, 7)) cv from base "
+        f"qualify cluster_id < {k})",
+    ]
+    prev = "c0"
+    for i in range(iters):
+        a, u, nw, nx = f"a{i}", f"u{i}", f"n{i}", f"c{i + 1}"
+        parts.append(
+            f"{a} as (select vec_id, cluster_id from ("
+            f"select b.vec_id, c.cluster_id, row_number() over ("
+            f"partition by b.vec_id order by "
+            f"list_inner_product(b.vn, c.cv) / sqrt(list_inner_product(c.cv, c.cv)) desc, "
+            f"c.cluster_id) rn from base b cross join {prev} c) where rn = 1)"
+        )
+        parts.append(
+            f"{u} as (select a.cluster_id, g.i, round(avg(b.vn[g.i]), 7) m "
+            f"from {a} a join base b using(vec_id) "
+            f"cross join generate_series(1, {d}) g(i) group by a.cluster_id, g.i)"
+        )
+        parts.append(
+            f"{nw} as (select cluster_id, list(m order by i)::DOUBLE[] cv "
+            f"from {u} group by cluster_id)"
+        )
+        parts.append(
+            f"{nx} as (select p.cluster_id, coalesce(n.cv, p.cv) cv "
+            f"from {prev} p left join {nw} n using(cluster_id))"
+        )
+        prev = nx
+    parts.append(
+        f"afinal as (select vec_id, cluster_id from ("
+        f"select b.vec_id, c.cluster_id, row_number() over ("
+        f"partition by b.vec_id order by "
+        f"list_inner_product(b.vn, c.cv) / sqrt(list_inner_product(c.cv, c.cv)) desc, "
+        f"c.cluster_id) rn from base b cross join {prev} c) where rn = 1)"
+    )
+    return "with " + ",\n".join(parts)
+
+
+def _bm25_oracle(terms=None, k=_BM25_K, k1=1.2, b=0.75) -> str:
+    """DuckDB recomputation of ranking.bm25_topk: same tokenizer, the
+    same explicit left-to-right score chain in query-term order, rounded
+    scores ordering with doc_id tie-break."""
+    terms = terms or _BM25_TERMS
+    tf_exprs = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_exprs = ", ".join(
+        f"sum(case when tf_{i} > 0 then 1 else 0 end)::DOUBLE df_{i}"
+        for i in range(len(terms))
+    )
+    score_terms = " + ".join(
+        f"ln(1.0 + (s.n - s.df_{i} + 0.5)/(s.df_{i} + 0.5)) * tf_{i} * {k1 + 1.0} "
+        f"/ (tf_{i} + {k1} * ({1.0 - b} + {b} * dl / s.avgdl))"
+        for i in range(len(terms))
+    )
+    any_tf = " + ".join(f"tf_{i}" for i in range(len(terms)))
+    return f"""
+        with base as (
+          select doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) toks
+          from documents),
+        wtf as (
+          select doc_id, len(toks)::DOUBLE dl, {tf_exprs} from base),
+        s as (
+          select count(*)::DOUBLE n, sum(dl)/count(*) avgdl, {df_exprs} from wtf),
+        scored as (
+          select doc_id, round({score_terms}, 6) score
+          from wtf cross join s where {any_tf} > 0),
+        top as (
+          select doc_id, score from scored order by score desc, doc_id limit {k})
+        select doc_id, score,
+               row_number() over (order by score desc, doc_id)::INT rank
+        from top"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1460,6 +1593,23 @@ def oracle_sql() -> dict[str, str]:
             select count(*)::BIGINT n_exact_pairs, true precision_ok, true recall_ok
             from p where cos >= 0.35
         """,
+        "kmeans_clusters": _kmeans_oracle_cte()
+        + "\nselect vec_id, cluster_id from afinal",
+        "semantic_dedup": _kmeans_oracle_cte()
+        + f""",
+            pairs as (
+              select y.vec_id id
+              from afinal x join afinal y on x.cluster_id = y.cluster_id
+                   and x.vec_id < y.vec_id
+              join base bx on bx.vec_id = x.vec_id
+              join base by_ on by_.vec_id = y.vec_id
+              where round(list_inner_product(bx.vn, by_.vn), 6)
+                    >= {_SEMDEDUP_THRESHOLD})
+            select a.vec_id, a.cluster_id,
+                   exists(select 1 from pairs p where p.id = a.vec_id) is_dup
+            from afinal a
+        """,
+        "bm25_topk": _bm25_oracle(),
         "warc_scan": f"""
             select url, 200 as http_status, n_bytes, body_md5
             from read_parquet('{FIXTURES}/crawl_warc_meta.parquet')

@@ -58,6 +58,9 @@ BENCH_QUERIES = [
     "decontaminate",
     "pack_shards",
     "global_shuffle",
+    "kmeans_clusters",
+    "semantic_dedup",
+    "bm25_topk",
 ]
 
 

@@ -1,0 +1,112 @@
+"""BM25 ranked search over the documents table.
+
+The reference's search surface is an ILIKE substring scan
+(``search_podcasts``, reference ``src/api/handlers.rs`` route — covered
+by ``api/queries.py::search_ilike``); BM25 is the ranked upgrade a
+training-data / retrieval pipeline actually runs at corpus scale.
+
+Plan shape (the 100 TB argument):
+
+- **Pass 1 (stats)**: one scan computing ``N``, ``sum(dl)`` and one
+  document-frequency counter per query term — all map-side arithmetic on
+  a per-doc token array (``split`` + ``filter``/``size``, no explode),
+  folded by a single global aggregate whose exchange carries ONE partial
+  row per task.  Collected: a handful of scalars.
+- **Pass 2 (score)**: per-term ``idf`` and ``avgdl`` are baked in as
+  literals, so the whole BM25 score is a map-side expression inside
+  whole-stage codegen — the corpus is never shuffled, never exploded
+  into a token table, and only docs containing ≥1 query term survive
+  the filter.  The final top-k is ``orderBy … limit k`` which Catalyst
+  plans as ``TakeOrderedAndProject`` (per-partition heap + driver merge
+  of k·P rows, no global sort).
+
+Determinism / oracle parity: ``dl`` sums are integers (exact in
+float64), ``avgdl`` is a single exact division, ``idf = ln(1 + (N - df
++ 0.5)/(df + 0.5))`` is pure libm on exact inputs, and the per-doc
+score is an explicit left-to-right ``+`` chain in query-term order on
+both sides; scores round to 6 dp and ordering uses the rounded score
+with a doc-id tie-break, so the DuckDB oracle reproduces the exact
+row set.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _toks(text_col: str):
+    return F.filter(
+        F.split(F.col(text_col), " "), lambda x: F.length(x) > 0
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: Sequence[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k docs by BM25 over whitespace tokens:
+    ``(doc_id, score, rank)``, rank by (rounded score desc, doc_id)."""
+    terms = list(terms)
+    base = docs.select(
+        F.col(id_col).alias("id"), _toks(text_col).alias("toks")
+    ).withColumn("dl", F.size("toks"))
+
+    tf_cols = [
+        F.size(F.filter(F.col("toks"), lambda x: x == F.lit(t))).alias(
+            f"tf_{i}"
+        )
+        for i, t in enumerate(terms)
+    ]
+    with_tf = base.select("id", "dl", *tf_cols)
+
+    stats = (
+        with_tf.agg(
+            F.count("*").alias("n"),
+            F.sum("dl").alias("sumdl"),
+            *[
+                F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+                for i in range(len(terms))
+            ],
+        )
+        .collect()[0]
+    )
+    n = int(stats["n"])
+    avgdl = float(stats["sumdl"]) / n if n else 1.0
+    idf = [
+        math.log(1.0 + (n - int(stats[f"df_{i}"]) + 0.5) / (int(stats[f"df_{i}"]) + 0.5))
+        for i in range(len(terms))
+    ]
+
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
+    )
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        score = score + F.lit(idf[i]) * tf * F.lit(k1 + 1.0) / (tf + norm)
+
+    scored = (
+        with_tf.withColumn("score", F.round(score, 6))
+        .filter(sum(F.col(f"tf_{i}") for i in range(len(terms))) > 0)
+        .select(F.col("id").alias(id_col), "score")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    # the rank window runs over the already-limited k rows (single tiny
+    # partition), not the corpus — TakeOrderedAndProject did the heavy cut
+    return scored.select(
+        id_col,
+        "score",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col(id_col).asc()))
+        .alias("rank"),
+    )

@@ -1,0 +1,78 @@
+"""BM25 tests: hand-computed scores on a tiny corpus, term-absence
+behavior, and the two-scan / zero-corpus-shuffle plan contract."""
+
+import math
+
+import pytest
+
+from podcast_crawler_spark.operators import ranking
+
+DOCS = [
+    (1, "spark shuffle join join join"),
+    (2, "hash join"),
+    (3, "filter scan scan"),
+    (4, "join hash hash spark"),
+    (5, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def bm25_ref(terms, k1=1.2, b=0.75):
+    toks = {d: [t for t in txt.split(" ") if t] for d, txt in DOCS}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    out = {}
+    for d, tk in toks.items():
+        score = 0.0
+        hit = False
+        for t in terms:
+            tf = tk.count(t)
+            if tf:
+                hit = True
+            df = sum(1 for v in toks.values() if t in v)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            score += idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * len(tk) / avgdl))
+        if hit:
+            out[d] = round(score, 6)
+    return out
+
+
+def test_bm25_matches_hand_computation(docs):
+    got = {
+        r["doc_id"]: r["score"]
+        for r in ranking.bm25_topk(docs, ["join", "hash"], k=10).collect()
+    }
+    assert got == bm25_ref(["join", "hash"])
+
+
+def test_bm25_rank_ordering_and_k(docs):
+    rows = ranking.bm25_topk(docs, ["join"], k=2).collect()
+    assert [r["rank"] for r in rows] == [1, 2]
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert len(rows) == 2
+
+
+def test_bm25_absent_term_contributes_nothing(docs):
+    got = {
+        r["doc_id"]: r["score"]
+        for r in ranking.bm25_topk(docs, ["join", "zzz"], k=10).collect()
+    }
+    assert got == bm25_ref(["join", "zzz"])
+    assert got == bm25_ref(["join"])
+
+
+def test_bm25_plan_no_corpus_shuffle(docs):
+    """Scale contract: scoring is map-side (idf/avgdl literals) and the
+    top-k is TakeOrderedAndProject — the only exchange in the plan is the
+    single-partial-row stats/limit machinery, never a corpus repartition,
+    and there is no join and no explode-to-token-table."""
+    df = ranking.bm25_topk(docs, ["join", "hash"], k=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    assert "Generate" not in plan  # no explode
