@@ -254,29 +254,51 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample: Optional[int] = 2048,
+    distributed_fit: bool = False,
 ) -> tuple:
-    """IVF coarse quantizer: deterministic centroids (k-means, seeded, on a
-    driver-side sample — the sample is tiny; the *assignment* is
-    distributed) + the corpus with a ``cell`` column.
+    """IVF coarse quantizer: deterministic centroids + the corpus with a
+    ``cell`` column.  Returns ``(assigned_df, centroids ndarray)``.
 
-    Returns ``(assigned_df, centroids ndarray)``.
+    Two training modes:
+
+    - **sample fit** (default): seeded k-means on a driver-side sample —
+      the sample is tiny and a quantizer only needs the coarse shape of
+      the distribution; the *assignment* is always distributed.
+    - **distributed fit** (``distributed_fit=True``): centroids come
+      from ``clustering.kmeans_fit`` over the FULL corpus — assignment
+      map-side against centroid literals, updates as k·d-partial
+      aggregations, driver holds only the k×d matrix.  This is the path
+      when the corpus distribution drifts from any bounded sample
+      (10^10 vectors with heavy tails) and the quantizer must see all
+      of it.
     """
-    pdf = (
-        corpus.select(vec_col)
-        .limit(sample or 2048)
-        .toPandas()
-    )
-    X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-    rng = np.random.RandomState(SEED)
-    C = Xn[rng.choice(len(Xn), size=min(n_cells, len(Xn)), replace=False)]
-    for _ in range(10):  # Lloyd iterations on the sample (driver-side, tiny)
-        a = np.argmax(Xn @ C.T, axis=1)
-        for j in range(len(C)):
-            m = a == j
-            if m.any():
-                v = Xn[m].mean(axis=0)
-                C[j] = v / (np.linalg.norm(v) or 1.0)
+    if distributed_fit:
+        from . import clustering
+
+        _, cents = clustering.kmeans_fit(
+            corpus, k=n_cells, iters=3, id_col=id_col, vec_col=vec_col
+        )
+        C = np.asarray(cents, dtype=np.float64)
+        norms = np.linalg.norm(C, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        C = C / norms
+    else:
+        pdf = (
+            corpus.select(vec_col)
+            .limit(sample or 2048)
+            .toPandas()
+        )
+        X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        rng = np.random.RandomState(SEED)
+        C = Xn[rng.choice(len(Xn), size=min(n_cells, len(Xn)), replace=False)]
+        for _ in range(10):  # Lloyd on the sample (driver-side, tiny)
+            a = np.argmax(Xn @ C.T, axis=1)
+            for j in range(len(C)):
+                m = a == j
+                if m.any():
+                    v = Xn[m].mean(axis=0)
+                    C[j] = v / (np.linalg.norm(v) or 1.0)
 
     out_schema = StructType(
         corpus.schema.fields + [StructField("cell", LongType(), False)]
@@ -337,6 +359,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     max_driver_queries: int = 100_000,
     distributed_queries: bool = False,
+    distributed_fit: bool = False,
 ) -> DataFrame:
     """IVF approximate top-k: search only the ``nprobe`` nearest cells.
     Output shape matches ``cosine_topk``.  At scale: corpus written
@@ -355,8 +378,14 @@ def ivf_topk(
       each query's vector crosses the exchange ``nprobe`` times, which is
       inherent to corpus-vs-corpus ANN.  Hot cells are ordinary join skew
       — AQE's skew-join split applies.
+
+    ``distributed_fit=True`` trains the quantizer on the FULL corpus via
+    ``clustering.kmeans_fit`` instead of a driver-side sample (see
+    ``ivf_assign``).
     """
-    assigned, C = ivf_assign(corpus, n_cells, id_col, vec_col)
+    assigned, C = ivf_assign(
+        corpus, n_cells, id_col, vec_col, distributed_fit=distributed_fit
+    )
     spark = corpus.sparkSession
 
     if not distributed_queries:

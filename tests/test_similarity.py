@@ -159,3 +159,41 @@ def test_ivf_topk_distributed_bulk_queries(emb):
     for kk, (nid, cos) in exact_m.items():
         assert got_m[kk][0] == nid, (kk, got_m[kk], (nid, cos))
         assert abs(got_m[kk][1] - cos) < 1e-6
+
+
+def test_ivf_topk_distributed_fit(emb):
+    """distributed_fit=True trains the coarse quantizer with the
+    full-corpus distributed k-means (clustering.kmeans_fit) instead of a
+    driver-side sample.  With nprobe == n_cells every cell is probed, so
+    regardless of where the centroids came from the result must EQUAL
+    exact brute force — this pins the wiring, not the clustering."""
+    from podcast_crawler_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    q = emb.filter(emb.vec_id < 6)
+    got = ivf_topk(
+        emb, q, k=5, n_cells=8, nprobe=8, distributed_fit=True
+    ).collect()
+    exact = cosine_topk(emb, q, k=5).collect()
+    key = lambda r: (r.query_id, r.rank)
+    got_m = {key(r): (r.neighbor_id, r.cos) for r in got}
+    exact_m = {key(r): (r.neighbor_id, r.cos) for r in exact}
+    assert got_m == exact_m
+
+
+def test_ivf_assign_distributed_fit_partitions_corpus(emb):
+    """The distributed-fit quantizer must produce a usable partitioning:
+    every vector lands in a cell, cells are within range, and more than
+    one cell is populated (the corpus actually splits)."""
+    from podcast_crawler_spark.operators.similarity import ivf_assign
+
+    assigned, C = ivf_assign(emb, n_cells=8, distributed_fit=True)
+    cells = [r.cell for r in assigned.select("cell").collect()]
+    assert len(cells) == emb.count()
+    assert all(0 <= c < 8 for c in cells)
+    assert len(set(cells)) > 1
+    assert C.shape[0] == 8
+    # centroids are unit vectors (spherical k-means contract)
+    assert np.allclose(np.linalg.norm(C, axis=1), 1.0, atol=1e-6)
