@@ -657,6 +657,69 @@ def _global_shuffle(spark, sf_dir):
     )
 
 
+def _mixture_sample(spark, sf_dir):
+    # budget-targeted mixture rebalancing: per-language char budgets ->
+    # acceptance rates (min(1, budget/total), one tiny aggregate), then
+    # the same deterministic md5-threshold membership as sample_documents.
+    # The emitted rate column is the raw IEEE double, so the oracle
+    # checks the rate derivation bit-for-bit, not just the membership.
+    from podcast_crawler_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.mixture_sample(
+        docs,
+        "doc_id",
+        "lang",
+        "n_chars",
+        budgets={"en": 30000.0, "fr": 8000.0, "zh": 1e9},
+        default_rate=0.25,
+    ).select("doc_id", "lang", "n_chars", "rate")
+
+
+_PD_BOILER = "cookie notice accept all cookies to continue"
+_PD_FOOTER = "subscribe to our newsletter for updates"
+
+
+def _paragraph_dedup(spark, sf_dir):
+    # sub-document exact dedup (RefinedWeb-style boilerplate removal).
+    # The flat test corpus has no paragraph structure, so the query
+    # synthesizes it SQL-reproducibly: every doc gets a shared cookie
+    # banner (500x duplicate), every third doc a shared footer, the rest
+    # a unique tail — then paragraph_dedup must drop exactly the
+    # boilerplate and reassemble the survivors in order (clean-text md5
+    # checked).
+    from podcast_crawler_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit(_PD_BOILER + "\n\n"),
+            F.col("text"),
+            F.lit("\n\n"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_PD_FOOTER)).otherwise(
+                F.concat(F.lit("unique tail "), F.col("doc_id"))
+            ),
+        ).alias("text"),
+    )
+    out = curation.paragraph_dedup(docs, min_dup=2)
+    return out.select(
+        "id",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_paras",
+        "n_dropped",
+        "dup_frac",
+    )
+
+
+def _lm_surprisal(spark, sf_dir):
+    # corpus-trained unigram LM scoring (CCNet-style quality filter),
+    # integer-bit quantized so the whole train->score chain is exact
+    # cross-engine arithmetic; vocab capped at 16 to exercise OOV.
+    return textstats.lm_surprisal(
+        _t(spark, sf_dir, "documents"), vocab_size=16
+    )
+
+
 def _rate_limit_slots(spark, sf_dir):
     # X4 governor recurrence as a batch operator (the SAME numpy kernel
     # the stateful streaming rate limiter carries across micro-batches):
@@ -1007,6 +1070,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": _curation_pipeline,
         "sample_documents": _sample_documents,
         "sample_stratified": _sample_stratified,
+        "mixture_sample": _mixture_sample,
+        "paragraph_dedup": _paragraph_dedup,
+        "lm_surprisal": _lm_surprisal,
         "vocab_top_terms": _vocab_top_terms,
         "repetition_scores": _repetition_scores,
         "decontaminate": _decontaminate,
@@ -1421,6 +1487,57 @@ def oracle_sql() -> dict[str, str]:
             where ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
                   < (case lang when 'en' then 0.5 when 'de' then 0.1
                      else 0.25 end * 4294967296)::BIGINT
+        """,
+        "mixture_sample": """
+            with tot as (select lang s, sum(n_chars) w from documents group by 1),
+            r as (select s, case when s='en' then least(1.0, 30000.0/w)
+                                 when s='fr' then least(1.0, 8000.0/w)
+                                 when s='zh' then least(1.0, 1000000000.0/w)
+                                 else 0.25 end rate from tot)
+            select d.doc_id, d.lang, d.n_chars, r.rate
+            from documents d join r on d.lang = r.s
+            where ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+                  < (r.rate * 4294967296)::BIGINT
+        """,
+        "paragraph_dedup": f"""
+            with pd0 as (
+              select doc_id id,
+                     '{_PD_BOILER}' || chr(10)||chr(10) || text
+                     || chr(10)||chr(10) ||
+                     (case when doc_id % 3 = 0 then '{_PD_FOOTER}'
+                           else 'unique tail ' || doc_id end) t
+              from documents),
+            p as (select id,
+                         unnest(string_split(t, chr(10)||chr(10))) para,
+                         generate_subscripts(string_split(t, chr(10)||chr(10)), 1) idx
+                  from pd0),
+            c as (select para, count(*) cnt from p group by 1),
+            j as (select p.id, p.idx, p.para, c.cnt from p join c using (para))
+            select id,
+                   md5(coalesce(string_agg(para, chr(10)||chr(10) order by idx)
+                                filter (where cnt < 2), '')) clean_md5,
+                   count(*)::BIGINT n_paras,
+                   sum((cnt >= 2)::int)::BIGINT n_dropped,
+                   round(sum((cnt >= 2)::int)::DOUBLE / count(*), 6) dup_frac
+            from j group by id
+        """,
+        "lm_surprisal": """
+            with tok as (select doc_id id,
+                                unnest(list_filter(string_split(text,' '),
+                                                   x -> len(x) > 0)) token
+                         from documents),
+            c as (select token, count(*) c from tok group by 1),
+            n as (select sum(c)::BIGINT n from c),
+            v as (select token, c from c order by c desc, token limit 16),
+            s as (select tok.id,
+                         (length(printf('%b', (select n from n)))
+                          - length(printf('%b', coalesce(v.c, 0) + 1)))::BIGINT bits,
+                         (v.c is null)::BIGINT oov
+                  from tok left join v using (token))
+            select id, count(*)::BIGINT n_tokens, sum(bits)::BIGINT sum_bits,
+                   round(sum(bits)::DOUBLE / count(*), 6) mean_bits,
+                   round(sum(oov)::DOUBLE / count(*), 6) oov_frac
+            from s group by id
         """,
         "rate_limit_slots": """
             with e as (

@@ -1,6 +1,6 @@
 """Corpus-curation operators beyond dedup: repetition filtering,
-benchmark decontamination, PII redaction, sequence packing, seeded
-global shuffle.
+benchmark decontamination, PII redaction, paragraph-level dedup,
+sequence packing, seeded global shuffle.
 
 These are the remaining standard passes of a web-text training-data
 pipeline (Gopher §A.1.1 repetition rules, GPT-3/PaLM-style benchmark
@@ -211,6 +211,52 @@ def pii_scrub(
         F.regexp_count(text, F.lit(EMAIL_RE)).alias("n_emails"),
         F.regexp_count(text, F.lit(PHONE_RE)).alias("n_phones"),
         F.regexp_count(text, F.lit(IPV4_RE)).alias("n_ips"),
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    min_dup: int = 2,
+) -> DataFrame:
+    """Sub-document (paragraph-level) exact dedup, RefinedWeb/C4 style:
+    drop every paragraph whose EXACT text occurs in ≥ ``min_dup``
+    documents-positions corpus-wide (boilerplate: cookie banners, nav
+    menus, subscribe footers), reassemble the survivors in original
+    order.  ``(id, clean_text, n_paras, n_dropped, dup_frac)``.
+
+    *sep* is both the split pattern (Java regex — pass a literal) and
+    the rejoin separator.
+
+    Scale shape: paragraphs are the shuffle unit, not documents —
+    ``posexplode(split(...))`` is narrow; global paragraph counts group
+    16-byte md5 digests (map-side combine, digest-only traffic); then
+    one digest-keyed join (paragraph text crosses the exchange once)
+    and one ``groupBy(doc)`` reassembly (text crosses once more).  Two
+    text exchanges total is the canonical reassembly cost; a giant
+    document dilutes into many paragraph rows, so doc-size skew does
+    not concentrate on one task.  At 10^10 docs the digest count table
+    is the only global state and it is never collected.
+    """
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "para"),
+    ).withColumn("digest", F.md5("para"))
+    counts = paras.groupBy("digest").agg(F.count("*").alias("cnt"))
+    joined = paras.join(counts, "digest")
+    parts = F.sort_array(F.collect_list(F.struct("idx", "para", "cnt")))
+    keep = F.filter(parts, lambda p: p["cnt"] < min_dup)
+    n_paras = F.count("*")
+    n_dropped = F.sum((F.col("cnt") >= min_dup).cast("long"))
+    return joined.groupBy("id").agg(
+        F.array_join(
+            F.transform(keep, lambda p: p["para"]), sep
+        ).alias("clean_text"),
+        n_paras.alias("n_paras"),
+        n_dropped.alias("n_dropped"),
+        F.round(n_dropped / n_paras, 6).alias("dup_frac"),
     )
 
 

@@ -67,3 +67,58 @@ def stratified_sample(
             F.col(strata_col) == value, F.lit(_threshold(rate))
         ).otherwise(threshold)
     return df.filter(key_hash32(F.col(key_col)) < threshold)
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    weight_col: str,
+    budgets: Dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Budget-targeted mixture sampling: given a target *weight budget*
+    per stratum (e.g. tokens per domain when rebalancing a pre-training
+    mixture), derive each stratum's acceptance rate
+
+        ``rate_d = min(1.0, budget_d / sum(weight over stratum d))``
+
+    and keep rows by the same deterministic hash-threshold rule as
+    :func:`sample_by_hash`.  Strata without a budget fall back to
+    ``default_rate``.  Output = input columns + ``rate`` (the applied
+    rate — the IEEE double ``min(1.0, budget/total)``, bit-identical to
+    the SQL oracle's ``least(1.0, budget/total)``) so downstream
+    accounting — and the oracle — can audit the derivation.
+
+    Expected sampled weight per stratum ≈ ``min(budget_d, total_d)``
+    (hash sampling is weight-oblivious within a stratum; exact
+    budget-packing would need the order-dependent prefix-sum machinery
+    of ``curation.pack_shards``).
+
+    Scale shape: ONE tiny aggregate (groupBy(strata).sum(weight) —
+    map-side combine, k rows to the driver) plans the rates; the sample
+    itself is a map-side filter riding the scan, exactly like every
+    other sampler here.  No corpus shuffle, no join.
+    """
+    totals = {
+        r["s"]: r["w"]
+        for r in df.groupBy(F.col(strata_col).alias("s"))
+        .agg(F.sum(weight_col).alias("w"))
+        .collect()
+    }
+    rates = {
+        s: (min(1.0, budgets[s] / totals[s]) if s in budgets else default_rate)
+        for s in totals
+    }
+    rate_expr = F.lit(default_rate)
+    threshold = F.lit(_threshold(default_rate))
+    for s, rate in sorted(rates.items()):
+        rate_expr = F.when(
+            F.col(strata_col) == s, F.lit(rate)
+        ).otherwise(rate_expr)
+        threshold = F.when(
+            F.col(strata_col) == s, F.lit(_threshold(rate))
+        ).otherwise(threshold)
+    return df.filter(key_hash32(F.col(key_col)) < threshold).withColumn(
+        "rate", rate_expr
+    )

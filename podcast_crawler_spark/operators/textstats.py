@@ -175,3 +175,65 @@ def vocab_df(df: DataFrame, text_col: str = "text",
         F.countDistinct("id").alias("doc_freq"),
         F.count("*").alias("total_tf"),
     )
+
+
+def _bitlen(x):
+    """floor(log2(x)) + 1 for x ≥ 1, as EXACT integer arithmetic
+    (binary-string length) — no libm, so Spark and any SQL engine agree
+    bit-for-bit where a float ``log2`` could round differently at
+    powers of two."""
+    return F.length(F.bin(x))
+
+
+def lm_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 4096,
+) -> DataFrame:
+    """Corpus-trained unigram LM quality score (CCNet-style filtering,
+    integer-quantized): ``(id, n_tokens, sum_bits, mean_bits, oov_frac)``.
+
+    Train: token totals over the WHOLE corpus, capped to the
+    ``vocab_size`` most frequent tokens (count desc, token asc — the
+    standard vocab cap; everything else is OOV).  Score: each token's
+    surprisal in whole bits, ``bitlen(N) - bitlen(c + 1)`` where ``N`` is
+    the corpus token count and ``c`` the token's (0 for OOV) — an
+    integer quantization of ``log2 (N / (c+1))``, i.e. rarer token ⇒
+    more bits, exactly the statistic a perplexity filter thresholds on.
+    A real CCNet deployment swaps in a KenLM 5-gram; the *pipeline
+    contract* — corpus-trained stats → bounded broadcast table →
+    map-side scoring → threshold — is identical, and the integer
+    quantization makes every value an exact cross-engine sum (bit
+    lengths, not libm logs; order-independent BIGINT additions, so the
+    result cannot depend on partitioning).
+
+    Scale shape: ONE vocab aggregation (map-side combine, vocab-sized
+    exchange) + a ``TakeOrderedAndProject`` cap; ``N`` reduces from the
+    same grouped counts.  Scoring explodes tokens (narrow) and
+    broadcast-joins the ≤``vocab_size``-row table — the corpus never
+    shuffles until the per-doc ``groupBy(id)`` partial-aggregated
+    rollup (3 longs per doc crossing the exchange).
+    """
+    tok = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), " ")).alias("token"),
+        )
+        .filter(F.length("token") > 0)
+    )
+    counts = tok.groupBy("token").agg(F.count("*").alias("c")).cache()
+    n_total = counts.agg(F.sum("c").alias("n")).collect()[0]["n"]
+    vocab = counts.orderBy(F.col("c").desc(), F.col("token")).limit(vocab_size)
+    bits = _bitlen(F.lit(int(n_total))) - _bitlen(F.coalesce(F.col("c"), F.lit(0)) + 1)
+    scored = tok.join(F.broadcast(vocab), "token", "left").select(
+        "id",
+        bits.cast("long").alias("bits"),
+        F.col("c").isNull().cast("long").alias("oov"),
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("bits").alias("sum_bits"),
+        F.round(F.sum("bits") / F.count("*"), 6).alias("mean_bits"),
+        F.round(F.sum("oov") / F.count("*"), 6).alias("oov_frac"),
+    )

@@ -260,3 +260,66 @@ def test_global_shuffle_plan(docs):
     assert final.count("md5") <= 1, plan  # digest computed in one pass
     assert "windowspecdefinition(bkt" in final, plan
     assert final.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_paragraph_dedup_handcrafted(spark):
+    """Boilerplate paragraphs (global count >= min_dup) drop; unique
+    paragraphs survive in original order; a doc losing everything keeps
+    an empty clean_text row."""
+    from podcast_crawler_spark.operators.curation import paragraph_dedup
+
+    B = "cookie banner"
+    rows = [
+        (1, f"{B}\n\nalpha unique one\n\nbeta unique two"),
+        (2, f"{B}\n\ngamma unique three"),
+        (3, f"{B}\n\n{B}"),  # all paragraphs are boilerplate
+        (4, "delta solo paragraph"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r for r in paragraph_dedup(df, min_dup=2).collect()}
+    assert got[1].clean_text == "alpha unique one\n\nbeta unique two"
+    assert (got[1].n_paras, got[1].n_dropped) == (3, 1)
+    assert got[2].clean_text == "gamma unique three"
+    assert got[3].clean_text == ""
+    assert (got[3].n_paras, got[3].n_dropped) == (2, 2)
+    assert got[3].dup_frac == 1.0
+    assert got[4].clean_text == "delta solo paragraph"
+    assert got[4].n_dropped == 0
+
+
+def test_paragraph_dedup_within_doc_repeat_counts(spark):
+    """min_dup counts OCCURRENCES corpus-wide, so a paragraph repeated
+    twice inside one document is boilerplate by the same rule."""
+    from podcast_crawler_spark.operators.curation import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(1, "same para\n\nmiddle bit\n\nsame para")],
+        "doc_id long, text string",
+    )
+    r = paragraph_dedup(df, min_dup=2).collect()[0]
+    assert r.clean_text == "middle bit"
+    assert (r.n_paras, r.n_dropped) == (3, 2)
+
+
+def test_paragraph_dedup_partitioning_invariant(spark, docs):
+    """Result is a pure function of the corpus — identical under a
+    different partitioning (the global count table sees all shards)."""
+    from podcast_crawler_spark.operators.curation import paragraph_dedup
+
+    base = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("shared head\n\n"), F.col("text"), F.lit("\n\ntail "),
+            F.col("doc_id"),
+        ).alias("text"),
+    )
+    a = sorted(
+        (r.id, r.clean_text, r.n_dropped)
+        for r in paragraph_dedup(base, min_dup=2).collect()
+    )
+    b = sorted(
+        (r.id, r.clean_text, r.n_dropped)
+        for r in paragraph_dedup(base.repartition(13), min_dup=2).collect()
+    )
+    assert a == b
+    assert all(n >= 1 for _, _, n in a)  # shared head always drops

@@ -154,3 +154,94 @@ def test_vocab_df_matches_python(spark):
         dfreq.update(set(toks))
     want = {(t, dfreq[t], tf[t]) for t in tf}
     assert got == want
+
+
+def test_mixture_sample_budgets(spark):
+    """Acceptance rates derive from weight budgets: a stratum whose
+    budget exceeds its total keeps every row at rate 1.0; sampled weight
+    of a capped stratum lands near its budget; unbudgeted strata fall
+    back to default_rate."""
+    from podcast_crawler_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "big" if i < 400 else "small", 100) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, d string, w long")
+    out = mixture_sample(
+        df, "k", "d", "w", budgets={"big": 10000.0, "small": 1e9},
+        default_rate=0.0,
+    ).collect()
+    by_d = {}
+    for r in out:
+        by_d.setdefault(r.d, []).append(r)
+    # uncapped stratum: every row kept, rate exactly 1.0
+    assert len(by_d["small"]) == 100
+    assert all(r.rate == 1.0 for r in by_d["small"])
+    # capped stratum: rate 10000/40000 = 0.25; hash sampling keeps ~100
+    assert all(r.rate == 0.25 for r in by_d["big"])
+    got_w = sum(r.w for r in by_d["big"])
+    assert 0.5 * 10000 <= got_w <= 1.5 * 10000
+    # default_rate=0 would drop an unbudgeted stratum entirely
+    out2 = mixture_sample(
+        df, "k", "d", "w", budgets={"big": 10000.0}, default_rate=0.0
+    ).collect()
+    assert all(r.d == "big" for r in out2)
+
+
+def test_mixture_sample_membership_consistent_with_hash_rule(spark):
+    """Membership must be the same md5-threshold rule as sample_by_hash
+    (a row kept at rate p is kept at every rate >= p)."""
+    from podcast_crawler_spark.operators.sampling import (
+        key_hash32,
+        mixture_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "x", 10) for i in range(300)], "k long, d string, w long"
+    )
+    kept = {
+        r.k
+        for r in mixture_sample(
+            df, "k", "d", "w", budgets={"x": 900.0}
+        ).collect()
+    }  # rate 900/3000 = 0.3
+    hs = {
+        r.k: r.h
+        for r in df.select(
+            "k", key_hash32(df["k"]).alias("h")
+        ).collect()
+    }
+    want = {k for k, h in hs.items() if h < int(0.3 * (1 << 32) + 0.5)}
+    assert kept == want
+
+
+def test_lm_surprisal_handcrafted(spark):
+    """Exact bit arithmetic on a corpus small enough to do by hand:
+    N=8 tokens -> bitlen(8)=4; 'a' c=5 -> bits 4-bitlen(6)=1;
+    'b' c=2 -> 4-bitlen(3)=2; 'z' OOV with vocab_size=2 -> 4-1=3."""
+    from podcast_crawler_spark.operators.textstats import lm_surprisal
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a a b z")], "doc_id long, text string"
+    )
+    got = {r.id: r for r in lm_surprisal(df, vocab_size=2).collect()}
+    assert got[1].sum_bits == 1 + 1 + 1 + 2 == 5
+    assert got[2].sum_bits == 1 + 1 + 2 + 3 == 7
+    assert got[2].oov_frac == 0.25
+    assert got[1].mean_bits == 1.25
+
+
+def test_lm_surprisal_vocab_cap_and_determinism(spark):
+    """Tokens outside the top-V vocab score as OOV; the result is
+    partition-invariant (integer sums are order-independent)."""
+    from podcast_crawler_spark.operators.textstats import lm_surprisal
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = sorted(map(tuple, lm_surprisal(docs, vocab_size=4).collect()))
+    b = sorted(
+        map(tuple, lm_surprisal(docs.repartition(17), vocab_size=4).collect())
+    )
+    assert a == b
+    big = sorted(map(tuple, lm_surprisal(docs, vocab_size=10000).collect()))
+    # rarer-vocab run can only raise surprisal, never lower it
+    for (ka, *ra), (kb, *rb) in zip(a, big):
+        assert ka == kb
+        assert ra[1] >= rb[1]  # sum_bits with capped vocab >= full vocab
