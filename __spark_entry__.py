@@ -426,6 +426,21 @@ def _dedup_exact(spark, sf_dir):
     )
 
 
+def _dedup_incremental(spark, sf_dir):
+    # steady-state exact dedup: a new crawl batch (all docs) against the
+    # running digest log of everything already ingested (even doc_ids).
+    # Bloom-shard pre-filter on executors + 128-bit exact verify of the
+    # maybes; the oracle is the naive keep-first + anti-join, so the
+    # whole filter chain must be EXACT, not approximate.
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.md5("text").alias("text_md5")
+    )
+    return dedup.incremental_exact(docs, corpus).select(
+        "doc_id", "lang", "text_md5"
+    )
+
+
 def _dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
@@ -718,6 +733,35 @@ def _lm_surprisal(spark, sf_dir):
     return textstats.lm_surprisal(
         _t(spark, sf_dir, "documents"), vocab_size=16
     )
+
+
+def _asof_join_events(spark, sf_dir):
+    # AS OF join — the "latest state at or before t" lookup Spark lacks
+    # natively (reference anchor: per-host last_crawl_ts scheduling,
+    # task_management_system.rs).  Implemented as union-tag + running
+    # last-non-null window: ONE keyed exchange, no range join, linear
+    # scan per partition.  The oracle is DuckDB's NATIVE ASOF LEFT JOIN,
+    # so the semantics (inclusive <=, null when no prior row) are pinned
+    # against an independent engine's implementation.
+    from podcast_crawler_spark.operators import temporal
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("rid"), "user_id", "ts"
+    )
+    return temporal.asof_join(left, right, on="user_id", right_cols=["rid"])
+
+
+def _session_stats(spark, sf_dir):
+    # gap-based sessionization (30-min cut) + per-session rollup; the
+    # oracle recomputes the lag-flag/cumsum windows and the aggregate.
+    from podcast_crawler_spark.operators import temporal
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return temporal.session_stats(ev, gap_s=1800.0)
 
 
 def _rate_limit_slots(spark, sf_dir):
@@ -1051,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_avg": _running_avg,
         "distinct_users": _distinct_users,
         "dedup_exact": _dedup_exact,
+        "dedup_incremental": _dedup_incremental,
         "dedup_clusters": _dedup_clusters,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
@@ -1067,6 +1112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _token_counts,
         "doc_fingerprints": _doc_fingerprints,
         "rate_limit_slots": _rate_limit_slots,
+        "asof_join_events": _asof_join_events,
+        "session_stats": _session_stats,
         "curation_pipeline": _curation_pipeline,
         "sample_documents": _sample_documents,
         "sample_stratified": _sample_stratified,
@@ -1402,6 +1449,16 @@ def oracle_sql() -> dict[str, str]:
             select md5(text) text_md5, min(doc_id) keep_id, count(*) dup_count
             from documents group by 1
         """,
+        "dedup_incremental": """
+            with b as (select doc_id, lang, md5(text) m,
+                              row_number() over (partition by md5(text)
+                                                 order by doc_id) rn
+                       from documents)
+            select doc_id, lang, m text_md5 from b
+            where rn = 1
+              and m not in (select distinct md5(text) from documents
+                            where doc_id % 2 = 0)
+        """,
         "dedup_ngram_jaccard": _JACCARD_CTE.format(thr=0.5, src="documents"),
         "dedup_minhash_lsh": _JACCARD_CTE.format(thr=0.8, src="documents"),
         "dedup_clusters": f"""
@@ -1538,6 +1595,33 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(bits)::DOUBLE / count(*), 6) mean_bits,
                    round(sum(oov)::DOUBLE / count(*), 6) oov_frac
             from s group by id
+        """,
+        "asof_join_events": """
+            with l as (select event_id, user_id, ts, value from events
+                       where event_type = 'purchase'),
+            r as (select event_id rid, user_id, ts from events
+                  where event_type = 'signup')
+            select l.event_id, l.user_id, l.ts, l.value,
+                   r.ts right_ts, r.rid right_rid
+            from l asof left join r
+              on l.user_id = r.user_id and l.ts >= r.ts
+        """,
+        "session_stats": """
+            with e as (
+              select user_id, ts, event_id,
+                     case when lag(ts) over w is null
+                               or epoch(ts) - epoch(lag(ts) over w) > 1800.0
+                          then 1 else 0 end n
+              from events
+              window w as (partition by user_id order by ts, event_id)),
+            s as (select user_id, ts,
+                         sum(n) over (partition by user_id order by ts, event_id
+                                      rows unbounded preceding) idx
+                  from e)
+            select user_id, idx::BIGINT session_idx, count(*)::BIGINT n_events,
+                   min(ts) start_ts, max(ts) end_ts,
+                   round(epoch(max(ts)) - epoch(min(ts)), 6) duration_s
+            from s group by user_id, idx
         """,
         "rate_limit_slots": """
             with e as (

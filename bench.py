@@ -61,6 +61,12 @@ BENCH_QUERIES = [
     "kmeans_clusters",
     "semantic_dedup",
     "bm25_topk",
+    "mixture_sample",
+    "paragraph_dedup",
+    "lm_surprisal",
+    "dedup_incremental",
+    "asof_join_events",
+    "session_stats",
 ]
 
 

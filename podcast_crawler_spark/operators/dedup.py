@@ -88,6 +88,74 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def incremental_exact(
+    new_docs: DataFrame,
+    corpus_digests: Optional[DataFrame],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_shards: int = 32,
+    expected_keys: Optional[int] = None,
+) -> DataFrame:
+    """Exact dedup of a NEW batch against an already-ingested corpus —
+    the steady-state form of :func:`exact_dedup` for a pipeline that
+    ingests crawl batches forever and must not re-scan 10^10 docs per
+    batch.  Returns the fresh survivors (all new-doc columns +
+    ``text_md5``): first occurrence within the batch (min id per digest)
+    AND text not present in *corpus_digests* (a table with a
+    ``text_md5`` column — e.g. the running digest log of everything
+    ingested).  ``corpus_digests=None`` means first batch: within-batch
+    dedup only.
+
+    Scale shape — the same discipline as the URL seen-set
+    (``operators/seen.py``, reference semantics
+    `podcast_repository.rs:178-183` upsert keys):
+
+    - within-batch keep-first: one digest-keyed shuffle of the batch.
+    - corpus membership: bloom-shard pre-filter on an int64 key DERIVED
+      from the digest (``xxhash64(text_md5)``) — shard filters built and
+      probed on executors (``build_bloom_shards`` /
+      ``bloom_probe_partitioned``), so definite-new docs (the vast
+      majority of a typical batch) never touch the corpus table at all;
+      only the bloom-maybes (O(batch · fpp + overlap) rows) exact-verify
+      with a ``left_anti`` on the FULL 128-bit digest.  A derived-key
+      collision therefore costs one extra verify row, never a wrong
+      answer.  The corpus side of that verify is a digest-column-only
+      scan; store the digest log bucketed on ``text_md5`` (the
+      ``sources/bucketed.py`` lever) and it joins with no corpus
+      shuffle.  In steady state the shard filters are PERSISTED and
+      folded incrementally (``update_bloom_shards``) rather than
+      rebuilt — the same pattern ``plans/epoch.py`` wires for URL
+      admissions.
+    - the survivors' ``text_md5`` column is exactly what the caller
+      appends to *corpus_digests* (and folds into persisted shards with
+      ``update_bloom_shards``) for the next batch.
+    """
+    from . import seen as seenmod
+
+    d = new_docs.withColumn("text_md5", F.md5(F.col(text_col)))
+    w = Window.partitionBy("text_md5").orderBy(F.col(id_col))
+    firsts = (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if corpus_digests is None:
+        return firsts
+    k64 = F.xxhash64("text_md5")
+    seen_keys = corpus_digests.select(k64.alias("_k64"))
+    shards = seenmod.build_bloom_shards(
+        seen_keys, "_k64", num_shards, expected_keys
+    )
+    probed = seenmod.bloom_probe_partitioned(
+        firsts.withColumn("_k64", k64), shards, "_k64", num_shards
+    )
+    definite_new = probed.filter(~F.col("maybe_seen"))
+    maybes = probed.filter(F.col("maybe_seen")).join(
+        corpus_digests.select("text_md5").distinct(), "text_md5", "left_anti"
+    )
+    return definite_new.unionByName(maybes).drop("maybe_seen", "_k64")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

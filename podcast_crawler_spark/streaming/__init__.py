@@ -1,5 +1,6 @@
 from .crawl_stream import (  # noqa: F401
     politeness_rate_limiter,
+    streaming_dedup,
     run_crawl_stream,
     stage_metrics_stream,
 )

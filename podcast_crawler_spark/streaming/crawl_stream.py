@@ -242,3 +242,28 @@ def politeness_rate_limiter(
         output_mode,
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_dedup(
+    stream_df: DataFrame,
+    key_cols=("text_md5",),
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: emit each key's FIRST arrival, suppress
+    re-arrivals across micro-batches — the stream form of
+    ``dedup.incremental_exact`` for an ingest pipeline that must not
+    emit a document (or URL) twice.
+
+    Uses the engine-native ``dropDuplicatesWithinWatermark``: dedup
+    state lives in the state store (RocksDB-backed at scale,
+    hash-partitioned by key exactly like a batch groupBy), and the
+    watermark BOUNDS it — a key older than the watermark horizon is
+    evicted, so state is O(keys per horizon), not O(stream lifetime).
+    Unbounded exact dedup (crawl seen-set semantics) is the batch
+    bloom-shard path (``operators/seen.py``); this operator is the
+    within-horizon guard a streaming stage puts in front of it.
+    """
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

@@ -269,3 +269,73 @@ def test_lsh_cap_equals_uncapped_without_hot_buckets(docs):
         ).collect()
     }
     assert capped == uncapped and len(capped) > 0
+
+
+def test_incremental_exact_first_batch(spark):
+    """corpus_digests=None: within-batch keep-first only (min id per
+    digest), every column preserved + text_md5 appended."""
+    from podcast_crawler_spark.operators.dedup import incremental_exact
+
+    df = spark.createDataFrame(
+        [(3, "aaa"), (1, "aaa"), (2, "bbb")], "doc_id long, text string"
+    )
+    got = sorted(
+        (r.doc_id, r.text) for r in incremental_exact(df, None).collect()
+    )
+    assert got == [(1, "aaa"), (2, "bbb")]
+
+
+def test_incremental_exact_vs_corpus_handcrafted(spark):
+    """Batch docs whose text is already in the corpus digest log drop;
+    within-batch dups keep first; genuinely new docs survive."""
+    import hashlib as hl
+
+    from podcast_crawler_spark.operators.dedup import incremental_exact
+
+    batch = spark.createDataFrame(
+        [
+            (10, "fresh text one"),
+            (11, "already ingested"),
+            (12, "fresh text two"),
+            (13, "fresh text one"),  # within-batch dup of 10
+        ],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(hl.md5(b"already ingested").hexdigest(),)], "text_md5 string"
+    )
+    got = sorted(
+        r.doc_id
+        for r in incremental_exact(batch, corpus, num_shards=4).collect()
+    )
+    assert got == [10, 12]
+
+
+def test_incremental_exact_equals_naive(spark):
+    """The bloom-shard + exact-verify path must EQUAL the naive
+    keep-first + anti-join computation on the real documents table
+    (bloom false positives verified away; false negatives impossible)."""
+    from pyspark.sql import Window
+
+    from podcast_crawler_spark.operators.dedup import incremental_exact
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    corpus = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.md5("text").alias("text_md5")
+    )
+    got = sorted(
+        r.doc_id for r in incremental_exact(docs, corpus).collect()
+    )
+    firsts = docs.withColumn("m", F.md5("text")).withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("m").orderBy("doc_id")),
+    ).filter(F.col("rn") == 1)
+    want = sorted(
+        r.doc_id
+        for r in firsts.join(
+            corpus.distinct(), firsts.m == corpus.text_md5, "left_anti"
+        ).collect()
+    )
+    assert got == want and len(got) > 0

@@ -182,3 +182,62 @@ def test_politeness_rate_limiter_stateful(spark, tmp_path):
     # per-host spacing invariant
     hot = sorted(t for (h, _), t in got.items() if h == "hot.example")
     assert all(b - a >= 0.5 - 1e-9 for a, b in zip(hot, hot[1:]))
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    """Keys re-arriving in a later micro-batch (within the watermark
+    horizon) are suppressed: each digest is emitted exactly once."""
+    import datetime as dt
+
+    from podcast_crawler_spark.streaming import streaming_dedup
+
+    stream_dir = str(tmp_path / "docs_stream")
+    os.makedirs(stream_dir)
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text_md5 string, ts timestamp"
+        )
+
+    drop_batch(
+        mk([(1, "aaa", t0), (2, "bbb", t0)]), tmp_path, stream_dir, "b1"
+    )
+    src = (
+        spark.readStream.schema("doc_id long, text_md5 string, ts timestamp")
+        .parquet(stream_dir)
+    )
+    q = (
+        streaming_dedup(src, key_cols=("text_md5",), watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .option(
+            "checkpointLocation", str(tmp_path / "dedup_ckpt")
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: bbb re-arrives (suppress), ccc is new
+        drop_batch(
+            mk(
+                [
+                    (3, "bbb", t0 + dt.timedelta(minutes=5)),
+                    (4, "ccc", t0 + dt.timedelta(minutes=5)),
+                ]
+            ),
+            tmp_path,
+            stream_dir,
+            "b2",
+        )
+        q.processAllAvailable()
+        rows = spark.sql("select * from dedup_sink").collect()
+    finally:
+        q.stop()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.text_md5, []).append(r.doc_id)
+    assert sorted(by_key) == ["aaa", "bbb", "ccc"]
+    assert all(len(v) == 1 for v in by_key.values())
+    assert by_key["bbb"] == [2]  # the FIRST arrival won
