@@ -764,6 +764,22 @@ def _session_stats(spark, sf_dir):
     return temporal.session_stats(ev, gap_s=1800.0)
 
 
+def _range_join_sessions(spark, sf_dir):
+    # keyed interval-containment join via the time-grid equi-join (no
+    # nested-loop range join anywhere in the plan): events joined into
+    # their own session intervals must reproduce the session assignment,
+    # and the oracle is DuckDB's naive BETWEEN join over the same
+    # session CTE — so both the grid decomposition and the session
+    # windows are cross-checked.
+    from podcast_crawler_spark.operators import temporal
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    ivls = temporal.session_stats(ev, gap_s=1800.0)
+    return temporal.range_join(
+        ev, ivls, on="user_id", grain_s=3600, interval_cols=["session_idx"]
+    ).select("event_id", "user_id", "ts", "ivl_session_idx")
+
+
 def _rate_limit_slots(spark, sf_dir):
     # X4 governor recurrence as a batch operator (the SAME numpy kernel
     # the stateful streaming rate limiter carries across micro-batches):
@@ -1114,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_limit_slots": _rate_limit_slots,
         "asof_join_events": _asof_join_events,
         "session_stats": _session_stats,
+        "range_join_sessions": _range_join_sessions,
         "curation_pipeline": _curation_pipeline,
         "sample_documents": _sample_documents,
         "sample_stratified": _sample_stratified,
@@ -1622,6 +1639,26 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) start_ts, max(ts) end_ts,
                    round(epoch(max(ts)) - epoch(min(ts)), 6) duration_s
             from s group by user_id, idx
+        """,
+        "range_join_sessions": """
+            with e as (
+              select user_id, ts, event_id,
+                     case when lag(ts) over w is null
+                               or epoch(ts) - epoch(lag(ts) over w) > 1800.0
+                          then 1 else 0 end n
+              from events
+              window w as (partition by user_id order by ts, event_id)),
+            s as (select user_id, ts,
+                         sum(n) over (partition by user_id order by ts, event_id
+                                      rows unbounded preceding) idx
+                  from e),
+            ivl as (select user_id, idx::BIGINT session_idx,
+                           min(ts) start_ts, max(ts) end_ts
+                    from s group by user_id, idx)
+            select p.event_id, p.user_id, p.ts, i.session_idx ivl_session_idx
+            from events p join ivl i
+              on p.user_id = i.user_id
+             and p.ts between i.start_ts and i.end_ts
         """,
         "rate_limit_slots": """
             with e as (

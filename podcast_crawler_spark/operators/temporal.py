@@ -1,4 +1,5 @@
-"""Temporal operators over event streams: as-of join and sessionization.
+"""Temporal operators over event streams: as-of join, range (interval
+containment) join, and sessionization.
 
 Spark has no native AS OF join (Databricks/Flink/kdb all grew one); the
 distributed-classic formulation here needs nothing beyond DataFrame ops:
@@ -109,6 +110,63 @@ def asof_join(
     cols.append(F.col("_m._ts").alias("right_ts"))
     cols.extend(F.col(f"_m.{c}").alias(f"right_{c}") for c in right_cols)
     return out.select(*cols)
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    grain_s: int = 3600,
+    interval_cols: Optional[List[str]] = None,
+) -> DataFrame:
+    """Keyed interval containment join: every *points* row paired with
+    each *intervals* row of the same ``on`` key whose
+    ``[start, end]`` (inclusive) contains the point's ``ts``.  Output =
+    all point columns + ``ivl_<c>`` for the requested interval columns.
+
+    Spark plans a raw ``start <= ts AND ts <= end`` predicate as a
+    broadcast-nested-loop / cartesian per key — quadratic.  The classic
+    distributed formulation grids time at ``grain_s``: intervals
+    replicate once per covered grain (``sequence(floor(start/g),
+    floor(end/g))`` — bounded by interval length / grain), points map to
+    their single containing grain, and the join becomes an EQUI-join on
+    ``(key, grain)`` + a residual range filter.  Each matching pair
+    meets in exactly one grain (the point's), so no post-join dedup.
+    Pick ``grain_s`` ≈ typical interval length: replication factor stays
+    O(1) while each grain cell holds only co-temporal rows — at 10^10
+    events this is an ordinary hash join with bounded build rows per
+    key-grain.
+    """
+    interval_cols = interval_cols or [
+        c for c in intervals.columns if c != on
+    ]
+    g = F.lit(int(grain_s))
+    ivl = intervals.select(
+        F.col(on).alias("_k"),
+        F.struct(*[F.col(c) for c in interval_cols]).alias("_ivl"),
+        _epoch_s(F.col(start_col)).alias("_s"),
+        _epoch_s(F.col(end_col)).alias("_e"),
+    ).withColumn(
+        "_grain",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_s") / g), F.floor(F.col("_e") / g)
+            )
+        ),
+    )
+    pts = points.withColumn(
+        "_grain", F.floor(_epoch_s(F.col(ts_col)) / g)
+    ).withColumn("_k", F.col(on))
+    joined = pts.join(ivl, ["_k", "_grain"]).filter(
+        (_epoch_s(F.col(ts_col)) >= F.col("_s"))
+        & (_epoch_s(F.col(ts_col)) <= F.col("_e"))
+    )
+    cols = [F.col(c) for c in points.columns]
+    cols.extend(F.col(f"_ivl.{c}").alias(f"ivl_{c}") for c in interval_cols)
+    return joined.select(*cols)
 
 
 def sessionize(

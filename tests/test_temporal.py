@@ -167,3 +167,78 @@ def test_sessionize_single_window_exchange(events):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+
+def test_range_join_handcrafted(spark):
+    """Inclusive bounds both ends; multi-grain intervals match once per
+    point; out-of-range and wrong-key points drop."""
+    from podcast_crawler_spark.operators.temporal import range_join
+
+    pts = spark.createDataFrame(
+        [
+            (1, 7, _ts(0)),            # == start (inclusive)
+            (2, 7, _ts(30)),           # strictly inside, later grain
+            (3, 7, _ts(59, 59)),       # just inside end
+            (4, 7, dt.datetime(2024, 1, 1, 1, 0, 1)),  # past end
+            (5, 8, _ts(30)),           # other key, no interval
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    ivl = spark.createDataFrame(
+        [(7, 101, _ts(0), dt.datetime(2024, 1, 1, 1, 0, 0))],
+        "user_id long, ivl_id long, start_ts timestamp, end_ts timestamp",
+    )
+    got = {
+        r.event_id: r.ivl_ivl_id
+        for r in range_join(
+            pts, ivl, on="user_id", grain_s=600,
+            interval_cols=["ivl_id"],
+        ).collect()
+    }
+    assert got == {1: 101, 2: 101, 3: 101}
+
+
+def test_range_join_matches_sessions(events):
+    """Self-consistency: range-joining events into their own session
+    intervals reproduces the sessionize assignment exactly (sessions
+    partition each user's timeline, so containment is 1:1)."""
+    from podcast_crawler_spark.operators.temporal import (
+        range_join,
+        session_stats,
+        sessionize,
+    )
+
+    ev = events.select("event_id", "user_id", "ts")
+    ivls = session_stats(ev, gap_s=1800.0)
+    got = {
+        r.event_id: (r.user_id, r.ivl_session_idx)
+        for r in range_join(
+            ev, ivls, on="user_id", grain_s=3600,
+            interval_cols=["session_idx"],
+        ).collect()
+    }
+    want = {
+        r.event_id: (r.user_id, r.session_idx)
+        for r in sessionize(ev, gap_s=1800.0).collect()
+    }
+    assert got == want
+
+
+def test_range_join_no_nested_loop(events):
+    """The grid formulation must plan as an equi-join on (key, grain) —
+    never a nested-loop / cartesian range join."""
+    from podcast_crawler_spark.operators.temporal import (
+        range_join,
+        session_stats,
+    )
+
+    ev = events.select("event_id", "user_id", "ts")
+    plan = (
+        range_join(
+            ev, session_stats(ev), on="user_id",
+            interval_cols=["session_idx"],
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in plan, plan
