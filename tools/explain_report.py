@@ -120,6 +120,37 @@ def main() -> None:
         "carrying only id pairs, anti-join pruning, and the hash-sample\n"
         "threshold folded into a scan-level filter.",
     )
+    add(
+        "asof_join_events (AS OF join, union-tag window)",
+        qs["asof_join_events"](spark, SF),
+        "Expected: ONE hashpartitioning(_k) exchange feeding a running\n"
+        "last-non-null Window — NO join node of any kind (a naive range\n"
+        "theta-join would plan BroadcastNestedLoopJoin); union of the two\n"
+        "tagged sides below the exchange.",
+    )
+    add(
+        "range_join_sessions (interval containment via time grid)",
+        qs["range_join_sessions"](spark, SF),
+        "Expected: intervals exploded once per covered grain, then an\n"
+        "EQUI-join on (key, grain) + residual range filter — no\n"
+        "BroadcastNestedLoopJoin / CartesianProduct anywhere.",
+    )
+    add(
+        "paragraph_dedup (sub-document dedup + reassembly)",
+        qs["paragraph_dedup"](spark, SF),
+        "Expected: posexplode (narrow) → digest-grouped count with partial\n"
+        "(map-side) aggregation → digest-keyed hash join → groupBy(doc)\n"
+        "reassembly: exactly the two text exchanges the docstring budgets,\n"
+        "with the count exchange carrying only 16-byte digests.",
+    )
+    add(
+        "lm_surprisal (corpus-trained LM scoring)",
+        qs["lm_surprisal"](spark, SF),
+        "Expected: vocab aggregation with map-side combine capped by\n"
+        "TakeOrderedAndProject; scoring side broadcast-joins the vocab\n"
+        "(BroadcastHashJoin) after a narrow explode; final per-doc rollup\n"
+        "partial-aggregates 3 longs per doc.",
+    )
     keys = spark.range(0, 2000, 1, 4).select(
         F.xxhash64(F.col("id").cast("string")).alias("url_hash"), "id"
     )
