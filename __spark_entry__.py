@@ -37,6 +37,7 @@ from podcast_crawler_spark.operators import (
     multimodal,
     ranking,
     similarity,
+    sketches,
     textstats,
 )
 from podcast_crawler_spark.operators.frontier import CrawlConfig, schedule_epoch, seed_scan
@@ -1087,6 +1088,26 @@ def _crawl_discovery_loop(spark, sf_dir):
     )
 
 
+def _hll_distinct(spark, sf_dir):
+    # HyperLogLog distinct-count with materialized registers: the
+    # estimate's WHOLE derivation (md5-slice bucket/rho, integer-scaled
+    # harmonic sum, linear-counting correction) is recomputed by the
+    # DuckDB oracle; n_exact audits the error.  Sketch state is O(m)
+    # rows per group — the scale path for `distinct_users` at 10^10.
+    return sketches.hll_distinct(
+        _t(spark, sf_dir, "events"), "user_id", ["event_type"]
+    )
+
+
+def _cm_heavy_hitters(spark, sf_dir):
+    # count-min heavy hitters: top-20 tokens by exact count with the
+    # sketch estimate alongside; the counter table (4x1024 integer
+    # cells) and the min-over-rows probe are bit-exact in the oracle.
+    return sketches.cm_heavy_hitters(
+        _t(spark, sf_dir, "documents"), "text", k=20
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_priority_queue": _priority_queue,
@@ -1110,6 +1131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_similarity_pairs": _url_similarity_pairs,
         "running_avg": _running_avg,
         "distinct_users": _distinct_users,
+        "hll_distinct": _hll_distinct,
+        "cm_heavy_hitters": _cm_heavy_hitters,
         "dedup_exact": _dedup_exact,
         "dedup_incremental": _dedup_incremental,
         "dedup_clusters": _dedup_clusters,
@@ -1461,6 +1484,81 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users": """
             select event_type, count(distinct user_id) n_users from events
             group by event_type
+        """,
+        # HLL: the identical md5-slice register derivation and the exact
+        # integer-scaled harmonic sum (order-independent by construction);
+        # the alpha*m^2*2^50 constant is the SAME Python-folded double
+        # literal on both sides.
+        "hll_distinct": f"""
+            with regs as (
+              select event_type,
+                     try_cast('0x' || substr(md5(user_id::VARCHAR), 1, 2)
+                              as bigint) bucket,
+                     max(case when try_cast('0x' ||
+                                   substr(md5(user_id::VARCHAR), 3, 15)
+                                   as bigint) = 0 then 61
+                              else 61 - length(printf('%b',
+                                   try_cast('0x' ||
+                                   substr(md5(user_id::VARCHAR), 3, 15)
+                                   as bigint))) end) reg
+              from events group by 1, 2),
+            sk as (
+              select event_type, count(*) n_buckets,
+                     sum(case when reg <= 50
+                              then (1::BIGINT << (50 - reg))
+                              else 0 end)::BIGINT harmonic_present
+              from regs group by 1),
+            est as (
+              select event_type,
+                     (256 - n_buckets)::BIGINT n_zero_regs,
+                     (harmonic_present
+                      + (256 - n_buckets) * (1::BIGINT << 50))::BIGINT
+                       harmonic_scaled
+              from sk),
+            fin as (
+              select event_type, n_zero_regs, harmonic_scaled,
+                     round(case when n_zero_regs > 0
+                                 and {sketches.HLL_ALPHA_SCALED!r}
+                                     / harmonic_scaled <= 2.5 * 256
+                                then 256.0 * ln(256.0 / n_zero_regs)
+                                else {sketches.HLL_ALPHA_SCALED!r}
+                                     / harmonic_scaled end, 4) hll_estimate
+              from est),
+            ex as (select event_type,
+                          count(distinct user_id)::BIGINT n_exact
+                   from events group by 1)
+            select f.event_type, e.n_exact, f.n_zero_regs,
+                   f.harmonic_scaled, f.hll_estimate,
+                   round(abs(f.hll_estimate - e.n_exact) / e.n_exact, 4)
+                     rel_err
+            from fin f join ex e using (event_type)
+        """,
+        # count-min: integer counter cells + min-over-rows probe — every
+        # number is integer arithmetic over the shared md5-slice hash.
+        "cm_heavy_hitters": """
+            with tok as (select unnest(string_split(text, ' ')) token
+                         from documents),
+            t as (select token from tok where length(token) > 0),
+            rws(r) as (select unnest([0, 1, 2, 3])),
+            cells as (
+              select r, try_cast('0x' ||
+                       substr(md5('r' || r || ':' || token), 1, 5)
+                       as bigint) % 1024 col, count(*)::BIGINT c
+              from t cross join rws group by 1, 2),
+            exact as (select token, count(*)::BIGINT n_exact
+                      from t group by 1),
+            topk as (select token, n_exact from exact
+                     order by n_exact desc, token limit 20),
+            probe as (
+              select k.token, k.n_exact, w.r,
+                     try_cast('0x' ||
+                       substr(md5('r' || w.r || ':' || k.token), 1, 5)
+                       as bigint) % 1024 col
+              from topk k cross join rws w)
+            select p.token, p.n_exact, min(c.c)::BIGINT cm_est,
+                   (min(c.c) - p.n_exact)::BIGINT overcount
+            from probe p join cells c on p.r = c.r and p.col = c.col
+            group by p.token, p.n_exact
         """,
         "dedup_exact": """
             select md5(text) text_md5, min(doc_id) keep_id, count(*) dup_count

@@ -1,0 +1,152 @@
+"""Sketch operator tests: HLL distinct and count-min heavy hitters.
+
+Correctness is pinned three ways: a straight-line python oracle for the
+register/counter derivation, the sketch-algebra merge laws (the property
+that makes them usable across crawl epochs), and plan assertions for the
+scale contract (map-side combine before the exchange, broadcast probe).
+"""
+
+import hashlib
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def _py_register(key: str):
+    h = hashlib.md5(key.encode()).hexdigest()
+    bucket = int(h[:2], 16)
+    v = int(h[2:17], 16)
+    rho = 61 if v == 0 else 61 - len(bin(v)[2:])
+    return bucket, rho
+
+
+def test_hll_registers_python_oracle(spark):
+    from podcast_crawler_spark.operators.sketches import hll_registers
+
+    keys = [str(i) for i in range(500)]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {r.bucket: r.reg for r in hll_registers(df, "k").collect()}
+    want = {}
+    for k in keys:
+        b, rho = _py_register(k)
+        want[b] = max(want.get(b, 0), rho)
+    assert got == want
+
+
+def test_hll_estimate_accuracy(events):
+    from podcast_crawler_spark.operators.sketches import hll_distinct
+
+    rows = hll_distinct(events, "user_id", ["event_type"]).collect()
+    assert rows, "no groups"
+    for r in rows:
+        # m=256 -> standard error 1.04/sqrt(256) = 6.5%; 3 sigma bound
+        assert r.rel_err < 0.20, (r.event_type, r.n_exact, r.hll_estimate)
+        assert r.harmonic_scaled > 0
+
+
+def test_hll_register_merge_law(events):
+    """Registers are a semilattice: sketching two halves and merging
+    with groupBy-max equals sketching the whole — the property that lets
+    epoch sketches accumulate without re-scanning history."""
+    from podcast_crawler_spark.operators.sketches import hll_registers
+
+    lo = events.filter(F.col("event_id") % 2 == 0)
+    hi = events.filter(F.col("event_id") % 2 == 1)
+    merged = (
+        hll_registers(lo, "user_id")
+        .unionByName(hll_registers(hi, "user_id"))
+        .groupBy("bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    full = hll_registers(events, "user_id")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_hll_partial_aggregation_plan(events):
+    """The register build must have a map-side partial max below the
+    exchange — each task emits <= m rows, the scale contract."""
+    from podcast_crawler_spark.operators.sketches import hll_registers
+
+    plan = (
+        hll_registers(events, "user_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    lines = plan.splitlines()
+    partial = [i for i, l in enumerate(lines) if "partial_max" in l]
+    final = [i for i, l in enumerate(lines) if "HashAggregate" in l and "max(" in l and "partial" not in l]
+    assert partial and final, plan
+    # partial agg is BELOW (printed after) the final agg + exchange
+    assert min(partial) > min(final), plan
+
+
+def test_cm_never_undercounts(docs):
+    from podcast_crawler_spark.operators.sketches import cm_heavy_hitters
+
+    rows = cm_heavy_hitters(docs, "text", k=25).collect()
+    assert len(rows) == 25  # sf0.001 corpus has 31 distinct tokens
+    for r in rows:
+        assert r.cm_est >= r.n_exact, r
+        assert r.overcount == r.cm_est - r.n_exact
+
+
+def test_cm_exact_counts_match_python(docs):
+    from podcast_crawler_spark.operators.sketches import cm_heavy_hitters
+
+    texts = [r.text for r in docs.select("text").collect()]
+    counts = Counter(t for txt in texts for t in txt.split(" ") if t)
+    want_top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = {
+        r.token: r.n_exact
+        for r in cm_heavy_hitters(docs, "text", k=10).collect()
+    }
+    assert got == dict(want_top)
+
+
+def test_cm_sketch_merge_law(docs):
+    """Counter tables from two batches merge by summing cells."""
+    from podcast_crawler_spark.operators.sketches import cm_sketch
+
+    lo = docs.filter(F.col("doc_id") % 2 == 0)
+    hi = docs.filter(F.col("doc_id") % 2 == 1)
+    merged = (
+        cm_sketch(lo).unionByName(cm_sketch(hi))
+        .groupBy("row", "col")
+        .agg(F.sum("c").alias("c"))
+    )
+    full = cm_sketch(docs)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_cm_probe_is_broadcast(docs):
+    """The candidate->counter probe must broadcast the counter table
+    (<= depth*width rows) — a corpus-sized shuffle there would defeat
+    the sketch."""
+    from podcast_crawler_spark.operators.sketches import cm_heavy_hitters
+
+    plan = (
+        cm_heavy_hitters(docs, "text", k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
