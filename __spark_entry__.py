@@ -34,6 +34,7 @@ from podcast_crawler_spark.operators import (
     clustering,
     curation,
     dedup,
+    graph,
     multimodal,
     ranking,
     similarity,
@@ -1088,6 +1089,32 @@ def _crawl_discovery_loop(spark, sf_dir):
     )
 
 
+_PR_EDGES_SQL = (
+    "select distinct user_id % 97 as src,"
+    " (user_id * 31 + event_id) % 97 as dst from events"
+    " where user_id % 97 <> (user_id * 31 + event_id) % 97"
+)
+
+
+def _host_pagerank(spark, sf_dir):
+    # host-importance ranking for the frontier (Page et al. 1999; the
+    # reference priorities by insertion order only).  Exact integer
+    # fixed-point: the DuckDB oracle replays all 5 iterations via an
+    # unrolled CTE chain and hash-matches every scaled BIGINT rank.
+    # The host graph is synthesized deterministically from events
+    # (same in-query-synthesis precedent as paragraph_dedup).
+    ev = _t(spark, sf_dir, "events")
+    edges = (
+        ev.select(
+            (F.col("user_id") % 97).alias("src"),
+            ((F.col("user_id") * 31 + F.col("event_id")) % 97).alias("dst"),
+        )
+        .filter("src <> dst")
+        .distinct()
+    )
+    return graph.pagerank(edges, iters=5)
+
+
 def _hll_distinct(spark, sf_dir):
     # HyperLogLog distinct-count with materialized registers: the
     # estimate's WHOLE derivation (md5-slice bucket/rho, integer-scaled
@@ -1133,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users": _distinct_users,
         "hll_distinct": _hll_distinct,
         "cm_heavy_hitters": _cm_heavy_hitters,
+        "host_pagerank": _host_pagerank,
         "dedup_exact": _dedup_exact,
         "dedup_incremental": _dedup_incremental,
         "dedup_clusters": _dedup_clusters,
@@ -1533,6 +1561,9 @@ def oracle_sql() -> dict[str, str]:
                      rel_err
             from fin f join ex e using (event_type)
         """,
+        # PageRank: the oracle is generated by the SAME code that defines
+        # the integer fixed-point recurrence — 5 unrolled iterations.
+        "host_pagerank": graph.pagerank_oracle_sql(_PR_EDGES_SQL, iters=5),
         # count-min: integer counter cells + min-over-rows probe — every
         # number is integer arithmetic over the shared md5-slice hash.
         "cm_heavy_hitters": """

@@ -1,0 +1,111 @@
+"""PageRank tests: exact integer recurrence vs a straight-line python
+oracle (including the dangling-node path the driver query's graph never
+produces), plus structural sanity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SCALE = 10 ** 12
+
+
+def _py_pagerank(edges, iters, scale=SCALE):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    init = scale // n
+    base = (15 * init) // 100
+    r = {v: init for v in nodes}
+    for _ in range(iters):
+        inflow = {v: 0 for v in nodes}
+        for s, d in edges:
+            inflow[d] += r[s] // outdeg[s]
+        dang = sum(r[v] for v in nodes if v not in outdeg)
+        r = {
+            v: base + (85 * (inflow[v] + dang // n)) // 100
+            for v in nodes
+        }
+    return r
+
+
+@pytest.fixture(scope="module")
+def chain_graph(spark):
+    # 0->1->2->3 (3 dangling), 4->1, 4->2, plus a self-loop 2->2
+    edges = [(0, 1), (1, 2), (2, 3), (4, 1), (4, 2), (2, 2)]
+    return edges, spark.createDataFrame(edges, "src long, dst long")
+
+
+def test_pagerank_matches_python_oracle(chain_graph):
+    from podcast_crawler_spark.operators.graph import pagerank
+
+    edges, df = chain_graph
+    got = {
+        r.node: r.rank_scaled for r in pagerank(df, iters=6).collect()
+    }
+    assert got == _py_pagerank(edges, iters=6)
+    # the uncheckpointed (pure-lineage) plan computes the same thing
+    got2 = {
+        r.node: r.rank_scaled
+        for r in pagerank(df, iters=2, checkpoint=False).collect()
+    }
+    assert got2 == _py_pagerank(edges, iters=2)
+
+
+def test_pagerank_dangling_mass_redistributed(chain_graph):
+    """Node 3 has no out-edges; its mass must flow back to everyone —
+    with a true sink and no redistribution, total mass collapses."""
+    from podcast_crawler_spark.operators.graph import pagerank
+
+    _, df = chain_graph
+    rows = pagerank(df, iters=10).collect()
+    total = sum(r.rank_scaled for r in rows)
+    # floors leak at most a few units per node per iteration
+    assert total > 0.95 * SCALE
+    assert all(r.rank_scaled > 0 for r in rows)
+
+
+def test_pagerank_ordering_sensible(spark):
+    """A hub pointed at by everyone outranks the spokes."""
+    from podcast_crawler_spark.operators.graph import pagerank
+
+    edges = [(i, 99) for i in range(10)] + [(99, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank_scaled for r in pagerank(df, iters=8).collect()}
+    spokes = [got[i] for i in range(1, 10)]
+    # 0 receives the hub's entire outflow, so it tops even the hub;
+    # both crush the spokes, which only get base + dangling share
+    assert got[0] > got[99] > max(spokes)
+    assert len(set(spokes)) == 1
+
+
+def test_pagerank_oracle_sql_generator_matches_duckdb(chain_graph):
+    """The committed oracle generator replays the Spark recurrence in
+    DuckDB on the same hand graph — pins the generator itself, not just
+    the driver query's instance of it."""
+    import duckdb
+
+    from podcast_crawler_spark.operators.graph import (
+        pagerank,
+        pagerank_oracle_sql,
+    )
+
+    edges, df = chain_graph
+    vals = ", ".join(f"({s}, {d})" for s, d in edges)
+    sql = pagerank_oracle_sql(
+        f"select * from (values {vals}) t(src, dst)", iters=6
+    )
+    con = duckdb.connect()
+    want = {n: rs for n, rs, _ in con.sql(sql).fetchall()}
+    got = {
+        r.node: r.rank_scaled for r in pagerank(df, iters=6).collect()
+    }
+    assert got == want
+
+
+def test_pagerank_empty_graph_raises(spark):
+    from podcast_crawler_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    with pytest.raises(ValueError, match="empty graph"):
+        pagerank(empty, iters=2)
