@@ -1096,6 +1096,13 @@ _PR_EDGES_SQL = (
 )
 
 
+def _classifier_score(spark, sf_dir):
+    # hashed-linear (fastText-style) quality classifier: the hashing
+    # trick makes the model a pure expression — map-side, zero shuffle;
+    # integer weight sums keep the oracle exact.
+    return textstats.classifier_score(_t(spark, sf_dir, "documents"))
+
+
 def _host_pagerank(spark, sf_dir):
     # host-importance ranking for the frontier (Page et al. 1999; the
     # reference priorities by insertion order only).  Exact integer
@@ -1161,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": _hll_distinct,
         "cm_heavy_hitters": _cm_heavy_hitters,
         "host_pagerank": _host_pagerank,
+        "classifier_score": _classifier_score,
         "dedup_exact": _dedup_exact,
         "dedup_incremental": _dedup_incremental,
         "dedup_clusters": _dedup_clusters,
@@ -1560,6 +1568,29 @@ def oracle_sql() -> dict[str, str]:
                    round(abs(f.hll_estimate - e.n_exact) / e.n_exact, 4)
                      rel_err
             from fin f join ex e using (event_type)
+        """,
+        # hashed-linear classifier: identical md5-slice bucket -> integer
+        # weight -> exact BIGINT sum; only the mean divides (rounded).
+        "classifier_score": """
+            with t as (select doc_id id,
+                              list_filter(string_split(text, ' '),
+                                          x -> length(x) > 0) toks
+                       from documents),
+            s as (select id, len(toks)::BIGINT n_tokens,
+                         coalesce(list_sum(list_transform(toks,
+                           x -> try_cast('0x' || substr(md5('w:' || x), 1, 5)
+                                         as bigint) % 2001 - 1000)),
+                           0)::BIGINT score_sum
+                  from t)
+            select id, n_tokens, score_sum,
+                   case when n_tokens > 0
+                        then (case when score_sum < 0 then -1
+                                   when score_sum > 0 then 1
+                                   else 0 end
+                              * ((abs(score_sum) * 1000) // n_tokens))
+                        end::BIGINT mean_milli,
+                   (score_sum > 0) as label
+            from s
         """,
         # PageRank: the oracle is generated by the SAME code that defines
         # the integer fixed-point recurrence — 5 unrolled iterations.

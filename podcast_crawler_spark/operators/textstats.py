@@ -237,3 +237,62 @@ def lm_surprisal(
         F.round(F.sum("bits") / F.count("*"), 6).alias("mean_bits"),
         F.round(F.sum("oov") / F.count("*"), 6).alias("oov_frac"),
     )
+
+
+def classifier_score(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     salt: str = "w") -> DataFrame:
+    """Hashed-linear quality classifier scoring — the fastText /
+    CCNet-style "model-based quality filter" leg of the curation
+    pipeline: score(doc) = mean over tokens of weight[h(token)].
+
+    The weight table is the *hashing-trick* form (weight = a function of
+    the token's hash bucket, here md5-derived integer in [-1000, 1000]),
+    so there is no model file to ship: the "model" is a pure expression,
+    which is exactly how a real hashed linear model deploys at 100 TB —
+    broadcast-free, map-side, inside whole-stage codegen.  Swapping in
+    trained weights means replacing the hash-to-weight expression with a
+    ``F.element_at`` against a broadcast weight array; the operator
+    contract (map-side tokenwise sum, zero shuffle) is identical.
+
+    Integer token weights summed as BIGINT keep the whole derivation
+    exact for the SQL oracle — including the mean, which is emitted as
+    ``mean_milli`` (mean weight in 1/1000 units, truncated toward zero)
+    rather than a rounded double: ``score_sum/n/1000`` lands on exact
+    ties at 6 dp (denominator n·1000) where Spark's HALF_UP and
+    DuckDB's bankers' rounding disagree, so no float ever crosses the
+    oracle boundary here.
+
+    Output: ``(id, n_tokens, score_sum, mean_milli, label)`` with
+    ``label = score_sum > 0`` (an exact integer comparison, so the
+    decision boundary itself never depends on float rounding).
+    """
+    toks = F.filter(
+        F.split(F.col(text_col), " "), lambda t: F.length(t) > 0
+    )
+    wts = F.transform(
+        toks,
+        lambda t: F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{salt}:"), t)), 1, 5), 16, 10
+        ).cast("long") % 2001 - 1000,
+    )
+    score = F.aggregate(wts, F.lit(0).cast("long"), lambda a, x: a + x)
+    n = F.size(toks).cast("long")
+    sums = df.select(
+        F.col(id_col).alias("id"),
+        n.alias("n_tokens"),
+        score.alias("score_sum"),
+    )
+    # trunc-toward-zero via sign·(|sum|·1000 div n): `div` truncates in
+    # Spark but DuckDB's `//` floors, so negatives go through abs
+    return sums.select(
+        "id",
+        "n_tokens",
+        "score_sum",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.signum("score_sum").cast("long")
+            * F.expr("(abs(score_sum) * 1000) div n_tokens"),
+        ).alias("mean_milli"),
+        (F.col("score_sum") > 0).alias("label"),
+    )

@@ -245,3 +245,37 @@ def test_lm_surprisal_vocab_cap_and_determinism(spark):
     for (ka, *ra), (kb, *rb) in zip(a, big):
         assert ka == kb
         assert ra[1] >= rb[1]  # sum_bits with capped vocab >= full vocab
+
+
+def test_classifier_score_python_oracle(docs, docs_pd):
+    from podcast_crawler_spark.operators.textstats import classifier_score
+
+    got = {r.id: r for r in classifier_score(docs).collect()}
+    for _, row in docs_pd.iterrows():
+        toks = [t for t in row.text.split(" ") if t]
+        wts = [
+            int(hashlib.md5(f"w:{t}".encode()).hexdigest()[:5], 16) % 2001
+            - 1000
+            for t in toks
+        ]
+        s = sum(wts)
+        r = got[row.doc_id]
+        assert r.n_tokens == len(toks)
+        assert r.score_sum == s
+        sign = (s > 0) - (s < 0)
+        assert r.mean_milli == sign * (abs(s) * 1000 // len(toks))
+        assert r.label == (s > 0)
+
+
+def test_classifier_score_zero_shuffle(docs):
+    """The hashed linear model is a pure expression — the scoring plan
+    must contain no Exchange (map-side only, rides the scan)."""
+    from podcast_crawler_spark.operators.textstats import classifier_score
+
+    plan = (
+        classifier_score(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
