@@ -1096,6 +1096,61 @@ _PR_EDGES_SQL = (
 )
 
 
+def _sitemap_scan(spark, sf_dir):
+    # sitemap discovery (sitemaps.org protocol) through the real
+    # tolerant-XML parse plumbing (mapInPandas, same scanner as RSS).
+    # The corpus has no sitemap XML, so the query synthesizes it
+    # SQL-reproducibly: every 5th doc gets a <sitemapindex> (two child
+    # sitemaps + one loc-less entry that must be skipped), the rest a
+    # <urlset> with an entity-escaped loc (&amp; must come back as &),
+    # an optional-field url, and a loc-less url that must be skipped.
+    from podcast_crawler_spark.operators import sitemap
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    host = F.concat(
+        F.lit("https://h"), (d % 13).cast("string"), F.lit(".example.com")
+    )
+    urlset = F.concat(
+        F.lit(
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            "<url><loc>"
+        ),
+        host, F.lit("/doc/"), ds,
+        F.lit("?a=1&amp;b=2</loc><lastmod>2025-01-"),
+        F.lpad((d % 27 + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod><priority>0."), (d % 10).cast("string"),
+        F.lit("</priority></url><url><loc>"),
+        host, F.lit("/alt/"), ds,
+        F.lit(
+            "</loc><changefreq>daily</changefreq></url>"
+            "<url><lastmod>2024-12-31</lastmod></url></urlset>"
+        ),
+    )
+    index = F.concat(
+        F.lit(
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            "<sitemapindex><sitemap><loc>"
+        ),
+        host,
+        F.lit(
+            "/sitemap-child-1.xml</loc><lastmod>2025-02-01</lastmod>"
+            "</sitemap><sitemap><loc>"
+        ),
+        host,
+        F.lit(
+            "/sitemap-child-2.xml</loc></sitemap>"
+            "<sitemap></sitemap></sitemapindex>"
+        ),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(host, F.lit("/sitemap-"), ds, F.lit(".xml")).alias("url"),
+        F.when(d % 5 == 0, index).otherwise(urlset).alias("xml"),
+    )
+    return sitemap.scan_sitemaps(docs)
+
+
 def _classifier_score(spark, sf_dir):
     # hashed-linear (fastText-style) quality classifier: the hashing
     # trick makes the model a pure expression — map-side, zero shuffle;
@@ -1169,6 +1224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_heavy_hitters": _cm_heavy_hitters,
         "host_pagerank": _host_pagerank,
         "classifier_score": _classifier_score,
+        "sitemap_scan": _sitemap_scan,
         "dedup_exact": _dedup_exact,
         "dedup_incremental": _dedup_incremental,
         "dedup_clusters": _dedup_clusters,
@@ -1568,6 +1624,43 @@ def oracle_sql() -> dict[str, str]:
                    round(abs(f.hll_estimate - e.n_exact) / e.n_exact, 4)
                      rel_err
             from fin f join ex e using (event_type)
+        """,
+        # sitemap scan: the oracle re-derives the expected entry rows
+        # (unescaped locs, skipped loc-less entries, index flag) straight
+        # from the synthesis formula.
+        "sitemap_scan": """
+            with d as (select doc_id,
+                              'https://h' || (doc_id % 13) || '.example.com'
+                                as host
+                       from documents),
+            e as (
+              select host || '/sitemap-' || doc_id || '.xml' sitemap_url,
+                     0 pos,
+                     host || '/doc/' || doc_id || '?a=1&b=2' loc,
+                     '2025-01-' || lpad((doc_id % 27 + 1)::VARCHAR, 2, '0')
+                       lastmod,
+                     NULL::VARCHAR changefreq,
+                     '0.' || (doc_id % 10) priority,
+                     false is_index
+              from d where doc_id % 5 <> 0
+              union all
+              select host || '/sitemap-' || doc_id || '.xml', 1,
+                     host || '/alt/' || doc_id, NULL,
+                     'daily', NULL, false
+              from d where doc_id % 5 <> 0
+              union all
+              select host || '/sitemap-' || doc_id || '.xml', 0,
+                     host || '/sitemap-child-1.xml', '2025-02-01',
+                     NULL, NULL, true
+              from d where doc_id % 5 = 0
+              union all
+              select host || '/sitemap-' || doc_id || '.xml', 1,
+                     host || '/sitemap-child-2.xml', NULL,
+                     NULL, NULL, true
+              from d where doc_id % 5 = 0)
+            select sitemap_url, pos::INT pos, loc, lastmod,
+                   changefreq, priority, is_index
+            from e
         """,
         # hashed-linear classifier: identical md5-slice bucket -> integer
         # weight -> exact BIGINT sum; only the mean divides (rounded).

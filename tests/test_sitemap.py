@@ -1,0 +1,104 @@
+"""Sitemap parser and Spark plumbing tests."""
+
+import pytest
+
+
+URLSET = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url>
+    <loc>https://example.com/a?x=1&amp;y=2</loc>
+    <lastmod>2025-01-05</lastmod>
+    <changefreq>daily</changefreq>
+    <priority>0.8</priority>
+  </url>
+  <url><loc><![CDATA[https://example.com/cdata&raw]]></loc></url>
+  <url><lastmod>2024-12-31</lastmod></url>
+  <unknown>ignored</unknown>
+</urlset>"""
+
+INDEX = """<?xml version="1.0"?>
+<sitemapindex>
+  <sitemap><loc>https://example.com/s1.xml</loc>
+           <lastmod>2025-02-01</lastmod></sitemap>
+  <sitemap><loc>https://example.com/s2.xml</loc></sitemap>
+  <sitemap></sitemap>
+</sitemapindex>"""
+
+
+def test_parse_urlset():
+    from podcast_crawler_spark.operators.sitemap import parse_sitemap
+
+    got = parse_sitemap(URLSET)
+    assert len(got) == 2  # the loc-less entry is skipped
+    assert got[0]["loc"] == "https://example.com/a?x=1&y=2"  # unescaped
+    assert got[0]["lastmod"] == "2025-01-05"
+    assert got[0]["changefreq"] == "daily"
+    assert got[0]["priority"] == "0.8"
+    assert got[0]["is_index"] is False
+    # CDATA loc comes through verbatim (no entity processing in CDATA)
+    assert got[1]["loc"] == "https://example.com/cdata&raw"
+    assert got[1]["lastmod"] is None
+
+
+def test_parse_sitemapindex():
+    from podcast_crawler_spark.operators.sitemap import parse_sitemap
+
+    got = parse_sitemap(INDEX)
+    assert [e["loc"] for e in got] == [
+        "https://example.com/s1.xml",
+        "https://example.com/s2.xml",
+    ]
+    assert all(e["is_index"] is True for e in got)
+    assert got[0]["lastmod"] == "2025-02-01"
+
+
+def test_parse_namespace_prefix():
+    from podcast_crawler_spark.operators.sitemap import parse_sitemap
+
+    doc = (
+        "<sm:urlset xmlns:sm='x'><sm:url><sm:loc>https://e.com/p"
+        "</sm:loc></sm:url></sm:urlset>"
+    )
+    got = parse_sitemap(doc)
+    assert [e["loc"] for e in got] == ["https://e.com/p"]
+
+
+def test_parse_malformed_raises():
+    from podcast_crawler_spark.feedparse.xmlscan import XmlScanError
+    from podcast_crawler_spark.operators.sitemap import parse_sitemap
+
+    with pytest.raises(XmlScanError):
+        parse_sitemap("<urlset><url><loc>x</wrong></url></urlset>")
+
+
+def test_scan_sitemaps_spark(spark):
+    from podcast_crawler_spark.operators.sitemap import scan_sitemaps
+
+    df = spark.createDataFrame(
+        [
+            ("https://a.com/sitemap.xml", URLSET),
+            ("https://b.com/sitemap.xml", INDEX),
+            ("https://c.com/sitemap.xml", "<urlset><url></wrong>"),
+            ("https://d.com/sitemap.xml", None),
+        ],
+        "url string, xml string",
+    )
+    rows = scan_sitemaps(df).collect()
+    by_url = {}
+    for r in rows:
+        by_url.setdefault(r.sitemap_url, []).append(r)
+    # malformed and null docs contribute nothing, they don't poison
+    assert set(by_url) == {
+        "https://a.com/sitemap.xml",
+        "https://b.com/sitemap.xml",
+    }
+    a = sorted(by_url["https://a.com/sitemap.xml"], key=lambda r: r.pos)
+    assert [r.pos for r in a] == [0, 1]
+    assert a[0].loc == "https://example.com/a?x=1&y=2"
+    assert a[0].is_index is False
+    b = sorted(by_url["https://b.com/sitemap.xml"], key=lambda r: r.pos)
+    assert [r.loc for r in b] == [
+        "https://example.com/s1.xml",
+        "https://example.com/s2.xml",
+    ]
+    assert all(r.is_index for r in b)

@@ -49,7 +49,10 @@ def norm(v):
 def as_multiset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = sorted(
-        tuple(norm(r[i]) for i in order) for r in rows
+        (tuple(norm(r[i]) for i in order) for r in rows),
+        # null-safe, mixed-type-safe ordering (nulls last); equality of
+        # the sorted multisets is still on the normalized values
+        key=lambda t: tuple((v is None, str(v)) for v in t),
     )
     return [cols[i] for i in order], out
 
