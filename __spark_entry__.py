@@ -1096,6 +1096,24 @@ _PR_EDGES_SQL = (
 )
 
 
+_SPAN_TAIL = " common tail phrase of exactly eight tokens here yes"
+
+
+def _span_dedup(spark, sf_dir):
+    # exact substring-span dedup (Lee et al. 2022).  The flat corpus has
+    # no guaranteed duplicate 8-grams, so the query appends a shared
+    # 9-token tail to every doc (same in-query-synthesis precedent as
+    # paragraph_dedup): its two 8-grams are corpus-wide duplicates, so
+    # all 9 tail tokens must be dropped, while grams straddling the
+    # doc/tail boundary stay unique per doc.  The oracle recomputes the
+    # whole gram->count->cover->reassemble chain.
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(_SPAN_TAIL)).alias("text"),
+    )
+    return dedup.span_dedup(docs, k=8, min_dup=2)
+
+
 def _sitemap_scan(spark, sf_dir):
     # sitemap discovery (sitemaps.org protocol) through the real
     # tolerant-XML parse plumbing (mapInPandas, same scanner as RSS).
@@ -1225,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": _host_pagerank,
         "classifier_score": _classifier_score,
         "sitemap_scan": _sitemap_scan,
+        "span_dedup": _span_dedup,
         "dedup_exact": _dedup_exact,
         "dedup_incremental": _dedup_incremental,
         "dedup_clusters": _dedup_clusters,
@@ -1624,6 +1643,46 @@ def oracle_sql() -> dict[str, str]:
                    round(abs(f.hll_estimate - e.n_exact) / e.n_exact, 4)
                      rel_err
             from fin f join ex e using (event_type)
+        """,
+        # span dedup: gram -> corpus count -> covered-token drop ->
+        # reassemble, recomputed end to end (digests + integers only).
+        "span_dedup": f"""
+            with src as (select doc_id,
+                                text || '{_SPAN_TAIL}' as text
+                         from documents),
+            toks as (select doc_id id,
+                            list_filter(string_split(text, ' '),
+                                        x -> len(x) > 0) t
+                     from src),
+            grams as (select id, u.i - 1 p,
+                             md5(array_to_string(t[u.i:u.i+7], ' ')) g
+                      from toks,
+                           unnest(range(1, greatest(len(t) - 7, 0) + 1))
+                             u(i)),
+            dup as (select g from grams group by g
+                    having count(*) >= 2),
+            st as (select id, p from grams
+                   where g in (select g from dup)),
+            tokpos as (select id, u.i - 1 tp, t[u.i] tok
+                       from toks, unnest(range(1, len(t) + 1)) u(i)),
+            fl as (select tp.id, tp.tp, tp.tok,
+                          exists (select 1 from st
+                                  where st.id = tp.id
+                                    and st.p <= tp.tp
+                                    and tp.tp < st.p + 8) dropped
+                   from tokpos tp),
+            agg as (select id,
+                           coalesce(string_agg(tok, ' ' order by tp)
+                                    filter (where not dropped), '') ctext,
+                           count(*) n_tokens,
+                           sum(dropped::int) n_dropped
+                    from fl group by id),
+            stc as (select id, count(*) c from st group by id)
+            select a.id, md5(a.ctext) clean_md5,
+                   a.n_tokens::BIGINT n_tokens,
+                   a.n_dropped::BIGINT n_dropped,
+                   coalesce(stc.c, 0)::BIGINT n_dup_starts
+            from agg a left join stc using (id)
         """,
         # sitemap scan: the oracle re-derives the expected entry rows
         # (unescaped locs, skipped loc-less entries, index flag) straight

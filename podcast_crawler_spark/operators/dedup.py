@@ -557,3 +557,85 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    k: int = 8,
+    min_dup: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring-span dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): drop every token that
+    lies inside a k-token gram occurring >= *min_dup* times corpus-wide,
+    and reassemble the survivors in order.  The span-level sibling of
+    ``curation.paragraph_dedup`` — it catches boilerplate that doesn't
+    align to paragraph boundaries (navigation chrome, license blocks,
+    templated sentences).
+
+    Scale shape (the suffix-array of the paper is a single-machine
+    construction; this is its distributed equi-join reduction):
+
+    - gram generation is map-side (one ``transform`` over the token
+      array, one explode);
+    - the only corpus-wide exchange carries ``(16-byte digest)`` pairs
+      into a groupBy-count with map-side combine — the same shuffle
+      budget as ``exact_dedup``, never the text itself;
+    - duplicated gram starts come back per doc as a ``collect_list``
+      (bounded by the doc's own gram count), and the token-level
+      drop/reassemble is again map-side array logic.
+
+    Output: ``(id, clean_md5, n_tokens, n_dropped, n_dup_starts)`` —
+    all integers + a digest, so the oracle is exact.
+    """
+    toks = F.filter(
+        F.split(F.col(text_col), " "), lambda t: F.length(t) > 0
+    )
+    base = df.select(F.col(id_col).alias("id"), toks.alias("t"))
+    n = F.size("t")
+    # 0-based gram start positions [0 .. n-k]; empty when n < k
+    starts = F.when(n >= k, F.sequence(F.lit(0), n - F.lit(k))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = base.select(
+        "id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda p: F.struct(
+                    p.alias("p"),
+                    F.md5(
+                        F.concat_ws(" ", F.slice("t", p + 1, k))
+                    ).alias("g"),
+                ),
+            )
+        ).alias("gr"),
+    ).select("id", "gr.p", "gr.g")
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_dup)
+        .select("g")
+    )
+    doc_starts = (
+        grams.join(dup, "g", "left_semi")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("p")).alias("ps"))
+    )
+    joined = base.join(doc_starts, "id", "left").select(
+        "id", "t", F.coalesce("ps", F.array().cast("array<int>")).alias("ps")
+    )
+    clean = F.filter(
+        F.col("t"),
+        lambda x, i: ~F.exists(
+            F.col("ps"), lambda s: (s <= i) & (i < s + k)
+        ),
+    )
+    return joined.select(
+        "id",
+        F.md5(F.concat_ws(" ", clean)).alias("clean_md5"),
+        F.size("t").cast("long").alias("n_tokens"),
+        (F.size("t") - F.size(clean)).cast("long").alias("n_dropped"),
+        F.size("ps").cast("long").alias("n_dup_starts"),
+    )

@@ -339,3 +339,62 @@ def test_incremental_exact_equals_naive(spark):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_span_dedup_hand_corpus(spark):
+    from podcast_crawler_spark.operators.dedup import span_dedup
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "x y a b c d e f g h z"),
+        (3, "short text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r for r in span_dedup(df, k=8, min_dup=2).collect()}
+    # the shared 8-gram "a b c d e f g h" covers tokens 0-7 in doc 1
+    # and 2-9 in doc 2; everything else is unique
+    import hashlib
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert got[1].clean_md5 == md5("i j")
+    assert (got[1].n_tokens, got[1].n_dropped, got[1].n_dup_starts) == (10, 8, 1)
+    assert got[2].clean_md5 == md5("x y z")
+    assert (got[2].n_tokens, got[2].n_dropped, got[2].n_dup_starts) == (11, 8, 1)
+    # docs shorter than k have no grams and are untouched
+    assert got[3].clean_md5 == md5("short text")
+    assert (got[3].n_tokens, got[3].n_dropped, got[3].n_dup_starts) == (2, 0, 0)
+
+
+def test_span_dedup_identical_docs_fully_dropped(spark):
+    from podcast_crawler_spark.operators.dedup import span_dedup
+    import hashlib
+
+    text = " ".join(f"t{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(i, text) for i in range(3)], "doc_id long, text string"
+    )
+    got = span_dedup(df, k=8, min_dup=2).collect()
+    for r in got:
+        # every position is covered by some duplicated gram
+        assert r.n_dropped == 12
+        assert r.clean_md5 == hashlib.md5(b"").hexdigest()
+
+
+def test_span_dedup_shuffle_carries_digests_not_text(spark):
+    """The corpus-wide exchange must carry (id, p, 32-hex digest) rows —
+    never the token arrays/text (the exact_dedup discipline)."""
+    from podcast_crawler_spark.operators.dedup import span_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i"), (2, "a b c d e f g h j")],
+        "doc_id long, text string",
+    )
+    plan = (
+        span_dedup(df, k=8)._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert " t#" not in m.group(1) and "text" not in m.group(1), m.group(0)
