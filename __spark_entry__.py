@@ -1096,6 +1096,41 @@ _PR_EDGES_SQL = (
 )
 
 
+def _trap_stats(spark, sf_dir):
+    # crawl-trap detection over a deterministically synthesized URL log:
+    # most hosts spread across 5 event-type templates; host 7 is a trap
+    # (every URL a '?id=N' variant of one template).  The oracle
+    # recomputes templating (regexp digits->N), the rollup, and the
+    # integer dominance rule.
+    from podcast_crawler_spark.operators import traps
+
+    ev = _t(spark, sf_dir, "events")
+    urls = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias(
+            "host"
+        ),
+        F.when(
+            F.col("user_id") % 20 == 7,
+            F.concat(
+                F.lit("https://h7.example.com/page?id="),
+                F.col("event_id").cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://h"),
+                (F.col("user_id") % 20).cast("string"),
+                F.lit(".example.com/"),
+                F.col("event_type"),
+                F.lit("/"),
+                F.col("event_id").cast("string"),
+            )
+        )
+        .alias("url"),
+    )
+    return traps.trap_stats(urls, min_urls=50)
+
+
 _SPAN_TAIL = " common tail phrase of exactly eight tokens here yes"
 
 
@@ -1244,6 +1279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_score": _classifier_score,
         "sitemap_scan": _sitemap_scan,
         "span_dedup": _span_dedup,
+        "trap_stats": _trap_stats,
         "dedup_exact": _dedup_exact,
         "dedup_incremental": _dedup_incremental,
         "dedup_clusters": _dedup_clusters,
@@ -1643,6 +1679,32 @@ def oracle_sql() -> dict[str, str]:
                    round(abs(f.hll_estimate - e.n_exact) / e.n_exact, 4)
                      rel_err
             from fin f join ex e using (event_type)
+        """,
+        # crawl traps: digits->N templating + integer dominance rule
+        "trap_stats": """
+            with u as (
+              select 'h' || (user_id % 20) host,
+                     case when user_id % 20 = 7
+                          then 'https://h7.example.com/page?id=' || event_id
+                          else 'https://h' || (user_id % 20)
+                               || '.example.com/' || event_type
+                               || '/' || event_id end url
+              from events),
+            pt as (select host,
+                          regexp_replace(url, '[0-9]+', 'N', 'g') as template,
+                          count(*)::BIGINT cnt
+                   from u group by 1, 2),
+            top as (select host, template, cnt,
+                           row_number() over (partition by host
+                             order by cnt desc, template) rn
+                    from pt),
+            r as (select host, sum(cnt)::BIGINT n_urls,
+                         count(*)::BIGINT n_templates
+                  from pt group by 1)
+            select r.host, r.n_urls, r.n_templates,
+                   t.template top_template, t.cnt top_count,
+                   (r.n_urls >= 50 and t.cnt * 10 >= r.n_urls * 9) is_trap
+            from r join top t on r.host = t.host and t.rn = 1
         """,
         # span dedup: gram -> corpus count -> covered-token drop ->
         # reassemble, recomputed end to end (digests + integers only).
