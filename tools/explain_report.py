@@ -151,6 +151,45 @@ def main() -> None:
         "(BroadcastHashJoin) after a narrow explode; final per-doc rollup\n"
         "partial-aggregates 3 longs per doc.",
     )
+    add(
+        "span_dedup (exact substring-span dedup)",
+        qs["span_dedup"](spark, SF),
+        "Expected: map-side gram generation (transform+explode, narrow),\n"
+        "ONE corpus-wide exchange carrying (id, pos, 16-byte digest) into\n"
+        "a partial-aggregated count, a digest-keyed semi join, and the\n"
+        "token drop/reassembly as map-side array lambdas.",
+    )
+    from podcast_crawler_spark.operators import graph as graph_ops
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    pr_edges = (
+        ev.select(
+            (F.col("user_id") % 97).alias("src"),
+            ((F.col("user_id") * 31 + F.col("event_id")) % 97).alias("dst"),
+        )
+        .filter("src <> dst")
+        .distinct()
+    )
+    add(
+        "host_pagerank (integer fixed-point PageRank, ONE iteration "
+        "uncheckpointed)",
+        graph_ops.pagerank(pr_edges, iters=1, checkpoint=False),
+        "The production path localCheckpoints each iteration (Pregel\n"
+        "lineage truncation), which would show only a checkpoint scan —\n"
+        "this dump disables it to expose one iteration's true shape.\n"
+        "Expected: rank⋈outdeg and rank⋈edges hash joins, the inflow sum\n"
+        "with partial (map-side) aggregation, and the 1-row dangling\n"
+        "aggregate re-entering via BroadcastExchange / BroadcastNested-\n"
+        "LoopJoin(cross, 1 row) — no driver round-trip, no global sort.",
+    )
+    add(
+        "cm_heavy_hitters (count-min sketch probe)",
+        qs["cm_heavy_hitters"](spark, SF),
+        "Expected: counter cells built with map-side combine (<= depth*\n"
+        "width partial rows per task), exact top-k via\n"
+        "TakeOrderedAndProject, candidates probed against a BROADCAST of\n"
+        "the tiny counter table — nothing corpus-sized crosses a join.",
+    )
     keys = spark.range(0, 2000, 1, 4).select(
         F.xxhash64(F.col("id").cast("string")).alias("url_hash"), "id"
     )
