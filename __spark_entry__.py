@@ -1096,6 +1096,14 @@ _PR_EDGES_SQL = (
 )
 
 
+def _inverted_index(spark, sf_dir):
+    # search-index build: capped posting lists (top-3 by tf) + full
+    # term stats; the oracle recomputes counts and the rank window.
+    return ranking.inverted_index(
+        _t(spark, sf_dir, "documents"), top_k=3
+    )
+
+
 def _trap_stats(spark, sf_dir):
     # crawl-trap detection over a deterministically synthesized URL log:
     # most hosts spread across 5 event-type templates; host 7 is a trap
@@ -1280,6 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_scan": _sitemap_scan,
         "span_dedup": _span_dedup,
         "trap_stats": _trap_stats,
+        "inverted_index": _inverted_index,
         "dedup_exact": _dedup_exact,
         "dedup_incremental": _dedup_incremental,
         "dedup_clusters": _dedup_clusters,
@@ -1679,6 +1688,24 @@ def oracle_sql() -> dict[str, str]:
                    round(abs(f.hll_estimate - e.n_exact) / e.n_exact, 4)
                      rel_err
             from fin f join ex e using (event_type)
+        """,
+        # inverted index: postings tf counts, term stats, capped top-k
+        "inverted_index": """
+            with tok as (select doc_id doc,
+                                unnest(list_filter(string_split(text, ' '),
+                                                   x -> len(x) > 0)) term
+                         from documents),
+            p as (select term, doc, count(*)::BIGINT tf
+                  from tok group by 1, 2),
+            s as (select term, count(*)::BIGINT df,
+                         sum(tf)::BIGINT total_tf
+                  from p group by 1),
+            r as (select term, doc, tf,
+                         row_number() over (partition by term
+                           order by tf desc, doc)::INT rank
+                  from p)
+            select r.term, s.df, s.total_tf, r.rank, r.doc, r.tf
+            from r join s using (term) where r.rank <= 3
         """,
         # crawl traps: digits->N templating + integer dominance rule
         "trap_stats": """

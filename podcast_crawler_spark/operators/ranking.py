@@ -110,3 +110,54 @@ def bm25_topk(
         .over(Window.orderBy(F.col("score").desc(), F.col(id_col).asc()))
         .alias("rank"),
     )
+
+
+def inverted_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+) -> DataFrame:
+    """Search-index construction: one row per (term, top-ranked
+    posting), ``(term, df, total_tf, rank, doc, tf)`` — the build-side
+    counterpart of :func:`bm25_topk` (which scores query-time; this
+    materializes the posting lists a real retrieval system serves
+    from).
+
+    Posting lists are CAPPED at *top_k* per term by (tf desc, doc asc)
+    — the same discipline as the dedup shingle cap: a stop-word's full
+    posting list is corpus-sized and nothing downstream should ever
+    materialize it.  ``df``/``total_tf`` still count ALL postings (the
+    aggregates need no list).
+
+    Plan shape at 100 TB:
+
+    - tokenize + explode is narrow; the ``(term, doc)`` tf count gets
+      map-side combine, so the exchange carries one row per distinct
+      (term, doc) per task;
+    - term-level df/total_tf is a second partial-aggregated rollup of
+      the already-counted postings (never the raw tokens);
+    - the top-k filter plans as ``WindowGroupLimit Partial`` below the
+      exchange / ``Final`` above (Spark 3.5+), so no task ever holds a
+      hot term's full posting list.
+    """
+    postings = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(_toks(text_col)).alias("term"),
+        )
+        .groupBy("term", "doc")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("total_tf"),
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc"))
+    top = (
+        postings.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+    )
+    return top.join(stats, "term").select(
+        "term", "df", "total_tf", "rank", "doc", "tf"
+    )

@@ -76,3 +76,54 @@ def test_bm25_plan_no_corpus_shuffle(docs):
     assert "TakeOrderedAndProject" in plan
     assert "Join" not in plan
     assert "Generate" not in plan  # no explode
+
+
+def test_inverted_index_hand_corpus(spark):
+    from podcast_crawler_spark.operators.ranking import inverted_index
+
+    rows = [
+        (1, "a a b"),
+        (2, "a b b c"),
+        (3, "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        map(tuple, inverted_index(df, top_k=2).collect())
+    )
+    # term a: df=2 total=3, top: (doc1 tf2), (doc2 tf1)
+    # term b: df=3 total=4, top: (doc2 tf2), (doc1 tf1) — doc3 capped out
+    # term c: df=1 total=1
+    assert got == sorted(
+        [
+            ("a", 2, 3, 1, 1, 2),
+            ("a", 2, 3, 2, 2, 1),
+            ("b", 3, 4, 1, 2, 2),
+            ("b", 3, 4, 2, 1, 1),
+            ("c", 1, 1, 1, 2, 1),
+        ]
+    )
+
+
+def test_inverted_index_topk_window_group_limit(spark):
+    """The posting-list cap must plan as WindowGroupLimit Partial below
+    the exchange — a hot term's full posting list never lands in one
+    task."""
+    from podcast_crawler_spark.operators.ranking import inverted_index
+
+    df = spark.createDataFrame(
+        [(i, "the quick fox") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = (
+        inverted_index(df, top_k=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    lines = plan.splitlines()
+    partial = [i for i, l in enumerate(lines)
+               if "WindowGroupLimit" in l and "Partial" in l]
+    final = [i for i, l in enumerate(lines)
+             if "WindowGroupLimit" in l and "Final" in l]
+    assert partial and final, plan
+    assert min(partial) > min(final), plan
