@@ -1096,6 +1096,27 @@ _PR_EDGES_SQL = (
 )
 
 
+def _table_diff(spark, sf_dir):
+    # generic snapshot diff (CDC view): two order-book snapshots
+    # synthesized deterministically from orders — keys %7==0 exist only
+    # in NEW (inserts), %11==0 only in OLD (deletes), %3==0 flip their
+    # status (updates); everything else must NOT appear in the output.
+    from podcast_crawler_spark.operators import cdc
+
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    old = orders.filter(k % 7 != 0).select("o_orderkey", "o_orderstatus")
+    new = orders.filter(k % 11 != 0).select(
+        "o_orderkey",
+        F.when(k % 3 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+    )
+    return cdc.table_diff(
+        old, new, ["o_orderkey"], compare_cols=["o_orderstatus"]
+    )
+
+
 def _inverted_index(spark, sf_dir):
     # search-index build: capped posting lists (top-3 by tf) + full
     # term stats; the oracle recomputes counts and the rank window.
@@ -1289,6 +1310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": _span_dedup,
         "trap_stats": _trap_stats,
         "inverted_index": _inverted_index,
+        "table_diff": _table_diff,
         "dedup_exact": _dedup_exact,
         "dedup_incremental": _dedup_incremental,
         "dedup_clusters": _dedup_clusters,
@@ -1688,6 +1710,33 @@ def oracle_sql() -> dict[str, str]:
                    round(abs(f.hll_estimate - e.n_exact) / e.n_exact, 4)
                      rel_err
             from fin f join ex e using (event_type)
+        """,
+        # CDC snapshot diff: digests + full-outer join recomputed; the
+        # null sentinel matches cdc.NULL_SENTINEL
+        "table_diff": """
+            with old as (select o_orderkey,
+                                md5(coalesce(o_orderstatus::VARCHAR,
+                                             chr(0)||'null'||chr(0))) old_md5
+                         from orders where o_orderkey % 7 <> 0),
+            nw as (select o_orderkey,
+                          md5(coalesce(
+                            case when o_orderkey % 3 = 0 then 'X'
+                                 else o_orderstatus end::VARCHAR,
+                            chr(0)||'null'||chr(0))) new_md5
+                   from orders where o_orderkey % 11 <> 0),
+            j as (select coalesce(old.o_orderkey, nw.o_orderkey)
+                           o_orderkey,
+                         old_md5, new_md5
+                  from old full outer join nw using (o_orderkey))
+            select o_orderkey,
+                   case when old_md5 is null then 'insert'
+                        when new_md5 is null then 'delete'
+                        when old_md5 <> new_md5 then 'update' end
+                     change_type,
+                   old_md5, new_md5
+            from j
+            where old_md5 is null or new_md5 is null
+               or old_md5 <> new_md5
         """,
         # inverted index: postings tf counts, term stats, capped top-k
         "inverted_index": """
