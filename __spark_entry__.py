@@ -1096,6 +1096,21 @@ _PR_EDGES_SQL = (
 )
 
 
+def _hist_quantiles(spark, sf_dir):
+    # mergeable fixed-bin histogram quantiles — the bounded-state
+    # alternative to exact percentile (stats_median): O(64) integer
+    # registers, est from one fixed-order double expression.  Width
+    # 500/64 = 7.8125 is an exact binary fraction, so binning is exact.
+    return sketches.histogram_quantiles(
+        _t(spark, sf_dir, "events"),
+        "value",
+        quantiles=[0.25, 0.5, 0.9],
+        lo=0.0,
+        hi=500.0,
+        n_bins=64,
+    )
+
+
 def _table_diff(spark, sf_dir):
     # generic snapshot diff (CDC view): two order-book snapshots
     # synthesized deterministically from orders — keys %7==0 exist only
@@ -1311,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trap_stats": _trap_stats,
         "inverted_index": _inverted_index,
         "table_diff": _table_diff,
+        "hist_quantiles": _hist_quantiles,
         "dedup_exact": _dedup_exact,
         "dedup_incremental": _dedup_incremental,
         "dedup_clusters": _dedup_clusters,
@@ -1710,6 +1726,30 @@ def oracle_sql() -> dict[str, str]:
                    round(abs(f.hll_estimate - e.n_exact) / e.n_exact, 4)
                      rel_err
             from fin f join ex e using (event_type)
+        """,
+        # histogram quantiles: integer bin registers + interpolation
+        "hist_quantiles": """
+            with b as (select greatest(0, least(63,
+                         floor((value - 0.0) / 7.8125)))::BIGINT bin
+                       from events),
+            h as (select bin, count(*)::BIGINT c from b group by 1),
+            cumt as (select bin, c,
+                            sum(c) over (order by bin
+                              rows unbounded preceding)::BIGINT cum,
+                            (sum(c) over (order by bin
+                              rows unbounded preceding) - c)::BIGINT
+                              cum_before
+                     from h),
+            n as (select sum(c)::BIGINT n from h),
+            qs(q) as (select unnest([0.25::DOUBLE, 0.5::DOUBLE,
+                                     0.9::DOUBLE])),
+            ks as (select q, greatest(1, ceil(q * n.n))::BIGINT k
+                   from qs, n)
+            select ks.q, ks.k, t.bin, t.cum_before, t.c bin_count,
+                   round(0.0 + (t.bin + (ks.k - t.cum_before)::DOUBLE
+                                        / t.c) * 7.8125, 6) est
+            from ks join cumt t
+              on t.cum_before < ks.k and ks.k <= t.cum
         """,
         # CDC snapshot diff: digests + full-outer join recomputed; the
         # null sentinel matches cdc.NULL_SENTINEL

@@ -256,3 +256,108 @@ def cm_heavy_hitters(
         "cm_est",
         (F.col("cm_est") - F.col("n_exact")).alias("overcount"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mergeable fixed-bin histogram + quantile estimation
+# --------------------------------------------------------------------------
+
+HIST_BINS = 64
+
+
+def histogram_bins(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = HIST_BINS,
+) -> DataFrame:
+    """The sketch STATE: ``(bin, c)`` integer counts over fixed bins of
+    ``[lo, hi]`` (values clamped to the edge bins).  Like the HLL
+    register table: map-side combine collapses every partition to
+    <= n_bins rows before the single exchange, and two epochs' sketches
+    merge by summing counts."""
+    width = (hi - lo) / float(n_bins)
+    v = F.col(value_col).cast("double")
+    bin_ = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.lit(n_bins - 1).cast("long"),
+            F.floor((v - F.lit(lo)) / F.lit(width)).cast("long"),
+        ),
+    )
+    return (
+        df.select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    quantiles: Sequence[float],
+    lo: float,
+    hi: float,
+    n_bins: int = HIST_BINS,
+) -> DataFrame:
+    """Quantile estimates from the mergeable histogram: for each q the
+    bin holding the ceil(q·N)-th value, linearly interpolated within
+    the bin.  Output ``(q, k, bin, cum_before, bin_count, est)`` — all
+    integers except ``est`` (one fixed-order double expression, rounded
+    to 6 dp), so the DuckDB oracle recomputes every row.
+
+    This is the bounded-state alternative to the exact
+    ``percentile``/``quantile_cont`` (see ``stats_median``): exact
+    percentiles sort each group; this is O(n_bins) state per group and
+    mergeable across epochs/partitions — the 10^10-row path.  ``lo``/
+    ``hi`` are caller-supplied plan constants (a prior min/max pass or
+    domain knowledge), so the whole derivation is deterministic.
+    """
+    width = (hi - lo) / float(n_bins)
+    bins = histogram_bins(df, value_col, lo, hi, n_bins)
+    # running totals over <= n_bins rows: the window input is the sketch,
+    # never the data
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = bins.select(
+        "bin",
+        "c",
+        (F.sum("c").over(w) - F.col("c")).alias("cum_before"),
+        F.sum("c").over(w).alias("cum"),
+    )
+    total = bins.agg(F.sum("c").alias("n"))
+    out = None
+    for q in quantiles:
+        k = F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.lit(float(q)) * F.col("n")).cast("long"),
+        )
+        hit = (
+            cum.crossJoin(F.broadcast(total))
+            .filter(
+                (F.col("cum_before") < k) & (k <= F.col("cum"))
+            )
+            .select(
+                F.lit(float(q)).alias("q"),
+                k.alias("k"),
+                "bin",
+                "cum_before",
+                F.col("c").alias("bin_count"),
+                F.round(
+                    F.lit(lo)
+                    + (
+                        F.col("bin").cast("double")
+                        + (k - F.col("cum_before")).cast("double")
+                        / F.col("c").cast("double")
+                    )
+                    * F.lit(width),
+                    6,
+                ).alias("est"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out

@@ -150,3 +150,54 @@ def test_cm_probe_is_broadcast(docs):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_histogram_bins_merge_law(events):
+    from podcast_crawler_spark.operators.sketches import histogram_bins
+
+    lo_half = events.filter(F.col("event_id") % 2 == 0)
+    hi_half = events.filter(F.col("event_id") % 2 == 1)
+    merged = (
+        histogram_bins(lo_half, "value", 0.0, 500.0)
+        .unionByName(histogram_bins(hi_half, "value", 0.0, 500.0))
+        .groupBy("bin")
+        .agg(F.sum("c").alias("c"))
+    )
+    full = histogram_bins(events, "value", 0.0, 500.0)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    assert full.count() <= 64
+
+
+def test_histogram_quantiles_accuracy_and_clamping(events):
+    from podcast_crawler_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    vals = sorted(r.value for r in events.select("value").collect())
+    got = {
+        r.q: r
+        for r in histogram_quantiles(
+            events, "value", [0.25, 0.5, 0.9], lo=0.0, hi=500.0
+        ).collect()
+    }
+    width = 500.0 / 64
+    n = len(vals)
+    for q, r in got.items():
+        import math
+
+        k = max(1, math.ceil(q * n))
+        exact = vals[k - 1]
+        # estimate lands within one bin width of the exact k-th value
+        assert abs(r.est - exact) <= width, (q, r.est, exact)
+        assert r.k == k
+    # out-of-range values clamp to edge bins rather than vanish
+    out_of_range = events.limit(0).sparkSession.createDataFrame(
+        [(-50.0,), (9999.0,)], "value double"
+    )
+    from podcast_crawler_spark.operators.sketches import histogram_bins
+
+    bins = {r.bin: r.c for r in
+            histogram_bins(out_of_range, "value", 0.0, 500.0).collect()}
+    assert bins == {0: 1, 63: 1}
