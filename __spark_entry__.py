@@ -1274,6 +1274,27 @@ def _host_pagerank(spark, sf_dir):
     return graph.pagerank(edges, iters=5)
 
 
+_HOST_RE = "^https?://([^/]+)"
+
+
+def _crawl_host_rank(spark, sf_dir):
+    # PageRank over the ACTUAL crawl corpus link structure: feed hosts
+    # -> enclosure (CDN) hosts from the parsed episodes fixture.  The
+    # CDN hosts have no out-edges, so the dangling-mass path runs on
+    # real data; the oracle replays the integer recurrence over the
+    # same fixture parquet.
+    eps = spark.read.parquet(f"{FIXTURES}/crawl_episodes.parquet")
+    edges = (
+        eps.select(
+            F.regexp_extract("url", _HOST_RE, 1).alias("src"),
+            F.regexp_extract("enclosure_url", _HOST_RE, 1).alias("dst"),
+        )
+        .filter((F.col("src") != "") & (F.col("dst") != ""))
+        .distinct()
+    )
+    return graph.pagerank(edges, iters=5)
+
+
 def _hll_distinct(spark, sf_dir):
     # HyperLogLog distinct-count with materialized registers: the
     # estimate's WHOLE derivation (md5-slice bucket/rho, integer-scaled
@@ -1320,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": _hll_distinct,
         "cm_heavy_hitters": _cm_heavy_hitters,
         "host_pagerank": _host_pagerank,
+        "crawl_host_rank": _crawl_host_rank,
         "classifier_score": _classifier_score,
         "sitemap_scan": _sitemap_scan,
         "span_dedup": _span_dedup,
@@ -1925,6 +1947,17 @@ def oracle_sql() -> dict[str, str]:
         # PageRank: the oracle is generated by the SAME code that defines
         # the integer fixed-point recurrence — 5 unrolled iterations.
         "host_pagerank": graph.pagerank_oracle_sql(_PR_EDGES_SQL, iters=5),
+        # PageRank over the crawl fixture link graph (same generated
+        # unrolled-CTE oracle, edges from the episodes parquet)
+        "crawl_host_rank": graph.pagerank_oracle_sql(
+            f"select distinct"
+            f" regexp_extract(url, '{_HOST_RE}', 1) src,"
+            f" regexp_extract(enclosure_url, '{_HOST_RE}', 1) dst"
+            f" from read_parquet('{FIXTURES}/crawl_episodes.parquet')"
+            f" where regexp_extract(url, '{_HOST_RE}', 1) <> ''"
+            f" and regexp_extract(enclosure_url, '{_HOST_RE}', 1) <> ''",
+            iters=5,
+        ),
         # count-min: integer counter cells + min-over-rows probe — every
         # number is integer arithmetic over the shared md5-slice hash.
         "cm_heavy_hitters": """

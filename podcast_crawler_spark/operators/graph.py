@@ -62,12 +62,13 @@ def pagerank(
     float rendering rounded to 9 dp.
 
     ``edges`` should be distinct (src, dst) pairs; self-loops are legal
-    (a self-loop feeds its own inflow).  ``checkpoint=False`` keeps the
-    full lineage (useful for plan tests on tiny graphs).
+    (a self-loop feeds its own inflow).  Node ids are any equi-joinable
+    type (host strings, hashed longs) — the rank arithmetic never
+    touches them.  ``checkpoint=False`` keeps the full lineage (useful
+    for plan tests on tiny graphs).
     """
     e = edges.select(
-        F.col(src_col).cast("long").alias("src"),
-        F.col(dst_col).cast("long").alias("dst"),
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
     nodes = (
         e.select(F.col("src").alias("node"))

@@ -109,3 +109,19 @@ def test_pagerank_empty_graph_raises(spark):
     empty = spark.createDataFrame([], "src long, dst long")
     with pytest.raises(ValueError, match="empty graph"):
         pagerank(empty, iters=2)
+
+
+def test_pagerank_string_nodes(spark):
+    """Node ids are any equi-joinable type — host strings included."""
+    from podcast_crawler_spark.operators.graph import pagerank
+
+    edges = [("feeds.a.example", "cdn.x.example"),
+             ("feeds.b.example", "cdn.x.example"),
+             ("feeds.b.example", "cdn.y.example")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: r.rank_scaled for r in pagerank(df, iters=4).collect()}
+    int_edges = [(0, 2), (1, 2), (1, 3)]
+    want = _py_pagerank(int_edges, iters=4)
+    mapping = {"feeds.a.example": 0, "feeds.b.example": 1,
+               "cdn.x.example": 2, "cdn.y.example": 3}
+    assert {mapping[k]: v for k, v in got.items()} == want
