@@ -1096,6 +1096,13 @@ _PR_EDGES_SQL = (
 )
 
 
+def _quantize_int8(spark, sf_dir):
+    # symmetric per-vector int8 quantization (storage path for 10^10
+    # vectors); codes digested order-sensitively, reconstruction error
+    # floored to integer milli-units — all recomputed by the oracle.
+    return similarity.quantize_int8(_t(spark, sf_dir, "embeddings"))
+
+
 def _hist_quantiles(spark, sf_dir):
     # mergeable fixed-bin histogram quantiles — the bounded-state
     # alternative to exact percentile (stats_median): O(64) integer
@@ -1349,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": _inverted_index,
         "table_diff": _table_diff,
         "hist_quantiles": _hist_quantiles,
+        "quantize_int8": _quantize_int8,
         "dedup_exact": _dedup_exact,
         "dedup_incremental": _dedup_incremental,
         "dedup_clusters": _dedup_clusters,
@@ -1748,6 +1756,26 @@ def oracle_sql() -> dict[str, str]:
                    round(abs(f.hll_estimate - e.n_exact) / e.n_exact, 4)
                      rel_err
             from fin f join ex e using (event_type)
+        """,
+        # int8 quantization: identical double chain + floor round-half-up
+        "quantize_int8": """
+            with v as (select vec_id,
+                              list_transform(embedding, x -> x::DOUBLE) v
+                       from embeddings),
+            s as (select vec_id, v,
+                         list_max(list_transform(v, x -> abs(x))) scale
+                  from v),
+            q as (select vec_id, v, scale,
+                         list_transform(v, x ->
+                           greatest(-127, least(127,
+                             floor(x * 127.0 / scale + 0.5)))::BIGINT) q
+                  from s)
+            select vec_id, len(v)::BIGINT n_dims, scale,
+                   md5(array_to_string(q, ',')) q_md5,
+                   floor(list_max([abs(v[i] - q[i] * (scale / 127.0))
+                                   for i in range(1, len(v) + 1)])
+                         * 1000.0)::BIGINT max_err_milli
+            from q
         """,
         # histogram quantiles: integer bin registers + interpolation
         "hist_quantiles": """

@@ -435,3 +435,62 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
     )
+
+
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage path for
+    10^10-vector corpora (4 bytes -> 1 byte per dim; IVF/LSH candidate
+    generation runs on the int8 codes, exact re-rank on the float
+    originals).
+
+    q_i = clamp(floor(x_i * 127 / scale + 0.5), -127, 127) with
+    ``scale = max|x_i|`` — round-half-up via floor(+0.5) rather than
+    ``round()`` because IEEE floor on an identically-derived double is
+    exact cross-engine while round() half-rule conventions differ.
+
+    Everything is map-side array lambdas (zero shuffle, rides the
+    scan).  Output is flat for the oracle: ``(vec_id, n_dims, scale,
+    q_md5, max_err_milli)`` — ``q_md5`` digests the comma-joined codes
+    (the full codebook, order-sensitive), ``max_err_milli`` is the
+    reconstruction error ``max|x - q*scale/127|`` floored to integer
+    milli-units.  ``scale`` is a data value (no arithmetic), so it is
+    bit-exact.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, F.abs))
+    q = F.transform(
+        v,
+        lambda x: F.greatest(
+            F.lit(-127).cast("long"),
+            F.least(
+                F.lit(127).cast("long"),
+                F.floor(x * F.lit(127.0) / scale + F.lit(0.5)).cast(
+                    "long"
+                ),
+            ),
+        ),
+    )
+    base = df.select(
+        F.col(id_col).alias("vec_id"),
+        v.alias("v"),
+        scale.alias("scale"),
+        q.alias("q"),
+    )
+    err = F.array_max(
+        F.zip_with(
+            F.col("v"),
+            F.col("q"),
+            lambda x, qi: F.abs(
+                x - qi.cast("double") * (F.col("scale") / F.lit(127.0))
+            ),
+        )
+    )
+    return base.select(
+        "vec_id",
+        F.size("v").cast("long").alias("n_dims"),
+        F.col("scale"),
+        F.md5(F.array_join(F.transform("q", lambda x: x.cast("string")), ",")).alias("q_md5"),
+        F.floor(err * F.lit(1000.0)).cast("long").alias("max_err_milli"),
+    )

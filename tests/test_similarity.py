@@ -197,3 +197,38 @@ def test_ivf_assign_distributed_fit_partitions_corpus(emb):
     assert C.shape[0] == 8
     # centroids are unit vectors (spherical k-means contract)
     assert np.allclose(np.linalg.norm(C, axis=1), 1.0, atol=1e-6)
+
+
+def test_quantize_int8_python_oracle(emb):
+    import hashlib
+    import math
+
+    from podcast_crawler_spark.operators.similarity import quantize_int8
+
+    got = {r.vec_id: r for r in quantize_int8(emb).collect()}
+    for row in emb.select("vec_id", "embedding").collect():
+        v = [float(x) for x in row.embedding]
+        scale = max(abs(x) for x in v)
+        q = [
+            max(-127, min(127, math.floor(x * 127.0 / scale + 0.5)))
+            for x in v
+        ]
+        r = got[row.vec_id]
+        assert r.n_dims == len(v)
+        assert r.scale == scale
+        assert r.q_md5 == hashlib.md5(
+            ",".join(str(c) for c in q).encode()
+        ).hexdigest()
+        err = max(abs(x - qi * (scale / 127.0)) for x, qi in zip(v, q))
+        assert r.max_err_milli == math.floor(err * 1000.0)
+        # int8 reconstruction keeps each coord within half a step
+        assert err <= scale / 127.0
+
+
+def test_quantize_int8_zero_shuffle(emb):
+    from podcast_crawler_spark.operators.similarity import quantize_int8
+
+    plan = (
+        quantize_int8(emb)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
