@@ -1096,6 +1096,32 @@ _PR_EDGES_SQL = (
 )
 
 
+from podcast_crawler_spark.sources.bucketed import z_order_key_sql as _zk_sql
+
+_ZORDER_SQL = _zk_sql("dim_a", "dim_b", bits=16)
+
+
+def _zorder_layout(spark, sf_dir):
+    # Morton-key layout assignment (OPTIMIZE ZORDER analog): interleave
+    # the low 16 bits of two layout dimensions, assign 64 output files
+    # by z-range — pure integer bit math, recomputed by the oracle.
+    from podcast_crawler_spark.sources.bucketed import z_order_key
+
+    ev = _t(spark, sf_dir, "events")
+    a = (F.col("user_id") % 65536).alias("dim_a")
+    b = (F.col("event_id") % 65536).alias("dim_b")
+    base = ev.select("event_id", a, b).select(
+        "event_id",
+        "dim_a",
+        "dim_b",
+        z_order_key("dim_a", "dim_b", bits=16).alias("z"),
+    )
+    return base.select(
+        "event_id", "dim_a", "dim_b", "z",
+        F.expr(f"z div {1 << 26}").alias("file_id"),
+    )
+
+
 def _quantize_int8(spark, sf_dir):
     # symmetric per-vector int8 quantization (storage path for 10^10
     # vectors); codes digested order-sensitively, reconstruction error
@@ -1357,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_diff": _table_diff,
         "hist_quantiles": _hist_quantiles,
         "quantize_int8": _quantize_int8,
+        "zorder_layout": _zorder_layout,
         "dedup_exact": _dedup_exact,
         "dedup_incremental": _dedup_incremental,
         "dedup_clusters": _dedup_clusters,
@@ -1756,6 +1783,17 @@ def oracle_sql() -> dict[str, str]:
                    round(abs(f.hll_estimate - e.n_exact) / e.n_exact, 4)
                      rel_err
             from fin f join ex e using (event_type)
+        """,
+        # z-order layout key: generated by the same bit-interleave spec
+        "zorder_layout": f"""
+            with b as (select event_id,
+                              (user_id % 65536)::BIGINT dim_a,
+                              (event_id % 65536)::BIGINT dim_b
+                       from events)
+            select event_id, dim_a, dim_b,
+                   {_ZORDER_SQL}::BIGINT z,
+                   ({_ZORDER_SQL} // {1 << 26})::BIGINT file_id
+            from b
         """,
         # int8 quantization: identical double chain + floor round-half-up
         "quantize_int8": """

@@ -49,3 +49,38 @@ def fetch_join_bucketed(
     pg = spark.table(table).select("url", "html", "warc_ts")
     joined = scheduled.join(pg, "url", "left")
     return joined.withColumn("fetch_ok", F.col("html").isNotNull())
+
+
+def z_order_key(a, b, bits: int = 16):
+    """Morton (Z-order) interleave of the low *bits* of two non-negative
+    integer columns — the multi-dimensional layout key behind
+    Delta/Iceberg ``OPTIMIZE ZORDER BY (a, b)``: sorting a table by
+    ``z_order_key(host_hash, ts_bucket)`` before write gives min/max
+    file statistics that prune on BOTH columns, where a plain sort
+    prunes only the leading one.
+
+    Pure unrolled integer bit arithmetic (``2*bits`` masked shifts
+    folded into whole-stage codegen — no UDF, and exactly reproducible
+    in ANSI SQL), so it composes with ``repartitionByRange`` /
+    ``sortWithinPartitions`` at any scale."""
+    a = (F.col(a) if isinstance(a, str) else a).cast("long")
+    b = (F.col(b) if isinstance(b, str) else b).cast("long")
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out + F.shiftleft(F.shiftright(a, i) % 2, 2 * i)
+        out = out + F.shiftleft(F.shiftright(b, i) % 2, 2 * i + 1)
+    return out
+
+
+def z_order_key_sql(a: str, b: str, bits: int = 16) -> str:
+    """The identical Morton key as an ANSI-SQL expression (DuckDB `>>`
+    / `<<` / `%` on BIGINT) — used by the driver oracle."""
+    terms = []
+    for i in range(bits):
+        terms.append(
+            f"((({a}::BIGINT >> {i}) % 2) << {2 * i})"
+        )
+        terms.append(
+            f"((({b}::BIGINT >> {i}) % 2) << {2 * i + 1})"
+        )
+    return "(" + " + ".join(terms) + ")"

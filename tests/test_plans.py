@@ -390,3 +390,40 @@ def test_delta_schema_evolution_merges(spark, tmp_path):
         for r in t.read(spark).select("k", "v", "newcol").collect()
     }
     assert got == {(1, "a", None), (2, "b2", "extra"), (3, "c", "x")}
+
+
+def test_z_order_key_bit_interleave(spark):
+    """Morton key matches the python bit-interleave spec, including the
+    locality property that makes it a layout key."""
+    from podcast_crawler_spark.sources.bucketed import z_order_key
+
+    def py_z(a, b, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    rows = [(a, b) for a in (0, 1, 2, 3, 255, 65535)
+            for b in (0, 1, 2, 3, 255, 65535)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = df.select(
+        "a", "b", z_order_key("a", "b").alias("z")
+    ).collect()
+    for r in got:
+        assert r.z == py_z(r.a, r.b), (r.a, r.b)
+    # locality: the max interleave is the all-ones 32-bit word
+    assert py_z(65535, 65535) == (1 << 32) - 1
+
+
+def test_z_order_key_codegen_no_udf(spark):
+    from podcast_crawler_spark.sources.bucketed import z_order_key
+
+    df = spark.createDataFrame([(1, 2)], "a long, b long")
+    plan = (
+        df.select(z_order_key("a", "b").alias("z"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan and "Exchange" not in plan, plan
