@@ -1122,6 +1122,42 @@ def _zorder_layout(spark, sf_dir):
     )
 
 
+def _jsonl_parse(spark, sf_dir):
+    # schema-pinned JSON parsing with corrupt-record policy: every 17th
+    # synthesized line is truncated (malformed) and must surface as
+    # is_corrupt with null fields, never poison the batch.  The oracle
+    # re-derives both branches from the synthesis formula.
+    from podcast_crawler_spark.sources.jsonl import parse_json_rows
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    d = F.col("doc_id")
+    js = F.concat(
+        F.lit('{"doc_id":'),
+        d.cast("string"),
+        F.lit(',"lang":"'),
+        F.col("lang"),
+        F.lit('","n_chars":'),
+        F.col("n_chars").cast("string"),
+        F.when(d % 17 == 0, F.lit("")).otherwise(F.lit("}")),
+    )
+    rows = _t(spark, sf_dir, "documents").select(
+        d.alias("src_id"), js.alias("js")
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    return parse_json_rows(rows, "js", schema, keep_cols=("src_id",))
+
+
 def _quantize_int8(spark, sf_dir):
     # symmetric per-vector int8 quantization (storage path for 10^10
     # vectors); codes digested order-sensitively, reconstruction error
@@ -1384,6 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantiles": _hist_quantiles,
         "quantize_int8": _quantize_int8,
         "zorder_layout": _zorder_layout,
+        "jsonl_parse": _jsonl_parse,
         "dedup_exact": _dedup_exact,
         "dedup_incremental": _dedup_incremental,
         "dedup_clusters": _dedup_clusters,
@@ -1783,6 +1820,18 @@ def oracle_sql() -> dict[str, str]:
                    round(abs(f.hll_estimate - e.n_exact) / e.n_exact, 4)
                      rel_err
             from fin f join ex e using (event_type)
+        """,
+        # JSONL corrupt-record policy: both branches re-derived
+        "jsonl_parse": """
+            select doc_id src_id,
+                   case when doc_id % 17 = 0 then NULL
+                        else doc_id end doc_id,
+                   case when doc_id % 17 = 0 then NULL
+                        else lang end lang,
+                   case when doc_id % 17 = 0 then NULL
+                        else n_chars end n_chars,
+                   (doc_id % 17 = 0) is_corrupt
+            from documents
         """,
         # z-order layout key: generated by the same bit-interleave spec
         "zorder_layout": f"""
