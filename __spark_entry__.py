@@ -1122,6 +1122,15 @@ def _zorder_layout(spark, sf_dir):
     )
 
 
+def _tfidf_pairs(spark, sf_dir):
+    # sparse pairwise tf-idf cosine (inverted-index join): integer
+    # bit-quantized weights make the distributed dot products exact
+    # BIGINT sums; only the final cosine divides (fixed-order, rounded).
+    return ranking.tfidf_cosine_pairs(
+        _t(spark, sf_dir, "documents"), max_df=1000, k=50
+    )
+
+
 def _jsonl_parse(spark, sf_dir):
     # schema-pinned JSON parsing with corrupt-record policy: every 17th
     # synthesized line is truncated (malformed) and must surface as
@@ -1421,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_int8": _quantize_int8,
         "zorder_layout": _zorder_layout,
         "jsonl_parse": _jsonl_parse,
+        "tfidf_pairs": _tfidf_pairs,
         "dedup_exact": _dedup_exact,
         "dedup_incremental": _dedup_incremental,
         "dedup_clusters": _dedup_clusters,
@@ -1820,6 +1830,36 @@ def oracle_sql() -> dict[str, str]:
                    round(abs(f.hll_estimate - e.n_exact) / e.n_exact, 4)
                      rel_err
             from fin f join ex e using (event_type)
+        """,
+        # sparse tf-idf cosine pairs: exact integer dots + fixed-order
+        # final division
+        "tfidf_pairs": """
+            with tok as (select doc_id doc,
+                                unnest(list_filter(string_split(text, ' '),
+                                                   x -> len(x) > 0)) term
+                         from documents),
+            p as (select term, doc, count(*)::BIGINT tf
+                  from tok group by 1, 2),
+            s as (select term, count(*)::BIGINT df from p group by 1),
+            nd as (select count(distinct doc_id) n from documents),
+            w0 as (select term, doc,
+                          (tf * (length(printf('%b', (select n from nd)))
+                                 - length(printf('%b', df))))::BIGINT w
+                   from p join s using (term) where df <= 1000),
+            w as (select * from w0 where w > 0),
+            nrm as (select doc, sum(w * w)::BIGINT norm2
+                    from w group by 1),
+            d as (select a.doc id_a, b.doc id_b,
+                         sum(a.w * b.w)::BIGINT dot_int
+                  from w a join w b
+                    on a.term = b.term and a.doc < b.doc
+                  group by 1, 2)
+            select id_a, id_b, dot_int,
+                   round(dot_int / (sqrt(na.norm2::DOUBLE)
+                                    * sqrt(nb.norm2::DOUBLE)), 6) cosine
+            from d join nrm na on d.id_a = na.doc
+                   join nrm nb on d.id_b = nb.doc
+            order by cosine desc, id_a, id_b limit 50
         """,
         # JSONL corrupt-record policy: both branches re-derived
         "jsonl_parse": """

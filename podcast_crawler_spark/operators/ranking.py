@@ -161,3 +161,98 @@ def inverted_index(
     return top.join(stats, "term").select(
         "term", "df", "total_tf", "rank", "doc", "tf"
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 1000,
+    k: int = 50,
+) -> DataFrame:
+    """Sparse pairwise document similarity (the inverted-index join of
+    Elsayed et al. 2008): top-k doc pairs by tf-idf cosine, computed
+    without ever materializing dense vectors.
+
+    **Integer-exact by construction**: a float dot product summed
+    across shuffle partitions is order-dependent and can't be oracled.
+    Here the term weight is ``w = tf · idf_bits`` with ``idf_bits =
+    bitlen(N) - bitlen(df)`` (whole bits, the ``lm_surprisal``
+    quantization), the pair dot ``Σ w_a·w_b`` and the norms
+    ``Σ w²`` are exact BIGINT sums, and the only float ops are the
+    final ``dot / (sqrt(na)·sqrt(nb))`` — a fixed-order expression on
+    deterministic integers, rounded to 6 dp.
+
+    Scale shape: postings with df > *max_df* are dropped before the
+    self-join (the shingle-cap discipline — a stop word's posting list
+    would quadratically explode the term join); the term self-join
+    carries ``(term, doc, w)`` triples only; the pair rollup has
+    map-side combine; top-k is TakeOrderedAndProject.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(_toks(text_col)).alias("term"),
+    )
+    postings = toks.groupBy("term", "doc").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    n_docs = docs.select(id_col).distinct().count()
+    nbits = len(bin(n_docs)) - 2
+    stats = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    weighted = (
+        postings.join(stats, "term")
+        .filter(F.col("df") <= max_df)
+        .select(
+            "term",
+            "doc",
+            (
+                F.col("tf")
+                * (F.lit(nbits) - F.length(F.bin(F.col("df"))))
+            ).cast("long").alias("w"),
+        )
+        # zero-idf terms (df in N's bit-length class) carry no signal;
+        # dropping them also removes the 0/0 cosine of docs made
+        # entirely of such terms
+        .filter(F.col("w") > 0)
+    )
+    norms = weighted.groupBy("doc").agg(
+        F.sum(F.col("w") * F.col("w")).alias("norm2")
+    )
+    a = weighted.select(
+        "term", F.col("doc").alias("id_a"), F.col("w").alias("wa")
+    )
+    b = weighted.select(
+        "term", F.col("doc").alias("id_b"), F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot_int"))
+    )
+    na = norms.select(
+        F.col("doc").alias("id_a"), F.col("norm2").alias("na")
+    )
+    nb = norms.select(
+        F.col("doc").alias("id_b"), F.col("norm2").alias("nb")
+    )
+    scored = (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "dot_int",
+            F.round(
+                F.col("dot_int")
+                / (
+                    F.sqrt(F.col("na").cast("double"))
+                    * F.sqrt(F.col("nb").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("cosine"), F.asc("id_a"), F.asc("id_b")
+    ).limit(k)

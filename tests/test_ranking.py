@@ -127,3 +127,61 @@ def test_inverted_index_topk_window_group_limit(spark):
              if "WindowGroupLimit" in l and "Final" in l]
     assert partial and final, plan
     assert min(partial) > min(final), plan
+
+
+def test_tfidf_cosine_pairs_python_oracle(spark):
+    import math
+    from collections import Counter
+
+    from podcast_crawler_spark.operators.ranking import tfidf_cosine_pairs
+
+    rows = [
+        (1, "apple banana apple"),
+        (2, "apple banana cherry"),
+        (3, "dog dog dog cherry"),
+        (4, "unrelated words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): (r.dot_int, r.cosine)
+        for r in tfidf_cosine_pairs(df, max_df=10, k=10).collect()
+    }
+
+    tfs = {d: Counter(t.split(" ")) for d, t in rows}
+    dfs = Counter(term for c in tfs.values() for term in c)
+    nbits = len(bin(len(rows))) - 2
+    w = {
+        d: {
+            t: tf * (nbits - (len(bin(dfs[t])) - 2))
+            for t, tf in c.items()
+            if tf * (nbits - (len(bin(dfs[t])) - 2)) > 0
+        }
+        for d, c in tfs.items()
+    }
+    want = {}
+    ids = sorted(w)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            shared = set(w[a]) & set(w[b])
+            if not shared:
+                continue
+            dot = sum(w[a][t] * w[b][t] for t in shared)
+            na = math.sqrt(sum(x * x for x in w[a].values()))
+            nb2 = math.sqrt(sum(x * x for x in w[b].values()))
+            want[(a, b)] = (dot, round(dot / (na * nb2), 6))
+    assert got == want
+    # near-identical docs outrank the unrelated pair
+    assert got[(1, 2)][1] > got[(2, 3)][1]
+
+
+def test_tfidf_pairs_stopword_cap(spark):
+    """Terms with df > max_df must not generate candidate pairs."""
+    from podcast_crawler_spark.operators.ranking import tfidf_cosine_pairs
+
+    rows = [(i, "common specific%d" % (i % 2)) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_cosine_pairs(df, max_df=6, k=100).collect()
+    # 'common' (df=10) is capped out; the specific terms (df=5) pair up
+    assert out, "expected pairs from the specific terms"
+    for r in out:
+        assert r.id_a % 2 == r.id_b % 2
