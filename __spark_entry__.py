@@ -1122,6 +1122,29 @@ def _zorder_layout(spark, sf_dir):
     )
 
 
+def _robots_sitemaps(spark, sf_dir):
+    # Sitemap: directive extraction from robots bodies (the discovery
+    # bridge robots -> sitemap scan).  The fixture bodies carry no
+    # Sitemap lines, so the query appends two per host — mixed case,
+    # leading whitespace, trailing padding — which the extractor must
+    # normalize; the oracle re-derives both rows per host.
+    from podcast_crawler_spark.operators.robots import sitemap_directives
+
+    bodies = spark.read.parquet(f"{FIXTURES}/crawl_robots_txt.parquet")
+    with_sm = bodies.select(
+        "host",
+        F.concat(
+            F.col("body"),
+            F.lit("\nSitemap: https://"),
+            F.col("host"),
+            F.lit("/sitemap.xml\n  sitemap:   https://"),
+            F.col("host"),
+            F.lit("/sitemap-news.xml   "),
+        ).alias("body"),
+    )
+    return sitemap_directives(with_sm)
+
+
 def _tfidf_pairs(spark, sf_dir):
     # sparse pairwise tf-idf cosine (inverted-index join): integer
     # bit-quantized weights make the distributed dot products exact
@@ -1431,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": _zorder_layout,
         "jsonl_parse": _jsonl_parse,
         "tfidf_pairs": _tfidf_pairs,
+        "robots_sitemaps": _robots_sitemaps,
         "dedup_exact": _dedup_exact,
         "dedup_incremental": _dedup_incremental,
         "dedup_clusters": _dedup_clusters,
@@ -1830,6 +1854,18 @@ def oracle_sql() -> dict[str, str]:
                    round(abs(f.hll_estimate - e.n_exact) / e.n_exact, 4)
                      rel_err
             from fin f join ex e using (event_type)
+        """,
+        # robots Sitemap directives: expected rows re-derived from the
+        # synthesis formula (a stray Sitemap line in a fixture body
+        # would surface as a mismatch — tripwire by construction)
+        "robots_sitemaps": f"""
+            select host, 0::INT pos,
+                   'https://' || host || '/sitemap.xml' sitemap_url
+            from read_parquet('{FIXTURES}/crawl_robots_txt.parquet')
+            union all
+            select host, 1::INT,
+                   'https://' || host || '/sitemap-news.xml'
+            from read_parquet('{FIXTURES}/crawl_robots_txt.parquet')
         """,
         # sparse tf-idf cosine pairs: exact integer dots + fixed-order
         # final division

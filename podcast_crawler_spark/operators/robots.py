@@ -31,6 +31,7 @@ from typing import Iterator, Optional
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -110,3 +111,43 @@ def parse_robots(
             )
 
     return df.select(host_col, body_col).mapInPandas(_run, schema=RULES_SCHEMA)
+
+
+def sitemap_directives(
+    df: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """Extract ``Sitemap:`` directives from raw robots.txt bodies —
+    the discovery bridge from the politeness layer to the sitemap
+    scanner (``operators/sitemap.py``): per the robots.txt convention
+    the directive is group-independent, case-insensitive, and may
+    appear any number of times.
+
+    Output ``(host, pos, sitemap_url)`` with ``pos`` the directive's
+    order within its file.  Unlike :func:`parse_robots` (a pandas UDF
+    implementing the stateful UA-group grammar), this is a stateless
+    line filter — pure JVM array expressions (split → filter →
+    posexplode), zero Python, zero shuffle, and exactly reproducible
+    in the SQL oracle."""
+    # ltrim/trim strip spaces only — robots files use tabs too, so
+    # whitespace handling goes through anchored regexes
+    def _lstrip(l):
+        return F.regexp_replace(l, r"^[ \t\r]+", "")
+
+    def _strip(l):
+        return F.regexp_replace(l, r"^[ \t\r]+|[ \t\r]+$", "")
+
+    lines = F.split(F.col(body_col), "\n")
+    sm = F.filter(
+        lines,
+        lambda l: F.substring(F.lower(_lstrip(l)), 1, 8)
+        == F.lit("sitemap:"),
+    )
+    urls = F.transform(
+        sm, lambda l: _strip(F.substring(_lstrip(l), 9, 100000))
+    )
+    return df.select(
+        F.col(host_col).alias("host"), F.posexplode(urls)
+    ).select(
+        "host", F.col("pos").cast("int").alias("pos"),
+        F.col("col").alias("sitemap_url"),
+    )

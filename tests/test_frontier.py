@@ -332,3 +332,24 @@ def test_parse_robots_closes_loop_with_gen_robots(spark):
         for r in gen_robots(spark, N).collect()
     }
     assert parsed == direct
+
+
+def test_robots_sitemap_directives(spark):
+    from podcast_crawler_spark.operators.robots import sitemap_directives
+
+    body = (
+        "User-agent: *\nDisallow: /x\n"
+        "Sitemap: https://a.example/s1.xml\n"
+        "  sitemap:https://a.example/s2.xml   \n"
+        "SITEMAP:\thttps://a.example/s3.xml\n"
+        "NotASitemap: https://a.example/nope.xml\n"
+    )
+    df = spark.createDataFrame([("a.example", body)], "host string, body string")
+    rows = sorted(sitemap_directives(df).collect(), key=lambda r: r.pos)
+    assert [(r.pos, r.sitemap_url) for r in rows] == [
+        (0, "https://a.example/s1.xml"),
+        (1, "https://a.example/s2.xml"),
+        (2, "https://a.example/s3.xml"),
+    ]
+    plan = sitemap_directives(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan, plan
