@@ -267,3 +267,88 @@ def streaming_dedup(
     return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+SESSIONIZER_OUTPUT = (
+    "user_id long, session_start_unix double, session_end_unix double,"
+    " n_events long, duration_s double"
+)
+SESSIONIZER_STATE = "start_unix double, end_unix double, n long"
+
+
+def streaming_sessions(
+    event_stream: DataFrame,
+    gap_s: float = 1800.0,
+    output_mode: str = "append",
+):
+    """Gap-based sessionization as a custom stateful streaming operator
+    (`applyInPandasWithState`) — the streaming twin of the batch
+    ``temporal.sessionize``: per user, events closer than *gap_s*
+    chain into one session; a longer silence closes it.
+
+    Input (streaming): ``(user_id long, event_unix double)``.  Emits a
+    row per CLOSED session; the open session rides in GroupState across
+    micro-batches, so a session spanning batch boundaries is emitted
+    once, merged.  (The open tail stays in state until a later event
+    closes it — the standard append-mode contract; a production query
+    adds a state timeout to flush idle tails.)
+
+    Vectorized per group: sort, ``diff > gap`` breakpoints, cumsum
+    group ids, min/max/count per group — no per-event python loop.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap = float(gap_s)
+
+    def fn(
+        key: Tuple[int],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        user = key[0]
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if not parts:
+            return
+        ev = np.sort(
+            np.concatenate(
+                [p["event_unix"].to_numpy(dtype=np.float64) for p in parts]
+            )
+        )
+        # batch-local groups: a new group starts where the gap is exceeded
+        brk = np.empty(len(ev), dtype=bool)
+        brk[0] = True
+        brk[1:] = np.diff(ev) > gap
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(ev)) - 1
+        sessions = []  # (start, end, n), oldest first
+        if state.exists and int(state.get[2]) > 0:
+            sessions.append(
+                (float(state.get[0]), float(state.get[1]), int(state.get[2]))
+            )
+        for si,ei in zip(starts, ends):
+            gs, ge, gn = float(ev[si]), float(ev[ei]), int(ei - si + 1)
+            if sessions and gs - sessions[-1][1] <= gap:
+                ps, pe, pn = sessions[-1]
+                sessions[-1] = (ps, max(pe, ge), pn + gn)
+            else:
+                sessions.append((gs, ge, gn))
+        closed, open_tail = sessions[:-1], sessions[-1]
+        state.update(open_tail)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": user,
+                    "session_start_unix": [c[0] for c in closed],
+                    "session_end_unix": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                    "duration_s": [c[1] - c[0] for c in closed],
+                }
+            )
+
+    return event_stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        SESSIONIZER_OUTPUT,
+        SESSIONIZER_STATE,
+        output_mode,
+        GroupStateTimeout.NoTimeout,
+    )

@@ -241,3 +241,55 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     assert sorted(by_key) == ["aaa", "bbb", "ccc"]
     assert all(len(v) == 1 for v in by_key.values())
     assert by_key["bbb"] == [2]  # the FIRST arrival won
+
+
+def test_streaming_sessions_stateful(spark, tmp_path):
+    """Sessions spanning micro-batches merge through GroupState and are
+    emitted exactly once when a later gap closes them; the final open
+    tail stays in state (append-mode contract)."""
+    from podcast_crawler_spark.streaming import streaming_sessions
+
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    out_dir = str(tmp_path / "sess_out")
+    chk = str(tmp_path / "sess_chk")
+    schema = "user_id long, event_unix double"
+    # user 1: batch1 has events at 0,10; batch2 continues at 20 (same
+    # session) then jumps to 10000 (closes it) and 20000 (closes again)
+    # user 2: one event per batch, far apart -> first closed by second
+    b1 = [(1, 0.0), (1, 10.0), (2, 500.0)]
+    b2 = [(1, 20.0), (1, 10000.0), (1, 20000.0), (2, 99999.0)]
+
+    def run_query():
+        q = (
+            streaming_sessions(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                gap_s=60.0,
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drop_batch(spark.createDataFrame(b1, schema), tmp_path, src, "s1")
+    run_query()
+    drop_batch(spark.createDataFrame(b2, schema), tmp_path, src, "s2")
+    run_query()
+
+    got = sorted(
+        (r.user_id, r.session_start_unix, r.session_end_unix, r.n_events)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    # closed sessions only: user1 (0..20, 3 events) then (10000, 1);
+    # user2 (500, 1).  Open tails (20000,), (99999,) stay in state.
+    assert got == [
+        (1, 0.0, 20.0, 3),
+        (1, 10000.0, 10000.0, 1),
+        (2, 500.0, 500.0, 1),
+    ]
