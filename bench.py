@@ -67,6 +67,17 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "asof_join_events",
     "session_stats",
+    # round-3 session-2 additions (tfidf_pairs intentionally absent: its
+    # all-shared-vocab pair join is quadratic on the synthetic corpus's
+    # tiny vocabulary at sf0.1 — correctness runs at sf0.01)
+    "hll_distinct",
+    "cm_heavy_hitters",
+    "host_pagerank",
+    "span_dedup",
+    "inverted_index",
+    "hist_quantiles",
+    "table_diff",
+    "quantize_int8",
 ]
 
 

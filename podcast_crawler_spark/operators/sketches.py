@@ -314,6 +314,8 @@ def histogram_quantiles(
     ``hi`` are caller-supplied plan constants (a prior min/max pass or
     domain knowledge), so the whole derivation is deterministic.
     """
+    if not quantiles:
+        raise ValueError("histogram_quantiles: empty quantile list")
     width = (hi - lo) / float(n_bins)
     bins = histogram_bins(df, value_col, lo, hi, n_bins)
     # running totals over <= n_bins rows: the window input is the sketch,

@@ -325,11 +325,14 @@ def streaming_sessions(
             sessions.append(
                 (float(state.get[0]), float(state.get[1]), int(state.get[2]))
             )
-        for si,ei in zip(starts, ends):
+        for si, ei in zip(starts, ends):
             gs, ge, gn = float(ev[si]), float(ev[ei]), int(ei - si + 1)
             if sessions and gs - sessions[-1][1] <= gap:
                 ps, pe, pn = sessions[-1]
-                sessions[-1] = (ps, max(pe, ge), pn + gn)
+                # min() keeps late data (an event older than the open
+                # session's start, still within the gap) from losing
+                # the true session start
+                sessions[-1] = (min(ps, gs), max(pe, ge), pn + gn)
             else:
                 sessions.append((gs, ge, gn))
         closed, open_tail = sessions[:-1], sessions[-1]
