@@ -398,3 +398,17 @@ def test_span_dedup_shuffle_carries_digests_not_text(spark):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert " t#" not in m.group(1) and "text" not in m.group(1), m.group(0)
+
+
+def test_span_dedup_partitioning_invariance(spark):
+    """Same result under different partition layouts — nothing in the
+    gram-count/cover chain may depend on row placement."""
+    from podcast_crawler_spark.operators.dedup import span_dedup
+
+    rows = [(i, " ".join(f"w{j % 9}" for j in range(i, i + 20)))
+            for i in range(40)]
+    df1 = spark.createDataFrame(rows, "doc_id long, text string")
+    df8 = df1.repartition(8, "doc_id")
+    a = sorted(map(tuple, span_dedup(df1, k=8).collect()))
+    b = sorted(map(tuple, span_dedup(df8, k=8).collect()))
+    assert a == b

@@ -201,3 +201,13 @@ def test_histogram_quantiles_accuracy_and_clamping(events):
     bins = {r.bin: r.c for r in
             histogram_bins(out_of_range, "value", 0.0, 500.0).collect()}
     assert bins == {0: 1, 63: 1}
+
+
+def test_hll_distinct_ungrouped(events):
+    """The no-group path (global cardinality) returns one row."""
+    from podcast_crawler_spark.operators.sketches import hll_distinct
+
+    rows = hll_distinct(events, "user_id").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_exact > 0 and r.rel_err < 0.20

@@ -190,6 +190,21 @@ def main() -> None:
         "TakeOrderedAndProject, candidates probed against a BROADCAST of\n"
         "the tiny counter table — nothing corpus-sized crosses a join.",
     )
+    add(
+        "tfidf_pairs (sparse pairwise cosine, inverted-index join)",
+        qs["tfidf_pairs"](spark, SF),
+        "Expected: postings built with map-side combine, the df-capped\n"
+        "term self-join carrying only (term, doc, integer weight), pair\n"
+        "dot products as partial-aggregated BIGINT sums, top-k via\n"
+        "TakeOrderedAndProject — no float crosses an exchange.",
+    )
+    add(
+        "table_diff (CDC snapshot diff)",
+        qs["table_diff"](spark, SF),
+        "Expected: each snapshot collapsed map-side to (key, md5) before\n"
+        "ONE full-outer join keyed on the id — no payload column in any\n"
+        "exchange; unchanged keys filtered immediately above the join.",
+    )
     keys = spark.range(0, 2000, 1, 4).select(
         F.xxhash64(F.col("id").cast("string")).alias("url_hash"), "id"
     )
