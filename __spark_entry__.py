@@ -1396,6 +1396,14 @@ def _crawl_host_rank(spark, sf_dir):
     return graph.pagerank(edges, iters=5)
 
 
+def _budget_apportion(spark, sf_dir):
+    # rank-proportional epoch budget: largest-remainder apportionment
+    # of 100k fetch slots over the pagerank'd host graph — sums to the
+    # budget EXACTLY (integer invariant), oracled end to end (pagerank
+    # CTE chain nested under the apportionment SQL).
+    return graph.apportion_budget(_host_pagerank(spark, sf_dir), 100000)
+
+
 def _hll_distinct(spark, sf_dir):
     # HyperLogLog distinct-count with materialized registers: the
     # estimate's WHOLE derivation (md5-slice bucket/rho, integer-scaled
@@ -1443,6 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_heavy_hitters": _cm_heavy_hitters,
         "host_pagerank": _host_pagerank,
         "crawl_host_rank": _crawl_host_rank,
+        "budget_apportion": _budget_apportion,
         "classifier_score": _classifier_score,
         "sitemap_scan": _sitemap_scan,
         "span_dedup": _span_dedup,
@@ -2148,6 +2157,10 @@ def oracle_sql() -> dict[str, str]:
             f" where regexp_extract(url, '{_HOST_RE}', 1) <> ''"
             f" and regexp_extract(enclosure_url, '{_HOST_RE}', 1) <> ''",
             iters=5,
+        ),
+        # rank-proportional budgets: apportionment over the pagerank CTE
+        "budget_apportion": graph.apportion_oracle_sql(
+            graph.pagerank_oracle_sql(_PR_EDGES_SQL, iters=5), 100000
         ),
         # count-min: integer counter cells + min-over-rows probe — every
         # number is integer arithmetic over the shared md5-slice hash.

@@ -167,3 +167,85 @@ def pagerank_oracle_sql(
         f"select node, r as rank_scaled,"
         f" round(r / {float(scale)!r}, 9) as rank from pr{iters}"
     )
+
+
+def apportion_budget(
+    ranks: DataFrame,
+    total_budget: int,
+    node_col: str = "node",
+    weight_col: str = "rank_scaled",
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a global epoch
+    fetch budget across hosts, proportional to an integer weight —
+    the bridge from :func:`pagerank` to the politeness scheduler's
+    per-host budget (the reference fixes ``max_concurrent_tasks`` per
+    host uniformly, ``config/crawler.rs:55-63``; rank-proportional
+    budgets are the discovery-at-scale upgrade).
+
+    Exact integer math end to end: ``base = (B·w) div W``, remainder
+    ``(B·w) mod W``; the ``B - Σbase`` leftover units (< n_hosts) go to
+    the largest remainders (ties to the smaller node id).  Σbudget = B
+    exactly — the invariant a float-rounding allocator can't give.
+
+    Scale shape: base/remainder are map-side; the leftover set is a
+    bounded ``orderBy(...).limit(leftover)`` (TakeOrderedAndProject —
+    per-partition heap, never a global sort) broadcast back.  Two tiny
+    driver scalars (W, leftover) are collected — same footprint as the
+    k-means centroid hand-off.
+
+    Overflow note: requires ``total_budget · max(w) < 2^63`` — with
+    pagerank's 1e-12 scale (w ≤ 10^12) that allows budgets to ~9e6;
+    rescale weights (``w div 10^6``) for larger budgets.
+    """
+    w_sum = ranks.agg(F.sum(weight_col).alias("w")).collect()[0]["w"]
+    if not w_sum or w_sum <= 0:
+        raise ValueError("apportion_budget: non-positive weight sum")
+    scaled = ranks.select(
+        F.col(node_col).alias("node"),
+        F.expr(f"({total_budget} * {weight_col}) div {w_sum}").alias(
+            "base"
+        ),
+        F.expr(f"({total_budget} * {weight_col}) % {w_sum}").alias("rem"),
+    )
+    leftover = int(
+        total_budget - scaled.agg(F.sum("base")).collect()[0][0]
+    )
+    extra = (
+        scaled.orderBy(F.desc("rem"), F.asc("node"))
+        .limit(leftover)
+        .select("node", F.lit(1).cast("long").alias("extra"))
+    )
+    return (
+        scaled.join(F.broadcast(extra), "node", "left")
+        .select(
+            "node",
+            "base",
+            "rem",
+            (F.col("base") + F.coalesce(F.col("extra"), F.lit(0))).cast(
+                "long"
+            ).alias("budget"),
+        )
+    )
+
+
+def apportion_oracle_sql(weights_sql: str, total_budget: int) -> str:
+    """DuckDB recomputation of :func:`apportion_budget` over any
+    ``(node, rank_scaled)``-shaped *weights_sql* (which may itself be a
+    full WITH query — it is nested as a subquery)."""
+    return f"""
+        with w as (select * from ({weights_sql}) t),
+        tot as (select sum(rank_scaled)::BIGINT ws from w),
+        s as (select node,
+                     (({total_budget} * rank_scaled) // ws)::BIGINT base,
+                     (({total_budget} * rank_scaled) % ws)::BIGINT rem
+              from w, tot),
+        lo as (select ({total_budget} - sum(base))::BIGINT l from s),
+        rk as (select node, rem,
+                      row_number() over (order by rem desc, node) rn
+               from s),
+        ex as (select rk.node from rk, lo where rk.rn <= lo.l)
+        select s.node, s.base, s.rem,
+               (s.base + (s.node in (select node from ex))::int)::BIGINT
+                 budget
+        from s
+    """

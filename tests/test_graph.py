@@ -125,3 +125,45 @@ def test_pagerank_string_nodes(spark):
     mapping = {"feeds.a.example": 0, "feeds.b.example": 1,
                "cdn.x.example": 2, "cdn.y.example": 3}
     assert {mapping[k]: v for k, v in got.items()} == want
+
+
+def test_apportion_budget_exact_sum_and_proportionality(spark):
+    from podcast_crawler_spark.operators.graph import apportion_budget
+
+    ranks = spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 300), (4, 1)],
+        "node long, rank_scaled long",
+    )
+    out = {r.node: r for r in apportion_budget(ranks, 1000).collect()}
+    assert sum(r.budget for r in out.values()) == 1000  # exact
+    # proportional within one unit of the real quota
+    w = {1: 100, 2: 200, 3: 300, 4: 1}
+    total_w = sum(w.values())
+    for n, r in out.items():
+        quota = 1000 * w[n] / total_w
+        assert quota - 1 < r.budget < quota + 1, (n, r.budget, quota)
+    assert out[3].budget > out[2].budget > out[1].budget > out[4].budget
+
+
+def test_apportion_budget_python_oracle(spark):
+    from podcast_crawler_spark.operators.graph import apportion_budget
+
+    weights = [(i, 7 * i + 3) for i in range(1, 30)]
+    ranks = spark.createDataFrame(weights, "node long, rank_scaled long")
+    B = 977  # prime, forces leftovers
+    got = {r.node: r.budget for r in apportion_budget(ranks, B).collect()}
+    W = sum(w for _, w in weights)
+    base = {n: B * w // W for n, w in weights}
+    rem = {n: B * w % W for n, w in weights}
+    leftover = B - sum(base.values())
+    extras = sorted(rem, key=lambda n: (-rem[n], n))[:leftover]
+    want = {n: base[n] + (1 if n in extras else 0) for n, _ in weights}
+    assert got == want
+
+
+def test_apportion_budget_rejects_zero_weights(spark):
+    from podcast_crawler_spark.operators.graph import apportion_budget
+
+    ranks = spark.createDataFrame([(1, 0)], "node long, rank_scaled long")
+    with pytest.raises(ValueError, match="non-positive"):
+        apportion_budget(ranks, 10)
