@@ -1396,6 +1396,21 @@ def _crawl_host_rank(spark, sf_dir):
     return graph.pagerank(edges, iters=5)
 
 
+def _hits_scores(spark, sf_dir):
+    # HITS hubs/authorities over the same synthesized host graph —
+    # integer max-normalized iterations, unrolled-CTE oracle.
+    ev = _t(spark, sf_dir, "events")
+    edges = (
+        ev.select(
+            (F.col("user_id") % 97).alias("src"),
+            ((F.col("user_id") * 31 + F.col("event_id")) % 97).alias("dst"),
+        )
+        .filter("src <> dst")
+        .distinct()
+    )
+    return graph.hits(edges, iters=3)
+
+
 def _budget_apportion(spark, sf_dir):
     # rank-proportional epoch budget: largest-remainder apportionment
     # of 100k fetch slots over the pagerank'd host graph — sums to the
@@ -1452,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": _host_pagerank,
         "crawl_host_rank": _crawl_host_rank,
         "budget_apportion": _budget_apportion,
+        "hits_scores": _hits_scores,
         "classifier_score": _classifier_score,
         "sitemap_scan": _sitemap_scan,
         "span_dedup": _span_dedup,
@@ -2158,6 +2174,8 @@ def oracle_sql() -> dict[str, str]:
             f" and regexp_extract(enclosure_url, '{_HOST_RE}', 1) <> ''",
             iters=5,
         ),
+        # HITS: unrolled integer max-normalized iterations
+        "hits_scores": graph.hits_oracle_sql(_PR_EDGES_SQL, iters=3),
         # rank-proportional budgets: apportionment over the pagerank CTE
         "budget_apportion": graph.apportion_oracle_sql(
             graph.pagerank_oracle_sql(_PR_EDGES_SQL, iters=5), 100000

@@ -249,3 +249,140 @@ def apportion_oracle_sql(weights_sql: str, total_budget: int) -> str:
                  budget
         from s
     """
+
+
+HITS_SCALE = 10 ** 9
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = HITS_SCALE,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999) in exact integer
+    arithmetic — the hubs/authorities complement of :func:`pagerank`
+    for the crawl link graph (a high-authority CDN vs a high-hub feed
+    aggregator are different scheduling signals).
+
+    Per iteration, mirrored exactly by the oracle::
+
+        a(u)  = Σ over edges (v,u) of h(v)          -- exact BIGINT
+        a'(u) = a(u) div ceil(max_u a(u) / scale)   -- max-normalized
+        h(v)  = Σ over edges (v,u) of a'(u)
+        h'(v) = h(v) div ceil(max_v h(v) / scale)
+
+    Max-normalization (instead of the textbook L2) keeps every state
+    integer, and dividing by ``ceil(max/scale)`` instead of the naive
+    ``(x·scale) div max`` avoids the 64-bit overflow the multiply form
+    hits as soon as Σdeg·scale exceeds 2^63; states stay ≤ ~scale, so
+    the next half-step's sums are bounded by in-degree·scale.  The max
+    is a 1-row aggregate broadcast back, never a driver round-trip
+    inside the plan.
+
+    Same shuffle budget as pagerank: one O(edges) exchange per
+    half-step with map-side combine; nodes with no in(out) edges hold
+    score 0.  ``localCheckpoint`` per iteration (Pregel lineage
+    truncation).  Output: ``(node, auth_scaled, hub_scaled)``.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
+        nodes = nodes.localCheckpoint(eager=True)
+    if nodes.count() == 0:
+        raise ValueError("hits: empty graph")
+    hub = nodes.select("node", F.lit(scale).cast("long").alias("h"))
+    auth = None
+    for _ in range(iters):
+        raw_a = (
+            hub.join(e, hub["node"] == e["src"])
+            .groupBy("dst")
+            .agg(F.sum("h").alias("ra"))
+        )
+        max_a = raw_a.agg(F.max("ra").alias("m"))
+        auth = (
+            nodes.join(raw_a, nodes["node"] == raw_a["dst"], "left")
+            .crossJoin(F.broadcast(max_a))
+            .select(
+                "node",
+                F.expr(
+                    f"coalesce(ra, 0L)"
+                    f" div ((m + {scale} - 1) div {scale}L)"
+                ).cast("long").alias("a"),
+            )
+        )
+        raw_h = (
+            auth.join(e, auth["node"] == e["dst"])
+            .groupBy("src")
+            .agg(F.sum("a").alias("rh"))
+        )
+        max_h = raw_h.agg(F.max("rh").alias("m"))
+        hub = (
+            nodes.join(raw_h, nodes["node"] == raw_h["src"], "left")
+            .crossJoin(F.broadcast(max_h))
+            .select(
+                "node",
+                F.expr(
+                    f"coalesce(rh, 0L)"
+                    f" div ((m + {scale} - 1) div {scale}L)"
+                ).cast("long").alias("h"),
+            )
+        )
+        if checkpoint:
+            auth = auth.localCheckpoint(eager=True)
+            hub = hub.localCheckpoint(eager=True)
+    return auth.join(hub, "node").select(
+        "node",
+        F.col("a").alias("auth_scaled"),
+        F.col("h").alias("hub_scaled"),
+    )
+
+
+def hits_oracle_sql(
+    edges_sql: str, iters: int = 3, scale: int = HITS_SCALE
+) -> str:
+    """Unrolled DuckDB CTE chain recomputing :func:`hits` exactly."""
+    parts = [
+        f"with edges as ({edges_sql})",
+        "nodes as (select src as node from edges"
+        " union select dst from edges)",
+        f"h0 as (select node, {scale}::BIGINT h from nodes)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"ra{i} as (select e.dst, sum(c.h)::BIGINT ra"
+            f" from h{i} c join edges e on c.node = e.src group by 1)"
+        )
+        parts.append(
+            f"a{i + 1} as (select nd.node,"
+            f" (coalesce(x.ra, 0)"
+            f" // (((select max(ra) from ra{i}) + {scale} - 1)"
+            f" // {scale}))::BIGINT a"
+            f" from nodes nd left join ra{i} x on nd.node = x.dst)"
+        )
+        parts.append(
+            f"rh{i} as (select e.src, sum(c.a)::BIGINT rh"
+            f" from a{i + 1} c join edges e on c.node = e.dst group by 1)"
+        )
+        parts.append(
+            f"h{i + 1} as (select nd.node,"
+            f" (coalesce(x.rh, 0)"
+            f" // (((select max(rh) from rh{i}) + {scale} - 1)"
+            f" // {scale}))::BIGINT h"
+            f" from nodes nd left join rh{i} x on nd.node = x.src)"
+        )
+    parts_sql = ",\n".join(parts)
+    return (
+        f"{parts_sql}\n"
+        f"select a.node, a.a as auth_scaled, h.h as hub_scaled"
+        f" from a{iters} a join h{iters} h using (node)"
+    )

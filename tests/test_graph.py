@@ -167,3 +167,48 @@ def test_apportion_budget_rejects_zero_weights(spark):
     ranks = spark.createDataFrame([(1, 0)], "node long, rank_scaled long")
     with pytest.raises(ValueError, match="non-positive"):
         apportion_budget(ranks, 10)
+
+
+def _py_hits(edges, iters, scale=10 ** 9):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    h = {v: scale for v in nodes}
+    a = {}
+    for _ in range(iters):
+        ra = {v: 0 for v in nodes}
+        for s, d in edges:
+            ra[d] += h[s]
+        m = max(ra.values())
+        dv = (m + scale - 1) // scale
+        a = {v: ra[v] // dv for v in nodes}
+        rh = {v: 0 for v in nodes}
+        for s, d in edges:
+            rh[s] += a[d]
+        m = max(rh.values())
+        dv = (m + scale - 1) // scale
+        h = {v: rh[v] // dv for v in nodes}
+    return a, h
+
+
+def test_hits_matches_python_oracle(chain_graph):
+    from podcast_crawler_spark.operators.graph import hits
+
+    edges, df = chain_graph
+    got = {
+        r.node: (r.auth_scaled, r.hub_scaled)
+        for r in hits(df, iters=3).collect()
+    }
+    a, h = _py_hits(edges, iters=3)
+    assert got == {v: (a[v], h[v]) for v in a}
+
+
+def test_hits_hub_vs_authority_roles(spark):
+    """A pure pointer (4 out-edges, no in) must be the top hub; the
+    most-pointed-at node the top authority."""
+    from podcast_crawler_spark.operators.graph import hits
+
+    edges = [(100, i) for i in range(4)] + [(0, 1), (2, 1), (3, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r for r in hits(df, iters=4).collect()}
+    assert got[100].hub_scaled == max(r.hub_scaled for r in got.values())
+    assert got[1].auth_scaled == max(r.auth_scaled for r in got.values())
+    assert got[100].auth_scaled == 0  # nothing points at the pure hub
