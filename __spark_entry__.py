@@ -37,6 +37,7 @@ from podcast_crawler_spark.operators import (
     graph,
     multimodal,
     ranking,
+    refetch,
     similarity,
     sketches,
     textstats,
@@ -1439,6 +1440,22 @@ def _cm_heavy_hitters(spark, sf_dir):
     )
 
 
+_REFETCH_NOW = int(datetime(2025, 3, 1, tzinfo=timezone.utc).timestamp())
+
+
+def _refetch_schedule(spark, sf_dir):
+    # adaptive refetch scheduling: per-feed change-rate estimation from
+    # the parsed episode history (Cho & Garcia-Molina 2003) — the
+    # freshness-aware upgrade of the reference's fixed recrawl cycle
+    # (task_management_system.rs:272-296 re-enqueues ALL feeds each
+    # interval).  One agg of three BIGINT partials per feed; every
+    # downstream step is integer arithmetic the oracle replays exactly.
+    eps = spark.read.parquet(f"{FIXTURES}/crawl_episodes.parquet")
+    return refetch.refetch_schedule(
+        eps, feed_col="url", ts_col="pub_date", now_ts=_REFETCH_NOW
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_priority_queue": _priority_queue,
@@ -1524,6 +1541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_epoch_end2end": _crawl_epoch_end2end,
         "crawl_retry_diff": _crawl_retry_diff,
         "crawl_discovery_loop": _crawl_discovery_loop,
+        "refetch_schedule": _refetch_schedule,
     }
 
 
@@ -2176,6 +2194,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         # HITS: unrolled integer max-normalized iterations
         "hits_scores": graph.hits_oracle_sql(_PR_EDGES_SQL, iters=3),
+        # adaptive refetch: exact integer replay of the change-rate rule
+        "refetch_schedule": refetch.refetch_oracle_sql(
+            f"select url, pub_date from"
+            f" read_parquet('{FIXTURES}/crawl_episodes.parquet')",
+            feed_col="url",
+            ts_col="pub_date",
+            now_ts=_REFETCH_NOW,
+        ),
         # rank-proportional budgets: apportionment over the pagerank CTE
         "budget_apportion": graph.apportion_oracle_sql(
             graph.pagerank_oracle_sql(_PR_EDGES_SQL, iters=5), 100000

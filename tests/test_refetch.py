@@ -1,0 +1,81 @@
+"""Adaptive refetch scheduling (operators/refetch.py)."""
+
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from podcast_crawler_spark.operators.refetch import refetch_schedule
+
+
+def _ts(day, hour=0):
+    return datetime(2025, 1, day, hour, tzinfo=timezone.utc)
+
+
+NOW = int(datetime(2025, 1, 20, tzinfo=timezone.utc).timestamp())
+
+
+def _run(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "url string, pub_date timestamp")
+    out = refetch_schedule(df, now_ts=NOW, **kw).orderBy("url")
+    return {r["url"]: r.asDict() for r in out.collect()}
+
+
+def test_mean_interarrival_estimate(spark):
+    # 3 items, 2 days apart -> interval = 2 days exactly
+    rows = [("a", _ts(1)), ("a", _ts(3)), ("a", _ts(5))]
+    got = _run(spark, rows)["a"]
+    assert got["n_items"] == 3
+    assert got["interval_s"] == 2 * 86400
+    assert got["next_fetch_ts"] == int(_ts(5).timestamp()) + 2 * 86400
+    # last pub Jan 5 + 2d = Jan 7 <= Jan 20 now -> overdue
+    assert got["overdue"] is True
+
+
+def test_interval_floor_division_is_exact_integer(spark):
+    # span 7 s over 3 gaps -> 7 div 3 = 2 (floor), never a float
+    base = _ts(10)
+    rows = [("b", base)] + [
+        ("b", datetime.fromtimestamp(base.timestamp() + s, tz=timezone.utc))
+        for s in (3, 5, 7)
+    ]
+    got = _run(spark, rows, min_interval_s=1)["b"]
+    assert got["interval_s"] == 2
+
+
+def test_single_item_and_clamps(spark):
+    rows = [
+        ("one", _ts(19)),          # 1 item -> max interval
+        ("fast", _ts(19, 0)), ("fast", _ts(19, 1)),   # 1h apart < min
+        ("slow", _ts(1)), ("slow", _ts(19)),          # 18d apart > max
+    ]
+    got = _run(spark, rows, min_interval_s=7200, max_interval_s=5 * 86400)
+    assert got["one"]["interval_s"] == 5 * 86400
+    assert got["one"]["n_items"] == 1
+    assert got["fast"]["interval_s"] == 7200      # clamped up to min
+    assert got["slow"]["interval_s"] == 5 * 86400  # clamped down to max
+
+
+def test_null_timestamps_carry_no_evidence(spark):
+    rows = [("c", _ts(1)), ("c", None), ("c", _ts(3)), ("d", None)]
+    got = _run(spark, rows)
+    assert got["c"]["n_items"] == 2
+    assert got["c"]["interval_s"] == 2 * 86400
+    assert "d" not in got  # all-null feed has no schedule row
+
+
+def test_fresh_feed_not_overdue(spark):
+    # last pub yesterday + 7d default max... use explicit: pub Jan 19,
+    # interval 2d -> next Jan 21 > Jan 20 now -> not overdue
+    rows = [("e", _ts(17)), ("e", _ts(19))]
+    got = _run(spark, rows)["e"]
+    assert got["next_fetch_ts"] == int(_ts(21).timestamp())
+    assert got["overdue"] is False
+
+
+def test_plan_is_one_partial_agg_no_join(spark):
+    rows = [("a", _ts(1)), ("a", _ts(3))]
+    df = spark.createDataFrame(rows, "url string, pub_date timestamp")
+    plan = refetch_schedule(df, now_ts=NOW)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1  # one keyed shuffle of partials
+    assert "partial_count" in plan or "partial" in plan.lower()
