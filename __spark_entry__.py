@@ -1440,6 +1440,21 @@ def _cm_heavy_hitters(spark, sf_dir):
     )
 
 
+def _anchor_stats(spark, sf_dir):
+    # anchor-text aggregation over the crawl link graph: feed hosts
+    # link to enclosure (CDN) hosts with the episode title as anchor
+    # text (Brin & Page 1998 §2.2 — link context as an off-page
+    # relevance signal).  Window-free argmax for the top anchor; all
+    # counts integers, oracle replays the chain exactly.
+    eps = spark.read.parquet(f"{FIXTURES}/crawl_episodes.parquet")
+    edges = eps.select(
+        F.regexp_extract("url", _HOST_RE, 1).alias("src"),
+        F.regexp_extract("enclosure_url", _HOST_RE, 1).alias("dst"),
+        F.col("title").alias("anchor"),
+    ).filter((F.col("src") != "") & (F.col("dst") != ""))
+    return graph.anchor_stats(edges)
+
+
 _REFETCH_NOW = int(datetime(2025, 3, 1, tzinfo=timezone.utc).timestamp())
 
 
@@ -1542,6 +1557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_retry_diff": _crawl_retry_diff,
         "crawl_discovery_loop": _crawl_discovery_loop,
         "refetch_schedule": _refetch_schedule,
+        "anchor_stats": _anchor_stats,
     }
 
 
@@ -2194,6 +2210,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         # HITS: unrolled integer max-normalized iterations
         "hits_scores": graph.hits_oracle_sql(_PR_EDGES_SQL, iters=3),
+        # anchor-text aggregation: exact integer replay over the same
+        # fixture link graph as crawl_host_rank
+        "anchor_stats": graph.anchor_oracle_sql(
+            f"select regexp_extract(url, '{_HOST_RE}', 1) src,"
+            f" regexp_extract(enclosure_url, '{_HOST_RE}', 1) dst,"
+            f" title anchor"
+            f" from read_parquet('{FIXTURES}/crawl_episodes.parquet')"
+            f" where regexp_extract(url, '{_HOST_RE}', 1) <> ''"
+            f" and regexp_extract(enclosure_url, '{_HOST_RE}', 1) <> ''"
+        ),
         # adaptive refetch: exact integer replay of the change-rate rule
         "refetch_schedule": refetch.refetch_oracle_sql(
             f"select url, pub_date from"

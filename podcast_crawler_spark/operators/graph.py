@@ -386,3 +386,101 @@ def hits_oracle_sql(
         f"select a.node, a.a as auth_scaled, h.h as hub_scaled"
         f" from a{iters} a join h{iters} h using (node)"
     )
+
+
+def anchor_stats(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    anchor_col: str = "anchor",
+    max_anchor_len: int = 256,
+) -> DataFrame:
+    """Per-target anchor-text aggregation over a link graph.
+
+    Anchor text — the words other pages use to link to a target — is
+    the classic off-page relevance signal (Brin & Page 1998 §2.2 use it
+    to index uncrawled targets) and, in an LLM-data pipeline, the
+    cheapest quality/topic label for pages not yet fetched.  The
+    reference never aggregates link context (its link structs carry a
+    ``name`` it only filters on, ``rss_fetcher.rs``); this is the
+    ranking-side upgrade.
+
+    Returns one row per target: ``(dst, n_links, n_sources, n_anchors,
+    top_anchor, top_anchor_cnt)`` where top_anchor is the most frequent
+    anchor string (ties break lexicographically smallest — the
+    window-free ``min(struct(-cnt, anchor))`` argmax, same idiom as
+    ``traps.trap_stats``).
+
+    Scale shape: anchors are truncated map-side to *max_anchor_len*
+    bytes before any exchange; the heavy groupBy key is ``(dst,
+    anchor)`` so duplicate anchors collapse map-side and a hot target's
+    rows still spread across reducers; both per-target rollups (anchor
+    stats, distinct sources) aggregate already-collapsed tables and
+    meet in one join of per-target rows.  Counts are integers end to
+    end — exact SQL oracle.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.substring(F.col(anchor_col).cast("string"), 1, max_anchor_len)
+        .alias("anchor"),
+    ).filter(F.col("anchor").isNotNull() & (F.col("anchor") != ""))
+    per_anchor = e.groupBy("dst", "anchor").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    anchor_roll = per_anchor.groupBy("dst").agg(
+        F.sum("cnt").alias("n_links"),
+        F.count(F.lit(1)).alias("n_anchors"),
+        F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("anchor"))).alias(
+            "top"
+        ),
+    )
+    src_roll = (
+        e.select("dst", "src")
+        .distinct()
+        .groupBy("dst")
+        .agg(F.count(F.lit(1)).alias("n_sources"))
+    )
+    return (
+        anchor_roll.join(src_roll, "dst")
+        .select(
+            "dst",
+            "n_links",
+            "n_sources",
+            "n_anchors",
+            F.col("top.anchor").alias("top_anchor"),
+            (-F.col("top.neg")).alias("top_anchor_cnt"),
+        )
+    )
+
+
+def anchor_oracle_sql(
+    edges_sql: str,
+    max_anchor_len: int = 256,
+) -> str:
+    """DuckDB SQL replaying :func:`anchor_stats` exactly over
+    ``edges_sql`` (a relation with src, dst, anchor)."""
+    return f"""
+        WITH e AS (
+            SELECT src, dst, substring(anchor, 1, {max_anchor_len}) AS anchor
+            FROM ({edges_sql})
+            WHERE anchor IS NOT NULL AND anchor <> ''
+        ),
+        pa AS (
+            SELECT dst, anchor, COUNT(*) AS cnt
+            FROM e GROUP BY dst, anchor
+        ),
+        ar AS (
+            SELECT dst, SUM(cnt)::BIGINT AS n_links,
+                   COUNT(*) AS n_anchors,
+                   MIN((-cnt, anchor)) AS top
+            FROM pa GROUP BY dst
+        ),
+        sr AS (
+            SELECT dst, COUNT(*) AS n_sources
+            FROM (SELECT DISTINCT dst, src FROM e) GROUP BY dst
+        )
+        SELECT ar.dst, n_links, n_sources, n_anchors,
+               top[2] AS top_anchor, (-top[1])::BIGINT AS top_anchor_cnt
+        FROM ar JOIN sr ON ar.dst = sr.dst
+    """

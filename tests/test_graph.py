@@ -212,3 +212,58 @@ def test_hits_hub_vs_authority_roles(spark):
     assert got[100].hub_scaled == max(r.hub_scaled for r in got.values())
     assert got[1].auth_scaled == max(r.auth_scaled for r in got.values())
     assert got[100].auth_scaled == 0  # nothing points at the pure hub
+
+
+# ---------------------------------------------------------------- anchors
+
+
+def _anchor_rows(spark):
+    rows = [
+        # 3 links to t1: anchor "news" twice (from two sources), "blog" once
+        ("s1", "t1", "news"),
+        ("s2", "t1", "news"),
+        ("s1", "t1", "blog"),
+        # tie on t2: "a" and "b" once each -> lexicographic winner "a"
+        ("s1", "t2", "b"),
+        ("s2", "t2", "a"),
+        # null / empty anchors carry no signal
+        ("s3", "t1", None),
+        ("s3", "t2", ""),
+    ]
+    return spark.createDataFrame(rows, "src string, dst string, anchor string")
+
+
+def test_anchor_stats_counts_and_argmax(spark):
+    from podcast_crawler_spark.operators.graph import anchor_stats
+
+    got = {r["dst"]: r.asDict() for r in anchor_stats(_anchor_rows(spark)).collect()}
+    t1 = got["t1"]
+    assert (t1["n_links"], t1["n_sources"], t1["n_anchors"]) == (3, 2, 2)
+    assert (t1["top_anchor"], t1["top_anchor_cnt"]) == ("news", 2)
+    t2 = got["t2"]
+    assert (t2["n_links"], t2["n_sources"], t2["n_anchors"]) == (2, 2, 2)
+    # count tie breaks to lexicographically smallest anchor
+    assert (t2["top_anchor"], t2["top_anchor_cnt"]) == ("a", 1)
+
+
+def test_anchor_stats_truncates_before_exchange(spark):
+    from podcast_crawler_spark.operators.graph import anchor_stats
+
+    rows = [("s1", "t", "x" * 1000), ("s2", "t", "x" * 1000 + "tail")]
+    df = spark.createDataFrame(rows, "src string, dst string, anchor string")
+    out = anchor_stats(df, max_anchor_len=16).collect()
+    # both collapse to the same 16-byte anchor -> one anchor, cnt 2
+    assert len(out) == 1
+    assert out[0]["n_anchors"] == 1
+    assert out[0]["top_anchor"] == "x" * 16
+    assert out[0]["top_anchor_cnt"] == 2
+
+
+def test_anchor_stats_plan_no_window(spark):
+    from podcast_crawler_spark.operators.graph import anchor_stats
+
+    plan = (
+        anchor_stats(_anchor_rows(spark))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan  # argmax is an aggregate, not a sort
