@@ -1440,6 +1440,39 @@ def _cm_heavy_hitters(spark, sf_dir):
     )
 
 
+def _extract_links(spark, sf_dir):
+    # generic HTML outlink extraction + resolution (the discovery
+    # upgrade of the reference's rss-only typed-link scan).  The flat
+    # corpus has no HTML, so the query synthesizes pages
+    # SQL-reproducibly: every doc gets one absolute, one single-quoted
+    # root-relative, one protocol-relative (+ &amp; entity), one
+    # directory-relative (+ fragment) href plus three droppables
+    # (mailto:, fragment-only, javascript:).  Spark runs the REAL
+    # regex-extraction pipeline over the constructed HTML; the oracle
+    # derives the expected resolved set independently from the
+    # synthesis components — it never reruns the extractor.
+    from podcast_crawler_spark.operators import links as linksop
+
+    d = F.col("doc_id")
+    pages = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://host"), d % 11, F.lit(".example/dir"), d % 4,
+            F.lit("/page"), d, F.lit(".html"),
+        ).alias("url"),
+        F.concat(
+            F.lit('<p>x</p><a href="https://ext'), d % 7,
+            F.lit('.example/p/'), d, F.lit('">t</a>'),
+            F.lit("<a href='/local/"), d % 13, F.lit("'>u</a>"),
+            F.lit('<a href="//cdn'), d % 3,
+            F.lit('.example/r?x=1&amp;y=2">v</a>'),
+            F.lit('<a href="rel/'), d % 5, F.lit('.html#frag">w</a>'),
+            F.lit('<a href="mailto:a@b.c">m</a><a href="#top">f</a>'),
+            F.lit('<a href="javascript:void(0)">j</a>'),
+        ).alias("html"),
+    )
+    return linksop.extract_links(pages)
+
+
 def _anchor_stats(spark, sf_dir):
     # anchor-text aggregation over the crawl link graph: feed hosts
     # link to enclosure (CDN) hosts with the episode title as anchor
@@ -1558,6 +1591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_discovery_loop": _crawl_discovery_loop,
         "refetch_schedule": _refetch_schedule,
         "anchor_stats": _anchor_stats,
+        "extract_links": _extract_links,
     }
 
 
@@ -2210,6 +2244,29 @@ def oracle_sql() -> dict[str, str]:
         ),
         # HITS: unrolled integer max-normalized iterations
         "hits_scores": graph.hits_oracle_sql(_PR_EDGES_SQL, iters=3),
+        # outlink extraction: the oracle derives the expected resolved
+        # set straight from the synthesis components (absolute /
+        # root-relative / protocol-relative / dir-relative survive;
+        # mailto/fragment/javascript don't) — it never reruns the regex
+        # extractor, so extraction+resolution are independently checked
+        "extract_links": """
+            WITH d AS (
+              SELECT doc_id, doc_id % 11 m11, doc_id % 4 m4,
+                     doc_id % 7 m7, doc_id % 13 m13, doc_id % 3 m3,
+                     doc_id % 5 m5
+              FROM documents),
+            b AS (
+              SELECT 'https://host' || m11 || '.example/dir' || m4
+                       || '/page' || doc_id || '.html' AS url,
+                     ['https://ext' || m7 || '.example/p/' || doc_id,
+                      'https://host' || m11 || '.example/local/' || m13,
+                      'https://cdn' || m3 || '.example/r?x=1&y=2',
+                      'https://host' || m11 || '.example/dir' || m4
+                        || '/rel/' || m5 || '.html'] AS ls
+              FROM d)
+            SELECT DISTINCT url, link
+            FROM (SELECT url, unnest(ls) AS link FROM b)
+        """,
         # anchor-text aggregation: exact integer replay over the same
         # fixture link graph as crawl_host_rank
         "anchor_stats": graph.anchor_oracle_sql(
