@@ -42,6 +42,7 @@ from podcast_crawler_spark.operators import (
     sketches,
     textstats,
 )
+from podcast_crawler_spark.functions import urlfns
 from podcast_crawler_spark.operators.frontier import CrawlConfig, schedule_epoch, seed_scan
 from podcast_crawler_spark.plans.epoch import init_crawl, run_crawl
 
@@ -1440,6 +1441,30 @@ def _cm_heavy_hitters(spark, sf_dir):
     )
 
 
+def _url_scrub(spark, sf_dir):
+    # tracking-param scrub + canonical param ordering (the seen-set
+    # keying form): utm_*/click-id params dropped, survivors
+    # byte-sorted, '?' dropped when nothing survives, fragment
+    # preserved.  URLs synthesized SQL-reproducibly to cover all four
+    # shapes; the oracle replays the same string/array chain in DuckDB.
+    from podcast_crawler_spark.functions.urlfns import scrub_url
+
+    d = F.col("doc_id")
+    urls = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"), d % 7, F.lit(".example/p/"), d,
+            F.when(d % 4 == 0,
+                   F.concat(F.lit("?utm_source=feed&id="), d % 100,
+                            F.lit("&fbclid=x")))
+            .when(d % 4 == 1, F.lit("?b=2&a=1&utm_campaign=c"))
+            .when(d % 4 == 2, F.lit(""))
+            .otherwise(F.lit("?gclid=1#frag")),
+        ).alias("url"),
+    )
+    return urls.withColumn("scrubbed", scrub_url(F.col("url")))
+
+
 def _extract_links(spark, sf_dir):
     # generic HTML outlink extraction + resolution (the discovery
     # upgrade of the reference's rss-only typed-link scan).  The flat
@@ -1592,6 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refetch_schedule": _refetch_schedule,
         "anchor_stats": _anchor_stats,
         "extract_links": _extract_links,
+        "url_scrub": _url_scrub,
     }
 
 
@@ -2244,6 +2270,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         # HITS: unrolled integer max-normalized iterations
         "hits_scores": graph.hits_oracle_sql(_PR_EDGES_SQL, iters=3),
+        # tracking-param scrub: DuckDB replays the string/array chain
+        "url_scrub": f"""
+            WITH u AS (
+              SELECT doc_id,
+                     'https://h' || doc_id % 7 || '.example/p/' || doc_id
+                     || CASE doc_id % 4
+                          WHEN 0 THEN '?utm_source=feed&id='
+                                      || doc_id % 100 || '&fbclid=x'
+                          WHEN 1 THEN '?b=2&a=1&utm_campaign=c'
+                          WHEN 2 THEN ''
+                          ELSE '?gclid=1#frag' END AS url
+              FROM documents)
+            SELECT doc_id, url,
+                   {urlfns.scrub_oracle_sql('url')} AS scrubbed
+            FROM u
+        """,
         # outlink extraction: the oracle derives the expected resolved
         # set straight from the synthesis components (absolute /
         # root-relative / protocol-relative / dir-relative survive;

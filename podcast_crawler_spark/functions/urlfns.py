@@ -95,3 +95,69 @@ def url_similarity(url1: Column, url2: Column) -> Column:
         F.lit(0.0)
     )
     return F.lit(0.7) * domain_sim + F.lit(0.3) * path_sim
+
+
+# Tracking parameters stripped by scrub_url: the industry-standard
+# analytics/click-id set (utm_* per Google Analytics, fbclid/gclid/
+# msclkid click ids, mc_eid Mailchimp, igshid Instagram, ref).  A
+# matching param never changes the resource — removing it collapses
+# spurious frontier entries for the SAME page, shrinking the 10^10
+# seen-set by the tracking-link multiplicity.
+TRACKING_PARAM_RE = r"^(utm_[^=&]*|fbclid|gclid|msclkid|mc_eid|igshid|ref)(=.*)?$"
+
+
+def scrub_url(url: Column, sort_params: bool = True) -> Column:
+    """Drop tracking query params; optionally byte-sort the survivors.
+
+    The scrubbed-and-sorted form is the seen-set keying form (SURT-style
+    normalization — two spellings of one resource must collide in the
+    Bloom shards); with ``sort_params=False`` the original param order
+    is preserved (the fetch-safe form: some endpoints are order
+    sensitive).  Empty params (``a&&b``) are dropped either way; the
+    ``?`` disappears when nothing survives; a ``#fragment`` is
+    preserved byte-for-byte (the canonicalizer owns fragment policy).
+    Pure codegen expression — string ops + array filter/sort, no regex
+    backtracking beyond the anchored param match.
+    """
+    qpos = F.instr(url, "?")
+    head = F.substring(url, F.lit(1), qpos - 1)
+    rest = F.substring(url, qpos + 1, F.length(url))
+    hpos = F.instr(rest, "#")
+    query = F.when(hpos > 0, F.substring(rest, F.lit(1), hpos - 1)).otherwise(rest)
+    frag = F.when(hpos > 0, F.substring(rest, hpos, F.length(rest))).otherwise(
+        F.lit("")
+    )
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    if sort_params:
+        kept = F.array_sort(kept)
+    newq = F.array_join(kept, "&")
+    rebuilt = F.when(
+        F.size(kept) > 0, F.concat(head, F.lit("?"), newq, frag)
+    ).otherwise(F.concat(head, frag))
+    return F.when(qpos == 0, url).otherwise(rebuilt)
+
+
+def scrub_oracle_sql(url_expr: str, sort_params: bool = True) -> str:
+    """DuckDB expression replaying :func:`scrub_url` exactly."""
+    qpos = f"strpos({url_expr}, '?')"
+    head = f"substring({url_expr}, 1, {qpos} - 1)"
+    rest = f"substring({url_expr}, {qpos} + 1)"
+    hpos = f"strpos({rest}, '#')"
+    query = f"(CASE WHEN {hpos} > 0 THEN substring({rest}, 1, {hpos} - 1) ELSE {rest} END)"
+    frag = f"(CASE WHEN {hpos} > 0 THEN substring({rest}, {hpos}) ELSE '' END)"
+    kept = (
+        f"list_filter(string_split({query}, '&'), "
+        f"p -> p <> '' AND NOT regexp_matches(p, "
+        f"'^(utm_[^=&]*|fbclid|gclid|msclkid|mc_eid|igshid|ref)(=.*)?$'))"
+    )
+    if sort_params:
+        kept = f"list_sort({kept})"
+    return (
+        f"(CASE WHEN {qpos} = 0 THEN {url_expr} "
+        f"WHEN len({kept}) > 0 THEN {head} || '?' || "
+        f"array_to_string({kept}, '&') || {frag} "
+        f"ELSE {head} || {frag} END)"
+    )

@@ -99,3 +99,47 @@ def test_add_task_appends_frontier(api, spark):
     # idempotent: same canonical URL is not added twice
     api.add_task("https://newhost.example/feeds/brand-new.xml", priority=9)
     assert api.state.frontier.read(spark).count() == before + 1
+
+
+# ------------------------------------------------------------- url scrub
+
+
+def test_scrub_url_matrix(spark):
+    from podcast_crawler_spark.functions.urlfns import scrub_url
+
+    cases = [
+        # tracking dropped, survivors byte-sorted
+        ("https://h/p?utm_source=a&b=2&a=1", "https://h/p?a=1&b=2"),
+        # everything tracking -> '?' disappears
+        ("https://h/p?gclid=1&fbclid=2", "https://h/p"),
+        # no query untouched
+        ("https://h/p", "https://h/p"),
+        # dangling '?' dropped; fragment preserved
+        ("https://h/p?", "https://h/p"),
+        ("https://h/p?ref=x#sec", "https://h/p#sec"),
+        ("https://h/p?z=1&utm_x#sec", "https://h/p?z=1#sec"),
+        # empty params dropped; valueless non-tracking kept
+        ("https://h/p?a&&b=1", "https://h/p?a&b=1"),
+        # 'refx' is NOT the tracking param 'ref' (anchored match)
+        ("https://h/p?refx=1", "https://h/p?refx=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r["s"]
+        for r in df.select(
+            scrub_url(F.col("url")).alias("s")
+        ).collect()
+    ]
+    assert got == [want for _, want in cases]
+
+
+def test_scrub_url_unsorted_preserves_order(spark):
+    from podcast_crawler_spark.functions.urlfns import scrub_url
+
+    df = spark.createDataFrame(
+        [("https://h/p?b=2&utm_source=x&a=1",)], "url string"
+    )
+    got = df.select(
+        scrub_url(F.col("url"), sort_params=False).alias("s")
+    ).first()["s"]
+    assert got == "https://h/p?b=2&a=1"
