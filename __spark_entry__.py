@@ -1441,6 +1441,16 @@ def _cm_heavy_hitters(spark, sf_dir):
     )
 
 
+def _token_divergence(spark, sf_dir):
+    # data-mixing diagnostic: top tokens over-represented in the 'en'
+    # slice vs the rest — per-token KL terms in whole bits (sum-of-
+    # bitlens quantization, overflow-safe at 10^12-token slices), one
+    # token aggregation + TakeOrderedAndProject, no global sort.
+    return textstats.token_divergence(
+        _t(spark, sf_dir, "documents"), slice_col="lang", slice_a="en"
+    )
+
+
 def _url_scrub(spark, sf_dir):
     # tracking-param scrub + canonical param ordering (the seen-set
     # keying form): utm_*/click-id params dropped, survivors
@@ -1618,6 +1628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_stats": _anchor_stats,
         "extract_links": _extract_links,
         "url_scrub": _url_scrub,
+        "token_divergence": _token_divergence,
     }
 
 
@@ -2270,6 +2281,26 @@ def oracle_sql() -> dict[str, str]:
         ),
         # HITS: unrolled integer max-normalized iterations
         "hits_scores": graph.hits_oracle_sql(_PR_EDGES_SQL, iters=3),
+        # token divergence: exact integer replay (printf('%b') = bin())
+        "token_divergence": """
+            with tok as (select unnest(list_filter(string_split(text,' '),
+                                                   x -> len(x) > 0)) token,
+                                lang s from documents),
+            c as (select token,
+                         sum((s = 'en')::BIGINT)::BIGINT cnt_a,
+                         sum((s <> 'en')::BIGINT)::BIGINT cnt_b
+                  from tok group by 1),
+            t as (select sum(cnt_a)::BIGINT na,
+                         (sum(cnt_b) + count(*))::BIGINT nbv from c),
+            s as (select token, cnt_a, cnt_b,
+                         (length(printf('%b', cnt_a))
+                          + length(printf('%b', (select nbv from t)))
+                          - length(printf('%b', cnt_b + 1))
+                          - length(printf('%b', (select na from t))))::BIGINT bits
+                  from c where cnt_a > 0)
+            select token, cnt_a, cnt_b, bits, (cnt_a * bits)::BIGINT w_bits
+            from s order by w_bits desc, token limit 100
+        """,
         # tracking-param scrub: DuckDB replays the string/array chain
         "url_scrub": f"""
             WITH u AS (

@@ -296,3 +296,66 @@ def classifier_score(df: DataFrame, text_col: str = "text",
         ).alias("mean_milli"),
         (F.col("score_sum") > 0).alias("label"),
     )
+
+
+def token_divergence(
+    df: DataFrame,
+    text_col: str = "text",
+    slice_col: str = "lang",
+    slice_a: str = "en",
+    slice_b: str | None = None,
+    k: int = 100,
+) -> DataFrame:
+    """Top divergent tokens between two corpus slices — the data-mixing
+    diagnostic (which tokens are over-represented in slice A relative
+    to slice B; the per-token terms of KL(P_a ‖ P_b) with add-one
+    smoothing).  ``slice_b=None`` means "everything that isn't A".
+
+    Integer quantization (whole bits, same `_bitlen` discipline as
+    :func:`lm_surprisal`): per token with ``cnt_a >= 1``::
+
+        bits   = (bitlen(cnt_a) + bitlen(n_b + n_vocab))
+                 - (bitlen(cnt_b + 1) + bitlen(n_a))     -- ~ log2 ratio
+        w_bits = cnt_a * bits                            -- KL term * n_a
+
+    The SUM of bitlens (not bitlen of the product) keeps every operand
+    < 2^63 at any corpus size — no overflow at 10^12-token slices —
+    while staying an exact cross-engine integer spec.  Output: the top
+    *k* tokens by ``(w_bits desc, token asc)`` with their counts.
+
+    Scale shape: one (token)-keyed aggregation with map-side combine
+    (conditional sums — the slice flag never shuffles separately), a
+    1-row totals aggregate broadcast as literals, then a
+    ``TakeOrderedAndProject`` cap — no global sort, no join.
+    """
+    tok = df.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+        F.col(slice_col).alias("s"),
+    ).filter(F.length("token") > 0)
+    in_a = (F.col("s") == slice_a).cast("long")
+    in_b = (
+        (F.col("s") == slice_b) if slice_b is not None
+        else (F.col("s") != slice_a)
+    ).cast("long")
+    counts = (
+        tok.select("token", in_a.alias("a"), in_b.alias("b"))
+        .groupBy("token")
+        .agg(F.sum("a").alias("cnt_a"), F.sum("b").alias("cnt_b"))
+        .cache()
+    )
+    tot = counts.agg(
+        F.sum("cnt_a").alias("na"),
+        F.sum("cnt_b").alias("nb"),
+        F.count(F.lit(1)).alias("v"),
+    ).collect()[0]
+    n_a, n_bv = int(tot["na"]), int(tot["nb"]) + int(tot["v"])
+    bits = (
+        _bitlen(F.col("cnt_a")) + _bitlen(F.lit(n_bv))
+        - _bitlen(F.col("cnt_b") + 1) - _bitlen(F.lit(n_a))
+    ).cast("long")
+    scored = (
+        counts.filter(F.col("cnt_a") > 0)
+        .withColumn("bits", bits)
+        .withColumn("w_bits", F.col("cnt_a") * F.col("bits"))
+    )
+    return scored.orderBy(F.col("w_bits").desc(), F.col("token")).limit(k)

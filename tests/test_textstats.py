@@ -279,3 +279,53 @@ def test_classifier_score_zero_shuffle(docs):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+# ------------------------------------------------------- token divergence
+
+
+def test_token_divergence_exact_bits(spark):
+    from podcast_crawler_spark.operators.textstats import token_divergence
+
+    rows = [
+        ("aa aa bb", "en"),
+        ("aa cc", "en"),
+        ("bb bb bb dd", "de"),
+    ]
+    df = spark.createDataFrame(rows, "text string, lang string")
+    got = {r["token"]: r.asDict() for r in token_divergence(df).collect()}
+    # slice A (en): aa=3 bb=1 cc=1 (n_a=5); slice B: bb=3 dd=1 (n_b=4)
+    # vocab=4 -> n_b+V=8
+    assert set(got) == {"aa", "bb", "cc"}  # only cnt_a>0 tokens
+    def bl(x):
+        return x.bit_length()
+    for tok, ca, cb in [("aa", 3, 0), ("bb", 1, 3), ("cc", 1, 0)]:
+        want_bits = bl(ca) + bl(8) - bl(cb + 1) - bl(5)
+        assert got[tok]["cnt_a"] == ca and got[tok]["cnt_b"] == cb
+        assert got[tok]["bits"] == want_bits, tok
+        assert got[tok]["w_bits"] == ca * want_bits
+
+
+def test_token_divergence_explicit_slice_b_and_k(spark):
+    from podcast_crawler_spark.operators.textstats import token_divergence
+
+    rows = [("x x y", "en"), ("x", "de"), ("z", "fr")]
+    df = spark.createDataFrame(rows, "text string, lang string")
+    out = token_divergence(df, slice_a="en", slice_b="de", k=1).collect()
+    # fr tokens count toward NEITHER slice; k caps output
+    assert len(out) == 1
+    assert out[0]["token"] == "x"
+    assert out[0]["cnt_b"] == 1  # only the de occurrence
+
+
+def test_token_divergence_plan_no_join_no_global_sort(spark):
+    from podcast_crawler_spark.operators.textstats import token_divergence
+
+    df = spark.createDataFrame([("a b", "en"), ("b", "de")],
+                               "text string, lang string")
+    plan = (
+        token_divergence(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan  # cap, not a global Sort
