@@ -1441,6 +1441,18 @@ def _cm_heavy_hitters(spark, sf_dir):
     )
 
 
+def _pq_codes(spark, sf_dir):
+    # product quantization (Jégou et al. 2011): per-subspace Euclidean
+    # k-means codebooks (deterministic init, rounded hand-offs) + map-
+    # side encoding with a milli-unit reconstruction audit.  The WHOLE
+    # train->encode chain is recomputed by a generated DuckDB CTE and
+    # every code + audit value hash-checked — a full oracle, not a
+    # recall tripwire.  Codes are m bytes per vector at 10^10 scale.
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = similarity.pq_fit(emb, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS)
+    return similarity.pq_encode(emb, cbs)
+
+
 def _token_divergence(spark, sf_dir):
     # data-mixing diagnostic: top tokens over-represented in the 'en'
     # slice vs the rest — per-token KL terms in whole bits (sum-of-
@@ -1629,6 +1641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_links": _extract_links,
         "url_scrub": _url_scrub,
         "token_divergence": _token_divergence,
+        "pq_codes": _pq_codes,
     }
 
 
@@ -1739,6 +1752,77 @@ def _kmeans_oracle_cte(k=_KM_K, iters=_KM_ITERS, d=_KM_DIM) -> str:
         f"c.cluster_id) rn from base b cross join {prev} c) where rn = 1)"
     )
     return "with " + ",\n".join(parts)
+
+
+_PQ_M, _PQ_KSUB, _PQ_ITERS, _PQ_D = 4, 4, 2, 64
+
+
+def _pq_oracle_cte(m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS, d=_PQ_D) -> str:
+    """DuckDB CTE chain re-running similarity.pq_fit + pq_encode
+    exactly: per subspace — init = ksub smallest ids' sub-vectors
+    (rounded 7 dp), per iteration argmin-by-L2 assignment (tie → lowest
+    code) and round(avg, 7) codeword updates with empty codes keeping
+    their previous codeword — then the final encoding with the
+    milli-unit reconstruction audit (fixed j-order float sum, left-fold
+    list_sum matching Spark's aggregate)."""
+    dsub = d // m
+    sub_cols = ", ".join(
+        f"e[{j * dsub + 1}:{(j + 1) * dsub}] s{j}" for j in range(m)
+    )
+    parts = [
+        "base as (select vec_id, embedding::DOUBLE[] e from embeddings)",
+        f"sub as (select vec_id, {sub_cols} from base)",
+    ]
+
+    def dist(svec, cvec):
+        return (
+            f"list_sum(list_transform(range(1, {dsub + 1}), "
+            f"i -> ({svec}[i] - {cvec}[i]) ^ 2))"
+        )
+
+    for j in range(m):
+        parts.append(
+            f"cb{j}_0 as (select row_number() over (order by vec_id) - 1 code, "
+            f"list_transform(s{j}, x -> round(x, 7)) cv from sub "
+            f"qualify code < {ksub})"
+        )
+        for t in range(iters):
+            parts.append(
+                f"a{j}_{t} as (select vec_id, code from ("
+                f"select b.vec_id, c.code, row_number() over ("
+                f"partition by b.vec_id order by {dist(f'b.s{j}', 'c.cv')} asc, "
+                f"c.code) rn from sub b cross join cb{j}_{t} c) where rn = 1)"
+            )
+            parts.append(
+                f"u{j}_{t} as (select a.code, g.i, round(avg(b.s{j}[g.i]), 7) mval "
+                f"from a{j}_{t} a join sub b using(vec_id) "
+                f"cross join generate_series(1, {dsub}) g(i) group by a.code, g.i)"
+            )
+            parts.append(
+                f"n{j}_{t} as (select code, list(mval order by i)::DOUBLE[] cv "
+                f"from u{j}_{t} group by code)"
+            )
+            parts.append(
+                f"cb{j}_{t + 1} as (select p.code, coalesce(n.cv, p.cv) cv "
+                f"from cb{j}_{t} p left join n{j}_{t} n using(code))"
+            )
+        parts.append(
+            f"af{j} as (select vec_id, code, dj from ("
+            f"select b.vec_id, c.code, {dist(f'b.s{j}', 'c.cv')} dj, "
+            f"row_number() over (partition by b.vec_id "
+            f"order by {dist(f'b.s{j}', 'c.cv')} asc, c.code) rn "
+            f"from sub b cross join cb{j}_{iters} c) where rn = 1)"
+        )
+    joins = " ".join(f"join af{j} using (vec_id)" for j in range(1, m))
+    code_cols = ", ".join(f"af{j}.code code_{j}" for j in range(m))
+    err_sum = " + ".join(f"af{j}.dj" for j in range(m))
+    return (
+        "with "
+        + ",\n".join(parts)
+        + f"\nselect af0.vec_id, {code_cols}, "
+        f"floor(1000 * ({err_sum}) + 0.5)::BIGINT err_milli "
+        f"from af0 {joins}"
+    )
 
 
 def _bm25_oracle(terms=None, k=_BM25_K, k1=1.2, b=0.75) -> str:
@@ -2281,6 +2365,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         # HITS: unrolled integer max-normalized iterations
         "hits_scores": graph.hits_oracle_sql(_PR_EDGES_SQL, iters=3),
+        # product quantization: generated CTE replays train + encode
+        "pq_codes": _pq_oracle_cte(),
         # token divergence: exact integer replay (printf('%b') = bin())
         "token_divergence": """
             with tok as (select unnest(list_filter(string_split(text,' '),

@@ -494,3 +494,186 @@ def quantize_int8(
         F.md5(F.array_join(F.transform("q", lambda x: x.cast("string")), ",")).alias("q_md5"),
         F.floor(err * F.lit(1000.0)).cast("long").alias("max_err_milli"),
     )
+
+
+# ----------------------------------------------------------------- PQ
+
+
+def _sub_slices(vec_col: str, m: int, dsub: int):
+    """m contiguous float64 sub-vector columns of an array column."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return [F.slice(v, j * dsub + 1, dsub) for j in range(m)]
+
+
+def _l2sq_lit(sub, codeword):
+    """JVM-side squared L2 distance between a sub-vector column and a
+    literal codeword — left-fold summation (matches DuckDB list_sum)."""
+    lit = F.array(*[F.lit(float(c)) for c in codeword])
+    return F.aggregate(
+        F.zip_with(sub, lit, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_code_expr(sub, codebook):
+    """argmin over the subspace codebook; first minimum wins (tie ->
+    lowest code id), mirrored by the oracle's ``order by dist, code``."""
+    dists = F.array(*[_l2sq_lit(sub, cw) for cw in codebook])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def pq_fit(
+    corpus: DataFrame,
+    m: int = 4,
+    ksub: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Product-quantization codebook training (Jégou et al., "Product
+    quantization for nearest neighbor search", TPAMI 2011): split d
+    dims into *m* contiguous subspaces and run an independent
+    fixed-iteration Euclidean k-means in each.  Returns ``codebooks``
+    as a list[m][ksub][dsub] of rounded floats.
+
+    Same determinism discipline as ``clustering.kmeans_fit``: init for
+    subspace j = the k smallest ids' sub-vectors, every centroid
+    component rounded to 7 dp at each hand-off, fixed iteration count,
+    empty codes keep their previous codeword — the whole run is a
+    deterministic function of the input that a DuckDB CTE chain replays
+    exactly (``__spark_entry__._pq_oracle_cte``).
+
+    Scale shape: ALL m subspaces train in each iteration's ONE Spark
+    job — assignment is map-side (m argmins over literal codebooks,
+    whole-stage codegen), and the update posexplodes the vector once,
+    grouping by (subspace, code, component) with map-side combine: at
+    most m*ksub*dsub partial rows per task cross the exchange, driver
+    state is the m*ksub*dsub codebook matrix.
+    """
+    first = corpus.select(F.size(vec_col).alias("d")).first()
+    d = int(first["d"])
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    dsub = d // m
+
+    base = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("e"),
+    )
+    base.cache()
+
+    init = (
+        base.orderBy("vid")
+        .limit(ksub)
+        .select(F.transform("e", lambda x: F.round(x, 7)).alias("c"))
+        .collect()
+    )
+    codebooks = [
+        [list(r["c"])[j * dsub : (j + 1) * dsub] for r in init]
+        for j in range(m)
+    ]
+
+    for _ in range(iters):
+        subs = [F.slice("e", j * dsub + 1, dsub) for j in range(m)]
+        codes = F.array(
+            *[_pq_code_expr(subs[j], codebooks[j]) for j in range(m)]
+        )
+        assigned = base.select("e", codes.alias("codes"))
+        upd = (
+            assigned.select(
+                F.posexplode("e").alias("pos", "x"), "codes"
+            )
+            .select(
+                (F.col("pos") / dsub).cast("int").alias("j"),
+                F.element_at(
+                    "codes", (F.col("pos") / dsub).cast("int") + 1
+                ).alias("code"),
+                (F.col("pos") % dsub).alias("i"),
+                "x",
+            )
+            .groupBy("j", "code", "i")
+            .agg(F.round(F.avg("x"), 7).alias("mval"))
+            .collect()
+        )
+        nxt = [[list(cw) for cw in cb] for cb in codebooks]
+        got: dict = {}
+        for r in upd:
+            got.setdefault((int(r["j"]), int(r["code"])), {})[int(r["i"])] = r["mval"]
+        for (j, c), comps in got.items():
+            nxt[j][c] = [comps[i] for i in range(dsub)]
+        codebooks = nxt
+    return codebooks
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-side PQ encoding: ``(id, code_0..code_{m-1}, err_milli)``.
+
+    ``err_milli`` is the reconstruction squared-L2 in integer
+    milli-units (``floor(1000*err + 0.5)``, subspace distances summed
+    in fixed j order) — the quality audit the oracle recomputes, same
+    convention as :func:`quantize_int8`.  Zero shuffles: codebooks are
+    plan literals; at 10^10 vectors this replaces an 8·d-byte vector
+    with m bytes + the audit column.
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    subs = _sub_slices(vec_col, m, dsub)
+    code_cols = [
+        _pq_code_expr(subs[j], codebooks[j]).alias(f"code_{j}")
+        for j in range(m)
+    ]
+    out = corpus.select(F.col(id_col), *code_cols, F.col(vec_col))
+    err = F.lit(0.0)
+    for j in range(m):
+        sub = _sub_slices(vec_col, m, dsub)[j]
+        dists = F.array(*[_l2sq_lit(sub, cw) for cw in codebooks[j]])
+        err = err + F.element_at(dists, F.col(f"code_{j}") + 1)
+    return out.select(
+        id_col,
+        *[f"code_{j}" for j in range(m)],
+        F.floor(err * 1000 + F.lit(0.5)).cast("long").alias("err_milli"),
+    )
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebooks,
+    query_vec,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k for ONE query over PQ codes: the
+    query's per-subspace lookup table (ksub*m distances, computed once
+    driver-side from the rounded codebooks) is baked into the plan as
+    literals, each row's approximate distance is m array lookups + a
+    fixed-order sum, and the result is a ``TakeOrderedAndProject`` —
+    one bounded exchange, the corpus vectors themselves never load
+    (codes only).  Compose per query for small query sets, exactly like
+    ``cosine_topk``'s broadcast contract.
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    q = [float(x) for x in query_vec]
+    luts = []
+    for j in range(m):
+        sub = q[j * dsub : (j + 1) * dsub]
+        luts.append(
+            [
+                round(sum((x - c) * (x - c) for x, c in zip(sub, cw)), 7)
+                for cw in codebooks[j]
+            ]
+        )
+    dist = F.lit(0.0)
+    for j in range(m):
+        lut = F.array(*[F.lit(v) for v in luts[j]])
+        dist = dist + F.element_at(lut, F.col(f"code_{j}") + 1)
+    return (
+        encoded.select(id_col, F.round(dist, 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist"), F.col(id_col))
+        .limit(k)
+    )

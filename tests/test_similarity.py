@@ -232,3 +232,81 @@ def test_quantize_int8_zero_shuffle(emb):
         quantize_int8(emb)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan
+
+
+# ----------------------------------------------------------------- PQ
+
+
+def _pq_corpus(spark, n=40, d=8, clusters=4):
+    # well-separated clusters: cluster c lives near axis block c
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(n):
+        c = i % clusters
+        v = rng.normal(0, 0.05, d)
+        v[c * (d // clusters):(c + 1) * (d // clusters)] += 1.0
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_fit_shapes_and_determinism(spark):
+    from podcast_crawler_spark.operators.similarity import pq_fit
+
+    corpus = _pq_corpus(spark)
+    cb1 = pq_fit(corpus, m=2, ksub=4, iters=2)
+    cb2 = pq_fit(corpus, m=2, ksub=4, iters=2)
+    assert len(cb1) == 2 and len(cb1[0]) == 4 and len(cb1[0][0]) == 4
+    assert cb1 == cb2  # fixed-iteration + rounded hand-offs => bit-identical
+
+
+def test_pq_encode_codes_and_audit(spark):
+    from podcast_crawler_spark.operators.similarity import pq_encode, pq_fit
+
+    corpus = _pq_corpus(spark)
+    cbs = pq_fit(corpus, m=2, ksub=4, iters=2)
+    enc = pq_encode(corpus, cbs).collect()
+    assert len(enc) == 40
+    for r in enc:
+        assert 0 <= r["code_0"] < 4 and 0 <= r["code_1"] < 4
+        assert r["err_milli"] >= 0
+    # identical vectors must get identical codes AND identical audit
+    first = corpus.filter("vec_id = 0").first()["embedding"]
+    dup = spark.createDataFrame(
+        [(100, first), (101, first)], "vec_id long, embedding array<float>"
+    )
+    d0, d1 = pq_encode(dup, cbs).orderBy("vec_id").collect()
+    assert (d0["code_0"], d0["code_1"], d0["err_milli"]) == (
+        d1["code_0"], d1["code_1"], d1["err_milli"]
+    )
+
+
+def test_pq_adc_topk_finds_true_neighbors(spark):
+    from podcast_crawler_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_fit,
+    )
+
+    corpus = _pq_corpus(spark)
+    cbs = pq_fit(corpus, m=2, ksub=4, iters=2)
+    enc = pq_encode(corpus, cbs)
+    # query = a cluster-0 member's vector; all top-k should be cluster 0
+    q = corpus.filter("vec_id = 0").first()["embedding"]
+    top = pq_adc_topk(enc, cbs, q, k=5).collect()
+    assert len(top) == 5
+    assert all(r["vec_id"] % 4 == 0 for r in top)
+
+
+def test_pq_encode_plan_is_map_side(spark):
+    from podcast_crawler_spark.operators.similarity import pq_encode, pq_fit
+
+    corpus = _pq_corpus(spark)
+    cbs = pq_fit(corpus, m=2, ksub=4, iters=1)
+    plan = (
+        pq_encode(corpus, cbs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
