@@ -1441,6 +1441,17 @@ def _cm_heavy_hitters(spark, sf_dir):
     )
 
 
+def _windowed_counts(spark, sf_dir):
+    # tumbling-window kernel pin: the same F.window bucketing the
+    # watermarked streaming metrics run, as a batch query whose
+    # epoch-floor alignment the oracle recomputes explicitly.
+    from podcast_crawler_spark.streaming import windowed_event_counts
+
+    return windowed_event_counts(
+        _t(spark, sf_dir, "events"), ts_col="ts", window_s=300
+    )
+
+
 def _pq_codes(spark, sf_dir):
     # product quantization (Jégou et al. 2011): per-subspace Euclidean
     # k-means codebooks (deterministic init, rounded hand-offs) + map-
@@ -1642,6 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_scrub": _url_scrub,
         "token_divergence": _token_divergence,
         "pq_codes": _pq_codes,
+        "windowed_counts": _windowed_counts,
     }
 
 
@@ -2365,6 +2377,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         # HITS: unrolled integer max-normalized iterations
         "hits_scores": graph.hits_oracle_sql(_PR_EDGES_SQL, iters=3),
+        # tumbling window: explicit epoch-floor alignment replay
+        "windowed_counts": """
+            select event_type,
+                   floor(epoch(ts))::BIGINT // 300 * 300 window_start_unix,
+                   floor(epoch(ts))::BIGINT // 300 * 300 + 300 window_end_unix,
+                   count(*)::BIGINT n_events,
+                   count(distinct user_id)::BIGINT n_users
+            from events group by 1, 2, 3
+        """,
         # product quantization: generated CTE replays train + encode
         "pq_codes": _pq_oracle_cte(),
         # token divergence: exact integer replay (printf('%b') = bin())

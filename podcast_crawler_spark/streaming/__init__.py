@@ -4,4 +4,5 @@ from .crawl_stream import (  # noqa: F401
     streaming_sessions,
     run_crawl_stream,
     stage_metrics_stream,
+    windowed_event_counts,
 )

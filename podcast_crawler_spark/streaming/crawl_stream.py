@@ -355,3 +355,47 @@ def streaming_sessions(
         output_mode,
         GroupStateTimeout.NoTimeout,
     )
+
+
+def windowed_event_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_cols=("event_type",),
+    window_s: int = 300,
+) -> DataFrame:
+    """Tumbling-window event counts — the batch form of the window
+    kernel ``stage_metrics_stream`` runs under a watermark (same
+    ``F.window`` bucketing: epoch-aligned ``floor(ts / window_s)``).
+    Works on batch AND streaming inputs (add ``withWatermark`` upstream
+    for streams).  Window bounds emit as epoch-second BIGINTs so the
+    bucketing rule itself is engine-checkable (the driver oracle
+    recomputes ``epoch // window_s * window_s`` — no timestamp-zone
+    ambiguity crosses the comparison).
+
+    Scale shape: ONE keyed exchange with map-side combine for the
+    counts; the distinct-user count rides the same groupBy via a
+    two-phase exact distinct (Spark plans partial distinct below the
+    exchange).  At 10^10 events the HLL sketch (`sketches.hll_distinct`)
+    is the bounded-state alternative.
+    """
+    w = F.window(F.col(ts_col), f"{window_s} seconds")
+    return (
+        df.groupBy(w.alias("w"), *key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # exact distinct on batch; streams must use the HLL-based
+            # approx (Spark disallows distinct aggs on streaming plans)
+            (
+                F.approx_count_distinct("user_id")
+                if df.isStreaming
+                else F.countDistinct("user_id")
+            ).alias("n_users"),
+        )
+        .select(
+            *key_cols,
+            F.col("w.start").cast("timestamp").cast("long").alias("window_start_unix"),
+            F.col("w.end").cast("timestamp").cast("long").alias("window_end_unix"),
+            "n_events",
+            "n_users",
+        )
+    )

@@ -293,3 +293,86 @@ def test_streaming_sessions_stateful(spark, tmp_path):
         (1, 10000.0, 10000.0, 1),
         (2, 500.0, 500.0, 1),
     ]
+
+
+def test_windowed_event_counts_batch_kernel(spark):
+    """The tumbling-window kernel: epoch-floor alignment, exact counts,
+    distinct users per window."""
+    from datetime import datetime, timezone
+
+    from podcast_crawler_spark.streaming import windowed_event_counts
+
+    def ts(s):
+        return datetime.fromtimestamp(1_700_000_000 + s, tz=timezone.utc)
+
+    # 1_700_000_000 % 300 == 200 -> first bucket starts at ...999_800
+    rows = [
+        (1, "click", ts(0)), (2, "click", ts(99)),   # bucket 0 (ends +100)
+        (1, "click", ts(100)), (1, "click", ts(399)),  # bucket 1
+        (3, "view", ts(0)),                            # bucket 0, other key
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {
+        (r["event_type"], r["window_start_unix"]): r.asDict()
+        for r in windowed_event_counts(df, window_s=300).collect()
+    }
+    b0 = 1_700_000_000 - 200
+    assert got[("click", b0)]["n_events"] == 2
+    assert got[("click", b0)]["n_users"] == 2
+    assert got[("click", b0)]["window_end_unix"] == b0 + 300
+    assert got[("click", b0 + 300)]["n_events"] == 2
+    assert got[("click", b0 + 300)]["n_users"] == 1
+    assert got[("view", b0)]["n_events"] == 1
+
+
+def test_windowed_event_counts_runs_on_stream(spark, tmp_path):
+    """Same kernel under a watermark on a real stream: finalized windows
+    emit once in append mode."""
+    import os
+
+    from podcast_crawler_spark.streaming import windowed_event_counts
+
+    stream_dir = str(tmp_path / "ev_stream")
+    os.makedirs(stream_dir)
+    base = 1_700_000_000
+    b1 = spark.createDataFrame(
+        [(1, "click", float(base + 10)), (2, "click", float(base + 20))],
+        "user_id long, event_type string, unix double",
+    ).select("user_id", "event_type", F.col("unix").cast("timestamp").alias("ts"))
+    drop_batch(b1, tmp_path, stream_dir, "b1")
+    # batch 2 advances event time far past the watermark -> closes bucket 1
+    b2 = spark.createDataFrame(
+        [(3, "click", float(base + 4000))],
+        "user_id long, event_type string, unix double",
+    ).select("user_id", "event_type", F.col("unix").cast("timestamp").alias("ts"))
+
+    src = (
+        spark.readStream.schema(b1.schema).parquet(stream_dir)
+        .withWatermark("ts", "5 minutes")
+    )
+    out = windowed_event_counts(src, window_s=300)
+    sink = str(tmp_path / "win_sink")
+    ckpt = str(tmp_path / "win_ckpt")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    drop_batch(b2, tmp_path, stream_dir, "b2")
+    q2 = (
+        windowed_event_counts(
+            spark.readStream.schema(b1.schema).parquet(stream_dir)
+            .withWatermark("ts", "5 minutes"),
+            window_s=300,
+        )
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    got = spark.read.parquet(sink).collect()
+    bstart = base - base % 300
+    closed = [r for r in got if r["window_start_unix"] == bstart]
+    assert len(closed) == 1  # emitted exactly once, after watermark passed
+    assert closed[0]["n_events"] == 2 and closed[0]["n_users"] == 2
