@@ -1441,6 +1441,37 @@ def _cm_heavy_hitters(spark, sf_dir):
     )
 
 
+def _html_text(spark, sf_dir):
+    # generic HTML->text extraction (tag-soup boilerplate strip).  The
+    # corpus has no HTML, so pages are synthesized SQL-reproducibly
+    # around each doc's text (script with a raw '<', style, comment,
+    # block tags, entities); Spark runs the REAL regex policy chain,
+    # the oracle constructs the expected extracted text independently
+    # from the synthesis components and md5s it — extraction never
+    # reruns on the oracle side.
+    from podcast_crawler_spark.operators import htmltext
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>Doc "), F.col("doc_id"),
+            F.lit("</title><style>p {c}</style>"
+                  "<script>if(1<2){x();}</script></head>"
+                  "<body><h1>Heading "),
+            F.col("doc_id"),
+            F.lit("</h1><!-- hidden --><p>"), F.col("text"),
+            F.lit(" &amp; tail</p><div>second &lt;line&gt;</div>"
+                  "</body></html>"),
+        ).alias("html"),
+    )
+    out = htmltext.html_to_text(docs, keep_cols=("doc_id",))
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
 def _windowed_counts(spark, sf_dir):
     # tumbling-window kernel pin: the same F.window bucketing the
     # watermarked streaming metrics run, as a batch query whose
@@ -1654,6 +1685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_divergence": _token_divergence,
         "pq_codes": _pq_codes,
         "windowed_counts": _windowed_counts,
+        "html_text": _html_text,
     }
 
 
@@ -2377,6 +2409,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         # HITS: unrolled integer max-normalized iterations
         "hits_scores": graph.hits_oracle_sql(_PR_EDGES_SQL, iters=3),
+        # html->text: expected output constructed from components
+        "html_text": """
+            with e as (
+              select doc_id,
+                     'Doc ' || doc_id || ' Heading ' || doc_id || chr(10)
+                     || text || ' & tail' || chr(10)
+                     || 'second <line>' expected
+              from documents)
+            select doc_id, md5(expected) text_md5,
+                   length(expected)::BIGINT n_chars
+            from e
+        """,
         # tumbling window: explicit epoch-floor alignment replay
         "windowed_counts": """
             select event_type,
