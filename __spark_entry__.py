@@ -1441,6 +1441,36 @@ def _cm_heavy_hitters(spark, sf_dir):
     )
 
 
+def _surt_keys(spark, sf_dir):
+    # SURT canonical ordering keys (reversed-host form): the layout key
+    # that makes domain-locality contiguous.  Four URL shapes cover
+    # www-strip, subdomains, ports and fragment-drop; the oracle
+    # replays the string/array derivation.
+    from podcast_crawler_spark.functions.urlfns import surt_host, surt_key
+
+    d = F.col("doc_id")
+    urls = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(d % 4 == 0,
+               F.concat(F.lit("https://www.pod"), d % 9,
+                        F.lit(".example.org/a/"), d))
+        .when(d % 4 == 1,
+              F.concat(F.lit("http://feeds.pod"), d % 9,
+                       F.lit(".example.org/x?b=1&a=2")))
+        .when(d % 4 == 2,
+              F.concat(F.lit("https://Pod"), d % 9,
+                       F.lit(".Example.org:8443/y")))
+        .otherwise(F.concat(F.lit("https://cdn"), d % 3,
+                            F.lit(".example.net/z#frag")))
+        .alias("url"),
+    )
+    return urls.select(
+        "doc_id", "url",
+        surt_host(F.col("url")).alias("shost"),
+        surt_key(F.col("url")).alias("skey"),
+    )
+
+
 def _html_text(spark, sf_dir):
     # generic HTML->text extraction (tag-soup boilerplate strip).  The
     # corpus has no HTML, so pages are synthesized SQL-reproducibly
@@ -1686,6 +1716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": _pq_codes,
         "windowed_counts": _windowed_counts,
         "html_text": _html_text,
+        "surt_keys": _surt_keys,
     }
 
 
@@ -2409,6 +2440,25 @@ def oracle_sql() -> dict[str, str]:
         ),
         # HITS: unrolled integer max-normalized iterations
         "hits_scores": graph.hits_oracle_sql(_PR_EDGES_SQL, iters=3),
+        # SURT keys: string/array derivation replay
+        "surt_keys": f"""
+            WITH u AS (
+              SELECT doc_id,
+                     CASE doc_id % 4
+                       WHEN 0 THEN 'https://www.pod' || doc_id % 9
+                                   || '.example.org/a/' || doc_id
+                       WHEN 1 THEN 'http://feeds.pod' || doc_id % 9
+                                   || '.example.org/x?b=1&a=2'
+                       WHEN 2 THEN 'https://Pod' || doc_id % 9
+                                   || '.Example.org:8443/y'
+                       ELSE 'https://cdn' || doc_id % 3
+                            || '.example.net/z#frag' END AS url
+              FROM documents)
+            SELECT doc_id, url,
+                   {urlfns.surt_oracle_exprs('url')[0]} AS shost,
+                   {urlfns.surt_oracle_exprs('url')[1]} AS skey
+            FROM u
+        """,
         # html->text: expected output constructed from components
         "html_text": """
             with e as (

@@ -161,3 +161,43 @@ def scrub_oracle_sql(url_expr: str, sort_params: bool = True) -> str:
         f"array_to_string({kept}, '&') || {frag} "
         f"ELSE {head} || {frag} END)"
     )
+
+
+def surt_host(url: Column) -> Column:
+    """SURT-ordered host: lowercase, leading ``www.`` dropped, labels
+    reversed and comma-joined (``podcasts.example.org`` →
+    ``org,example,podcasts``) — the Common-Crawl/Wayback canonical host
+    form.  Sorting or range-partitioning the frontier by this key
+    co-locates a registrable domain with all its subdomains (plain host
+    order scatters them across the alphabet), which is what makes
+    per-domain politeness scans and domain-level rollups contiguous
+    reads instead of shuffles.  Pure array ops, codegen."""
+    h = url_host(url)
+    h = F.when(h.startswith("www."), F.substring(h, 5, F.length(h))).otherwise(h)
+    return F.array_join(F.reverse(F.split(h, "\\.")), ",")
+
+
+def surt_key(url: Column) -> Column:
+    """Full SURT sort key: reversed host + ``)`` + path-and-query bytes
+    (fragment dropped, consistent with :func:`canonicalize_url`)."""
+    rest = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    return F.concat(surt_host(url), F.lit(")"), rest)
+
+
+def surt_oracle_exprs(url_expr: str) -> tuple[str, str]:
+    """DuckDB (surt_host, surt_key) expressions replaying the above."""
+    host = (
+        f"lower(string_split(string_split("
+        f"regexp_extract({url_expr}, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),"
+        f" '@')[-1], ':')[1])"
+    )
+    nowww = (
+        f"(CASE WHEN {host} LIKE 'www.%' THEN substring({host}, 5)"
+        f" ELSE {host} END)"
+    )
+    shost = f"array_to_string(list_reverse(string_split({nowww}, '.')), ',')"
+    rest = (
+        f"regexp_extract({url_expr},"
+        f" '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1)"
+    )
+    return shost, f"{shost} || ')' || {rest}"

@@ -143,3 +143,40 @@ def test_scrub_url_unsorted_preserves_order(spark):
         scrub_url(F.col("url"), sort_params=False).alias("s")
     ).first()["s"]
     assert got == "https://h/p?b=2&a=1"
+
+
+def test_surt_host_and_key(spark):
+    from podcast_crawler_spark.functions.urlfns import surt_host, surt_key
+
+    cases = [
+        ("https://www.Example.ORG/a/b?x=1#f",
+         "org,example", "org,example)/a/b?x=1"),
+        ("http://feeds.pod.example.org/x", "org,example,pod,feeds",
+         "org,example,pod,feeds)/x"),
+        ("https://host.net:8443/y", "net,host", "net,host)/y"),
+        # www only stripped as a LEADING label
+        ("https://www2.example.com/", "com,example,www2",
+         "com,example,www2)/"),
+        ("https://wwwx.example.com", "com,example,wwwx",
+         "com,example,wwwx)"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in cases], "url string")
+    got = df.select(
+        surt_host(F.col("url")).alias("h"), surt_key(F.col("url")).alias("k")
+    ).collect()
+    assert [(r["h"], r["k"]) for r in got] == [(h, k) for _, h, k in cases]
+
+
+def test_surt_orders_domain_contiguously(spark):
+    from podcast_crawler_spark.functions.urlfns import surt_host
+
+    urls = [
+        "https://a.example.org/",
+        "https://z.example.org/",
+        "https://b.other.com/",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    s = sorted(r["h"] for r in df.select(surt_host(F.col("url")).alias("h")).collect())
+    # both example.org subdomains adjacent under SURT order
+    assert s[0].startswith("com,other")
+    assert s[1].startswith("org,example") and s[2].startswith("org,example")
