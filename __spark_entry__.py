@@ -665,6 +665,23 @@ def _pack_shards(spark, sf_dir):
     )
 
 
+def _compaction_plan(spark, sf_dir):
+    # Iceberg-style small-file compaction planning: synthesize a file
+    # listing from orders (part = orderkey % 8, deterministic sizes),
+    # then bin-pack each table partition's files into ~1 MiB outputs
+    # via the exclusive prefix-sum rule.  The oracle recomputes the
+    # identical integer rule with a plain window, so the assignment is
+    # checked bit-for-bit.
+    from podcast_crawler_spark.plans.checkpoint import compaction_plan
+
+    files = _t(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 8).cast("long").alias("part"),
+        F.col("o_orderkey").cast("long").alias("file_id"),
+        ((F.col("o_orderkey") % 997 + 1) * 4096).cast("long").alias("bytes"),
+    )
+    return compaction_plan(files, target_bytes=1 << 20)
+
+
 def _global_shuffle(spark, sf_dir):
     # deterministic seeded corpus shuffle: position in md5(id:seed)
     # order plus the output file (shuffle_pos // rows_per_file).  Spark
@@ -1696,6 +1713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _decontaminate,
         "pii_scrub": _pii_scrub,
         "pack_shards": _pack_shards,
+        "compaction_plan": _compaction_plan,
         "global_shuffle": _global_shuffle,
         "mm_image_meta": _mm_image_meta,
         "mm_video_frames": _mm_video_frames,
@@ -2909,6 +2927,22 @@ def oracle_sql() -> dict[str, str]:
               from toks)
             select id, n_tokens::INT n_tokens, start_offset,
                    (start_offset // 2048)::BIGINT shard_id
+            from packed
+        """,
+        "compaction_plan": """
+            with files as (
+              select (o_orderkey % 8)::BIGINT part,
+                     o_orderkey::BIGINT file_id,
+                     ((o_orderkey % 997 + 1) * 4096)::BIGINT bytes
+              from orders),
+            packed as (
+              select part, file_id, bytes,
+                coalesce(sum(bytes) over (partition by part order by file_id
+                  rows between unbounded preceding and 1 preceding),
+                  0)::BIGINT start_offset
+              from files)
+            select part, file_id, bytes, start_offset,
+                   (start_offset // 1048576)::BIGINT target_file
             from packed
         """,
         "global_shuffle": """

@@ -27,7 +27,7 @@ import os
 import time
 from typing import Dict, List, Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -295,3 +295,49 @@ class SnapshotTable:
         if res and len(segments) > 1:
             df = resolve_lww(df, res["key"], res["order_col"])
         return df
+
+
+def compaction_plan(
+    files: DataFrame,
+    part_col: str = "part",
+    file_col: str = "file_id",
+    size_col: str = "bytes",
+    target_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """Small-file compaction planner: assign each data file to an
+    output file so outputs pack to ~*target_bytes*, never crossing a
+    table partition (the Iceberg ``rewrite_data_files`` bin-packing
+    contract — a merge-on-read table accumulates per-epoch delta files
+    that this plan folds back into full-size files).
+
+    Rule (exact integers, deterministic): within a partition, files in
+    *file_col* order get an exclusive prefix sum of sizes
+    (``start_offset``); ``target_file = start_offset div
+    target_bytes``.  Concat-packing — the same rule as
+    ``curation.pack_shards`` — so every output except a partition's
+    last is ≥ target (an output crosses the boundary only by the file
+    that straddles it), and the assignment is reproducible from the
+    listing alone.
+
+    Scale shape: ONE window exchange keyed by the table partition.
+    Unlike ``pack_shards`` (corpus-wide packing → unbounded group →
+    bucketed prefix-sum core), a partition's file list is bounded by
+    the manifest (thousands of files), so the plain per-partition
+    running sum is the right plan — no salting, no second pass.
+    Output: ``(part, file_id, bytes, start_offset, target_file)``.
+    """
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(file_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(size_col).over(w), F.lit(0)).cast("long")
+    return files.select(
+        F.col(part_col),
+        F.col(file_col),
+        F.col(size_col).cast("long").alias(size_col),
+        start.alias("start_offset"),
+    ).withColumn(
+        "target_file",
+        F.expr(f"start_offset div {int(target_bytes)}").cast("long"),
+    )

@@ -427,3 +427,63 @@ def test_z_order_key_codegen_no_udf(spark):
         .toString()
     )
     assert "Python" not in plan and "Exchange" not in plan, plan
+
+
+def test_compaction_plan_packing_invariants(spark):
+    """Bin-packing rule: within a partition the exclusive prefix sum
+    drives the assignment, so every output file except the partition's
+    last holds >= target bytes, outputs are contiguous in file order,
+    and the mapping is reproducible from the listing alone."""
+    from podcast_crawler_spark.plans.checkpoint import compaction_plan
+
+    target = 10_000
+    rows = [
+        (p, f, sz)
+        for p in range(3)
+        for f, sz in enumerate([3000, 4000, 5000, 2000, 9000, 600, 7000])
+    ]
+    files = spark.createDataFrame(rows, "part long, file_id long, bytes long")
+    out = compaction_plan(files, target_bytes=target).collect()
+
+    by_part = {}
+    for r in out:
+        by_part.setdefault(r.part, []).append(r)
+    for p, rs in by_part.items():
+        rs.sort(key=lambda r: r.file_id)
+        # prefix-sum correctness
+        run = 0
+        for r in rs:
+            assert r.start_offset == run
+            assert r.target_file == run // target
+            run += r.bytes
+        # every output except the last is >= target (a file straddles
+        # the boundary into the next output, never leaves a short one)
+        sizes = {}
+        for r in rs:
+            sizes[r.target_file] = sizes.get(r.target_file, 0) + r.bytes
+        last = max(sizes)
+        for tf, sz in sizes.items():
+            if tf != last:
+                assert sz >= target, (p, tf, sz)
+        # contiguity: target_file is non-decreasing in file order
+        tfs = [r.target_file for r in rs]
+        assert tfs == sorted(tfs)
+
+
+def test_compaction_plan_one_exchange(spark):
+    """ONE hash exchange keyed by the table partition; no global sort,
+    no Python in the plan."""
+    from podcast_crawler_spark.plans.checkpoint import compaction_plan
+
+    files = spark.createDataFrame(
+        [(0, 1, 100)], "part long, file_id long, bytes long"
+    )
+    p = (
+        compaction_plan(files)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert p.count("Exchange") == 1, p
+    assert "hashpartitioning(part" in p, p
+    assert "Python" not in p, p
