@@ -472,6 +472,26 @@ def _dedup_clusters(spark, sf_dir):
     )
 
 
+def _dedup_representatives(spark, sf_dir):
+    # quality-aware survivor selection per near-dup cluster: keep the
+    # longest member (ties -> smallest id), drop the rest; singletons
+    # keep themselves.  The full chain — LSH pairs -> connected
+    # components -> window-free argmax -> keep flags — is recomputed by
+    # the oracle (recursive-CTE closure + row_number), so the actual
+    # corpus-level keep/drop decision is hash-checked end to end.
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").cast("long").alias("score")
+    )
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.8)
+    clusters = dedup.dedup_clusters(pairs)
+    return dedup.cluster_representatives(docs, clusters).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("score").alias("score"),
+        "keep",
+    )
+
+
 def _embed_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_topk(emb, emb.filter("vec_id < 8"), k=5)
@@ -1684,6 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_incremental": _dedup_incremental,
         "dedup_clusters": _dedup_clusters,
+        "dedup_representatives": _dedup_representatives,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
@@ -2636,6 +2657,31 @@ def oracle_sql() -> dict[str, str]:
               select r.u, e.v from reach r join edges e on r.v = e.u)
             select u as id, least(u, min(v)) as cluster_id
             from reach group by u
+        """,
+        "dedup_representatives": f"""
+            with recursive pairs as ({_JACCARD_CTE.format(thr=0.8, src="documents")}),
+            edges as (
+              select id_a u, id_b v from pairs
+              union
+              select id_b u, id_a v from pairs),
+            reach(u, v) as (
+              select u, v from edges
+              union
+              select r.u, e.v from reach r join edges e on r.v = e.u),
+            comp as (
+              select u as id, least(u, min(v)) as cluster_id
+              from reach group by u),
+            labeled as (
+              select d.doc_id id,
+                     coalesce(c.cluster_id, d.doc_id)::BIGINT cluster_id,
+                     length(d.text)::BIGINT score
+              from documents d left join comp c on d.doc_id = c.id),
+            ranked as (
+              select *, row_number() over (partition by cluster_id
+                          order by score desc, id) rn
+              from labeled)
+            select id::BIGINT id, cluster_id, score, (rn = 1) keep
+            from ranked
         """,
         "dedup_simhash": _simhash_oracle(),
         "embed_cosine_topk": """

@@ -559,6 +559,52 @@ def simhash_pairs(
     )
 
 
+def cluster_representatives(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Representative selection — the step that turns near-dup clusters
+    into an actual deduplicated corpus: per cluster keep the best-scoring
+    member (quality-aware dedup; ties broken by smallest id so the choice
+    is deterministic), drop the rest.  Docs in no cluster are singleton
+    keepers.  Reference semantics anchor: the LWW survivor rule of the
+    guid upsert (`podcast_repository.rs:178-183` — one winner per key,
+    deterministic order) lifted from exact keys to near-dup clusters.
+
+    Returns ``(id, cluster_id, <score_col>, keep)`` — one row per input
+    doc, ``keep`` true for exactly one member per cluster.
+
+    Scale shape: the corpus joins the (much smaller) cluster map on id,
+    then ONE groupBy(cluster_id) whose aggregate is a window-free argmax
+    — ``max(struct(score, -id))`` with map-side combine, one struct per
+    cluster out of each task — and a join back on cluster_id.  No window
+    over the corpus, so a giant cluster costs its group size, never a
+    single-task sort of the corpus.
+    """
+    labeled = (
+        docs.select(F.col(id_col).alias("id"), F.col(score_col))
+        .join(clusters.withColumnRenamed("id", "_cid"), F.col("id") == F.col("_cid"), "left")
+        .drop("_cid")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "id"))
+    )
+    # argmax by (score desc, id asc): max of a struct compares fields
+    # left-to-right, so (score, -id) picks max score then min id
+    best = labeled.groupBy("cluster_id").agg(
+        F.max(F.struct(F.col(score_col), (-F.col("id")).alias("_neg"))).alias("b")
+    ).select("cluster_id", (-F.col("b._neg")).alias("_rep_id"))
+    return (
+        labeled.join(best, "cluster_id")
+        .select(
+            "id",
+            "cluster_id",
+            score_col,
+            (F.col("id") == F.col("_rep_id")).alias("keep"),
+        )
+    )
+
+
 def span_dedup(
     df: DataFrame,
     k: int = 8,

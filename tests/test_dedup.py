@@ -412,3 +412,43 @@ def test_span_dedup_partitioning_invariance(spark):
     a = sorted(map(tuple, span_dedup(df1, k=8).collect()))
     b = sorted(map(tuple, span_dedup(df8, k=8).collect()))
     assert a == b
+
+
+def test_cluster_representatives_semantics(spark):
+    """Argmax per cluster (score desc, id asc), singletons keep
+    themselves, exactly one keeper per cluster."""
+    from podcast_crawler_spark.operators.dedup import cluster_representatives
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (9, 7)],
+        "doc_id long, score long",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)], "id long, cluster_id long"
+    )
+    out = {r.id: r for r in cluster_representatives(docs, clusters).collect()}
+    assert len(out) == 5
+    # cluster 1: docs 1(10), 2(30), 3(30) -> keep 2 (max score, min id tie)
+    assert out[2].keep and not out[1].keep and not out[3].keep
+    # singleton cluster 4 and unclustered 9 keep themselves
+    assert out[4].keep and out[4].cluster_id == 4
+    assert out[9].keep and out[9].cluster_id == 9
+    kept = [r for r in out.values() if r.keep]
+    assert len(kept) == len({r.cluster_id for r in out.values()})
+
+
+def test_cluster_representatives_no_corpus_window(spark):
+    """The argmax is a groupBy aggregate, never a window sort over the
+    corpus — a giant cluster must not serialize into one task's sort."""
+    from podcast_crawler_spark.operators.dedup import cluster_representatives
+
+    docs = spark.createDataFrame([(1, 10)], "doc_id long, score long")
+    clusters = spark.createDataFrame([(1, 1)], "id long, cluster_id long")
+    plan = (
+        cluster_representatives(docs, clusters)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan, plan
+    assert "Python" not in plan, plan
