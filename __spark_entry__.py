@@ -776,6 +776,16 @@ def _lm_surprisal(spark, sf_dir):
     )
 
 
+def _bigram_surprisal(spark, sf_dir):
+    # bigram LM with stupid backoff (context-aware upgrade of the
+    # unigram filter), same exact-integer-bits discipline; small caps
+    # (16 unigrams / 32 bigrams) exercise both the in-table path and
+    # the backoff path.  The oracle replays train + score end to end.
+    return textstats.bigram_surprisal(
+        _t(spark, sf_dir, "documents"), vocab_size=16, bigram_size=32
+    )
+
+
 def _asof_join_events(spark, sf_dir):
     # AS OF join — the "latest state at or before t" lookup Spark lacks
     # natively (reference anchor: per-host last_crawl_ts scheduling,
@@ -1729,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _mixture_sample,
         "paragraph_dedup": _paragraph_dedup,
         "lm_surprisal": _lm_surprisal,
+        "bigram_surprisal": _bigram_surprisal,
         "vocab_top_terms": _vocab_top_terms,
         "repetition_scores": _repetition_scores,
         "decontaminate": _decontaminate,
@@ -2803,6 +2814,37 @@ def oracle_sql() -> dict[str, str]:
             select id, count(*)::BIGINT n_tokens, sum(bits)::BIGINT sum_bits,
                    round(sum(bits)::DOUBLE / count(*), 6) mean_bits,
                    round(sum(oov)::DOUBLE / count(*), 6) oov_frac
+            from s group by id
+        """,
+        "bigram_surprisal": """
+            with base as (
+              select doc_id id,
+                     list_filter(string_split(text,' '), x -> len(x) > 0) t
+              from documents),
+            tok as (select id, unnest(t) token from base),
+            uni as (select token, count(*) cu from tok group by 1),
+            n as (select sum(cu)::BIGINT n from uni),
+            v as (select token, cu from uni order by cu desc, token limit 16),
+            pr as (select id, t[i] prev, t[i+1] cur
+                   from base, unnest(range(1, len(t))) u(i)),
+            bi as (select prev, cur, count(*) cb from pr group by 1, 2
+                   order by cb desc, prev, cur limit 32),
+            s as (
+              select pr.id,
+                     (case when bi.cb is not null and vp.cu is not null
+                           then length(printf('%b', vp.cu))
+                                - length(printf('%b', bi.cb))
+                           else 2 + length(printf('%b', (select n from n)))
+                                  - length(printf('%b', coalesce(vc.cu, 0) + 1))
+                      end)::BIGINT bits,
+                     (bi.cb is null or vp.cu is null)::BIGINT backoff
+              from pr
+              left join bi using (prev, cur)
+              left join v vp on pr.prev = vp.token
+              left join v vc on pr.cur = vc.token)
+            select id, count(*)::BIGINT n_bigrams, sum(bits)::BIGINT sum_bits,
+                   round(sum(bits)::DOUBLE / count(*), 6) mean_bits,
+                   round(sum(backoff)::DOUBLE / count(*), 6) backoff_frac
             from s group by id
         """,
         "asof_join_events": """

@@ -239,6 +239,96 @@ def lm_surprisal(
     )
 
 
+def bigram_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 4096,
+    bigram_size: int = 4096,
+    backoff_bits: int = 2,
+) -> DataFrame:
+    """Corpus-trained bigram LM with stupid backoff (Brants et al. 2007,
+    "Large Language Models in Machine Translation"), integer-quantized:
+    ``(id, n_bigrams, sum_bits, mean_bits, backoff_frac)`` — the 2-gram
+    upgrade of ``lm_surprisal`` (same exact-bits discipline, now with
+    CONTEXT: a doc full of frequent-but-incoherent tokens scores well on
+    the unigram filter and badly here).
+
+    Model: top-``bigram_size`` bigrams and top-``vocab_size`` unigrams
+    (count desc, token asc).  A transition (prev → cur) whose bigram AND
+    prev-unigram are in-table scores ``bitlen(c_prev) - bitlen(c_bi)``
+    (an integer quantization of ``log2 (c(prev) / c(prev,cur))``, ≥ 0
+    since every bigram occurrence embeds a prev occurrence); otherwise
+    stupid backoff to the unigram: ``backoff_bits + bitlen(N) -
+    bitlen(c_cur + 1)`` (the +``backoff_bits`` is the α≈2^-b penalty,
+    kept integral).  Docs need ≥ 2 tokens to emit a row.  All values are
+    exact BIGINT sums of bit lengths — cross-engine, order- and
+    partitioning-independent.
+
+    Scale shape: TWO training aggregations (unigram + bigram counts,
+    both map-side combined; the bigram exchange carries one row per
+    distinct bigram, not per occurrence) capped by
+    ``TakeOrderedAndProject``.  Adjacent pairs are built map-side from
+    the token array (``zip_with`` of two slices — no positional
+    self-join, no corpus shuffle), scored via three broadcast joins
+    against the ≤``vocab/bigram_size``-row tables, and rolled up per doc
+    (4 longs per doc crossing the final exchange).
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: F.length(x) > 0)
+    base = df.select(F.col(id_col).alias("id"), toks.alias("t"))
+    tok = base.select("id", F.explode("t").alias("token"))
+    pairs = base.select(
+        "id",
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, F.greatest(F.lit(0), F.size("t") - 1)),
+                F.slice(
+                    F.col("t"), F.lit(2), F.greatest(F.lit(0), F.size("t") - 1)
+                ),
+                lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+            )
+        ).alias("p"),
+    ).select("id", "p.prev", "p.cur")
+
+    uni = tok.groupBy("token").agg(F.count("*").alias("cu")).cache()
+    n_total = int(uni.agg(F.sum("cu")).collect()[0][0])
+    vocab = uni.orderBy(F.col("cu").desc(), F.col("token")).limit(vocab_size)
+    bitable = (
+        pairs.groupBy("prev", "cur")
+        .agg(F.count("*").alias("cb"))
+        .orderBy(F.col("cb").desc(), F.col("prev"), F.col("cur"))
+        .limit(bigram_size)
+    )
+    v_prev = vocab.select(
+        F.col("token").alias("prev"), F.col("cu").alias("c_prev")
+    )
+    v_cur = vocab.select(F.col("token").alias("cur"), F.col("cu").alias("c_cur"))
+    seen = F.col("cb").isNotNull() & F.col("c_prev").isNotNull()
+    bits = F.when(
+        seen, _bitlen(F.col("c_prev")) - _bitlen(F.col("cb"))
+    ).otherwise(
+        F.lit(int(backoff_bits))
+        + _bitlen(F.lit(n_total))
+        - _bitlen(F.coalesce(F.col("c_cur"), F.lit(0)) + 1)
+    )
+    scored = (
+        pairs.join(F.broadcast(bitable), ["prev", "cur"], "left")
+        .join(F.broadcast(v_prev), "prev", "left")
+        .join(F.broadcast(v_cur), "cur", "left")
+        .select(
+            "id",
+            bits.cast("long").alias("bits"),
+            (~seen).cast("long").alias("backoff"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("bits").alias("sum_bits"),
+        F.round(F.sum("bits") / F.count("*"), 6).alias("mean_bits"),
+        F.round(F.sum("backoff") / F.count("*"), 6).alias("backoff_frac"),
+    )
+
+
 def classifier_score(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id",
                      salt: str = "w") -> DataFrame:

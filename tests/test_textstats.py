@@ -329,3 +329,56 @@ def test_token_divergence_plan_no_join_no_global_sort(spark):
     )
     assert "Join" not in plan
     assert "TakeOrderedAndProject" in plan  # cap, not a global Sort
+
+
+def test_bigram_surprisal_hand_computed(spark):
+    """Hand-checkable corpus: 'a b a b' + 'a b c'.  Unigrams: a=3, b=3,
+    c=1 (N=7).  Bigrams: (a,b)=3, (b,a)=1, (b,c)=1.  With full caps,
+    every transition is in-table; bits = bitlen(c_prev) - bitlen(c_bi)."""
+    from podcast_crawler_spark.operators.textstats import bigram_surprisal
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in bigram_surprisal(df, vocab_size=10,
+                                             bigram_size=10).collect()}
+    # doc 1: (a,b) bits = bitlen(3)-bitlen(3) = 0; (b,a) = bitlen(3)-bitlen(1)
+    #        = 2-1 = 1; (a,b) = 0  -> sum 1 over 3 bigrams
+    assert out[1].n_bigrams == 3 and out[1].sum_bits == 1
+    assert out[1].backoff_frac == 0.0
+    # doc 2: (a,b)=0; (b,c) = bitlen(3)-bitlen(1) = 1 -> sum 1 over 2
+    assert out[2].n_bigrams == 2 and out[2].sum_bits == 1
+    # doc 3 has one token -> no bigram row
+    assert 3 not in out
+
+
+def test_bigram_surprisal_backoff_path(spark):
+    """With bigram_size=1 only the hottest bigram stays; everything else
+    takes stupid backoff: backoff_bits + bitlen(N) - bitlen(c_cur+1)."""
+    from podcast_crawler_spark.operators.textstats import bigram_surprisal
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    out = {r.id: r for r in bigram_surprisal(
+        df, vocab_size=10, bigram_size=1, backoff_bits=2).collect()}
+    # N=7 (bitlen 3).  (a,b) kept (count 3).  (b,a): backoff ->
+    # 2 + 3 - bitlen(3+1) = 2+3-3 = 2.  (b,c): 2 + 3 - bitlen(1+1) = 3.
+    assert out[1].sum_bits == 0 + 2 + 0 and out[1].n_bigrams == 3
+    assert out[2].sum_bits == 0 + 3 and out[2].backoff_frac == 0.5
+
+
+def test_bigram_surprisal_plan_broadcast_scoring(spark):
+    """Scoring joins the capped model tables by BROADCAST — the corpus
+    pair stream never shuffles on token keys; the only corpus exchange
+    is the per-doc rollup (plus the two training aggregations)."""
+    from podcast_crawler_spark.operators.textstats import bigram_surprisal
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        bigram_surprisal(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Python" not in plan, plan
