@@ -1405,6 +1405,33 @@ def _classifier_score(spark, sf_dir):
     return textstats.classifier_score(_t(spark, sf_dir, "documents"))
 
 
+def _resolve_redirects(spark, sf_dir):
+    # redirect-chain resolution by pointer doubling: the redirect map
+    # is synthesized deterministically (dense rank r -> r div 2 gives
+    # ~log2(n)-hop chains to the terminal 0; every 997th node
+    # self-loops into a crawl-trap cycle, dragging its feeder chains
+    # into cyclic=true).  The global row_number here is INPUT SYNTHESIS
+    # at contract scale, not part of the operator.  The oracle walks
+    # the same chains with a recursive CTE; hops/final/cyclic are all
+    # hash-checked.
+    from podcast_crawler_spark.operators import graph
+
+    r = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.row_number().over(Window.orderBy("o_orderkey")).alias("r")
+        )
+    )
+    edges = r.select(
+        F.col("r").cast("long").alias("src"),
+        F.when(F.col("r") % 997 == 0, F.col("r"))
+        .otherwise(F.expr("r div 2"))
+        .cast("long")
+        .alias("dst"),
+    )
+    return graph.resolve_redirects(edges)
+
+
 def _host_pagerank(spark, sf_dir):
     # host-importance ranking for the frontier (Page et al. 1999; the
     # reference priorities by insertion order only).  Exact integer
@@ -1696,6 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": _hll_distinct,
         "cm_heavy_hitters": _cm_heavy_hitters,
         "host_pagerank": _host_pagerank,
+        "resolve_redirects": _resolve_redirects,
         "crawl_host_rank": _crawl_host_rank,
         "budget_apportion": _budget_apportion,
         "hits_scores": _hits_scores,
@@ -2477,6 +2505,26 @@ def oracle_sql() -> dict[str, str]:
         # PageRank: the oracle is generated by the SAME code that defines
         # the integer fixed-point recurrence — 5 unrolled iterations.
         "host_pagerank": graph.pagerank_oracle_sql(_PR_EDGES_SQL, iters=5),
+        "resolve_redirects": """
+            with recursive edges as (
+              select r::BIGINT src,
+                     (case when r % 997 = 0 then r else r // 2 end)::BIGINT dst
+              from (select row_number() over (order by o_orderkey) r
+                    from orders)),
+            walk(u, cur, hops) as (
+              select src, dst, 1::BIGINT from edges
+              union all
+              select w.u, e.dst, w.hops + 1
+              from walk w join edges e on w.cur = e.src
+              where w.hops < 64),
+            term as (
+              select w.u, w.cur, w.hops
+              from walk w left join edges e on w.cur = e.src
+              where e.src is null)
+            select e.src url, t.cur final_url, t.hops hops,
+                   (t.u is null) cyclic
+            from edges e left join term t on e.src = t.u
+        """,
         # PageRank over the crawl fixture link graph (same generated
         # unrolled-CTE oracle, edges from the episodes parquet)
         "crawl_host_rank": graph.pagerank_oracle_sql(

@@ -484,3 +484,85 @@ def anchor_oracle_sql(
                top[2] AS top_anchor, (-top[1])::BIGINT AS top_anchor_cnt
         FROM ar JOIN sr ON ar.dst = sr.dst
     """
+
+
+def resolve_redirects(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Redirect-chain resolution: follow each URL's redirect pointer to
+    its terminal target — ``(url, final_url, hops, cyclic)``, one row
+    per redirecting URL.  A crawler must store content under the
+    canonical (terminal) URL and count a chain's hops against its
+    politeness budget; the reference follows redirects inside reqwest
+    one fetch at a time (`src/crawler/http_client.rs` policy), which at
+    10^10 URLs becomes a *graph* problem over observed redirect edges.
+
+    Algorithm: **pointer doubling** (Wyllie's shortcutting — the
+    classic PRAM list-ranking step).  Maintain ``f(u) = (ptr, hops,
+    done)``; each round substitutes ``f(u) <- f(f(u))``, composing hop
+    counts, so chain coverage SQUARES per round: a length-L chain
+    resolves in ceil(log2 L) self-joins instead of L naive walk steps —
+    at web scale (chains bounded ~30 by fetch policy) that's 5 rounds,
+    each ONE equi-join on the pointer key + localCheckpoint (Pregel
+    lineage truncation).  URLs still unresolved after ``max_rounds``
+    (2^20-length coverage) are loops: flagged ``cyclic`` with null
+    final_url — a redirect cycle is a crawl trap, not an error.
+
+    Input must be a function: one outgoing edge per src (duplicate
+    srcs raise — an ambiguous redirect map means upstream LWW wasn't
+    applied).  Terminals are dst nodes that never appear as src.
+    """
+    e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("ptr"))
+    dup = e.groupBy("u").count().filter(F.col("count") > 1).limit(1).collect()
+    if dup:
+        raise ValueError(
+            f"resolve_redirects: src {dup[0]['u']!r} has multiple outgoing "
+            "redirect edges — resolve LWW upstream first"
+        )
+    # terminal targets close the function: f(t) = t with 0 hops, done
+    terminals = (
+        e.select(F.col("ptr").alias("u"))
+        .join(e.select("u"), "u", "left_anti")
+        .distinct()
+        .select("u", F.col("u").alias("ptr"), F.lit(0).cast("long").alias("hops"),
+                F.lit(True).alias("done"))
+    )
+    srcs = e.select("u").localCheckpoint(eager=True)  # rows we must emit
+    f = (
+        e.select("u", "ptr", F.lit(1).cast("long").alias("hops"))
+        .join(terminals.select(F.col("u").alias("ptr"),
+                               F.lit(True).alias("done")), "ptr", "left")
+        .select("u", "ptr", "hops", F.coalesce("done", F.lit(False)).alias("done"))
+        .unionByName(terminals)
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        pending = f.filter(~F.col("done")).count()
+        if pending == 0:
+            break
+        g = f.select(
+            F.col("u").alias("g_u"), F.col("ptr").alias("g_ptr"),
+            F.col("hops").alias("g_hops"), F.col("done").alias("g_done"),
+        )
+        f = (
+            f.join(g, f["ptr"] == g["g_u"], "left")
+            .select(
+                "u",
+                F.when(F.col("done"), F.col("ptr"))
+                .otherwise(F.coalesce("g_ptr", "ptr")).alias("ptr"),
+                F.when(F.col("done"), F.col("hops"))
+                .otherwise(F.col("hops") + F.coalesce("g_hops", F.lit(0)))
+                .alias("hops"),
+                (F.col("done") | F.coalesce("g_done", F.lit(False))).alias("done"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return srcs.join(f, "u").select(
+        F.col("u").alias("url"),
+        F.when(F.col("done"), F.col("ptr")).alias("final_url"),
+        F.when(F.col("done"), F.col("hops")).cast("long").alias("hops"),
+        (~F.col("done")).alias("cyclic"),
+    )

@@ -267,3 +267,44 @@ def test_anchor_stats_plan_no_window(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" not in plan  # argmax is an aggregate, not a sort
+
+
+def test_resolve_redirects_chain_and_cycle(spark):
+    """Chain a->b->c->T resolves with hop counts; self-loop and its
+    feeder are flagged cyclic with null final."""
+    from podcast_crawler_spark.operators.graph import resolve_redirects
+
+    edges = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 99),      # chain, terminal 99
+         (50, 50),                          # self-loop cycle
+         (49, 50)],                         # feeds the cycle
+        "src long, dst long",
+    )
+    out = {r.url: r for r in resolve_redirects(edges).collect()}
+    assert len(out) == 5
+    assert (out[10].final_url, out[10].hops, out[10].cyclic) == (99, 3, False)
+    assert (out[11].final_url, out[11].hops) == (99, 2)
+    assert (out[12].final_url, out[12].hops) == (99, 1)
+    for u in (50, 49):
+        assert out[u].cyclic and out[u].final_url is None and out[u].hops is None
+
+
+def test_resolve_redirects_doubling_not_walking(spark):
+    """A 100-link chain resolves within 8 rounds (2^8 coverage) — a
+    naive one-hop walk would need 100; this pins the log2 round bound."""
+    from podcast_crawler_spark.operators.graph import resolve_redirects
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "src long, dst long"
+    )
+    out = {r.url: r for r in resolve_redirects(edges, max_rounds=8).collect()}
+    assert (out[0].final_url, out[0].hops, out[0].cyclic) == (100, 100, False)
+    assert out[99].hops == 1
+
+
+def test_resolve_redirects_rejects_ambiguous_map(spark):
+    from podcast_crawler_spark.operators.graph import resolve_redirects
+
+    edges = spark.createDataFrame([(1, 2), (1, 3)], "src long, dst long")
+    with pytest.raises(ValueError, match="multiple outgoing"):
+        resolve_redirects(edges)
