@@ -1290,6 +1290,32 @@ def _inverted_index(spark, sf_dir):
     )
 
 
+def _dust_params(spark, sf_dir):
+    # DUST mining over a synthesized URL log: page= carries content
+    # (digest depends on it -> counterexamples), sid= is a 4-value
+    # session id and t= an intermittent flag (both inert -> dust).
+    # The oracle replays parse -> strip -> group -> rollup end to end.
+    from podcast_crawler_spark.operators import traps
+
+    k = F.col("o_orderkey")
+    page = F.expr("(o_orderkey div 10) % 50").cast("string")
+    urls = _t(spark, sf_dir, "orders").select(
+        F.concat(
+            F.lit("http://h"),
+            (k % 10).cast("string"),
+            F.lit(".example/item?page="),
+            page,
+            F.lit("&sid="),
+            (k % 4).cast("string"),
+            F.when(k % 2 == 1, F.lit("&t=1")).otherwise(F.lit("")),
+        ).alias("url"),
+        F.md5(
+            F.concat(F.lit("h"), (k % 10).cast("string"), F.lit(":"), page)
+        ).alias("digest"),
+    )
+    return traps.dust_params(urls, min_support=3)
+
+
 def _trap_stats(spark, sf_dir):
     # crawl-trap detection over a deterministically synthesized URL log:
     # most hosts spread across 5 event-type templates; host 7 is a trap
@@ -1731,6 +1757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_scan": _sitemap_scan,
         "span_dedup": _span_dedup,
         "trap_stats": _trap_stats,
+        "dust_params": _dust_params,
         "inverted_index": _inverted_index,
         "table_diff": _table_diff,
         "hist_quantiles": _hist_quantiles,
@@ -2377,6 +2404,47 @@ def oracle_sql() -> dict[str, str]:
             from r join s using (term) where r.rank <= 3
         """,
         # crawl traps: digits->N templating + integer dominance rule
+        "dust_params": """
+            with u as (
+              select 'http://h' || (o_orderkey % 10) || '.example/item?page='
+                       || ((o_orderkey // 10) % 50)
+                       || '&sid=' || (o_orderkey % 4)
+                       || (case when o_orderkey % 2 = 1 then '&t=1' else '' end)
+                       url,
+                     md5('h' || (o_orderkey % 10) || ':'
+                         || ((o_orderkey // 10) % 50)) digest
+              from orders),
+            parsed as (
+              select lower(string_split(string_split(url, '://')[2], '/')[1]) host,
+                     digest,
+                     string_split(url, '?')[1] base,
+                     string_split(string_split(url, '?')[2], '&') entries
+              from u),
+            exploded as (
+              select host, digest, base, entries,
+                     unnest(list_distinct(list_transform(entries,
+                       x -> string_split(x, '=')[1]))) param
+              from parsed),
+            stripped as (
+              select host, param, digest,
+                     case when len(list_filter(entries,
+                              x -> string_split(x, '=')[1] <> param)) = 0
+                          then base
+                          else base || '?' || array_to_string(
+                                 list_filter(entries,
+                                   x -> string_split(x, '=')[1] <> param), '&')
+                     end group_key
+              from exploded),
+            g as (select host, param, group_key,
+                         count(*) n_urls, count(distinct digest) n_digests
+                  from stripped group by 1, 2, 3)
+            select host, param, count(*)::BIGINT n_groups,
+                   sum((n_urls >= 2 and n_digests = 1)::INT)::BIGINT n_clean,
+                   sum((n_digests > 1)::INT)::BIGINT n_dirty,
+                   (sum((n_urls >= 2 and n_digests = 1)::INT) >= 3
+                    and sum((n_digests > 1)::INT) = 0) is_dust
+            from g group by 1, 2
+        """,
         "trap_stats": """
             with u as (
               select 'h' || (user_id % 20) host,

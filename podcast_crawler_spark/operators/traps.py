@@ -81,3 +81,86 @@ def trap_stats(
             )
         ).alias("is_trap"),
     )
+
+
+def dust_params(
+    df: DataFrame,
+    url_col: str = "url",
+    digest_col: str = "digest",
+    min_support: int = 3,
+) -> DataFrame:
+    """DUST mining — Different URLs, Same Text (Bar-Yossef et al. 2007,
+    "Do Not Crawl in the DUST"): learn, per host, which query
+    parameters never change the content, so the frontier can strip
+    them at admission (the seen-set then collapses session-id/tracking
+    aliases BEFORE fetching, where ``urlfns.scrub_url``'s static list
+    only catches known trackers).
+
+    Evidence model, linear not pairwise: for every (url, param) the
+    url-minus-that-param is the GROUP KEY; URLs landing in the same
+    group differ only in that parameter.  A group with ≥ 2 members and
+    ONE distinct content digest is clean evidence the param is inert;
+    a group with > 1 digest is a counterexample.  A param is dust on a
+    host iff clean groups ≥ *min_support* and counterexamples = 0.
+
+    Returns ``(host, param, n_groups, n_clean, n_dirty, is_dust)``.
+
+    Scale shape: parsing and param-stripping are map-side array ops
+    (split / filter / array_join — no UDF, stays in codegen); explode
+    multiplies rows only by params-per-URL (bounded small).  ONE
+    corpus-scale exchange keyed by (host, param, stripped-url) — group
+    sizes are alias-set sizes, naturally tiny, and a hot stripped-url
+    means a real dust cluster whose group STILL only aggregates counts
+    (count + count distinct, map-side combined).  The rollup output is
+    hosts × param names — broadcastable back as an admission rule.
+    """
+    base = F.element_at(F.split(F.col("u"), "\\?", 2), 1)
+    query = F.element_at(F.split(F.col("u"), "\\?", 2), 2)
+    entries = F.split(query, "&")
+    pname = lambda x: F.element_at(F.split(x, "=", 2), 1)  # noqa: E731
+    parsed = df.select(
+        F.col(url_col).alias("u"), F.col(digest_col).alias("dg")
+    ).filter(F.col(url_col).contains("?")).select(
+        "u",
+        "dg",
+        base.alias("base"),
+        entries.alias("entries"),
+        F.explode(F.array_distinct(F.transform(entries, pname))).alias("param"),
+    )
+    remaining = F.filter(
+        F.col("entries"), lambda x: pname(x) != F.col("param")
+    )
+    stripped = F.when(F.size(remaining) == 0, F.col("base")).otherwise(
+        F.concat(F.col("base"), F.lit("?"), F.array_join(remaining, "&"))
+    )
+    from podcast_crawler_spark.functions.urlfns import url_host
+
+    grouped = (
+        parsed.select(
+            url_host(F.col("u")).alias("host"),
+            "param",
+            stripped.alias("group_key"),
+            "dg",
+        )
+        .groupBy("host", "param", "group_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("dg").alias("n_digests"),
+        )
+    )
+    return grouped.groupBy("host", "param").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(
+            ((F.col("n_urls") >= 2) & (F.col("n_digests") == 1)).cast("long")
+        ).alias("n_clean"),
+        F.sum((F.col("n_digests") > 1).cast("long")).alias("n_dirty"),
+    ).select(
+        "host",
+        "param",
+        "n_groups",
+        "n_clean",
+        "n_dirty",
+        ((F.col("n_clean") >= min_support) & (F.col("n_dirty") == 0)).alias(
+            "is_dust"
+        ),
+    )

@@ -53,3 +53,46 @@ def test_trap_rollup_no_window_partial_agg(spark):
     plan = trap_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
     assert "partial_min(struct" in plan, plan
+
+
+def test_dust_params_inert_vs_content(spark):
+    """sid is inert (same digest across values); page changes content
+    (counterexample kills it); support threshold gates sparse params."""
+    from podcast_crawler_spark.operators.traps import dust_params
+
+    rows = []
+    for page in range(3):
+        for sid in range(3):
+            rows.append((
+                f"http://a.com/x?page={page}&sid={sid}",
+                f"digest-{page}",
+            ))
+    # a param seen in too few groups for min_support
+    rows.append(("http://a.com/x?rare=1&page=0&sid=0", "digest-0"))
+    df = spark.createDataFrame(rows, "url string, digest string")
+    out = {r.param: r for r in dust_params(df, min_support=3).collect()}
+    assert out["sid"].is_dust and out["sid"].n_clean == 3
+    assert not out["page"].is_dust and out["page"].n_dirty >= 1
+    assert not out["rare"].is_dust  # 1 group, below support
+
+
+def test_dust_params_no_query_urls_ignored(spark):
+    from podcast_crawler_spark.operators.traps import dust_params
+
+    df = spark.createDataFrame(
+        [("http://a.com/plain", "d1"), ("http://a.com/x?k=1", "d2")],
+        "url string, digest string",
+    )
+    out = dust_params(df).collect()
+    assert {r.param for r in out} == {"k"}
+
+
+def test_dust_params_codegen_no_udf(spark):
+    """Parse/strip/explode stay in codegen — no Python anywhere."""
+    from podcast_crawler_spark.operators.traps import dust_params
+
+    df = spark.createDataFrame(
+        [("http://a.com/x?k=1", "d")], "url string, digest string"
+    )
+    plan = dust_params(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan, plan
