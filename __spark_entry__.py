@@ -919,6 +919,37 @@ def _vocab_top_terms(spark, sf_dir):
     )
 
 
+def _sniff_content(spark, sf_dir):
+    # content sniffing over synthesized payloads: six deterministic
+    # families (PNG/JPEG/GZIP/PDF magics, HTML with a meta charset,
+    # BOM'd plain text).  The oracle re-sniffs the same blobs from
+    # their hex — magic table, text probes, BOM and meta-charset rules
+    # all recomputed, not read off the construction.
+    docs = _t(spark, sf_dir, "documents")
+    body = F.encode(F.col("text"), "UTF-8")
+    fam = F.col("doc_id") % 6
+    hx = lambda s: F.to_binary(F.lit(s), F.lit("hex"))  # noqa: E731
+    payload = (
+        F.when(fam == 0, F.concat(hx("89504E470D0A1A0A"), body))
+        .when(fam == 1, F.concat(hx("FFD8FFE0"), body))
+        .when(fam == 2, F.concat(hx("1F8B08"), body))
+        .when(fam == 3, F.concat(F.encode(F.lit("%PDF-1.7\n"), "UTF-8"), body))
+        .when(
+            fam == 4,
+            F.concat(
+                F.encode(
+                    F.lit('<!DOCTYPE html><meta charset="ISO-8859-1">'),
+                    "UTF-8",
+                ),
+                body,
+            ),
+        )
+        .otherwise(F.concat(hx("EFBBBF"), body))
+    )
+    media = docs.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    return multimodal.sniff_content(media)
+
+
 def _mm_image_meta(spark, sf_dir):
     media = multimodal.docs_as_media(_t(spark, sf_dir, "documents"))
     return multimodal.decode_image(media).select(
@@ -1803,6 +1834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_plan": _compaction_plan,
         "global_shuffle": _global_shuffle,
         "mm_image_meta": _mm_image_meta,
+        "sniff_content": _sniff_content,
         "mm_video_frames": _mm_video_frames,
         "mm_image_resize": _mm_image_resize,
         "mm_audio_features": _mm_audio_features,
@@ -2856,6 +2888,62 @@ def oracle_sql() -> dict[str, str]:
             g as (select id, [md5(array_to_string(t[i:i+7],' '))
                    for i in range(1, greatest(len(t)-8,0)+2)] gr from toks)
             select id, list_min(gr) fp_min, list_max(gr) fp_max from g
+        """,
+        "sniff_content": """
+            with p as (
+              select doc_id id,
+                     case doc_id % 6
+                       when 0 then from_hex('89504E470D0A1A0A') || encode(text)
+                       when 1 then from_hex('FFD8FFE0') || encode(text)
+                       when 2 then from_hex('1F8B08') || encode(text)
+                       when 3 then encode('%PDF-1.7' || chr(10)) || encode(text)
+                       when 4 then encode('<!DOCTYPE html><meta charset="ISO-8859-1">')
+                                   || encode(text)
+                       else from_hex('EFBBBF') || encode(text)
+                     end payload
+              from documents),
+            h as (select id, payload, hex(payload) hx from p),
+            m as (
+              select id, hx,
+                case
+                  when starts_with(hx, '89504E470D0A1A0A') then 'image/png'
+                  when starts_with(hx, '474946383761') then 'image/gif'
+                  when starts_with(hx, '474946383961') then 'image/gif'
+                  when starts_with(hx, '255044462D') then 'application/pdf'
+                  when starts_with(hx, '504B0304') then 'application/zip'
+                  when starts_with(hx, '4F676753') then 'application/ogg'
+                  when starts_with(hx, 'FFD8FF') then 'image/jpeg'
+                  when starts_with(hx, '1F8B') then 'application/gzip'
+                  else (case
+                    when starts_with(lower(ltrim(regexp_replace(
+                           decode(payload), '^' || chr(65279), ''))),
+                           '<!doctype html')
+                      or starts_with(lower(ltrim(regexp_replace(
+                           decode(payload), '^' || chr(65279), ''))),
+                           '<html') then 'text/html'
+                    when starts_with(lower(ltrim(regexp_replace(
+                           decode(payload), '^' || chr(65279), ''))),
+                           '<?xml') then 'text/xml'
+                    else 'text/plain' end)
+                end mime,
+                case
+                  when starts_with(hx, 'EFBBBF') then 'utf-8'
+                  when starts_with(hx, 'FEFF') then 'utf-16be'
+                  when starts_with(hx, 'FFFE') then 'utf-16le'
+                end bom_charset,
+                payload
+              from h)
+            select id, mime, bom_charset,
+                   case when mime = 'text/html' then
+                     nullif(regexp_extract(lower(ltrim(regexp_replace(
+                       decode(payload), '^' || chr(65279), ''))),
+                       'charset="?([a-z0-9_-]+)', 1), '') end meta_charset,
+                   coalesce(bom_charset,
+                     case when mime = 'text/html' then
+                       nullif(regexp_extract(lower(ltrim(regexp_replace(
+                         decode(payload), '^' || chr(65279), ''))),
+                         'charset="?([a-z0-9_-]+)', 1), '') end) charset
+            from m
         """,
         "mm_image_meta": """
             with m as (select doc_id media_id, octet_length(encode(text))::BIGINT n from documents)

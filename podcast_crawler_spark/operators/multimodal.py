@@ -204,3 +204,95 @@ def image_meta_sql_equivalent(media: DataFrame) -> DataFrame:
         (64 + n % 512).cast("int").alias("width"),
         (64 + F.floor(n / 7) % 512).cast("int").alias("height"),
     )
+
+
+# WHATWG-ish magic table: hex prefix -> MIME.  Ordered longest-prefix
+# first so PNG (8 bytes) wins before shorter patterns get a look.
+_MAGIC = [
+    ("89504E470D0A1A0A", "image/png"),
+    ("474946383761", "image/gif"),
+    ("474946383961", "image/gif"),
+    ("255044462D", "application/pdf"),
+    ("504B0304", "application/zip"),
+    ("4F676753", "application/ogg"),
+    ("FFD8FF", "image/jpeg"),
+    ("1F8B", "application/gzip"),
+]
+_BOM = [
+    ("EFBBBF", "utf-8"),
+    ("FEFF", "utf-16be"),
+    ("FFFE", "utf-16le"),
+]
+
+
+def sniff_content(
+    df: DataFrame,
+    bytes_col: str = "payload",
+    id_col: str = "media_id",
+    head_bytes: int = 1024,
+) -> DataFrame:
+    """Content sniffing over opaque crawl payloads — ``(id, mime,
+    bom_charset, meta_charset, charset)``: the server's Content-Type
+    header lies often enough that every real crawler re-derives type
+    and charset from leading bytes (the WHATWG MIME-sniffing rules;
+    podcast reality: enclosure URLs labeled text/html serving MP3s and
+    vice versa — the reference trusts the label, `rss_parser` enclosure
+    handling, which is exactly the production bug this closes).
+
+    Rules, smallest useful subset, deterministic:
+      - magic-byte MIME (PNG/GIF/PDF/ZIP/OGG/JPEG/GZIP, longest prefix
+        first); else BOM/whitespace-tolerant ``<!doctype html`` /
+        ``<html`` / ``<?xml`` probes => text/html | text/xml; else
+        text/plain.
+      - charset: BOM (utf-8 / utf-16be / utf-16le — FEFF checked
+        before FFFE so utf-16be isn't shadowed) else, for text/html
+        only, the ``<meta charset=...>`` value in the first
+        *head_bytes* bytes, lowercased; ``charset`` is the coalesce.
+
+    Scale shape: pure map-side whole-stage-codegen — the payload never
+    shuffles, and only ``hex(substring(payload, 1, 8))`` plus a bounded
+    lossy decode of the head ever touch the blob.  No UDF.
+    """
+    b = F.col(bytes_col)
+    hx = F.upper(F.hex(F.substring(b, 1, 8)))
+    # text probes run on a lossy-decoded, BOM/whitespace-stripped head.
+    # cast(binary as string) wraps the bytes without validation (unlike
+    # decode(), which raises MALFORMED_CHARACTER_CODING on arbitrary
+    # binary payloads in ANSI mode) — malformed sequences pass through
+    # and simply fail the ASCII probes, which is the sniffing semantics
+    # we want.
+    head = F.substring(b, 1, head_bytes).cast("string")
+    head_clean = F.lower(
+        F.ltrim(F.regexp_replace(head, "^﻿", ""))
+    )
+    text_mime = (
+        F.when(
+            head_clean.startswith("<!doctype html")
+            | head_clean.startswith("<html"),
+            F.lit("text/html"),
+        )
+        .when(head_clean.startswith("<?xml"), F.lit("text/xml"))
+        .otherwise(F.lit("text/plain"))
+    )
+    # reversed iteration nests _MAGIC[0] outermost -> longest-prefix
+    # patterns (PNG's 8 bytes) are checked before shorter ones
+    mime = text_mime
+    for prefix, mt in reversed(_MAGIC):
+        mime = F.when(hx.startswith(prefix), F.lit(mt)).otherwise(mime)
+    bom = F.lit(None).cast("string")
+    for prefix, cs in reversed(_BOM):
+        bom = F.when(hx.startswith(prefix), F.lit(cs)).otherwise(bom)
+    meta = F.when(
+        mime == "text/html",
+        F.nullif(
+            F.regexp_extract(head_clean, 'charset="?([a-z0-9_-]+)', 1),
+            F.lit(""),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        mime.alias("mime"),
+        bom.alias("bom_charset"),
+        meta.alias("meta_charset"),
+        F.coalesce(bom, meta).alias("charset"),
+    )

@@ -96,3 +96,46 @@ def test_resize_image_cycle_semantics(spark):
             np.frombuffer(text.encode(), dtype=np.uint8), 64 * 64
         ).tobytes()
         assert got[i] == want and len(got[i]) == 4096
+
+
+def test_sniff_content_magic_and_charset(spark):
+    from podcast_crawler_spark.operators.multimodal import sniff_content
+
+    rows = [
+        (1, bytes.fromhex("89504E470D0A1A0A") + b"xxx"),
+        (2, bytes.fromhex("FFD8FFE0") + b"jfif"),
+        (3, bytes.fromhex("1F8B08") + b"gz"),
+        (4, b"%PDF-1.7 body"),
+        (5, b'  <!DOCTYPE HTML><meta charset="Windows-1251">ok'),
+        (6, b"\xef\xbb\xbfplain text here"),
+        (7, b"\xef\xbb\xbf<html><meta charset=utf-8>"),
+        (8, b"<?xml version='1.0'?><rss/>"),
+        (9, b"just words"),
+        (10, bytes.fromhex("474946383961") + b"gif"),
+        (11, bytes.fromhex("FEFF") + b"\x00h"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.id: r for r in sniff_content(df).collect()}
+    assert out[1].mime == "image/png"
+    assert out[2].mime == "image/jpeg"
+    assert out[3].mime == "application/gzip"
+    assert out[4].mime == "application/pdf"
+    assert out[5].mime == "text/html" and out[5].meta_charset == "windows-1251"
+    assert out[5].charset == "windows-1251" and out[5].bom_charset is None
+    assert out[6].mime == "text/plain" and out[6].bom_charset == "utf-8"
+    # BOM wins over meta when both present
+    assert out[7].mime == "text/html" and out[7].charset == "utf-8"
+    assert out[7].meta_charset == "utf-8"
+    assert out[8].mime == "text/xml"
+    assert out[9].mime == "text/plain" and out[9].charset is None
+    assert out[10].mime == "image/gif"
+    assert out[11].bom_charset == "utf-16be"
+
+
+def test_sniff_content_map_side_codegen(spark):
+    """No UDF, no exchange — the blob never leaves its scan task."""
+    from podcast_crawler_spark.operators.multimodal import sniff_content
+
+    df = spark.createDataFrame([(1, b"x")], "media_id long, payload binary")
+    plan = sniff_content(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan, plan
