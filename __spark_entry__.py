@@ -1202,6 +1202,46 @@ def _zorder_layout(spark, sf_dir):
     )
 
 
+def _file_skipping(spark, sf_dir):
+    # zone-map scan planning (parquet footer / Iceberg manifest
+    # analog): the same rows laid out two ways — Morton-interleaved
+    # (z div 1024 => aligned 32x32 tiles) vs linear sort on dim_a —
+    # then per-file min/max stats and the scan/skip decision for one
+    # 2-D rectangle.  The z-order layout prunes on BOTH dims (the
+    # rectangle is a single aligned tile); the linear layout prunes
+    # only its leading column.  Every zone and every decision is
+    # exact-integer and recomputed by the oracle.
+    from podcast_crawler_spark.sources.bucketed import z_order_key
+    from podcast_crawler_spark.sources.skipping import file_stats, prune_files
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("event_id") % 256).alias("dim_a"),
+        ((F.col("event_id") * 131) % 256).alias("dim_b"),
+    )
+    zfiles = base.withColumn("z", z_order_key("dim_a", "dim_b", bits=8)).select(
+        "dim_a", "dim_b", F.expr("z div 1024").alias("file_id")
+    )
+    lfiles = base.withColumn("file_id", F.expr("dim_a div 4"))
+    rect = {"dim_a": (32, 63), "dim_b": (96, 127)}
+    outs = []
+    for layout, df in (("zorder", zfiles), ("linear", lfiles)):
+        planned = prune_files(file_stats(df, "file_id", ["dim_a", "dim_b"]), rect)
+        outs.append(
+            planned.select(
+                F.lit(layout).alias("layout"),
+                "file_id",
+                "row_count",
+                "min_dim_a",
+                "max_dim_a",
+                "min_dim_b",
+                "max_dim_b",
+                "scan",
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
 def _robots_sitemaps(spark, sf_dir):
     # Sitemap: directive extraction from robots bodies (the discovery
     # bridge robots -> sitemap scan).  The fixture bodies carry no
@@ -1794,6 +1834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantiles": _hist_quantiles,
         "quantize_int8": _quantize_int8,
         "zorder_layout": _zorder_layout,
+        "file_skipping": _file_skipping,
         "jsonl_parse": _jsonl_parse,
         "tfidf_pairs": _tfidf_pairs,
         "robots_sitemaps": _robots_sitemaps,
@@ -2336,6 +2377,30 @@ def oracle_sql() -> dict[str, str]:
             from documents
         """,
         # z-order layout key: generated by the same bit-interleave spec
+        "file_skipping": f"""
+            with base as (select (event_id % 256)::BIGINT dim_a,
+                                 ((event_id * 131) % 256)::BIGINT dim_b
+                          from events),
+            zf as (select dim_a, dim_b,
+                          ({_zk_sql("dim_a", "dim_b", bits=8)} // 1024)::BIGINT file_id
+                   from base),
+            lf as (select dim_a, dim_b, (dim_a // 4)::BIGINT file_id from base),
+            u as (
+              select 'zorder' layout, file_id, count(*) row_count,
+                     min(dim_a) min_dim_a, max(dim_a) max_dim_a,
+                     min(dim_b) min_dim_b, max(dim_b) max_dim_b
+              from zf group by file_id
+              union all
+              select 'linear' layout, file_id, count(*) row_count,
+                     min(dim_a) min_dim_a, max(dim_a) max_dim_a,
+                     min(dim_b) min_dim_b, max(dim_b) max_dim_b
+              from lf group by file_id)
+            select layout, file_id, row_count,
+                   min_dim_a, max_dim_a, min_dim_b, max_dim_b,
+                   (max_dim_a >= 32 and min_dim_a <= 63
+                    and max_dim_b >= 96 and min_dim_b <= 127) scan
+            from u
+        """,
         "zorder_layout": f"""
             with b as (select event_id,
                               (user_id % 65536)::BIGINT dim_a,
