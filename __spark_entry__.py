@@ -453,6 +453,21 @@ def _dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
 
 
+def _dedup_minhash_incremental(spark, sf_dir):
+    # steady-state near-dup: documents split into an already-indexed
+    # corpus (doc_id % 5 != 0) and a new batch (doc_id % 5 == 0); the
+    # batch is joined against the PERSISTED band/shingle index, never
+    # re-pairing the corpus.  Output = exactly the threshold pairs that
+    # touch the batch; the oracle recomputes exact Jaccard over the
+    # full corpus and filters to batch-touching pairs (recall at 0.8
+    # with 32x2 banding is 1-6e-15, same argument as dedup_minhash_lsh).
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    cb, cs = dedup.minhash_index(corpus)
+    return dedup.incremental_minhash_lsh(batch, cb, cs, threshold=0.8)
+
+
 def _dedup_simhash(spark, sf_dir):
     return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3).select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
@@ -1844,6 +1859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_representatives": _dedup_representatives,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_minhash_inc": _dedup_minhash_incremental,
         "dedup_simhash": _dedup_simhash,
         "embed_cosine_topk": _embed_cosine_topk,
         "embed_lsh_topk": _embed_lsh_topk,
@@ -2869,6 +2885,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": _JACCARD_CTE.format(thr=0.5, src="documents"),
         "dedup_minhash_lsh": _JACCARD_CTE.format(thr=0.8, src="documents"),
+        "dedup_minhash_inc": _JACCARD_CTE.format(thr=0.8, src="documents")
+        + " and (id_a % 5 = 0 or id_b % 5 = 0)",
         "dedup_clusters": f"""
             with recursive pairs as ({_JACCARD_CTE.format(thr=0.8, src="documents")}),
             edges as (

@@ -322,6 +322,171 @@ def _lsh_candidates(
     return pairs_small.unionByName(pairs_big).distinct()
 
 
+def _stack_bands(sig: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """Signatures -> long-form ``(id, band, bh)`` bucket rows: ``bands``
+    bands of ``num_perm/bands`` signature slots each, the band hash a
+    16-byte md5 of its slots.  One explode, no per-band re-shuffle."""
+    rows_per_band = num_perm // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+        ).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("id", *band_cols)
+    return banded.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("bh"))
+                for b in range(bands)
+            ])
+        ).alias("e"),
+    ).select("id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+
+
+def minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 32,
+) -> tuple[DataFrame, DataFrame]:
+    """The persistable near-dup index slice for a document batch:
+    ``(bands_df, shingles_df)``.
+
+    - ``bands_df = (id, band, bh)`` — ``bands`` rows per doc, the LSH
+      probe side.  Persist it bucketed by ``(band, bh)``
+      (``sources/bucketed.py``) so a later batch's probe reads only the
+      matched buckets and the corpus side never shuffles.
+    - ``shingles_df = (id, shingle)`` — the exact-verification side.
+      Persist bucketed by ``id`` so verification reads only candidate
+      docs' rows.
+
+    A batch's OWN index slice is exactly what gets appended to both
+    tables after :func:`incremental_minhash_lsh` — the same
+    append-the-survivors discipline as :func:`incremental_exact`.
+    """
+    sh = shingles(df, text_col, id_col, n)
+    return _stack_bands(minhash_signatures(sh, num_perm), num_perm, bands), sh
+
+
+def incremental_minhash_lsh(
+    new_docs: DataFrame,
+    corpus_bands: Optional[DataFrame],
+    corpus_shingles: Optional[DataFrame],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 32,
+    threshold: float = 0.8,
+    max_bucket_size: Optional[int] = 2000,
+) -> DataFrame:
+    """Near-dup pairs for a NEW crawl batch against an already-indexed
+    corpus, without re-signing or re-pairing the corpus — the
+    steady-state form of :func:`minhash_lsh_pairs`, mirroring
+    :func:`incremental_exact` (reference upsert semantics
+    `podcast_repository.rs:178-183`: every ingest checks the running
+    store, never the history).  Returns ``(id_a, id_b, jaccard)`` with
+    true Jaccard ≥ threshold, ``id_a < id_b``, covering exactly the
+    pairs that TOUCH the batch (batch×batch ∪ batch×corpus); corpus-
+    internal pairs were emitted when those docs were themselves new, so
+    `previous pairs ∪ this result = full-corpus pairs` (pinned by
+    test).
+
+    Per-batch cost is O(batch + matched-index rows), never O(corpus):
+
+    - the batch is shingled/signed/banded once (one batch-size shuffle);
+    - the corpus index is probed by semi-joining on the batch's distinct
+      ``(band, bh)`` keys first — with ``bands_df`` stored bucketed by
+      ``(band, bh)`` this is a bucket-pruned scan, and the per-bucket
+      member count (for the skew cap) is computed on the RESTRICTED set
+      only;
+    - corpus buckets larger than ``max_bucket_size`` degrade to their
+      min-id representative (star candidates, same connectivity argument
+      as ``_lsh_candidates``) so one boilerplate bucket never explodes
+      a batch job;
+    - exact verification joins shingle rows for candidate ids only
+      (corpus side semi-joined on candidates — bucket-pruned when
+      ``shingles_df`` is stored bucketed by id).
+
+    ``corpus_bands=None`` (first batch) degrades to within-batch
+    :func:`minhash_lsh_pairs` semantics.
+    """
+    batch_stacked, batch_sh = minhash_index(
+        new_docs, text_col, id_col, n, num_perm, bands
+    )
+    batch_sh = batch_sh.cache()
+    batch_stacked = batch_stacked.cache()
+    internal = _lsh_candidates(batch_stacked, max_bucket_size)
+    if corpus_bands is None:
+        candidates = internal
+        all_sh = batch_sh
+    else:
+        batch_keys = batch_stacked.select("band", "bh").distinct()
+        hits = corpus_bands.join(batch_keys, ["band", "bh"])
+        if max_bucket_size is not None:
+            per_bucket = hits.groupBy("band", "bh").agg(
+                F.count("*").alias("_n"), F.min("id").alias("_rep")
+            )
+            hits = (
+                hits.join(per_bucket, ["band", "bh"])
+                .filter(
+                    (F.col("_n") <= F.lit(max_bucket_size))
+                    | (F.col("id") == F.col("_rep"))
+                )
+                .drop("_n", "_rep")
+            )
+        cross = (
+            hits.select(F.col("id").alias("cid"), "band", "bh")
+            .join(batch_stacked.select(F.col("id").alias("bid"), "band", "bh"),
+                  ["band", "bh"])
+            .filter(F.col("cid") != F.col("bid"))
+            .select(
+                F.least("cid", "bid").alias("id_a"),
+                F.greatest("cid", "bid").alias("id_b"),
+            )
+        )
+        candidates = internal.unionByName(cross).distinct()
+        cand_ids = (
+            candidates.select(F.col("id_a").alias("id"))
+            .unionByName(candidates.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        all_sh = batch_sh.unionByName(
+            corpus_shingles.join(cand_ids, "id", "left_semi")
+        ).distinct()
+    sizes = all_sh.groupBy("id").agg(F.count("*").alias("sz"))
+    common = (
+        candidates.join(all_sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+        .join(all_sh.select(F.col("id").alias("id_b"), "shingle"),
+              ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -350,31 +515,10 @@ def minhash_lsh_pairs(
     one degenerate boilerplate bucket can never go quadratic — the skew
     test pins 1000 identical docs at O(n) candidates.
     """
-    rows_per_band = num_perm // bands
     # shingles feed signature computation, set sizes AND exact verification
     # — cache so the explode+distinct runs once, not three times
     sh = shingles(df, text_col, id_col, n).cache()
-    sig = minhash_signatures(sh, num_perm)
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                ",",
-                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
-            )
-        ).alias(f"b{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select("id", *band_cols)
-    # long-form (id, band_idx, band_hash) without re-shuffling per band
-    stacked = banded.select(
-        "id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("bh"))
-                for b in range(bands)
-            ])
-        ).alias("e"),
-    ).select("id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+    stacked = _stack_bands(minhash_signatures(sh, num_perm), num_perm, bands)
     candidates = _lsh_candidates(stacked, max_bucket_size)
     # exact verification: true Jaccard over the full shingle sets
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))

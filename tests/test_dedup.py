@@ -452,3 +452,77 @@ def test_cluster_representatives_no_corpus_window(spark):
     )
     assert "Window" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_incremental_minhash_union_equals_full(docs):
+    """previous pairs (corpus-internal) + incremental batch result must
+    equal the full-corpus pair set: the steady-state contract."""
+    from podcast_crawler_spark.operators.dedup import (
+        incremental_minhash_lsh,
+        minhash_index,
+        minhash_lsh_pairs,
+    )
+
+    corpus = docs.filter("doc_id % 5 != 0")
+    batch = docs.filter("doc_id % 5 = 0")
+    full = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs, threshold=0.8).collect()
+    }
+    prior = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(corpus, threshold=0.8).collect()
+    }
+    cb, cs = minhash_index(corpus)
+    inc = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in incremental_minhash_lsh(batch, cb, cs, threshold=0.8).collect()
+    }
+    assert prior | inc == full
+    assert prior & inc == set()  # incremental never re-emits corpus pairs
+    assert len(inc) > 0  # the split actually exercises cross pairs
+
+
+def test_incremental_minhash_first_batch(docs):
+    """corpus index = None degrades to within-batch minhash_lsh_pairs."""
+    from podcast_crawler_spark.operators.dedup import (
+        incremental_minhash_lsh,
+        minhash_lsh_pairs,
+    )
+
+    batch = docs.filter("doc_id % 5 = 0")
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in incremental_minhash_lsh(batch, None, None, threshold=0.8).collect()
+    }
+    want = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(batch, threshold=0.8).collect()
+    }
+    assert got == want
+
+
+def test_incremental_minhash_hot_corpus_bucket_bounded(spark):
+    """a degenerate corpus bucket (1000 identical docs) must contribute
+    O(1) candidates per batch doc (the min-id representative), never
+    all members -- and identical batch docs still near-dup via the rep."""
+    from podcast_crawler_spark.operators.dedup import (
+        incremental_minhash_lsh,
+        minhash_index,
+    )
+
+    boiler = "the same boilerplate footer text appears verbatim on every page"
+    corpus = spark.createDataFrame(
+        [(i, boiler) for i in range(1000)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(5000, boiler), (5001, "entirely unrelated fresh content here")],
+        "doc_id long, text string",
+    )
+    cb, cs = minhash_index(corpus)
+    rows = incremental_minhash_lsh(
+        batch, cb, cs, threshold=0.8, max_bucket_size=50
+    ).collect()
+    pairs = {(r.id_a, r.id_b) for r in rows}
+    # exactly the star pair to the bucket representative (doc 0)
+    assert pairs == {(0, 5000)}
