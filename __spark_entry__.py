@@ -1657,6 +1657,55 @@ def _surt_keys(spark, sf_dir):
     )
 
 
+def _main_content(spark, sf_dir):
+    # boilerplate-block removal: pages synthesized SQL-reproducibly
+    # around each doc's text — a link-dense nav (dropped by density), a
+    # prose half, a mixed related-links block (kept: prose dominates),
+    # the second half, a link-only footer and a short copyright line
+    # (both dropped).  Spark runs the REAL block-scoring chain; the
+    # oracle derives every block's text, the integer density/length
+    # decisions, and the reassembled main text independently from the
+    # synthesis components — extraction never reruns on the oracle side.
+    from podcast_crawler_spark.operators import htmltext
+
+    docs = _t(spark, sf_dir, "documents")
+    halves = docs.select(
+        "doc_id",
+        F.expr("substring(text, 1, length(text) div 2)").alias("lhalf"),
+        F.expr("substring(text, length(text) div 2 + 1)").alias("rhalf"),
+    )
+    pages = halves.select(
+        "doc_id",
+        F.concat(
+            F.lit(
+                '<div><a href="/">home</a> <a href="/a">about us</a>'
+                ' <a href="/c">contact</a></div><p>'
+            ),
+            F.col("lhalf"),
+            F.lit('</p><div><a href="/x">related '),
+            F.col("doc_id"),
+            F.lit(
+                "</a> read the full story and much more detail here"
+                "</div><p>"
+            ),
+            F.col("rhalf"),
+            F.lit(
+                '</p><div><a href="/p">privacy</a>'
+                ' <a href="/t">terms</a></div><div>c 2024</div>'
+            ),
+        ).alias("html"),
+    )
+    out = htmltext.main_content(pages, keep_cols=("doc_id",))
+    return out.select(
+        "doc_id",
+        F.md5("main_text").alias("main_md5"),
+        "n_blocks",
+        "n_content",
+        "anchor_chars",
+        "text_chars",
+    )
+
+
 def _html_text(spark, sf_dir):
     # generic HTML->text extraction (tag-soup boilerplate strip).  The
     # corpus has no HTML, so pages are synthesized SQL-reproducibly
@@ -1910,6 +1959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": _pq_codes,
         "windowed_counts": _windowed_counts,
         "html_text": _html_text,
+        "main_content": _main_content,
         "surt_keys": _surt_keys,
     }
 
@@ -2739,6 +2789,28 @@ def oracle_sql() -> dict[str, str]:
             FROM u
         """,
         # html->text: expected output constructed from components
+        "main_content": """
+            with b as (select doc_id, text, length(text) n from documents),
+            h as (select doc_id,
+                    trim(regexp_replace(substring(text, 1, n // 2),
+                         ' +', ' ', 'g')) lt,
+                    trim(regexp_replace(substring(text, n // 2 + 1),
+                         ' +', ' ', 'g')) rt,
+                    'related ' || doc_id ||
+                    ' read the full story and much more detail here' mt
+                  from b)
+            select doc_id,
+              md5(concat_ws(chr(10),
+                    case when length(lt) >= 20 then lt end,
+                    mt,
+                    case when length(rt) >= 20 then rt end)) main_md5,
+              6::BIGINT n_blocks,
+              (1 + (length(lt) >= 20)::INT
+                 + (length(rt) >= 20)::INT)::BIGINT n_content,
+              (39 + length(doc_id::VARCHAR))::BIGINT anchor_chars,
+              (40 + length(lt) + length(mt) + length(rt))::BIGINT text_chars
+            from h
+        """,
         "html_text": """
             with e as (
               select doc_id,

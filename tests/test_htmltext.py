@@ -53,3 +53,62 @@ def test_binary_input_and_plan_map_side(spark):
 def test_br_and_case_insensitive_blocks(spark):
     html = "<P>a<BR>b</P><LI>item</LI>"
     assert _extract(spark, html) == "a\nb\nitem"
+
+
+def _mc(spark, html, **kw):
+    from podcast_crawler_spark.operators.htmltext import main_content
+
+    df = spark.createDataFrame([("u", html)], "url string, html string")
+    return main_content(df, **kw).first()
+
+
+def test_main_content_drops_nav_footer_keeps_prose(spark):
+    html = (
+        '<div><a href="/">home</a> <a href="/a">about us</a>'
+        ' <a href="/c">contact</a></div>'
+        "<p>this paragraph carries the actual article prose of the page"
+        ' with an inline <a href="/r">reference link</a> inside it</p>'
+        '<div><a href="/p">privacy</a> <a href="/t">terms</a></div>'
+        "<div>c 2024</div>"
+    )
+    r = _mc(spark, html)
+    assert r.main_text.startswith("this paragraph carries")
+    assert "home" not in r.main_text and "privacy" not in r.main_text
+    assert "c 2024" not in r.main_text  # too short
+    assert "reference link" in r.main_text  # inline link text survives
+    assert r.n_blocks == 4 and r.n_content == 1
+
+
+def test_main_content_counts_and_density_rule(spark):
+    # nav: text 21 chars, anchors 19 chars -> 1900 > 30*21 dropped;
+    # prose: 40 chars, anchor 0 -> kept; exactly-at-threshold block kept
+    prose = "x" * 40
+    border = "<p>" + "<a>lnk</a>" + " " + "y" * 6 + "</p>"  # 3*100 <= 30*10
+    html = (
+        '<div><a>home</a> <a>about us</a> <a>contact</a></div>'
+        f"<p>{prose}</p>{border}"
+    )
+    r = _mc(spark, html, min_chars=10)
+    assert r.n_blocks == 3 and r.n_content == 2
+    assert r.main_text == prose + "\nlnk " + "y" * 6
+    assert r.anchor_chars == 19 + 3
+    assert r.text_chars == 21 + 40 + 10
+
+
+def test_main_content_script_and_comment_never_score(spark):
+    html = (
+        "<script>while(1){spam<a>fake</a>}</script><!-- <a>x</a> -->"
+        "<p>real content long enough to be kept here</p>"
+    )
+    r = _mc(spark, html)
+    assert r.main_text == "real content long enough to be kept here"
+    assert r.anchor_chars == 0
+
+
+def test_main_content_plan_pure_map_side(spark):
+    from podcast_crawler_spark.operators.htmltext import main_content
+
+    df = spark.createDataFrame([("u", "<p>x</p>")], "url string, html string")
+    plan = main_content(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Generate" not in plan, plan
+    assert "Python" not in plan, plan
