@@ -924,6 +924,16 @@ def _sample_stratified(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def _pmi_collocations(spark, sf_dir):
+    # top-100 collocations by integer PMI-rank surrogate (the N-factor
+    # is constant across pairs, so score ordering == PMI ordering); the
+    # oracle recomputes unigram/bigram counts and the exact BIGINT
+    # score chain.
+    return textstats.pmi_collocations(
+        _t(spark, sf_dir, "documents"), min_count=5, k=100
+    )
+
+
 def _vocab_top_terms(spark, sf_dir):
     # corpus vocabulary/document-frequency table, top-100 by df
     # (TakeOrderedAndProject shape — no global sort of the vocab)
@@ -1933,6 +1943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_surprisal": _lm_surprisal,
         "bigram_surprisal": _bigram_surprisal,
         "vocab_top_terms": _vocab_top_terms,
+        "pmi_collocations": _pmi_collocations,
         "repetition_scores": _repetition_scores,
         "decontaminate": _decontaminate,
         "pii_scrub": _pii_scrub,
@@ -3301,6 +3312,22 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, lang, quality from surv
             where ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
                   < (0.9 * 4294967296)::BIGINT
+        """,
+        "pmi_collocations": """
+            with toks as (select list_filter(string_split(text,' '),
+                                 x -> x != '') t from documents),
+            bi as (select unnest([{'tok1': t[i], 'tok2': t[i+1]}
+                                  for i in range(1, len(t))],
+                                 recursive := true) from toks),
+            bic as (select tok1, tok2, count(*) c_pair from bi
+                    group by 1,2 having count(*) >= 5),
+            uni as (select unnest(t) token from toks),
+            unic as (select token, count(*) cu from uni group by 1)
+            select tok1, tok2, c_pair, u1.cu c_tok1, u2.cu c_tok2,
+                   (1000000 * c_pair) // (u1.cu * u2.cu) score_micro
+            from bic join unic u1 on tok1 = u1.token
+                     join unic u2 on tok2 = u2.token
+            order by score_micro desc, c_pair desc, tok1, tok2 limit 100
         """,
         "vocab_top_terms": """
             with tok as (

@@ -177,6 +177,76 @@ def vocab_df(df: DataFrame, text_col: str = "text",
     )
 
 
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    k: int = 100,
+) -> DataFrame:
+    """Collocation mining: the top-*k* adjacent token pairs by PMI-rank
+    — ``(tok1, tok2, c_pair, c_tok1, c_tok2, score_micro)``.  The
+    vocabulary-curation signal (multi-word units worth single tokens,
+    Church & Hanks 1990) over a training corpus.
+
+    PMI = log( p(x,y) / (p(x)·p(y)) ) = log( c_xy·N²/N_bi / (c_x·c_y) )
+    — the N²/N_bi factor is CONSTANT across pairs, so PMI *ordering* is
+    exactly the ordering of the rational ``c_xy / (c_x·c_y)``.  The
+    operator's contract is the integer surrogate ``score_micro =
+    (1_000_000·c_pair) div (c_tok1·c_tok2)`` with deterministic
+    tie-breaks ``(score_micro desc, c_pair desc, tok1, tok2)`` — pure
+    BIGINT arithmetic, no log, no float, replayable bit-for-bit by any
+    engine (the same no-libm discipline as ``lm_surprisal``).
+
+    Scale shape: bigrams are built map-side from the token array
+    (``zip_with`` of two slices — no positional self-join); unigram and
+    bigram counts are two map-side-combined aggregations whose
+    exchanges carry one row per distinct (bi)gram; the ``min_count``
+    filter prunes the long tail before the two token-keyed count joins;
+    the final top-k is ``TakeOrderedAndProject`` — no global sort.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: F.length(x) > 0)
+    base = df.select(F.col(id_col).alias("id"), toks.alias("t"))
+    tok = base.select(F.explode("t").alias("token"))
+    pairs = base.select(
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, F.greatest(F.lit(0), F.size("t") - 1)),
+                F.slice(
+                    F.col("t"), F.lit(2), F.greatest(F.lit(0), F.size("t") - 1)
+                ),
+                lambda a, b: F.struct(a.alias("tok1"), b.alias("tok2")),
+            )
+        ).alias("p"),
+    ).select("p.tok1", "p.tok2")
+    uni = tok.groupBy("token").agg(F.count("*").alias("cu"))
+    bi = (
+        pairs.groupBy("tok1", "tok2")
+        .agg(F.count("*").alias("c_pair"))
+        .filter(F.col("c_pair") >= min_count)
+    )
+    scored = (
+        bi.join(uni.select(F.col("token").alias("tok1"),
+                           F.col("cu").alias("c_tok1")), "tok1")
+        .join(uni.select(F.col("token").alias("tok2"),
+                         F.col("cu").alias("c_tok2")), "tok2")
+        .withColumn(
+            "score_micro",
+            F.expr("(1000000 * c_pair) div (c_tok1 * c_tok2)"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.col("score_micro").desc(),
+            F.col("c_pair").desc(),
+            "tok1",
+            "tok2",
+        )
+        .limit(k)
+        .select("tok1", "tok2", "c_pair", "c_tok1", "c_tok2", "score_micro")
+    )
+
+
 def _bitlen(x):
     """floor(log2(x)) + 1 for x ≥ 1, as EXACT integer arithmetic
     (binary-string length) — no libm, so Spark and any SQL engine agree

@@ -382,3 +382,43 @@ def test_bigram_surprisal_plan_broadcast_scoring(spark):
     assert plan.count("BroadcastHashJoin") == 3, plan
     assert "SortMergeJoin" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_pmi_collocations_hand_corpus(spark):
+    from podcast_crawler_spark.operators.textstats import pmi_collocations
+
+    # "new york" always adjacent (PMI high); "the cat" mixed with many
+    # "the X" contexts (PMI low).
+    rows = [
+        (0, "new york new york new york"),
+        (1, "the cat the dog the bird the cat"),
+        (2, "new york is big the cat sat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.tok1, r.tok2): r
+        for r in pmi_collocations(df, min_count=2, k=10).collect()
+    }
+    ny = out[("new", "york")]
+    # counts: 'new'=4, 'york'=4, pair=4 (intra-doc adjacency only)
+    assert (ny.c_pair, ny.c_tok1, ny.c_tok2) == (4, 4, 4)
+    assert ny.score_micro == 1000000 * 4 // 16
+    tc = out[("the", "cat")]
+    # 'the' = 4 (doc 1) + 1 (doc 2) = 5
+    assert (tc.c_pair, tc.c_tok1, tc.c_tok2) == (3, 5, 3)
+    assert tc.score_micro == 1000000 * 3 // 15
+    assert ny.score_micro > tc.score_micro
+
+
+def test_pmi_topk_plan_no_global_sort(spark):
+    from podcast_crawler_spark.operators.textstats import pmi_collocations
+
+    df = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(20)], "doc_id long, text string"
+    )
+    plan = (
+        pmi_collocations(df, min_count=1, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Python" not in plan, plan
