@@ -1032,6 +1032,29 @@ def _warc_scan(spark, sf_dir):
     )
 
 
+def _cdx_index(spark, sf_dir):
+    # CDX capture index (the Common-Crawl/Wayback serving artifact):
+    # parse the fixture archive into (file, offset, length, identity)
+    # rows and lay them out SURT-sorted.  The oracle meta carries the
+    # WRITER's own byte-layout offsets and the generator's page digests
+    # — so matching rows prove the parser walks record boundaries
+    # exactly; the surt key is re-derived in SQL.
+    from podcast_crawler_spark.sources.warc import cdx_index, read_warc_index
+
+    idx = read_warc_index(spark, f"{FIXTURES}/crawl_sample.warc.gz")
+    return cdx_index(idx, num_partitions=8).select(
+        "surt",
+        "url",
+        "warc_ts",
+        "filename",
+        "offset",
+        "rec_length",
+        "n_bytes",
+        "body_md5",
+        "http_status",
+    )
+
+
 def _robots_rules(spark, sf_dir):
     # robots.txt parse operator: raw bodies → the rules table the J4
     # scheduler join consumes; exact-UA group precedence over '*', last
@@ -1956,6 +1979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_resize": _mm_image_resize,
         "mm_audio_features": _mm_audio_features,
         "warc_scan": _warc_scan,
+        "cdx_index": _cdx_index,
         "robots_rules": _robots_rules,
         "crawl_seed_scan": _crawl_seed_scan,
         "crawl_schedule_order": _crawl_schedule_order,
@@ -3487,6 +3511,12 @@ def oracle_sql() -> dict[str, str]:
         "warc_scan": f"""
             select url, 200 as http_status, n_bytes, body_md5
             from read_parquet('{FIXTURES}/crawl_warc_meta.parquet')
+        """,
+        "cdx_index": f"""
+            select {urlfns.surt_oracle_exprs('url')[1]} surt,
+                   url, warc_ts, 'crawl_sample.warc.gz' filename,
+                   "offset", rec_length, n_bytes, body_md5, http_status
+            from read_parquet('{FIXTURES}/crawl_warc_cdx.parquet')
         """,
         "robots_rules": f"""
             with l0 as (

@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -73,15 +74,24 @@ def _parse_http_payload(block: bytes) -> Tuple[Optional[int], bytes]:
     return status, body
 
 
-def parse_warc_bytes(data: bytes) -> List[Tuple[str, Optional[datetime], Optional[int], bytes]]:
-    """Parse one WARC file's bytes → [(url, ts, http_status, body)].
-    Tolerates a truncated final record (dropped)."""
+def parse_warc_records(
+    data: bytes,
+) -> List[Tuple[str, Optional[datetime], Optional[int], bytes, int, int]]:
+    """Parse one WARC file's bytes → [(url, ts, http_status, body,
+    offset, rec_length)].  Tolerates a truncated final record (dropped).
+
+    ``offset``/``rec_length`` locate the record — headers through its
+    trailing CRLF pair — in the UNCOMPRESSED stream (for per-member-gz
+    archives à la Common Crawl, member boundaries coincide with record
+    boundaries, so the same walk over member offsets yields the
+    compressed variant)."""
     if data[:2] == b"\x1f\x8b":  # gzip magic: member-per-record or whole-file
         data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
     out = []
     pos = 0
     n = len(data)
     while pos < n:
+        rec_start = pos
         head_end = data.find(_CRLF2, pos)
         if head_end < 0:
             break
@@ -100,6 +110,9 @@ def parse_warc_bytes(data: bytes) -> List[Tuple[str, Optional[datetime], Optiona
         block_end = block_start + length
         if block_end > n:
             break  # truncated final record
+        pos = block_end
+        while pos < n and data[pos:pos + 2] == b"\r\n":
+            pos += 2
         if (
             headers.get(b"warc-type") == b"response"
             and b"warc-target-uri" in headers
@@ -114,11 +127,17 @@ def parse_warc_bytes(data: bytes) -> List[Tuple[str, Optional[datetime], Optiona
                 except ValueError:
                     ts = None
             status, body = _parse_http_payload(data[block_start:block_end])
-            out.append((url, ts, status, body))
-        pos = block_end
-        while pos < n and data[pos:pos + 2] == b"\r\n":
-            pos += 2
+            out.append((url, ts, status, body, rec_start, pos - rec_start))
     return out
+
+
+def parse_warc_bytes(data: bytes) -> List[Tuple[str, Optional[datetime], Optional[int], bytes]]:
+    """Parse one WARC file's bytes → [(url, ts, http_status, body)].
+    Tolerates a truncated final record (dropped)."""
+    return [
+        (url, ts, status, body)
+        for url, ts, status, body, _off, _len in parse_warc_records(data)
+    ]
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
@@ -140,14 +159,92 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     return files.select("content").mapInPandas(_run, schema=WARC_SCHEMA)
 
 
+CDX_SCHEMA = StructType([
+    StructField("filename", StringType(), False),
+    StructField("offset", LongType(), False),
+    StructField("rec_length", LongType(), False),
+    StructField("url", StringType(), False),
+    StructField("warc_ts", TimestampType(), True),
+    StructField("http_status", IntegerType(), True),
+    StructField("n_bytes", LongType(), False),
+    StructField("body_md5", StringType(), False),
+])
+
+
+def read_warc_index(spark: SparkSession, path: str) -> DataFrame:
+    """WARC file(s) → CDX-style capture index rows (CDX_SCHEMA): where
+    every capture lives (file, offset, length) plus its identity
+    (url, ts, status, body size + digest).  The serving artifact of a
+    Common-Crawl-style archive — random access to any capture without
+    scanning segments.
+
+    Same parallelism contract as :func:`read_warc` (one task per file,
+    records born in-task); the page BYTES never leave the task — only
+    the fixed-width index row (digest, not body) is emitted, so the
+    exchange feeding the index sort is O(captures), not O(corpus)."""
+    import hashlib
+
+    files = spark.read.format("binaryFile").load(path)
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for pth, content in zip(pdf["path"], pdf["content"]):
+                fname = str(pth).rsplit("/", 1)[-1]
+                for url, ts, status, body, off, rlen in parse_warc_records(
+                    bytes(content)
+                ):
+                    rows.append((
+                        fname,
+                        off,
+                        rlen,
+                        url,
+                        ts.replace(tzinfo=None) if ts else None,
+                        status,
+                        len(body),
+                        hashlib.md5(body).hexdigest(),
+                    ))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in CDX_SCHEMA.fields]
+            )
+
+    return files.select("path", "content").mapInPandas(_run, schema=CDX_SCHEMA)
+
+
+def cdx_index(idx: DataFrame, num_partitions: Optional[int] = None) -> DataFrame:
+    """Capture rows → the CDX serving layout: a ``surt`` key column
+    (Common-Crawl/Wayback canonical ordering, ``functions/urlfns``)
+    plus range-partitioning and within-partition sort by
+    ``(surt, warc_ts)``.  Written as-is, the index is binary-searchable
+    per file and a host/domain's captures are CONTIGUOUS (SURT reverses
+    host labels), so domain lookups touch one partition range instead
+    of all of them.  One range exchange of narrow index rows — the
+    blobs stayed in their scan tasks."""
+    from pyspark.sql import functions as F
+
+    from ..functions.urlfns import surt_key
+
+    out = idx.withColumn("surt", surt_key(F.col("url")))
+    parts = (num_partitions,) if num_partitions else ()
+    return out.repartitionByRange(*parts, "surt", "warc_ts").sortWithinPartitions(
+        "surt", "warc_ts"
+    )
+
+
 def write_warc_file(
     records: List[Tuple[str, datetime, int, bytes]],
     path: str,
     compress: bool = False,
-) -> None:
+) -> List[Tuple[int, int]]:
     """Write (url, ts, status, body) records as a WARC file — fixture and
-    test helper (driver-side; production archives come from the fetcher)."""
+    test helper (driver-side; production archives come from the fetcher).
+
+    Returns per-record ``(offset, rec_length)`` in the uncompressed
+    stream, computed from the WRITER's own byte layout — write-side
+    truth the CDX oracle checks the parser against, never derived
+    through the parser."""
     buf = io.BytesIO()
+    locs = []
     for url, ts, status, body in records:
         http = (
             f"HTTP/1.1 {status} OK\r\nContent-Type: application/xml\r\n"
@@ -160,9 +257,12 @@ def write_warc_file(
             f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
             f"Content-Length: {len(http)}\r\n\r\n"
         ).encode()
+        start = buf.tell()
         buf.write(head + http + b"\r\n\r\n")
+        locs.append((start, buf.tell() - start))
     data = buf.getvalue()
     if compress:
         data = gzip.compress(data, mtime=0)
     with open(path, "wb") as fh:
         fh.write(data)
+    return locs

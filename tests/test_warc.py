@@ -57,3 +57,51 @@ def test_read_warc_spark_matches_fixture_meta(spark):
         )
     )
     assert got == want and len(got) == 198
+
+
+def test_record_offsets_match_writer_layout(tmp_path):
+    from podcast_crawler_spark.sources.warc import parse_warc_records
+
+    p = str(tmp_path / "o.warc")
+    locs = write_warc_file(RECORDS, p, compress=False)
+    data = open(p, "rb").read()
+    got = parse_warc_records(data)
+    assert [(off, ln) for *_, off, ln in got] == locs
+    # each (offset, length) slice re-parses to exactly that one record
+    for (url, _, status, body, off, ln) in got:
+        sub = parse_warc_records(data[off : off + ln])
+        assert len(sub) == 1
+        assert (sub[0][0], sub[0][2], sub[0][3]) == (url, status, body)
+    # offsets are into the UNCOMPRESSED stream for whole-file gzip too
+    locs_gz = write_warc_file(RECORDS, p + ".gz", compress=True)
+    assert locs_gz == locs
+    got_gz = parse_warc_records(open(p + ".gz", "rb").read())
+    assert [(off, ln) for *_, off, ln in got_gz] == locs
+
+
+def test_read_warc_index_and_cdx_layout(spark, tmp_path):
+    import hashlib
+
+    from podcast_crawler_spark.sources.warc import cdx_index, read_warc_index
+
+    p = str(tmp_path / "i.warc.gz")
+    locs = write_warc_file(RECORDS, p, compress=True)
+    idx = read_warc_index(spark, p)
+    rows = {r.url: r for r in idx.collect()}
+    assert len(rows) == 3
+    for (url, _, status, body), (off, ln) in zip(RECORDS, locs):
+        r = rows[url]
+        assert (r.offset, r.rec_length) == (off, ln)
+        assert r.n_bytes == len(body)
+        assert r.body_md5 == hashlib.md5(body).hexdigest()
+        assert r.filename == "i.warc.gz"
+        assert r.http_status == status
+    # serving layout: surt present, one range exchange, sorted within
+    laid = cdx_index(idx, num_partitions=2)
+    assert "surt" in laid.columns
+    plan = laid._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower(), plan
+    assert plan.count("Exchange") == 1, plan
+    # surt groups a host's captures regardless of subdomain ordering
+    surts = sorted(r.surt for r in laid.collect())
+    assert surts[0].startswith("example,a)")

@@ -77,6 +77,18 @@ WARC_META_SCHEMA = pa.schema(
     ]
 )
 
+WARC_CDX_SCHEMA = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("warc_ts", pa.timestamp("us")),
+        pa.field("http_status", pa.int32()),
+        pa.field("offset", pa.int64()),
+        pa.field("rec_length", pa.int64()),
+        pa.field("n_bytes", pa.int64()),
+        pa.field("body_md5", pa.string()),
+    ]
+)
+
 PARSE_SCHEMA = pa.schema(
     [pa.field("url", pa.string()), pa.field("error_kind", pa.string())]
 )
@@ -169,12 +181,36 @@ def write_warc_fixture():
                 "body_md5": hashlib.md5(html).hexdigest(),
             }
         )
-    write_warc_file(records, os.path.join(OUT, "crawl_sample.warc.gz"), compress=True)
+    locs = write_warc_file(
+        records, os.path.join(OUT, "crawl_sample.warc.gz"), compress=True
+    )
     pq.write_table(
         pa.Table.from_pylist(meta, schema=WARC_META_SCHEMA),
         os.path.join(OUT, "crawl_warc_meta.parquet"),
     )
-    print(f"crawl_sample.warc.gz + crawl_warc_meta: {len(records)} records")
+    # CDX meta: record locations from the WRITER's byte layout (write-side
+    # truth) + identities from the generator's page bytes — nothing here
+    # passed through the WARC parser the cdx_index query exercises.
+    cdx = [
+        {
+            "url": url,
+            "warc_ts": ts,
+            "http_status": status,
+            "offset": off,
+            "rec_length": rlen,
+            "n_bytes": m["n_bytes"],
+            "body_md5": m["body_md5"],
+        }
+        for (url, ts, status, _body), (off, rlen), m in zip(records, locs, meta)
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(cdx, schema=WARC_CDX_SCHEMA),
+        os.path.join(OUT, "crawl_warc_cdx.parquet"),
+    )
+    print(
+        f"crawl_sample.warc.gz + crawl_warc_meta + crawl_warc_cdx: "
+        f"{len(records)} records"
+    )
 
 
 def main():
