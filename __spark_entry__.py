@@ -924,6 +924,15 @@ def _sample_stratified(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def _doc_keywords(spark, sf_dir):
+    # per-doc tf-idf keywords with integer bit-length idf; the oracle
+    # replays postings, doc-freq, the bitlen score and the ranked
+    # top-3 exactly.
+    from podcast_crawler_spark.operators.ranking import doc_keywords
+
+    return doc_keywords(_t(spark, sf_dir, "documents"), k=3)
+
+
 def _pmi_collocations(spark, sf_dir):
     # top-100 collocations by integer PMI-rank surrogate (the N-factor
     # is constant across pairs, so score ordering == PMI ordering); the
@@ -1967,6 +1976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_surprisal": _bigram_surprisal,
         "vocab_top_terms": _vocab_top_terms,
         "pmi_collocations": _pmi_collocations,
+        "doc_keywords": _doc_keywords,
         "repetition_scores": _repetition_scores,
         "decontaminate": _decontaminate,
         "pii_scrub": _pii_scrub,
@@ -3336,6 +3346,22 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, lang, quality from surv
             where ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
                   < (0.9 * 4294967296)::BIGINT
+        """,
+        "doc_keywords": """
+            with toks as (select doc_id doc,
+                            unnest(list_filter(string_split(text,' '),
+                                   x -> x != '')) term
+                          from documents),
+            p as (select term, doc, count(*) tf from toks group by 1,2),
+            d as (select term, count(*) doc_freq from p group by 1),
+            n as (select count(distinct doc_id) nd from documents),
+            s as (select doc, term, tf, doc_freq,
+                         tf * length(bin(nd // doc_freq)) score
+                  from p join d using(term), n),
+            r as (select *, row_number() over (partition by doc
+                     order by score desc, tf desc, term) rank from s)
+            select doc, term, tf, doc_freq, score, rank
+            from r where rank <= 3
         """,
         "pmi_collocations": """
             with toks as (select list_filter(string_split(text,' '),

@@ -163,6 +163,63 @@ def inverted_index(
     )
 
 
+def doc_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document keyword extraction: the top-*k* terms of each doc
+    by tf-idf — ``(doc, term, tf, doc_freq, score, rank)`` — the
+    routing/topic-tagging signal of a corpus pipeline (the reference
+    exposes only whole-field ILIKE search, `podcast_repository.rs`
+    search path; keywords are what a ranked index serves instead).
+
+    Exact-integer discipline (the ``lm_surprisal`` no-libm rule):
+    ``score = tf · bitlen(N div doc_freq)`` — ``bitlen`` is the
+    binary-string length, an integer quantization of ``1+log2``, so
+    idf damping is log-shaped yet every engine replays the value
+    bit-for-bit.  Ties break (score desc, tf desc, term asc):
+    deterministic output set.
+
+    Plan shape: one map-side-combined ``(term, doc)`` tf count, a
+    term-level df rollup of the already-counted postings, one
+    token-keyed join of those two, the corpus-size scalar broadcast
+    (1 row), and a per-doc ``row_number ≤ k`` that plans as
+    ``WindowGroupLimit Partial`` below its exchange — no task ever
+    holds a whole hot document's posting list, let alone the corpus.
+    """
+    postings = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(_toks(text_col)).alias("term"),
+        )
+        .groupBy("term", "doc")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = docs.select(
+        F.countDistinct(F.col(id_col)).alias("_n")
+    )
+    scored = (
+        postings.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * F.length(F.bin(F.expr("_n div doc_freq"))),
+        )
+    )
+    w = Window.partitionBy("doc").orderBy(
+        F.desc("score"), F.desc("tf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc", "term", "tf", "doc_freq", "score", "rank")
+    )
+
+
 def tfidf_cosine_pairs(
     docs: DataFrame,
     text_col: str = "text",

@@ -185,3 +185,37 @@ def test_tfidf_pairs_stopword_cap(spark):
     assert out, "expected pairs from the specific terms"
     for r in out:
         assert r.id_a % 2 == r.id_b % 2
+
+
+def test_doc_keywords_hand_corpus(spark):
+    from podcast_crawler_spark.operators.ranking import doc_keywords
+
+    rows = [
+        (0, "apple apple banana common"),
+        (1, "banana cherry common"),
+        (2, "common common cherry"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = [
+        (r.doc, r.rank, r.term, r.tf, r.doc_freq, r.score)
+        for r in doc_keywords(df, k=2)
+        .orderBy("doc", "rank")
+        .collect()
+    ]
+    # N=3; bitlen(3//1)=2, bitlen(3//2)=1, bitlen(3//3)=1
+    assert out[0] == (0, 1, "apple", 2, 1, 4)  # 2*bitlen(3)=4
+    assert out[1] == (0, 2, "banana", 1, 2, 1)
+    # doc 2: common tf=2 df=3 -> 2*1=2 beats cherry 1*1=1
+    assert out[4] == (2, 1, "common", 2, 3, 2)
+    assert out[5] == (2, 2, "cherry", 1, 2, 1)
+
+
+def test_doc_keywords_plan_window_group_limit(spark):
+    from podcast_crawler_spark.operators.ranking import doc_keywords
+
+    df = spark.createDataFrame(
+        [(i, "a b c d") for i in range(50)], "doc_id long, text string"
+    )
+    plan = doc_keywords(df, k=2)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    assert "Python" not in plan, plan
