@@ -1669,6 +1669,37 @@ def _cm_heavy_hitters(spark, sf_dir):
     )
 
 
+def _domain_rollup(spark, sf_dir):
+    # registrable-domain rollup (per-DOMAIN crawl budget key): hosts
+    # synthesized across the PSL-lite cases (ccSLD 3-label, gTLD
+    # 2-label, bare suffix, single label, deep subdomains); Spark runs
+    # the real registered_domain() array chain, the oracle derives the
+    # expected domain per case INDEPENDENTLY (no rule replay) and
+    # aggregates.
+    docs = _t(spark, sf_dir, "documents")
+    host = (
+        F.when(F.col("doc_id") % 6 == 0,
+               F.concat(F.lit("www.pod"), F.col("doc_id") % 7, F.lit(".co.uk")))
+        .when(F.col("doc_id") % 6 == 1,
+              F.concat(F.lit("feeds.pod"), F.col("doc_id") % 7, F.lit(".com")))
+        .when(F.col("doc_id") % 6 == 2,
+              F.concat(F.lit("a.b.pod"), F.col("doc_id") % 7, F.lit(".com.au")))
+        .when(F.col("doc_id") % 6 == 3,
+              F.concat(F.lit("pod"), F.col("doc_id") % 7, F.lit(".org")))
+        .when(F.col("doc_id") % 6 == 4, F.lit("co.uk"))
+        .otherwise(F.lit("localhost"))
+    )
+    hosts = docs.select(host.alias("host"))
+    return (
+        hosts.withColumn("reg_domain", urlfns.registered_domain(F.col("host")))
+        .groupBy("reg_domain")
+        .agg(
+            F.countDistinct("host").alias("n_hosts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
 def _surt_keys(spark, sf_dir):
     # SURT canonical ordering keys (reversed-host form): the layout key
     # that makes domain-locality contiguous.  Four URL shapes cover
@@ -2006,6 +2037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_text": _html_text,
         "main_content": _main_content,
         "surt_keys": _surt_keys,
+        "domain_rollup": _domain_rollup,
     }
 
 
@@ -2815,6 +2847,27 @@ def oracle_sql() -> dict[str, str]:
         # HITS: unrolled integer max-normalized iterations
         "hits_scores": graph.hits_oracle_sql(_PR_EDGES_SQL, iters=3),
         # SURT keys: string/array derivation replay
+        "domain_rollup": """
+            with h as (
+              select case doc_id % 6
+                when 0 then 'www.pod' || doc_id % 7 || '.co.uk'
+                when 1 then 'feeds.pod' || doc_id % 7 || '.com'
+                when 2 then 'a.b.pod' || doc_id % 7 || '.com.au'
+                when 3 then 'pod' || doc_id % 7 || '.org'
+                when 4 then 'co.uk'
+                else 'localhost' end host,
+              case doc_id % 6
+                when 0 then 'pod' || doc_id % 7 || '.co.uk'
+                when 1 then 'pod' || doc_id % 7 || '.com'
+                when 2 then 'pod' || doc_id % 7 || '.com.au'
+                when 3 then 'pod' || doc_id % 7 || '.org'
+                when 4 then 'co.uk'
+                else 'localhost' end reg_domain
+              from documents)
+            select reg_domain, count(distinct host) n_hosts,
+                   count(*) n_rows
+            from h group by 1
+        """,
         "surt_keys": f"""
             WITH u AS (
               SELECT doc_id,

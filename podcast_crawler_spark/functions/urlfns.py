@@ -163,6 +163,54 @@ def scrub_oracle_sql(url_expr: str, sort_params: bool = True) -> str:
     )
 
 
+# PSL-lite: the common two-label public suffixes (country-code SLDs).
+# A deliberate embedded subset — the full Mozilla PSL is a data file a
+# production deployment would broadcast-join instead; the RULE (longest
+# matching suffix + one label) is identical, and the default single-label
+# suffix covers every gTLD.
+_PSL2 = [
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "co.in", "net.in", "org.in", "co.kr", "or.kr",
+    "co.nz", "net.nz", "org.nz", "com.mx", "com.ar", "com.tr",
+    "co.za", "org.za", "com.sg", "com.hk", "com.tw",
+]
+
+
+def registered_domain(host: Column) -> Column:
+    """Registrable (pay-level) domain of a host — the aggregation key
+    for per-DOMAIN crawl budgets, dedup attribution and ownership
+    rollups (per-host keys over-split large networks:
+    ``feeds.megapod.co.uk`` and ``www.megapod.co.uk`` are one owner).
+
+    Rule: if the last two labels are a known country-code SLD
+    (``_PSL2``), the registrable domain is the last THREE labels,
+    else the last TWO; hosts at or below suffix length return
+    unchanged.  Pure array ops — map-side, codegen, replayable in SQL
+    (``registered_domain_sql``)."""
+    labels = F.split(host, "\\.")
+    n = F.size(labels)
+    last2 = F.array_join(F.slice(labels, -2, 2), ".")
+    suffix_labels = F.when(last2.isin(_PSL2), F.lit(3)).otherwise(F.lit(2))
+    k = F.least(n, suffix_labels)
+    return F.array_join(F.slice(labels, -k, k), ".")
+
+
+def registered_domain_sql(host_expr: str) -> str:
+    """DuckDB expression replaying :func:`registered_domain`."""
+    in_list = ", ".join(f"'{s}'" for s in _PSL2)
+    l = f"string_split({host_expr}, '.')"
+    sl = (
+        f"(CASE WHEN array_to_string(list_slice({l}, -2, -1), '.')"
+        f" IN ({in_list}) THEN 3 ELSE 2 END)"
+    )
+    k = f"least(len({l}), {sl})"
+    return f"array_to_string(list_slice({l}, -{k}, -1), '.')"
+
+
 def surt_host(url: Column) -> Column:
     """SURT-ordered host: lowercase, leading ``www.`` dropped, labels
     reversed and comma-joined (``podcasts.example.org`` →

@@ -180,3 +180,41 @@ def test_surt_orders_domain_contiguously(spark):
     # both example.org subdomains adjacent under SURT order
     assert s[0].startswith("com,other")
     assert s[1].startswith("org,example") and s[2].startswith("org,example")
+
+
+def test_registered_domain_psl_lite(spark):
+    from pyspark.sql import functions as F
+
+    from podcast_crawler_spark.functions.urlfns import (
+        registered_domain,
+        registered_domain_sql,
+    )
+
+    cases = {
+        "www.megapod.co.uk": "megapod.co.uk",
+        "feeds.x.com": "x.com",
+        "a.b.pod.com.au": "pod.com.au",
+        "pod.org": "pod.org",
+        "co.uk": "co.uk",          # bare suffix: unchanged
+        "localhost": "localhost",  # single label: unchanged
+        "deep.sub.site.org.nz": "site.org.nz",
+        "x.gov.br": "x.gov.br",
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "host string")
+    got = {
+        r.host: r.rd
+        for r in df.select(
+            "host", registered_domain(F.col("host")).alias("rd")
+        ).collect()
+    }
+    assert got == cases
+    # the SQL replay agrees with the column expression
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("create table t(host varchar)")
+    con.executemany("insert into t values (?)", [(h,) for h in cases])
+    sql_got = dict(
+        con.sql(f"select host, {registered_domain_sql('host')} from t").fetchall()
+    )
+    assert sql_got == cases
