@@ -717,6 +717,15 @@ def _compaction_plan(spark, sf_dir):
     return compaction_plan(files, target_bytes=1 << 20)
 
 
+def _export_manifest(spark, sf_dir):
+    # per-shard training-export manifest over the seeded shuffle: the
+    # oracle replays the permutation naively and recomputes every
+    # per-file count/sum/fingerprint.
+    return curation.export_manifest(
+        _t(spark, sf_dir, "documents"), seed=42, rows_per_file=100
+    )
+
+
 def _global_shuffle(spark, sf_dir):
     # deterministic seeded corpus shuffle: position in md5(id:seed)
     # order plus the output file (shuffle_pos // rows_per_file).  Spark
@@ -907,6 +916,17 @@ def _sample_documents(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return sampling.sample_by_hash(docs, "doc_id", 0.2).select(
         "doc_id", "lang", "source"
+    )
+
+
+def _sample_topk(spark, sf_dir):
+    # exact-k-per-language sample (bottom-k by md5): the oracle replays
+    # the hash ordering and rank cut.
+    from podcast_crawler_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.topk_sample(docs, "doc_id", "lang", k=10).select(
+        "doc_id", "lang", "sample_rank"
     )
 
 
@@ -2001,6 +2021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": _curation_pipeline,
         "sample_documents": _sample_documents,
         "sample_stratified": _sample_stratified,
+        "sample_topk": _sample_topk,
         "mixture_sample": _mixture_sample,
         "paragraph_dedup": _paragraph_dedup,
         "lm_surprisal": _lm_surprisal,
@@ -2014,6 +2035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards": _pack_shards,
         "compaction_plan": _compaction_plan,
         "global_shuffle": _global_shuffle,
+        "export_manifest": _export_manifest,
         "mm_image_meta": _mm_image_meta,
         "sniff_content": _sniff_content,
         "mm_video_frames": _mm_video_frames,
@@ -3216,6 +3238,14 @@ def oracle_sql() -> dict[str, str]:
             where ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
                   < (0.2 * 4294967296)::BIGINT
         """,
+        "sample_topk": """
+            with r as (
+              select doc_id, lang,
+                     row_number() over (partition by lang
+                       order by md5(doc_id::VARCHAR), doc_id) sample_rank
+              from documents)
+            select doc_id, lang, sample_rank from r where sample_rank <= 10
+        """,
         "sample_stratified": """
             select doc_id, lang from documents
             where ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
@@ -3521,6 +3551,24 @@ def oracle_sql() -> dict[str, str]:
             select part, file_id, bytes, start_offset,
                    (start_offset // 1048576)::BIGINT target_file
             from packed
+        """,
+        "export_manifest": """
+            with ranked as (
+              select doc_id id, text,
+                     row_number() over (
+                       order by md5(doc_id::VARCHAR || ':42'), doc_id
+                     ) - 1 pos
+              from documents)
+            select (pos // 100)::BIGINT out_file,
+                   count(*) n_docs,
+                   min(pos)::BIGINT first_pos,
+                   max(pos)::BIGINT last_pos,
+                   sum(len(list_filter(string_split(text,' '),
+                           x -> x != '')))::BIGINT n_tokens,
+                   sum(octet_length(encode(text)))::BIGINT n_bytes,
+                   sum(('0x' || substr(md5(id::VARCHAR || ':fp'), 1, 12))
+                       ::BIGINT)::BIGINT content_fp
+            from ranked group by 1
         """,
         "global_shuffle": """
             with ranked as (

@@ -430,3 +430,64 @@ def global_shuffle(
         pos.cast("long").alias("shuffle_pos"),
         F.floor(pos / F.lit(rows_per_file)).cast("long").alias("out_file"),
     )
+
+
+def export_manifest(
+    df: DataFrame,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rows_per_file: int = 8192,
+    bucket_chars: int = 3,
+) -> DataFrame:
+    """The training-export MANIFEST: one row per output shard file of a
+    :func:`global_shuffle` data-order pass — ``(out_file, n_docs,
+    first_pos, last_pos, n_tokens, n_bytes, content_fp)`` — what a
+    training job reads to plan epochs, resume mid-run, and detect a
+    corrupted/missing shard before step 1 (every serious export format
+    ships one: WebDataset ``.json`` sidecars, Iceberg manifests,
+    tfrecord index files).
+
+    ``content_fp`` is an ORDER-INDEPENDENT integer fingerprint — the
+    sum of a 48-bit slice of ``md5(id || ':fp')`` over the file's
+    members (48 bits × ≤2^14 rows per file stays far under BIGINT, and
+    a plain sum is partitioning-invariant where a hash-of-concat is
+    not) — so two exports disagree on ANY file's membership with
+    probability ~2^-48 per file, and the check is a per-file integer
+    compare.
+
+    Scale shape: the permutation rides ``global_shuffle`` (one
+    corpus-size exchange); token/byte stats join back on id (narrow
+    columns only), and the rollup is one map-side-combined groupBy with
+    ~n/rows_per_file output rows.
+    """
+    assign = global_shuffle(df, seed, id_col, bucket_chars, rows_per_file)
+    toks = F.size(
+        F.filter(F.split(F.col(text_col), " "), lambda x: F.length(x) > 0)
+    )
+    body = df.select(
+        F.col(id_col).alias("id"),
+        toks.cast("long").alias("_tok"),
+        F.octet_length(F.col(text_col)).cast("long").alias("_byt"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":fp"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long").alias("_fp"),
+    )
+    return (
+        assign.join(body, "id")
+        .groupBy("out_file")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("shuffle_pos").alias("first_pos"),
+            F.max("shuffle_pos").alias("last_pos"),
+            F.sum("_tok").alias("n_tokens"),
+            F.sum("_byt").alias("n_bytes"),
+            F.sum("_fp").alias("content_fp"),
+        )
+    )

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from typing import Dict
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _HASH_SPACE = 1 << 32
@@ -67,6 +67,38 @@ def stratified_sample(
             F.col(strata_col) == value, F.lit(_threshold(rate))
         ).otherwise(threshold)
     return df.filter(key_hash32(F.col(key_col)) < threshold)
+
+
+def topk_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    k: int,
+) -> DataFrame:
+    """EXACT-k per-stratum sample: the *k* rows with the smallest
+    ``md5(key)`` in each stratum — the deterministic, distributed
+    equivalent of per-group reservoir sampling.  Rate-based sampling
+    (:func:`stratified_sample`) yields Binomial(n, p) rows; when the
+    contract is "exactly k eval docs per language", bottom-k-by-hash is
+    the right tool: reproducible across runs/engines/partitionings,
+    uniform over the stratum (md5 order is independent of any data
+    order), and mergeable (the bottom-k of a union is the bottom-k of
+    each side's bottom-k — the same semilattice argument as the
+    sketches).
+
+    Output: all input columns + ``sample_rank`` (1-based within
+    stratum).  Plan shape: the ``row_number ≤ k`` filter plans as
+    ``WindowGroupLimit Partial`` below the stratum exchange, so each
+    map task forwards at most k rows per stratum it sees — the shuffle
+    carries O(tasks·strata·k), never the corpus.
+    """
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )
 
 
 def mixture_sample(

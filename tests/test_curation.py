@@ -323,3 +323,42 @@ def test_paragraph_dedup_partitioning_invariant(spark, docs):
     )
     assert a == b
     assert all(n >= 1 for _, _, n in a)  # shared head always drops
+
+
+def test_export_manifest_membership_and_fingerprint(spark):
+    import hashlib
+
+    from podcast_crawler_spark.operators.curation import (
+        export_manifest,
+        global_shuffle,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "tok " * (i % 5 + 1)) for i in range(57)],
+        "doc_id long, text string",
+    )
+    man = {r.out_file: r for r in export_manifest(df, rows_per_file=10).collect()}
+    assign = global_shuffle(df, rows_per_file=10).collect()
+    by_file = {}
+    for r in assign:
+        by_file.setdefault(r.out_file, []).append(r)
+    assert set(man) == set(by_file)
+    total = 0
+    for f, rows in by_file.items():
+        m = man[f]
+        assert m.n_docs == len(rows)
+        assert m.first_pos == min(r.shuffle_pos for r in rows)
+        assert m.last_pos == max(r.shuffle_pos for r in rows)
+        fp = sum(
+            int(hashlib.md5(f"{r.id}:fp".encode()).hexdigest()[:12], 16)
+            for r in rows
+        )
+        assert m.content_fp == fp
+        total += m.n_docs
+        # 'tok ' * k splits to k tokens; ids unknown per file, so check sum
+        assert m.n_tokens == sum((r.id % 5 + 1) for r in rows)
+        assert m.n_bytes == sum(4 * (r.id % 5 + 1) for r in rows)
+    assert total == 57
+    # full files hold exactly rows_per_file docs; only the last is ragged
+    sizes = [man[f].n_docs for f in sorted(man)]
+    assert sizes[:-1] == [10] * 5 and sizes[-1] == 7

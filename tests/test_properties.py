@@ -238,3 +238,41 @@ def test_cuckoo_insert_delete_invariants(keys):
     if len(live):
         assert cf.contains(live).all()
     assert cf.size == len(live)
+
+
+def test_topk_sample_exact_k_merge_and_plan(spark):
+    """bottom-k-by-hash: exact k per stratum, partition-invariant, and
+    the union-merge law (bottom-k of union == bottom-k of per-side
+    bottom-k); WindowGroupLimit Partial keeps map output bounded."""
+    from podcast_crawler_spark.operators.sampling import topk_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(200)],
+        "doc_id long, lang string",
+    )
+    out = topk_sample(df, "doc_id", "lang", k=7)
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert counts == {"en": 7, "de": 7}
+    # partition invariance
+    a = {(r.doc_id, r.sample_rank) for r in out.collect()}
+    b = {
+        (r.doc_id, r.sample_rank)
+        for r in topk_sample(df.repartition(13), "doc_id", "lang", k=7).collect()
+    }
+    assert a == b
+    # merge law
+    left = df.filter("doc_id < 100")
+    right = df.filter("doc_id >= 100")
+    merged = topk_sample(
+        topk_sample(left, "doc_id", "lang", k=7)
+        .drop("sample_rank")
+        .unionByName(topk_sample(right, "doc_id", "lang", k=7).drop("sample_rank")),
+        "doc_id",
+        "lang",
+        k=7,
+    )
+    assert {(r.doc_id, r.sample_rank) for r in merged.collect()} == a
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
