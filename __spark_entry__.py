@@ -700,6 +700,35 @@ def _pack_shards(spark, sf_dir):
     )
 
 
+def _snapshot_expiry(spark, sf_dir):
+    # warehouse retention audit: snapshot log + merge-on-read segment
+    # references synthesized from doc ids (snapshot i reads segments
+    # max(1, i-2)..i), retention = newest 5 ids OR age <= 12000s at
+    # now=50000.  The oracle recomputes the rank window, the age rule
+    # and the reachability rollup.
+    from podcast_crawler_spark.plans.checkpoint import snapshot_expiry_plan
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") >= 1) & (F.col("doc_id") <= 50)
+    )
+    snaps = docs.select(
+        F.col("doc_id").alias("snapshot_id"),
+        (F.col("doc_id") * 1000).alias("committed_ts"),
+    )
+    refs = snaps.select(
+        "snapshot_id",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(1), F.col("snapshot_id") - 2),
+                F.col("snapshot_id"),
+            )
+        ).alias("segment"),
+    )
+    return snapshot_expiry_plan(
+        snaps, refs, retain_last=5, max_age_s=12000, now_ts=50000
+    )
+
+
 def _compaction_plan(spark, sf_dir):
     # Iceberg-style small-file compaction planning: synthesize a file
     # listing from orders (part = orderkey % 8, deterministic sizes),
@@ -2034,6 +2063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _pii_scrub,
         "pack_shards": _pack_shards,
         "compaction_plan": _compaction_plan,
+        "snapshot_expiry": _snapshot_expiry,
         "global_shuffle": _global_shuffle,
         "export_manifest": _export_manifest,
         "mm_image_meta": _mm_image_meta,
@@ -3535,6 +3565,23 @@ def oracle_sql() -> dict[str, str]:
             select id, n_tokens::INT n_tokens, start_offset,
                    (start_offset // 2048)::BIGINT shard_id
             from packed
+        """,
+        "snapshot_expiry": """
+            with s as (select doc_id snapshot_id, doc_id*1000 committed_ts
+                       from documents where doc_id between 1 and 50),
+            k as (select snapshot_id,
+                    (row_number() over (order by snapshot_id desc) <= 5
+                     or committed_ts >= 50000 - 12000) keep
+                  from s),
+            r as (select snapshot_id,
+                         unnest(range(greatest(1, snapshot_id - 2),
+                                      snapshot_id + 1)) segment
+                  from s)
+            select segment, count(*) n_refs,
+                   sum(case when keep then 1 else 0 end)::BIGINT n_kept_refs,
+                   (sum(case when keep then 1 else 0 end) = 0) deletable
+            from r left join k using (snapshot_id)
+            group by 1
         """,
         "compaction_plan": """
             with files as (

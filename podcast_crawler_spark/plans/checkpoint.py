@@ -259,6 +259,57 @@ class SnapshotTable:
         os.rename(tmp, os.path.join(self.snap_dir, f"{snap_id}.json"))
         return snap_id
 
+    def expire(
+        self,
+        retain_last: int = 2,
+        max_age_s: Optional[float] = None,
+        now: Optional[float] = None,
+    ) -> Dict:
+        """Expire old snapshots (Iceberg ``expire_snapshots``): drop
+        manifests outside the retention rule (keep the newest
+        *retain_last* ids, plus everything younger than *max_age_s*),
+        then delete exactly the data segments no RETAINED snapshot
+        references — merge-on-read lineage means an old delta segment
+        stays alive as long as any kept snapshot's ``segments`` list
+        includes it, so reachability (not age) decides file deletion;
+        time travel to an expired id fails loudly afterwards.
+
+        Driver-side by design: the manifest set is O(commits), the same
+        scale at which Iceberg's own expire action plans (the
+        DataFrame-shaped planner for fleet-wide listings is
+        :func:`snapshot_expiry_plan`).  Returns
+        ``{"expired": [...], "deleted_dirs": [...]}``."""
+        import shutil
+
+        ids = self.snapshot_ids()
+        if not ids:
+            return {"expired": [], "deleted_dirs": []}
+        now = time.time() if now is None else now
+        kept = set(ids[-max(retain_last, 1):])
+        if max_age_s is not None:
+            for sid in ids:
+                man = self.manifest(sid)
+                if man and now - man["committed_at_unix"] <= max_age_s:
+                    kept.add(sid)
+        reachable = set()
+        for sid in kept:
+            man = self.manifest(sid)
+            reachable.update(man.get("segments") or [man["data_dir"]])
+        expired = [sid for sid in ids if sid not in kept]
+        deleted = []
+        for sid in expired:
+            man = self.manifest(sid)
+            # manifest first: a crash between the two deletes leaves an
+            # orphan data dir (harmless, re-collected next expire), never
+            # a manifest pointing at deleted data.
+            os.remove(os.path.join(self.snap_dir, f"{sid}.json"))
+            for seg in man.get("segments") or [man["data_dir"]]:
+                if seg not in reachable and os.path.isdir(seg):
+                    shutil.rmtree(seg)
+                    deleted.append(seg)
+                    reachable.add(seg)  # counted once
+        return {"expired": expired, "deleted_dirs": sorted(set(deleted))}
+
     def num_segments(self) -> int:
         man = self.manifest()
         if man is None:
@@ -295,6 +346,53 @@ class SnapshotTable:
         if res and len(segments) > 1:
             df = resolve_lww(df, res["key"], res["order_col"])
         return df
+
+
+def snapshot_expiry_plan(
+    snapshots: DataFrame,
+    refs: DataFrame,
+    retain_last: int,
+    max_age_s: int,
+    now_ts: int,
+) -> DataFrame:
+    """Fleet-wide snapshot-expiry planning as DataFrames — which data
+    segments are DELETABLE given a retention rule, across a listing of
+    many tables' snapshot logs (``SnapshotTable.expire`` is the
+    single-table driver-side action; this is the audit/planning query a
+    warehouse janitor runs over thousands of tables at once).
+
+    Inputs: *snapshots* ``(snapshot_id, committed_ts)`` and *refs*
+    ``(snapshot_id, segment)`` (one row per segment a snapshot can
+    read — merge-on-read snapshots reference every live delta).  Rule:
+    keep the newest *retain_last* ids plus everything with
+    ``committed_ts ≥ now_ts − max_age_s``; a segment is deletable iff
+    NO kept snapshot references it (reachability, not age).
+
+    Output: ``(segment, n_refs, n_kept_refs, deletable)``.  The rank
+    window is unpartitioned by design — its input is O(snapshots)
+    (bounded by commit count, the manifest scale), while the
+    reachability rollup on *refs* is a normal keyed aggregation that
+    distributes over the segment space.
+    """
+    w = Window.orderBy(F.desc("snapshot_id"))
+    kept = snapshots.select(
+        "snapshot_id",
+        (
+            (F.row_number().over(w) <= retain_last)
+            | (F.col("committed_ts") >= F.lit(now_ts - max_age_s))
+        ).alias("keep"),
+    )
+    return (
+        refs.join(kept, "snapshot_id", "left")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_refs"),
+            F.sum(F.coalesce(F.col("keep").cast("long"), F.lit(0))).alias(
+                "n_kept_refs"
+            ),
+        )
+        .withColumn("deletable", F.col("n_kept_refs") == 0)
+    )
 
 
 def compaction_plan(

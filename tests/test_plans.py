@@ -487,3 +487,82 @@ def test_compaction_plan_one_exchange(spark):
     assert p.count("Exchange") == 1, p
     assert "hashpartitioning(part" in p, p
     assert "Python" not in p, p
+
+
+def test_snapshot_expire_reachability(spark, tmp_path):
+    """expire() drops old manifests but deletes ONLY segments no kept
+    snapshot references: merge-on-read lineage keeps every live delta
+    segment; after compact() the old segments become orphans and go."""
+    import os
+
+    from podcast_crawler_spark.plans.checkpoint import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path), "t")
+    base = spark.createDataFrame([(1, "a", 1)], "k long, v string, ts long")
+    t.commit_delta(base, key="k", order_col="ts")
+    for i in range(2, 5):
+        t.commit_delta(
+            spark.createDataFrame([(i, "v", i)], "k long, v string, ts long"),
+            key="k",
+            order_col="ts",
+        )
+    assert t.snapshot_ids() == [1, 2, 3, 4]
+    res = t.expire(retain_last=2)
+    assert res["expired"] == [1, 2]
+    # MOR: snapshot 3/4 still read segments snap-1..snap-4 -> nothing deleted
+    assert res["deleted_dirs"] == []
+    assert t.snapshot_ids() == [3, 4]
+    for sid in (1, 2, 3, 4):
+        assert os.path.isdir(os.path.join(str(tmp_path), "t", "data", f"snap-{sid}"))
+    # time travel to an expired id fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        t.manifest(1)
+    # full read still resolves all four keys through the kept lineage
+    assert t.read(spark).count() == 4
+    # compact rewrites to one segment; a second expire collects the orphans
+    t.compact(spark)
+    res2 = t.expire(retain_last=1)
+    deleted = {os.path.basename(d) for d in res2["deleted_dirs"]}
+    assert deleted == {"snap-1", "snap-2", "snap-3", "snap-4"}
+    assert t.read(spark).count() == 4
+
+
+def test_snapshot_expiry_plan_matches_driver_action(spark, tmp_path):
+    """the DataFrame planner and the driver-side expire() agree on
+    segment deletability for the same log."""
+    from podcast_crawler_spark.plans.checkpoint import (
+        SnapshotTable,
+        snapshot_expiry_plan,
+    )
+
+    t = SnapshotTable(str(tmp_path), "t")
+    for i in range(1, 6):
+        t.commit_delta(
+            spark.createDataFrame([(i, i)], "k long, ts long"),
+            key="k",
+            order_col="ts",
+        )
+    t.compact(spark)  # snapshot 6 references only its own segment
+    snaps = spark.createDataFrame(
+        [(sid, t.manifest(sid)["committed_at_unix"]) for sid in t.snapshot_ids()],
+        "snapshot_id long, committed_ts double",
+    )
+    def _segs(sid):
+        man = t.manifest(sid)
+        return man.get("segments") or [man["data_dir"]]
+
+    refs = spark.createDataFrame(
+        [(sid, seg) for sid in t.snapshot_ids() for seg in _segs(sid)],
+        "snapshot_id long, segment string",
+    )
+    plan = {
+        r.segment: r.deletable
+        for r in snapshot_expiry_plan(
+            snaps, refs, retain_last=1, max_age_s=0, now_ts=int(2**62)
+        ).collect()
+    }
+    res = t.expire(retain_last=1)
+    for seg, deletable in plan.items():
+        assert (seg in res["deleted_dirs"]) == deletable, seg
