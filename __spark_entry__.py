@@ -884,6 +884,25 @@ def _range_join_sessions(spark, sf_dir):
     ).select("event_id", "user_id", "ts", "ivl_session_idx")
 
 
+def _fetch_latency_join(spark, sf_dir):
+    # interval-join kernel of the stream-stream fetch-health view, run
+    # in batch so DuckDB pins the join semantics (urls unique per row;
+    # outcomes exist for 2/3 of fetches, 0..14 min late, bound 10 min —
+    # late and missing outcomes surface as the null timeout rows the
+    # streaming leftOuter emits at watermark).
+    from podcast_crawler_spark.streaming.crawl_stream import fetch_outcome_join
+
+    ev = _t(spark, sf_dir, "events")
+    url = F.concat(F.lit("u"), F.col("event_id").cast("string")).alias("url")
+    sched = ev.select(url, F.col("ts").alias("sched_ts"))
+    outcomes = ev.filter(F.col("event_id") % 3 != 0).select(
+        url,
+        F.expr("timestampadd(MINUTE, event_id % 15, ts)").alias("done_ts"),
+        (200 + (F.col("event_id") % 2) * 304).cast("int").alias("status"),
+    )
+    return fetch_outcome_join(sched, outcomes, max_latency="10 minutes")
+
+
 def _rate_limit_slots(spark, sf_dir):
     # X4 governor recurrence as a batch operator (the SAME numpy kernel
     # the stateful streaming rate limiter carries across micro-batches):
@@ -2044,6 +2063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _token_counts,
         "doc_fingerprints": _doc_fingerprints,
         "rate_limit_slots": _rate_limit_slots,
+        "fetch_latency_join": _fetch_latency_join,
         "asof_join_events": _asof_join_events,
         "session_stats": _session_stats,
         "range_join_sessions": _range_join_sessions,
@@ -3410,6 +3430,18 @@ def oracle_sql() -> dict[str, str]:
             from events p join ivl i
               on p.user_id = i.user_id
              and p.ts between i.start_ts and i.end_ts
+        """,
+        "fetch_latency_join": """
+            with s as (select 'u' || event_id url, ts sched_ts from events),
+            o as (select 'u' || event_id url,
+                         ts + (event_id % 15) * interval 1 minute done_ts,
+                         (200 + (event_id % 2) * 304)::INT status
+                  from events where event_id % 3 != 0)
+            select s.url, sched_ts, done_ts, status,
+                   date_diff('second', sched_ts, done_ts) latency_s
+            from s left join o on s.url = o.url
+              and o.done_ts >= s.sched_ts
+              and o.done_ts <= s.sched_ts + interval 10 minute
         """,
         "rate_limit_slots": """
             with e as (

@@ -78,6 +78,12 @@ BENCH_QUERIES = [
     "hist_quantiles",
     "table_diff",
     "quantize_int8",
+    # round-3 session-3 additions
+    "main_content",
+    "dedup_minhash_inc",
+    "pmi_collocations",
+    "doc_keywords",
+    "export_manifest",
 ]
 
 

@@ -269,6 +269,54 @@ def streaming_dedup(
     )
 
 
+def fetch_outcome_join(
+    scheduled: DataFrame,
+    outcomes: DataFrame,
+    max_latency: str = "10 minutes",
+    watermark: str = "15 minutes",
+) -> DataFrame:
+    """Stream-stream INTERVAL join: every scheduled fetch ``(url,
+    sched_ts)`` left-joined to the outcome ``(url, done_ts, status)``
+    that arrives within *max_latency* — the live fetch-health view of
+    the crawl loop (reference semantics: the tokio fetch task reporting
+    back to the scheduler, `task_management_system.rs` result handling;
+    here the two sides are independent streams that meet in the
+    engine).
+
+    Emits ``(url, sched_ts, done_ts, status, latency_s)``.  A scheduled
+    row with NO outcome inside the bound emits once with nulls when the
+    watermark passes — TIMEOUT DETECTION comes free from the leftOuter
+    stream-stream contract instead of a custom timer operator.
+
+    Scale/state: both sides carry watermarks and the join condition
+    bounds event-time distance, so the state store holds only rows
+    inside the watermark horizon per side (hash-partitioned by url,
+    exactly a batch shuffle join's layout).  The SAME kernel runs in
+    batch (a plain interval join) — which is how the driver oracle
+    pins the join semantics while the streaming test pins the
+    watermark/timeout behavior.
+    """
+    s = scheduled.withWatermark("sched_ts", watermark).alias("s")
+    o = outcomes.withWatermark("done_ts", watermark).alias("o")
+    joined = s.join(
+        o,
+        F.expr(
+            "s.url = o.url AND o.done_ts >= s.sched_ts "
+            f"AND o.done_ts <= s.sched_ts + interval {max_latency}"
+        ),
+        "leftOuter",
+    )
+    return joined.select(
+        F.col("s.url").alias("url"),
+        F.col("s.sched_ts").alias("sched_ts"),
+        F.col("o.done_ts").alias("done_ts"),
+        F.col("o.status").alias("status"),
+        (
+            F.unix_timestamp("o.done_ts") - F.unix_timestamp("s.sched_ts")
+        ).alias("latency_s"),
+    )
+
+
 SESSIONIZER_OUTPUT = (
     "user_id long, session_start_unix double, session_end_unix double,"
     " n_events long, duration_s double"

@@ -376,3 +376,69 @@ def test_windowed_event_counts_runs_on_stream(spark, tmp_path):
     closed = [r for r in got if r["window_start_unix"] == bstart]
     assert len(closed) == 1  # emitted exactly once, after watermark passed
     assert closed[0]["n_events"] == 2 and closed[0]["n_users"] == 2
+
+
+def test_fetch_outcome_join_stream_timeout(spark, tmp_path):
+    """stream-stream interval join: matched outcomes emit with latency;
+    a scheduled fetch with no outcome emits ONE null (timeout) row only
+    after the watermark passes its join horizon."""
+    import datetime as dt
+
+    from podcast_crawler_spark.streaming.crawl_stream import fetch_outcome_join
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    sdir = str(tmp_path / "sched")
+    odir = str(tmp_path / "outc")
+    os.makedirs(sdir)
+    os.makedirs(odir)
+
+    def mk(rows, schema):
+        return spark.createDataFrame(rows, schema)
+
+    drop_batch(
+        mk([("u1", t0), ("u2", t0)], "url string, sched_ts timestamp"),
+        tmp_path, sdir, "s1",
+    )
+    drop_batch(
+        mk(
+            [("u1", t0 + dt.timedelta(minutes=2), 200)],
+            "url string, done_ts timestamp, status int",
+        ),
+        tmp_path, odir, "o1",
+    )
+    sched = spark.readStream.schema("url string, sched_ts timestamp").parquet(sdir)
+    outc = spark.readStream.schema(
+        "url string, done_ts timestamp, status int"
+    ).parquet(odir)
+    q = (
+        fetch_outcome_join(sched, outc, max_latency="10 minutes",
+                           watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("fetch_join_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "fj_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows1 = {r.url: r for r in spark.sql("select * from fetch_join_sink").collect()}
+        # u1 matched; u2 NOT yet emitted (its timeout window is open)
+        assert "u1" in rows1 and rows1["u1"].latency_s == 120
+        assert "u2" not in rows1
+        # advance both watermarks far past u2's horizon
+        late = t0 + dt.timedelta(hours=2)
+        drop_batch(
+            mk([("u9", late)], "url string, sched_ts timestamp"),
+            tmp_path, sdir, "s2",
+        )
+        drop_batch(
+            mk([("u9", late, 200)], "url string, done_ts timestamp, status int"),
+            tmp_path, odir, "o2",
+        )
+        q.processAllAvailable()
+        q.processAllAvailable()
+        rows2 = {r.url: r for r in spark.sql("select * from fetch_join_sink").collect()}
+    finally:
+        q.stop()
+    assert "u2" in rows2, sorted(rows2)
+    assert rows2["u2"].done_ts is None and rows2["u2"].latency_s is None
