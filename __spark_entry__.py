@@ -1694,6 +1694,48 @@ def _crawl_host_rank(spark, sf_dir):
     return graph.pagerank(edges, iters=5)
 
 
+def _hop_distance(spark, sf_dir):
+    # crawl-depth tracking: BFS hop distance from the seed hosts over
+    # the synthesized host graph (delta-frontier joins, one equi-join
+    # shuffle per level — never O(nodes * rounds)).  Seeds are the
+    # hosts ≡ 0 (mod 10); BFS min-distance is order-independent, so
+    # the unrolled DuckDB chain recomputes the exact level sets.
+    from podcast_crawler_spark.operators import graph
+
+    ev = _t(spark, sf_dir, "events")
+    edges = (
+        ev.select(
+            (F.col("user_id") % 97).alias("src"),
+            ((F.col("user_id") * 31 + F.col("event_id")) % 97).alias("dst"),
+        )
+        .filter("src <> dst")
+        .distinct()
+    )
+    seeds = edges.select(F.col("src").alias("node")).filter(
+        F.col("node") % 10 == 0
+    ).distinct()
+    return graph.hop_distance(edges, seeds, max_hops=4)
+
+
+def _triangle_counts(spark, sf_dir):
+    # per-host triangle counts (local clustering — the link-farm /
+    # mutual-citation downrank signal): degree-oriented wedge join
+    # bounds the quadratic step at O(sqrt(m)) per node even for hub
+    # hosts (Suri & Vassilvitskii, WWW'11).
+    from podcast_crawler_spark.operators import graph
+
+    ev = _t(spark, sf_dir, "events")
+    edges = (
+        ev.select(
+            (F.col("user_id") % 97).alias("src"),
+            ((F.col("user_id") * 31 + F.col("event_id")) % 97).alias("dst"),
+        )
+        .filter("src <> dst")
+        .distinct()
+    )
+    return graph.triangle_counts(edges)
+
+
 def _hits_scores(spark, sf_dir):
     # HITS hubs/authorities over the same synthesized host graph —
     # integer max-normalized iterations, unrolled-CTE oracle.
@@ -2029,6 +2071,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_host_rank": _crawl_host_rank,
         "budget_apportion": _budget_apportion,
         "hits_scores": _hits_scores,
+        "hop_distance": _hop_distance,
+        "triangle_counts": _triangle_counts,
         "classifier_score": _classifier_score,
         "sitemap_scan": _sitemap_scan,
         "span_dedup": _span_dedup,
@@ -2918,6 +2962,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         # HITS: unrolled integer max-normalized iterations
         "hits_scores": graph.hits_oracle_sql(_PR_EDGES_SQL, iters=3),
+        "hop_distance": graph.hop_distance_oracle_sql(
+            _PR_EDGES_SQL,
+            f"select distinct src as node from ({_PR_EDGES_SQL}) e"
+            " where src % 10 = 0",
+            max_hops=4,
+        ),
+        "triangle_counts": graph.triangle_oracle_sql(_PR_EDGES_SQL),
         # SURT keys: string/array derivation replay
         "domain_rollup": """
             with h as (

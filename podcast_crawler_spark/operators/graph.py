@@ -566,3 +566,177 @@ def resolve_redirects(
         F.when(F.col("done"), F.col("hops")).cast("long").alias("hops"),
         (~F.col("done")).alias("cyclic"),
     )
+
+
+def hop_distance(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Crawl-depth tracking: BFS hop distance from the seed set over a
+    link graph, bounded at ``max_hops`` — the "how far from a seed did
+    this URL enter the frontier" signal every breadth-limited crawler
+    keys its budget and trap heuristics on (the reference's frontier
+    carries no depth at all; tasks are scheduled by insertion order,
+    ``task_management_system.rs:272-296``).  Returns ``(node, hops)``
+    for every node reachable within ``max_hops`` (seeds at 0);
+    unreachable nodes are absent, so a left join of the frontier
+    against the result gives the "beyond horizon" set.
+
+    Delta BFS, the Pregel shape: per round the join input is ONLY the
+    frontier discovered last round (not the visited set), so round i
+    costs one O(frontier_i ⋈ edges) equi-join shuffle plus one
+    O(candidates) anti-join against visited — never O(nodes · rounds).
+    ``localCheckpoint`` per round truncates lineage (same discipline as
+    :func:`pagerank`).  At 10^8 hosts / 10^10 edges the per-round
+    frontier is the scale unit, and a hot hub expanding to millions of
+    dsts is an ordinary skewed equi-join (AQE splits it); nothing is
+    ever collected to the driver.
+
+    BFS min-distance is deterministic for any execution order, so the
+    unrolled DuckDB chain in :func:`hop_distance_oracle_sql` recomputes
+    the exact (node, hops) set — a full-value oracle, no tripwires.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
+    frontier = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("int").alias("hops"))
+    )
+    if checkpoint:
+        frontier = frontier.localCheckpoint(eager=True)
+    visited = frontier
+    for i in range(max_hops):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(i + 1).cast("int").alias("hops"))
+        )
+        if checkpoint:
+            nxt = nxt.localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt)
+        if checkpoint:
+            visited = visited.localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+def hop_distance_oracle_sql(
+    edges_sql: str, seeds_sql: str, max_hops: int = 4
+) -> str:
+    """DuckDB recomputation of :func:`hop_distance`: the same unrolled
+    frontier chain (distinct dsts of the previous frontier, minus the
+    union of all earlier levels).  ``seeds_sql`` selects a ``node``
+    column; ``edges_sql`` selects (src, dst)."""
+    parts = [
+        f"with edges as ({edges_sql})",
+        f"v0 as (select distinct node, 0::int hops from ({seeds_sql}) s)",
+        "a0 as (select node from v0)",
+    ]
+    for i in range(max_hops):
+        parts.append(
+            f"v{i + 1} as (select distinct e.dst as node,"
+            f" {i + 1}::int hops"
+            f" from v{i} f join edges e on f.node = e.src"
+            f" where e.dst not in (select node from a{i}))"
+        )
+        parts.append(
+            f"a{i + 1} as (select node from a{i}"
+            f" union select node from v{i + 1})"
+        )
+    levels = " union all ".join(
+        f"select * from v{i}" for i in range(max_hops + 1)
+    )
+    joined = ",\n".join(parts)
+    return f"{joined}\n{levels}"
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected graph given as a
+    directed edge table (each {u,v} link in either or both directions;
+    self-loops ignored) — the local-clustering signal link-spam and
+    mutual-citation farms light up on (a crawl-scheduler downrank
+    input; Suri & Vassilvitskii, WWW'11 give the MapReduce shape used
+    here).  Returns ``(node, triangles)`` for nodes in ≥1 triangle.
+
+    Degree orientation is the scale move: symmetrize + dedup, then
+    orient every undirected edge from the (degree, id)-smaller toward
+    the larger endpoint.  The oriented out-degree is O(√m) even for a
+    10^7-degree hub, so the wedge self-join — the quadratic step —
+    is bounded per node by √m, not by the hub degree: total wedges
+    ≤ m^1.5 (the theoretical floor), reached with TWO shuffles of the
+    oriented edge list and one (a,c) hash-join probe.  No windows, no
+    driver state; counts come back per corner via a final union-
+    groupBy with map-side combine.
+    """
+    raw = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    und = (
+        raw.select("u", "v")
+        .union(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("u").alias("a"), F.col("d").alias("da"))
+    dv = deg.select(F.col("u").alias("b"), F.col("d").alias("db"))
+    oriented = (
+        und.join(du, und["u"] == du["a"])
+        .join(dv, und["v"] == dv["b"])
+        .filter(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v")
+    )
+    e1 = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = oriented.select(F.col("u").alias("y2"), F.col("v").alias("z"))
+    wedges = e1.join(e2, e1["y"] == e2["y2"]).select("x", "y", "z")
+    tri = wedges.join(
+        oriented,
+        (wedges["x"] == oriented["u"]) & (wedges["z"] == oriented["v"]),
+    ).select("x", "y", "z")
+    corners = (
+        tri.select(F.col("x").alias("node"))
+        .union(tri.select(F.col("y").alias("node")))
+        .union(tri.select(F.col("z").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("triangles")
+    )
+
+
+def triangle_oracle_sql(edges_sql: str) -> str:
+    """DuckDB recomputation of :func:`triangle_counts` — same
+    symmetrize / degree-orient / wedge-close chain."""
+    return f"""
+        with raw as (select * from ({edges_sql}) t where src <> dst),
+        und as (select src u, dst v from raw
+                union select dst, src from raw),
+        deg as (select u, count(*)::BIGINT d from und group by 1),
+        o as (select und.u, und.v from und
+              join deg a on und.u = a.u join deg b on und.v = b.u
+              where a.d < b.d or (a.d = b.d and und.u < und.v)),
+        tri as (select w.x, w.y, w.z
+                from (select e1.u x, e1.v y, e2.v z
+                      from o e1 join o e2 on e1.v = e2.u) w
+                join o on w.x = o.u and w.z = o.v),
+        corners as (select x node from tri
+                    union all select y from tri
+                    union all select z from tri)
+        select node, count(*)::BIGINT triangles from corners group by 1
+    """

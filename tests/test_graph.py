@@ -308,3 +308,160 @@ def test_resolve_redirects_rejects_ambiguous_map(spark):
     edges = spark.createDataFrame([(1, 2), (1, 3)], "src long, dst long")
     with pytest.raises(ValueError, match="multiple outgoing"):
         resolve_redirects(edges)
+
+
+# ---------------------------------------------------------------- BFS
+
+
+def _py_bfs(edges, seeds, max_hops):
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for i in range(max_hops):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = i + 1
+                    nxt.add(v)
+        frontier = nxt
+    return dist
+
+
+def test_hop_distance_matches_python_bfs(spark):
+    from podcast_crawler_spark.operators.graph import hop_distance
+
+    edges = [(i, (i * 7 + 3) % 23) for i in range(40)] + [(100, 101)]
+    seeds = [1, 5]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame([(x,) for x in seeds], "node long")
+    got = {
+        r["node"]: r["hops"]
+        for r in hop_distance(e, s, max_hops=3).collect()
+    }
+    assert got == _py_bfs(edges, seeds, 3)
+    # unreachable component absent
+    assert 100 not in got and 101 not in got
+
+
+def test_hop_distance_seed_rediscovery_keeps_zero(spark):
+    # a cycle back into a seed must not overwrite hops=0
+    from podcast_crawler_spark.operators.graph import hop_distance
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1)], "src long, dst long"
+    )
+    s = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["hops"]
+        for r in hop_distance(e, s, max_hops=4).collect()
+    }
+    assert got == {1: 0, 2: 1}
+
+
+def test_hop_distance_delta_join_not_visited_join(spark):
+    # the per-round join input must be the newly-discovered frontier,
+    # not the whole visited set: after the frontier empties, further
+    # rounds discover nothing (and the loop's joins see empty input).
+    from podcast_crawler_spark.operators.graph import hop_distance
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    s = spark.createDataFrame([(1,)], "node long")
+    got = hop_distance(e, s, max_hops=10)
+    assert got.count() == 3  # terminates, no duplicate levels
+
+
+def test_hop_distance_oracle_sql_matches(spark):
+    import duckdb
+    from podcast_crawler_spark.operators.graph import (
+        hop_distance, hop_distance_oracle_sql,
+    )
+
+    edges = [(i, (i * 3 + 1) % 17) for i in range(30)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame([(0,), (4,)], "node long")
+    got = sorted(
+        (r["node"], r["hops"])
+        for r in hop_distance(e, s, max_hops=4).collect()
+    )
+    vals = ",".join(f"({a}::BIGINT,{b}::BIGINT)" for a, b in edges)
+    osql = hop_distance_oracle_sql(
+        f"select * from (values {vals}) t(src,dst)",
+        "select * from (values (0::BIGINT),(4::BIGINT)) s(node)",
+        max_hops=4,
+    )
+    exp = sorted((int(a), int(b)) for a, b in duckdb.sql(osql).fetchall())
+    assert got == exp
+
+
+# ---------------------------------------------------------- triangles
+
+
+def _py_triangles(edges):
+    adj = {}
+    nodes = set()
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+        nodes.update((s, d))
+    cnt = {}
+    for a in nodes:
+        for b in adj.get(a, ()):
+            if b <= a:
+                continue
+            for c in adj.get(b, ()):
+                if c <= b:
+                    continue
+                if c in adj.get(a, ()):
+                    for v in (a, b, c):
+                        cnt[v] = cnt.get(v, 0) + 1
+    return cnt
+
+
+def test_triangle_counts_matches_python(spark):
+    from podcast_crawler_spark.operators.graph import triangle_counts
+
+    edges = [(i, (i * 5 + 2) % 13) for i in range(40)] + [
+        (1, 2), (2, 3), (3, 1),  # explicit triangle
+        (7, 7),                  # self-loop ignored
+        (2, 1),                  # reverse duplicate collapses
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["triangles"] for r in triangle_counts(e).collect()
+    }
+    assert got == _py_triangles(edges)
+
+
+def test_triangle_counts_oriented_join_bounds_hub(spark):
+    # star graph: hub connected to 50 leaves, no triangles at all —
+    # the degree orientation points every edge AT the hub, so the
+    # wedge join on the hub side has zero out-out pairs.
+    from podcast_crawler_spark.operators.graph import triangle_counts
+
+    e = spark.createDataFrame(
+        [(0, i) for i in range(1, 51)], "src long, dst long"
+    )
+    assert triangle_counts(e).count() == 0
+
+
+def test_triangle_oracle_sql_matches(spark):
+    import duckdb
+    from podcast_crawler_spark.operators.graph import (
+        triangle_counts, triangle_oracle_sql,
+    )
+
+    edges = [(i, (i * 5 + 2) % 13) for i in range(40)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted(
+        (r["node"], r["triangles"])
+        for r in triangle_counts(e).collect()
+    )
+    vals = ",".join(f"({a}::BIGINT,{b}::BIGINT)" for a, b in edges)
+    osql = triangle_oracle_sql(f"select * from (values {vals}) t(src,dst)")
+    exp = sorted((int(a), int(b)) for a, b in duckdb.sql(osql).fetchall())
+    assert got == exp
