@@ -41,6 +41,7 @@ from podcast_crawler_spark.operators import (
     similarity,
     sketches,
     textstats,
+    traps,
 )
 from podcast_crawler_spark.functions import urlfns
 from podcast_crawler_spark.operators.frontier import CrawlConfig, schedule_epoch, seed_scan
@@ -1620,6 +1621,31 @@ def _sitemap_scan(spark, sf_dir):
     return sitemap.scan_sitemaps(docs)
 
 
+def _mirror_hosts(spark, sf_dir):
+    # mirror-site detection: host pairs serving overlapping content-
+    # digest sets (the cross-site DUST case).  The (host, digest)
+    # table is synthesized SQL-reproducibly from documents: each doc
+    # lands on host h{doc_id % 23}, content identity is doc_id % 97 —
+    # so hosts systematically share content and the containment math
+    # runs on real overlap structure.
+    from podcast_crawler_spark.operators import traps
+
+    docs = _t(spark, sf_dir, "documents")
+    hd = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 23).cast("string")).alias(
+            "host"
+        ),
+        F.md5((F.col("doc_id") % 97).cast("string")).alias("digest"),
+    )
+    return traps.mirror_hosts(hd, min_shared=2, max_digest_hosts=1000)
+
+
+_MIRROR_HD_SQL = (
+    "select 'h' || (doc_id % 23)::varchar as host,"
+    " md5((doc_id % 97)::varchar) as digest from documents"
+)
+
+
 def _classifier_score(spark, sf_dir):
     # hashed-linear (fastText-style) quality classifier: the hashing
     # trick makes the model a pure expression — map-side, zero shuffle;
@@ -2073,6 +2099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": _hits_scores,
         "hop_distance": _hop_distance,
         "triangle_counts": _triangle_counts,
+        "mirror_hosts": _mirror_hosts,
         "classifier_score": _classifier_score,
         "sitemap_scan": _sitemap_scan,
         "span_dedup": _span_dedup,
@@ -2969,6 +2996,9 @@ def oracle_sql() -> dict[str, str]:
             max_hops=4,
         ),
         "triangle_counts": graph.triangle_oracle_sql(_PR_EDGES_SQL),
+        "mirror_hosts": traps.mirror_oracle_sql(
+            _MIRROR_HD_SQL, min_shared=2, max_digest_hosts=1000
+        ),
         # SURT keys: string/array derivation replay
         "domain_rollup": """
             with h as (

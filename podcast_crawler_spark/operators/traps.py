@@ -164,3 +164,108 @@ def dust_params(
             "is_dust"
         ),
     )
+
+
+def mirror_hosts(
+    docs: DataFrame,
+    host_col: str = "host",
+    digest_col: str = "digest",
+    min_shared: int = 2,
+    max_digest_hosts: int = 1000,
+) -> DataFrame:
+    """Mirror-site detection: host pairs serving (near-)identical
+    content sets, by content-digest overlap — the host-granularity
+    sibling of DUST (Bar-Yossef et al., WWW'07 detect duplicate URLs
+    *within* a site; mirrors are the cross-site case).  A crawler that
+    finds ``cdn1.example`` and ``cdn2.example`` serving 95% the same
+    digests should collapse them to one politeness/budget unit and stop
+    double-fetching.  The reference has no mirror logic (fixed seed
+    list); this is the required upgrade once discovery admits arbitrary
+    hosts.
+
+    Input: one row per (host, digest) — pass page content digests
+    (e.g. ``md5(text)``); duplicates within a host are collapsed.
+    Output per unordered host pair with ≥ ``min_shared`` shared
+    digests: ``(host_a, host_b, shared, n_a, n_b, containment_pct)``
+    where ``containment_pct = 100·shared div min(n_a, n_b)`` (integer
+    percent — exact across engines; 100 means the smaller host is
+    fully contained in the larger: a true mirror or a subset mirror).
+
+    Scale shape — the inverted-index join discipline of
+    ``dedup.ngram_jaccard_pairs``: pairs are generated by a self-join
+    on digest, so cost is Σ_d k_d² over digests, NOT n_hosts².
+    ``max_digest_hosts`` caps k_d: a digest served by more hosts than
+    that (boilerplate 404 pages, empty-page digests) is dropped from
+    pair generation — at web scale those digests carry no mirror
+    signal (they'd pair every host with every other) and are exactly
+    the quadratic blowup the cap exists to stop.  Per-host set sizes
+    come from one map-side-combine groupBy; everything that crosses an
+    exchange is (host, 16-byte digest) or smaller.
+    """
+    hd = docs.select(
+        F.col(host_col).alias("host"), F.col(digest_col).alias("digest")
+    ).distinct()
+    sizes = hd.groupBy("host").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = hd.groupBy("digest").agg(F.count(F.lit(1)).alias("k"))
+    cold = hd.join(
+        dfreq.filter(F.col("k") <= max_digest_hosts).select("digest"),
+        "digest",
+    )
+    a = cold.select("digest", F.col("host").alias("host_a"))
+    b = cold.select("digest", F.col("host").alias("host_b"))
+    shared = (
+        a.join(b, "digest")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    na = sizes.select(
+        F.col("host").alias("host_a"), F.col("n").alias("n_a")
+    )
+    nb = sizes.select(
+        F.col("host").alias("host_b"), F.col("n").alias("n_b")
+    )
+    return (
+        shared.join(na, "host_a")
+        .join(nb, "host_b")
+        .select(
+            "host_a",
+            "host_b",
+            "shared",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr("(100 * shared) div least(n_a, n_b)").alias(
+                "containment_pct"
+            ),
+        )
+    )
+
+
+def mirror_oracle_sql(
+    host_digest_sql: str, min_shared: int = 2, max_digest_hosts: int = 1000
+) -> str:
+    """DuckDB recomputation of :func:`mirror_hosts` over any
+    ``(host, digest)``-shaped subquery."""
+    return f"""
+        with hd as (select distinct host, digest
+                    from ({host_digest_sql}) t),
+        sizes as (select host, count(*)::BIGINT n from hd group by 1),
+        cold as (select hd.* from hd
+                 join (select digest from hd group by 1
+                       having count(*) <= {max_digest_hosts}) f
+                 using (digest)),
+        pairs as (select a.host host_a, b.host host_b,
+                         count(*)::BIGINT shared
+                  from cold a join cold b using (digest)
+                  where a.host < b.host
+                  group by 1, 2
+                  having count(*) >= {min_shared})
+        select p.host_a, p.host_b, p.shared,
+               sa.n n_a, sb.n n_b,
+               ((100 * p.shared) // least(sa.n, sb.n))::BIGINT
+                 containment_pct
+        from pairs p
+        join sizes sa on p.host_a = sa.host
+        join sizes sb on p.host_b = sb.host
+    """

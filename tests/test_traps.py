@@ -96,3 +96,67 @@ def test_dust_params_codegen_no_udf(spark):
     )
     plan = dust_params(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan, plan
+
+
+# ------------------------------------------------------------ mirrors
+
+
+def test_mirror_hosts_containment(spark):
+    from podcast_crawler_spark.operators.traps import mirror_hosts
+
+    # m1/m2 are exact mirrors of 4 digests; m3 shares 2 of them;
+    # lone has 1 unique digest (no pairs)
+    rows = []
+    for d in ["a", "b", "c", "d"]:
+        rows += [("m1", d), ("m2", d)]
+    rows += [("m3", "a"), ("m3", "b"), ("m3", "x")]
+    rows += [("lone", "z")]
+    rows += [("m1", "a")]  # within-host duplicate collapses
+    hd = spark.createDataFrame(rows, "host string, digest string")
+    got = {
+        (r["host_a"], r["host_b"]): (
+            r["shared"], r["n_a"], r["n_b"], r["containment_pct"]
+        )
+        for r in mirror_hosts(hd, min_shared=2).collect()
+    }
+    assert got == {
+        ("m1", "m2"): (4, 4, 4, 100),
+        ("m1", "m3"): (2, 4, 3, 66),
+        ("m2", "m3"): (2, 4, 3, 66),
+    }
+
+
+def test_mirror_hosts_hot_digest_capped(spark):
+    # a digest on every host (boilerplate 404) must not pair everyone
+    from podcast_crawler_spark.operators.traps import mirror_hosts
+
+    rows = [(f"h{i}", "boiler") for i in range(20)]
+    rows += [("h0", "real"), ("h1", "real"), ("h0", "r2"), ("h1", "r2")]
+    hd = spark.createDataFrame(rows, "host string, digest string")
+    got = mirror_hosts(hd, min_shared=2, max_digest_hosts=10).collect()
+    assert len(got) == 1
+    r = got[0]
+    # shared counts only the cold digests; sizes count everything
+    assert (r["host_a"], r["host_b"], r["shared"]) == ("h0", "h1", 2)
+    assert r["n_a"] == 3 and r["n_b"] == 3
+
+
+def test_mirror_oracle_sql_matches(spark):
+    import duckdb
+    from podcast_crawler_spark.operators.traps import (
+        mirror_hosts, mirror_oracle_sql,
+    )
+
+    rows = [
+        (f"h{i % 5}", f"d{(i * 7) % 13}") for i in range(60)
+    ]
+    hd = spark.createDataFrame(rows, "host string, digest string")
+    got = sorted(
+        tuple(r) for r in mirror_hosts(hd, min_shared=2).collect()
+    )
+    vals = ",".join(f"('{h}','{d}')" for h, d in rows)
+    osql = mirror_oracle_sql(
+        f"select * from (values {vals}) t(host, digest)", min_shared=2
+    )
+    exp = sorted(tuple(r) for r in duckdb.sql(osql).fetchall())
+    assert got == exp
