@@ -1621,6 +1621,24 @@ def _sitemap_scan(spark, sf_dir):
     return sitemap.scan_sitemaps(docs)
 
 
+def _winnow_fps(spark, sf_dir):
+    # winnowing fingerprints (Schleimer et al. '03): per-window
+    # rightmost-min k-gram md5 selection, all map-side array codegen;
+    # the oracle replays gram/window/tie-break byte-for-byte.
+    return textstats.winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), k=5, w=4
+    )
+
+
+def _containment_pairs(spark, sf_dir):
+    # asymmetric near-dup: winnow-fp overlap scored against the
+    # smaller doc's fingerprint set (Broder's containment, not
+    # resemblance) — catches excerpts/quotes Jaccard misses.
+    return dedup.containment_pairs(
+        _t(spark, sf_dir, "documents"), k=5, w=4, min_shared=2
+    )
+
+
 def _mirror_hosts(spark, sf_dir):
     # mirror-site detection: host pairs serving overlapping content-
     # digest sets (the cross-site DUST case).  The (host, digest)
@@ -2100,6 +2118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hop_distance": _hop_distance,
         "triangle_counts": _triangle_counts,
         "mirror_hosts": _mirror_hosts,
+        "winnow_fps": _winnow_fps,
+        "containment_pairs": _containment_pairs,
         "classifier_score": _classifier_score,
         "sitemap_scan": _sitemap_scan,
         "span_dedup": _span_dedup,
@@ -2998,6 +3018,13 @@ def oracle_sql() -> dict[str, str]:
         "triangle_counts": graph.triangle_oracle_sql(_PR_EDGES_SQL),
         "mirror_hosts": traps.mirror_oracle_sql(
             _MIRROR_HD_SQL, min_shared=2, max_digest_hosts=1000
+        ),
+        "winnow_fps": textstats.winnow_oracle_sql(
+            "select doc_id as id, text from documents", k=5, w=4
+        ),
+        "containment_pairs": dedup.containment_oracle_sql(
+            "select doc_id as id, text from documents",
+            k=5, w=4, min_shared=2,
         ),
         # SURT keys: string/array derivation replay
         "domain_rollup": """

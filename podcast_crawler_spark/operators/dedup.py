@@ -829,3 +829,106 @@ def span_dedup(
         (F.size("t") - F.size(clean)).cast("long").alias("n_dropped"),
         F.size("ps").cast("long").alias("n_dup_starts"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_freq: int = 1000,
+) -> DataFrame:
+    """Asymmetric (containment) near-dup detection over winnowing
+    fingerprints: doc pairs sharing fingerprinted token runs, scored by
+    how much of the SMALLER doc's fingerprint set the overlap covers —
+    the quote / boilerplate-superset / excerpt case Jaccard misses (a
+    200-token quote inside a 20k-token doc has Jaccard ≈ 0.01 but
+    containment ≈ 1.0; Broder'97 distinguishes resemblance from
+    containment for exactly this).
+
+    Output: ``(id_a, id_b, shared, n_a, n_b, containment_pct)`` with
+    ``id_a < id_b``, fingerprint-set sizes per doc, and
+    ``containment_pct = 100·shared div least(n_a, n_b)`` (integer —
+    exact across engines).  By the winnowing guarantee, any shared run
+    of ≥ w+k-1 tokens contributes ≥ 1 shared fingerprint, so recall on
+    long-enough quotes is structural, not probabilistic.
+
+    Scale shape — identical discipline to ``ngram_jaccard_pairs`` /
+    ``traps.mirror_hosts``: fingerprints are ~2n/(w+1) per doc
+    (map-side, zero shuffle), pair generation is an inverted-index
+    self-join on ``fp`` with the quadratic step bounded per fp by
+    ``max_fp_freq`` (a fingerprint in more docs than that is corpus
+    boilerplate — it pairs everyone with everyone and carries no
+    containment signal).  Only (id, 32-char fp) rows cross exchanges.
+    """
+    from podcast_crawler_spark.operators.textstats import (
+        winnow_fingerprints,
+    )
+
+    fps = winnow_fingerprints(
+        df, text_col=text_col, id_col=id_col, k=k, w=w
+    ).select("id", "fp").distinct()
+    sizes = fps.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
+    cold = fps.join(
+        freq.filter(F.col("c") <= max_fp_freq).select("fp"), "fp"
+    )
+    a = cold.select("fp", F.col("id").alias("id_a"))
+    b = cold.select("fp", F.col("id").alias("id_b"))
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "shared",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr("(100 * shared) div least(n_a, n_b)").alias(
+                "containment_pct"
+            ),
+        )
+    )
+
+
+def containment_oracle_sql(
+    docs_sql: str,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_freq: int = 1000,
+) -> str:
+    """DuckDB recomputation of :func:`containment_pairs` — nests the
+    winnowing oracle, then replays the capped pair join."""
+    from podcast_crawler_spark.operators.textstats import winnow_oracle_sql
+
+    wsql = winnow_oracle_sql(docs_sql, k=k, w=w)
+    return f"""
+        with fps as (select distinct id, fp from ({wsql}) t),
+        sizes as (select id, count(*)::BIGINT n from fps group by 1),
+        cold as (select fps.* from fps
+                 join (select fp from fps group by 1
+                       having count(*) <= {max_fp_freq}) f using (fp)),
+        pairs as (select a.id id_a, b.id id_b, count(*)::BIGINT shared
+                  from cold a join cold b using (fp)
+                  where a.id < b.id
+                  group by 1, 2
+                  having count(*) >= {min_shared})
+        select p.id_a, p.id_b, p.shared, sa.n n_a, sb.n n_b,
+               ((100 * p.shared) // least(sa.n, sb.n))::BIGINT
+                 containment_pct
+        from pairs p
+        join sizes sa on p.id_a = sa.id
+        join sizes sb on p.id_b = sb.id
+    """

@@ -526,3 +526,48 @@ def test_incremental_minhash_hot_corpus_bucket_bounded(spark):
     pairs = {(r.id_a, r.id_b) for r in rows}
     # exactly the star pair to the bucket representative (doc 0)
     assert pairs == {(0, 5000)}
+
+
+def test_containment_pairs_excerpt_detection(spark):
+    # a 10-token quote inside a long doc: Jaccard tiny, containment 100
+    from podcast_crawler_spark.operators.dedup import containment_pairs
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    long_doc = (
+        " ".join(f"f{(i * 13) % 211}" for i in range(150))
+        + " " + quote + " "
+        + " ".join(f"g{(i * 7) % 223}" for i in range(150))
+    )
+    docs = [(1, quote), (2, long_doc),
+            (3, "totally unrelated content with no shared runs at all")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["containment_pct"]
+        for r in containment_pairs(df, k=5, w=4, min_shared=1).collect()
+    }
+    assert got.get((1, 2)) == 100
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_containment_oracle_sql_matches(spark):
+    import duckdb
+    from podcast_crawler_spark.operators.dedup import (
+        containment_pairs, containment_oracle_sql,
+    )
+
+    docs = [
+        (i, " ".join(f"w{(i * j) % 23}" for j in range(60)))
+        for i in range(1, 11)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        tuple(r)
+        for r in containment_pairs(df, k=5, w=4, min_shared=2).collect()
+    )
+    vals = ",".join(f"({i}, '{t}')" for i, t in docs)
+    osql = containment_oracle_sql(
+        f"select * from (values {vals}) v(id, text)",
+        k=5, w=4, min_shared=2,
+    )
+    exp = sorted(tuple(r) for r in duckdb.sql(osql).fetchall())
+    assert got == exp

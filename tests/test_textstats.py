@@ -422,3 +422,101 @@ def test_pmi_topk_plan_no_global_sort(spark):
     )
     assert "TakeOrderedAndProject" in plan, plan
     assert "Python" not in plan, plan
+
+
+# ---------------------------------------------------------- winnowing
+
+
+def _py_winnow(text, k, w):
+    import hashlib
+
+    toks = text.split(" ")
+    grams = [
+        hashlib.md5(" ".join(toks[i:i + k]).encode()).hexdigest()
+        for i in range(max(len(toks) - k, 0) + 1)
+    ]
+    out = set()
+    for j in range(max(len(grams) - w, 0) + 1):
+        jend = min(j + w - 1, len(grams) - 1)
+        mh = min(grams[j:jend + 1])
+        pos = max(i for i in range(j, jend + 1) if grams[i] == mh)
+        out.add((pos, mh))
+    return out
+
+
+def test_winnow_matches_python(spark):
+    from podcast_crawler_spark.operators.textstats import (
+        winnow_fingerprints,
+    )
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog again and so"),
+        (2, "short doc"),
+        (3, "a"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id"], r["pos"], r["fp"])
+        for r in winnow_fingerprints(df, k=5, w=4).collect()
+    }
+    exp = {(i, p, h) for i, t in docs for (p, h) in _py_winnow(t, 5, 4)}
+    assert got == exp
+
+
+def test_winnow_guarantee_shared_run(spark):
+    # any shared run of >= w+k-1 tokens must share a fingerprint
+    from podcast_crawler_spark.operators.textstats import (
+        winnow_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 = w+k-1
+    docs = [
+        (1, "x1 y1 " + shared + " z1"),
+        (2, "p2 " + shared + " q2 r2 s2"),
+        (3, "unrelated words entirely here nothing common at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=5, w=4).collect()
+    by = {}
+    for r in fps:
+        by.setdefault(r["id"], set()).add(r["fp"])
+    assert by[1] & by[2]
+    assert not (by[1] & by[3])
+
+
+def test_winnow_density(spark):
+    # expected density ~ 2/(w+1): far fewer fingerprints than grams
+    from podcast_crawler_spark.operators.textstats import (
+        winnow_fingerprints,
+    )
+
+    text = " ".join(f"t{(i * 17) % 101}" for i in range(300))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    n_fp = winnow_fingerprints(df, k=5, w=4).count()
+    n_grams = 300 - 5 + 1
+    assert n_fp < 0.6 * n_grams  # 2/(w+1) = 0.4 expected
+
+
+def test_winnow_oracle_sql_matches(spark):
+    import duckdb
+    from podcast_crawler_spark.operators.textstats import (
+        winnow_fingerprints, winnow_oracle_sql,
+    )
+
+    docs = [
+        (i, " ".join(f"w{(i * j * 7) % 29}" for j in range(40)))
+        for i in range(1, 9)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r["id"], r["pos"], r["fp"])
+        for r in winnow_fingerprints(df, k=5, w=4).collect()
+    )
+    vals = ",".join(f"({i}, '{t}')" for i, t in docs)
+    osql = winnow_oracle_sql(
+        f"select * from (values {vals}) v(id, text)", k=5, w=4
+    )
+    exp = sorted(
+        (int(a), int(b), c) for a, b, c in duckdb.sql(osql).fetchall()
+    )
+    assert got == exp
