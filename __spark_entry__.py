@@ -35,6 +35,7 @@ from podcast_crawler_spark.operators import (
     curation,
     dedup,
     graph,
+    htmltext,
     multimodal,
     ranking,
     refetch,
@@ -1621,6 +1622,84 @@ def _sitemap_scan(spark, sf_dir):
     return sitemap.scan_sitemaps(docs)
 
 
+def _jsonld_extract(spark, sf_dir):
+    # schema.org JSON-LD extraction from synthesized podcast pages:
+    # valid PodcastSeries objects, multi-entity arrays (doc_id%5),
+    # broken JSON (doc_id%7 — quarantined with is_valid=false), a
+    # javascript decoy on every page, and a second ld block (doc_id%3)
+    # exercising block_idx.  Synthesis is string concat, identical in
+    # Spark and the oracle; extraction is pure map-side regex+json-path.
+    from podcast_crawler_spark.operators import htmltext
+
+    d = F.col("doc_id").cast("string")
+    obj = F.concat(
+        F.lit('{"@type":"PodcastSeries","name":"Show '), d,
+        F.lit('","url":"https://h'),
+        (F.col("doc_id") % 23).cast("string"),
+        F.lit('.example/feed"}'),
+    )
+    body = (
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit('{"@type":"PodcastSeries","name":"Show '), d),
+        )
+        .when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("["), obj, F.lit(',{"@type":"Other"}]')),
+        )
+        .otherwise(obj)
+    )
+    extra = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit("<script type='application/ld+json'>{\"name\":\"Extra "),
+            d,
+            F.lit('"}</script>'),
+        ),
+    ).otherwise(F.lit(""))
+    pages = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><head><script type="application/ld+json">'),
+            body,
+            F.lit("</script></head><body><p>"),
+            F.substring("text", 1, 40),
+            F.lit('</p><script type="text/javascript">var x=1;</script>'),
+            extra,
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    return htmltext.extract_jsonld(pages)
+
+
+_JSONLD_PAGES_SQL = """
+    select doc_id as id,
+           '<html><head><script type="application/ld+json">'
+           || case
+                when doc_id % 7 = 0 then
+                  '{"@type":"PodcastSeries","name":"Show '
+                  || doc_id::varchar
+                when doc_id % 5 = 0 then
+                  '[{"@type":"PodcastSeries","name":"Show '
+                  || doc_id::varchar || '","url":"https://h'
+                  || (doc_id % 23)::varchar || '.example/feed"}'
+                  || ',{"@type":"Other"}]'
+                else
+                  '{"@type":"PodcastSeries","name":"Show '
+                  || doc_id::varchar || '","url":"https://h'
+                  || (doc_id % 23)::varchar || '.example/feed"}'
+              end
+           || '</script></head><body><p>' || substr(text, 1, 40)
+           || '</p><script type="text/javascript">var x=1;</script>'
+           || case when doc_id % 3 = 0 then
+                '<script type=''application/ld+json''>{"name":"Extra '
+                || doc_id::varchar || '"}</script>'
+              else '' end
+           || '</body></html>' as html
+    from documents
+"""
+
+
 def _winnow_fps(spark, sf_dir):
     # winnowing fingerprints (Schleimer et al. '03): per-window
     # rightmost-min k-gram md5 selection, all map-side array codegen;
@@ -2119,6 +2198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": _triangle_counts,
         "mirror_hosts": _mirror_hosts,
         "winnow_fps": _winnow_fps,
+        "jsonld_extract": _jsonld_extract,
         "containment_pairs": _containment_pairs,
         "classifier_score": _classifier_score,
         "sitemap_scan": _sitemap_scan,
@@ -3019,6 +3099,7 @@ def oracle_sql() -> dict[str, str]:
         "mirror_hosts": traps.mirror_oracle_sql(
             _MIRROR_HD_SQL, min_shared=2, max_digest_hosts=1000
         ),
+        "jsonld_extract": htmltext.jsonld_oracle_sql(_JSONLD_PAGES_SQL),
         "winnow_fps": textstats.winnow_oracle_sql(
             "select doc_id as id, text from documents", k=5, w=4
         ),

@@ -175,3 +175,100 @@ def html_to_text(
         txt.alias("text"),
         F.length(txt).alias("n_chars"),
     )
+
+
+_JSONLD_RE = (
+    "(?is)<script[^>]*type\\s*=\\s*[\"']application/ld\\+json[\"']"
+    "[^>]*>(.*?)</script\\s*>"
+)
+
+
+def extract_jsonld(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Structured-data extraction: every ``<script
+    type="application/ld+json">`` block in a page, with the schema.org
+    fields a crawler routes on — ``(id, block_idx, raw, is_valid,
+    ld_type, name, url)``.  Podcast pages carry PodcastSeries /
+    PodcastEpisode JSON-LD (Google Podcasts required it); extracting it
+    beats re-deriving feed metadata from tag soup, and at corpus scale
+    the JSON-LD `@type` histogram is the page-type classifier.
+
+    Semantics:
+      - blocks are matched case-insensitively, any attribute order,
+        lazy body (same tolerant-tag-soup policy as
+        :func:`html_text_expr`); ``block_idx`` is the 0-based order of
+        appearance.
+      - ``raw`` is the trimmed block body.  ``is_valid`` / field
+        extraction use JSON-path probes (``$['@type']``, ``$['name']``,
+        ``$['url']``): malformed JSON yields ``is_valid = false`` and
+        null fields but KEEPS the raw block (quarantine-not-drop, the
+        ``sources/jsonl.py`` discipline).  A top-level JSON array
+        (multi-entity blocks) is valid; its fields read from the first
+        element.
+      - pages with no blocks produce no rows (left-join back upstream
+        to keep them).
+
+    Scale shape: one ``regexp_extract_all`` + posexplode, then pure
+    JSON-path expressions — map-side, zero shuffle, HTML never crosses
+    an exchange.  Java regex and RE2 agree on the pattern; the oracle
+    replays extraction with DuckDB's RE2 + JSON functions.
+    """
+    blocks = F.regexp_extract_all(
+        F.col(html_col), F.lit(_JSONLD_RE), 1
+    )
+    out = df.select(
+        F.col(id_col).alias("id"), F.posexplode(blocks).alias("block_idx", "raw0")
+    ).select(
+        "id",
+        F.col("block_idx").cast("int").alias("block_idx"),
+        F.trim(F.col("raw0")).alias("raw"),
+    )
+    first = F.when(
+        F.get_json_object("raw", "$[0]").isNotNull()
+        & F.col("raw").startswith("["),
+        F.get_json_object("raw", "$[0]"),
+    ).otherwise(F.col("raw"))
+    return out.select(
+        "id",
+        "block_idx",
+        "raw",
+        F.get_json_object("raw", "$").isNotNull().alias("is_valid"),
+        F.get_json_object(first, "$['@type']").alias("ld_type"),
+        F.get_json_object(first, "$['name']").alias("name"),
+        F.get_json_object(first, "$['url']").alias("url"),
+    )
+
+
+def jsonld_oracle_sql(pages_sql: str) -> str:
+    """DuckDB recomputation of :func:`extract_jsonld` over any
+    ``(id, html)``-shaped subquery — RE2 block extraction, positional
+    unnest, json_valid-guarded field probes (DuckDB's json_extract
+    THROWS on malformed input; Spark's get_json_object returns null —
+    the guard aligns them)."""
+    pat = _JSONLD_RE.replace("'", "''")
+    return f"""
+        with pages as (select * from ({pages_sql}) p),
+        m as (select id,
+                     regexp_extract_all(html, '{pat}', 1) bl
+              from pages),
+        e as (select id, unnest(range(len(bl))) bi, bl from m),
+        r as (select id, bi::int block_idx, trim(bl[bi + 1]) raw from e),
+        f as (select *, case when raw like '[%' and json_valid(raw)
+                             then json_extract(raw, '$[0]')::varchar
+                             else raw end fst
+              from r)
+        select id, block_idx, raw, json_valid(raw) as is_valid,
+               case when json_valid(fst)
+                    then json_extract_string(fst, '$."@type"')
+               end as ld_type,
+               case when json_valid(fst)
+                    then json_extract_string(fst, '$.name')
+               end as "name",
+               case when json_valid(fst)
+                    then json_extract_string(fst, '$.url')
+               end as url
+        from f
+    """

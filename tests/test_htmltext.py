@@ -112,3 +112,70 @@ def test_main_content_plan_pure_map_side(spark):
     plan = main_content(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Generate" not in plan, plan
     assert "Python" not in plan, plan
+
+
+# ------------------------------------------------------------ JSON-LD
+
+
+def test_extract_jsonld_fields_and_quarantine(spark):
+    from podcast_crawler_spark.operators.htmltext import extract_jsonld
+
+    pages = [
+        (1, '<html><head><SCRIPT type="application/ld+json">'
+            '{"@type":"PodcastSeries","name":"My Show",'
+            '"url":"https://x.io"}</script></head></html>'),
+        (2, "<script type='application/ld+json'>"
+            '[{"@type":"PodcastEpisode","name":"Ep 1"},'
+            '{"@type":"Other"}]</script>'),
+        (3, '<script type="application/ld+json">{"@type": broken'
+            "</script>"),
+        (4, '<p>no ld</p><script type="text/javascript">var x=1;'
+            "</script>"),
+        (5, '<script async type="application/ld+json" id="a">'
+            '{"name":"A"}</script>'
+            '<script type="application/ld+json">{"name":"B"}</script>'),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, html string")
+    got = {
+        (r["id"], r["block_idx"]): (
+            r["is_valid"], r["ld_type"], r["name"], r["url"]
+        )
+        for r in extract_jsonld(df).collect()
+    }
+    assert got[(1, 0)] == (True, "PodcastSeries", "My Show",
+                           "https://x.io")
+    # array block: fields from the first entity
+    assert got[(2, 0)] == (True, "PodcastEpisode", "Ep 1", None)
+    # malformed: quarantined, raw kept, fields null
+    assert got[(3, 0)] == (False, None, None, None)
+    # javascript decoy and ld-free pages: no rows
+    assert not any(i == 4 for i, _ in got)
+    # multiple blocks in order
+    assert got[(5, 0)] == (True, None, "A", None)
+    assert got[(5, 1)] == (True, None, "B", None)
+
+
+def test_extract_jsonld_oracle_sql_matches(spark):
+    import duckdb
+    from podcast_crawler_spark.operators.htmltext import (
+        extract_jsonld, jsonld_oracle_sql,
+    )
+
+    pages = [
+        (1, '<script type="application/ld+json">'
+            '{"@type":"T","name":"n1","url":"u1"}</script>'),
+        (2, '<script type="application/ld+json">{bad</script>'),
+        (3, '<script type="application/ld+json">'
+            '[{"name":"arr"}]</script>'
+            '<script type="application/ld+json">{"url":"u3"}</script>'),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, html string")
+    got = sorted(tuple(r) for r in extract_jsonld(df).collect())
+    vals = ",".join(
+        "(%d, '%s')" % (i, h.replace("'", "''")) for i, h in pages
+    )
+    osql = jsonld_oracle_sql(
+        f"select * from (values {vals}) v(id, html)"
+    )
+    exp = sorted(tuple(r) for r in duckdb.sql(osql).fetchall())
+    assert got == exp
