@@ -1622,6 +1622,94 @@ def _sitemap_scan(spark, sf_dir):
     return sitemap.scan_sitemaps(docs)
 
 
+from podcast_crawler_spark.operators import placement as _placement
+
+
+def _placement_mod():
+    return _placement
+
+
+_RING_WORKERS = [f"w{i:02d}" for i in range(16)]
+
+
+def _placement_keys(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.concat(
+                F.lit("h"), (F.col("o_orderkey") % 997).cast("string")
+            ).alias("host")
+        )
+        .distinct()
+    )
+
+
+_PLACEMENT_KEYS_SQL = (
+    "select distinct 'h' || (o_orderkey % 997)::varchar as host"
+    " from orders"
+)
+
+
+def _consistent_placement(spark, sf_dir):
+    # consistent-hash ring placement (Karger '97): md5-derived 60-bit
+    # ring, 32 vnodes/worker, bucketized broadcast successor lookup —
+    # the oracle recomputes every assignment with the NAIVE full-ring
+    # rule, so a bucket-boundary bug reds the row.
+    from podcast_crawler_spark.operators import placement
+
+    return placement.consistent_assign(
+        _placement_keys(spark, sf_dir), _RING_WORKERS, vnodes=32
+    )
+
+
+def _ring_rebalance(spark, sf_dir):
+    # resize stability: same keys under 16 vs 17 workers — a ring
+    # moves ~1/(N+1) of keys (modulo placement would move ~N/(N+1));
+    # the moved set is recomputed exactly by the oracle.
+    from podcast_crawler_spark.operators import placement
+
+    return placement.rebalance_stats(
+        _placement_keys(spark, sf_dir),
+        _RING_WORKERS,
+        _RING_WORKERS + ["w16"],
+        vnodes=32,
+    )
+
+
+def _aimd_concurrency(spark, sf_dir):
+    # AIMD per-host concurrency over 6 epochs of synthesized fetch
+    # outcomes (the adaptive upgrade of the reference's fixed
+    # max_concurrent_tasks, config/crawler.rs:55-63); integer halving/
+    # increase chain replayed by an unrolled CTE oracle.
+    from podcast_crawler_spark.operators import refetch
+
+    obs = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.concat(
+                F.lit("h"), (F.col("user_id") % 61).cast("string")
+            ).alias("host"),
+            (F.col("event_id") % 6).alias("epoch"),
+        )
+        .agg(
+            F.sum(
+                ((F.col("user_id") + F.col("event_id")) % 13 == 0).cast(
+                    "long"
+                )
+            ).alias("failures")
+        )
+    )
+    return refetch.aimd_concurrency(obs, epochs=6, init=1, max_c=8)
+
+
+_AIMD_OBS_SQL = (
+    "select 'h' || (user_id % 61)::varchar as host,"
+    " event_id % 6 as epoch,"
+    " sum(((user_id + event_id) % 13 = 0)::int)::BIGINT as failures"
+    " from events group by 1, 2"
+)
+
+
 def _jsonld_extract(spark, sf_dir):
     # schema.org JSON-LD extraction from synthesized podcast pages:
     # valid PodcastSeries objects, multi-entity arrays (doc_id%5),
@@ -2199,6 +2287,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_hosts": _mirror_hosts,
         "winnow_fps": _winnow_fps,
         "jsonld_extract": _jsonld_extract,
+        "consistent_placement": _consistent_placement,
+        "ring_rebalance": _ring_rebalance,
+        "aimd_concurrency": _aimd_concurrency,
         "containment_pairs": _containment_pairs,
         "classifier_score": _classifier_score,
         "sitemap_scan": _sitemap_scan,
@@ -3100,6 +3191,20 @@ def oracle_sql() -> dict[str, str]:
             _MIRROR_HD_SQL, min_shared=2, max_digest_hosts=1000
         ),
         "jsonld_extract": htmltext.jsonld_oracle_sql(_JSONLD_PAGES_SQL),
+        "consistent_placement": _placement_mod().assign_oracle_sql(
+            f"select host, host as key from ({_PLACEMENT_KEYS_SQL}) k",
+            _RING_WORKERS,
+            vnodes=32,
+        ),
+        "ring_rebalance": _placement_mod().rebalance_oracle_sql(
+            f"select host as key from ({_PLACEMENT_KEYS_SQL}) k",
+            _RING_WORKERS,
+            _RING_WORKERS + ["w16"],
+            vnodes=32,
+        ),
+        "aimd_concurrency": refetch.aimd_oracle_sql(
+            _AIMD_OBS_SQL, epochs=6, init=1, max_c=8
+        ),
         "winnow_fps": textstats.winnow_oracle_sql(
             "select doc_id as id, text from documents", k=5, w=4
         ),

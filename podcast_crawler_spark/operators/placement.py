@@ -1,0 +1,231 @@
+"""Consistent-hash placement: host → worker assignment that survives
+cluster resizes.
+
+The reference distributes tasks to workers by simple modulo placement
+(``distributor.rs`` round-robin / hash placement; re-expressed as the
+``partition_balance`` pmod query).  Modulo placement reassigns ~100% of
+keys when the worker count changes — on a 1000-executor crawl that
+means every politeness queue, seen-shard and rate-limiter state migrates
+on every scale event.  A consistent-hash ring (Karger et al. '97) with
+``V`` virtual nodes per worker moves only ~1/(N+1) of keys when a
+worker joins — the elasticity property a long-running frontier needs.
+
+Determinism/oracle: vnode positions and key positions are md5-derived
+60-bit integers (first 15 hex chars — the repo-wide convention, e.g.
+``sampling.key_hash32``), so DuckDB recomputes every assignment from
+the same worker list with the naive successor rule.
+
+Scale shape: the ring is cluster metadata (workers × V rows — KBs),
+never data.  The naive successor rule is "min vnode position ≥ key
+position, else min position on the ring" — a per-key scan of all
+W·V vnodes.  :func:`consistent_assign` instead precomputes, per
+``2^bucket_bits`` ring bucket, the within-bucket vnode list and the
+next vnode AFTER the bucket; each key then does ONE broadcast hash
+join on its bucket plus an O(vnodes-in-bucket) array probe — O(1)
+expected per key, zero corpus shuffles (broadcast join only).  The
+bucket table is built driver-side from the worker list (the k-means
+centroid-handoff precedent: config-sized state may transit the driver;
+corpus-sized state never does).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+RING_BITS = 60  # 15 hex chars of md5 — fits BIGINT, positive
+
+
+def _pos(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def ring_vnodes(workers: list[str], vnodes: int = 64) -> list[tuple[int, str]]:
+    """Sorted (position, worker) vnode list for a worker set.  Vnode i
+    of worker w sits at md5(f"{w}#{i}") — collisions (astronomically
+    unlikely in 60 bits) resolve to the lexically smaller worker so
+    the ring is a deterministic function of the set."""
+    ring = sorted(
+        (_pos(f"{w}#{i}"), w) for w in workers for i in range(vnodes)
+    )
+    return ring
+
+
+def consistent_assign(
+    df: DataFrame,
+    workers: list[str],
+    key_col: str = "host",
+    vnodes: int = 64,
+    bucket_bits: int = 12,
+) -> DataFrame:
+    """Assign each row's key to a worker by ring successor.  Returns
+    the input plus ``(ring_pos, worker)``.
+
+    Per-key cost is one broadcast-hash-join probe on the key's ring
+    bucket + an array scan of that bucket's (few) vnodes — not a scan
+    of all W·V vnodes.  Equivalence of the bucketized lookup to the
+    naive successor rule is pinned by tests and by the DuckDB oracle
+    (:func:`assign_oracle_sql` uses the naive rule).
+    """
+    if not workers:
+        raise ValueError("consistent_assign: empty worker set")
+    spark = df.sparkSession
+    ring = ring_vnodes(workers, vnodes)
+    shift = RING_BITS - bucket_bits
+    n_buckets = 1 << bucket_bits
+    by_bucket: dict[int, list[tuple[int, str]]] = {}
+    for p, w in ring:
+        by_bucket.setdefault(p >> shift, []).append((p, w))
+    # successor AFTER each bucket (wrapping to the ring minimum)
+    nxt: list[tuple[int, str]] = [None] * n_buckets  # type: ignore
+    cur = ring[0]
+    for b in range(n_buckets - 1, -1, -1):
+        nxt[b] = cur
+        if b in by_bucket:
+            cur = by_bucket[b][0]
+    rows = [
+        (
+            b,
+            [list(pw) for pw in by_bucket.get(b, [])],
+            nxt[b][0],
+            nxt[b][1],
+        )
+        for b in range(n_buckets)
+        if b in by_bucket or True
+    ]
+    # only buckets that can be probed matter; ship all (4096 rows, KBs)
+    btab = spark.createDataFrame(
+        rows,
+        "bucket long, vns array<array<string>>, nxt_pos long, nxt_w string",
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    out = df.withColumn("_h", h).withColumn(
+        "_b", (F.col("_h") / F.lit(1 << shift)).cast("long")
+    )
+    joined = out.join(F.broadcast(btab), out["_b"] == btab["bucket"])
+    in_bucket = F.filter(
+        F.col("vns"), lambda v: v[0].cast("long") >= F.col("_h")
+    )
+    pick = F.try_element_at(in_bucket, F.lit(1))
+    return joined.select(
+        *[F.col(c) for c in df.columns],
+        F.coalesce(pick[0].cast("long"), F.col("nxt_pos")).alias(
+            "ring_pos"
+        ),
+        F.coalesce(pick[1], F.col("nxt_w")).alias("worker"),
+    )
+
+
+def _ring_sql(workers: list[str], vnodes: int) -> str:
+    w_vals = ",".join(f"('{w}')" for w in workers)
+    return f"""
+        (select try_cast('0x' || substr(md5(w || '#' || i::varchar),
+                                        1, 15) as BIGINT) pos, w
+         from (select * from (values {w_vals}) ws(w))
+         cross join (select unnest(range({vnodes})) i))
+    """
+
+
+def assign_oracle_sql(
+    keys_sql: str,
+    workers: list[str],
+    vnodes: int = 64,
+) -> str:
+    """DuckDB recomputation of :func:`consistent_assign` with the
+    NAIVE successor rule over the full vnode table — independent of the
+    bucketization, so a bucket-boundary bug reds the row.  ``keys_sql``
+    must select the original output columns plus a ``key`` column the
+    ring position is derived from."""
+    return f"""
+        with ring as {_ring_sql(workers, vnodes)},
+        keys as (select *,
+                   try_cast('0x' || substr(md5(key::varchar), 1, 15)
+                            as BIGINT) h
+                 from ({keys_sql}) t),
+        succ as (select k.key, min(r.pos) sp
+                 from keys k join ring r on r.pos >= k.h
+                 group by 1),
+        base as (select min(pos) mp from ring)
+        select k.* exclude (h, key),
+               coalesce(s.sp, b.mp) as ring_pos,
+               (select r.w from ring r
+                where r.pos = coalesce(s.sp, b.mp) limit 1) as worker
+        from keys k
+        left join succ s on k.key = s.key
+        cross join base b
+    """
+
+
+def rebalance_stats(
+    df: DataFrame,
+    workers_before: list[str],
+    workers_after: list[str],
+    key_col: str = "host",
+    vnodes: int = 64,
+) -> DataFrame:
+    """The resize-stability audit: assign the same keys under two
+    worker sets and report ``(n_keys, moved, moved_pct)`` — for a ring,
+    adding one worker to N moves ~100/(N+1) percent; modulo placement
+    moves ~100·N/(N+1).  Integer percent, exact across engines."""
+    a = consistent_assign(
+        df.select(key_col).distinct(), workers_before, key_col, vnodes
+    ).select(F.col(key_col).alias("k"), F.col("worker").alias("w_a"))
+    b = consistent_assign(
+        df.select(key_col).distinct(), workers_after, key_col, vnodes
+    ).select(F.col(key_col).alias("k"), F.col("worker").alias("w_b"))
+    return (
+        a.join(b, "k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum(
+                (F.col("w_a") != F.col("w_b")).cast("long")
+            ).alias("moved"),
+        )
+        .select(
+            "n_keys",
+            "moved",
+            F.expr("(100 * moved) div n_keys").alias("moved_pct"),
+        )
+    )
+
+
+def rebalance_oracle_sql(
+    keys_sql: str,
+    workers_before: list[str],
+    workers_after: list[str],
+    vnodes: int = 64,
+) -> str:
+    """DuckDB recomputation of :func:`rebalance_stats` — naive rule,
+    both worker sets.  ``keys_sql`` selects one ``key`` column."""
+
+    def one(workers: list[str], alias: str) -> str:
+        return f"""
+        {alias}_ring as {_ring_sql(workers, vnodes)},
+        {alias}_succ as (select k.key,
+                    coalesce(min(r.pos) filter (r.pos >= k.h),
+                             (select min(pos) from {alias}_ring)) sp
+                 from keys k, {alias}_ring r
+                 group by k.key, k.h),
+        {alias}_asn as (select s.key,
+                   (select r.w from {alias}_ring r where r.pos = s.sp
+                    limit 1) w
+                from {alias}_succ s)
+        """
+
+    return f"""
+        with keys as (select distinct key,
+                   try_cast('0x' || substr(md5(key::varchar), 1, 15)
+                            as BIGINT) h
+                 from ({keys_sql}) t),
+        {one(workers_before, 'a')},
+        {one(workers_after, 'b')}
+        select count(*)::BIGINT n_keys,
+               sum((a.w <> b.w)::int)::BIGINT moved,
+               ((100 * sum((a.w <> b.w)::int)) // count(*))::BIGINT
+                 moved_pct
+        from a_asn a join b_asn b using (key)
+    """

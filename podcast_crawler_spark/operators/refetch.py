@@ -118,3 +118,100 @@ def refetch_oracle_sql(
                (last_pub_ts + interval_s) <= {int(now_ts)} AS overdue
         FROM b
     """
+
+
+def aimd_concurrency(
+    obs: DataFrame,
+    epochs: int,
+    init: int = 1,
+    max_c: int = 64,
+    host_col: str = "host",
+    epoch_col: str = "epoch",
+    failures_col: str = "failures",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Per-host adaptive concurrency by AIMD (additive-increase /
+    multiplicative-decrease — TCP's congestion rule, the standard
+    adaptive-politeness controller): replay ``epochs`` epochs of fetch
+    outcomes and evolve each host's parallel-connection budget:
+
+        clean epoch (0 failures)  → c ← min(max_c, c + 1)
+        dirty epoch (≥1 failure)  → c ← max(1, c div 2)
+        no traffic that epoch     → c unchanged
+
+    The reference fixes ``max_concurrent_tasks`` per host uniformly
+    (``config/crawler.rs:55-63``); AIMD is the upgrade that probes
+    fast hosts up and backs off overloaded ones without per-host
+    config.  Output: ``(host, concurrency)`` after the last epoch.
+
+    Integer state + fixed iteration count ⇒ the whole trajectory is
+    deterministic and the DuckDB oracle (:func:`aimd_oracle_sql`)
+    replays it as an unrolled CTE chain (the ``graph.pagerank``
+    discipline; a closed-form/window formulation doesn't exist because
+    halving compounds on prior state).
+
+    Scale shape: state is one row per host; each epoch is a left join
+    of state with that epoch's (already aggregated) observations —
+    O(hosts) per epoch, ``localCheckpoint`` truncates lineage.  ``obs``
+    rows must be unique per (host, epoch) — aggregate upstream.
+    """
+    o = obs.select(
+        F.col(host_col).alias("host"),
+        F.col(epoch_col).alias("epoch"),
+        F.col(failures_col).alias("failures"),
+    )
+    if checkpoint:
+        o = o.localCheckpoint(eager=True)
+    state = (
+        o.select("host")
+        .distinct()
+        .select("host", F.lit(init).cast("long").alias("c"))
+    )
+    for t in range(epochs):
+        ot = o.filter(F.col("epoch") == t).select(
+            F.col("host").alias("o_host"), "failures"
+        )
+        state = state.join(
+            ot, state["host"] == ot["o_host"], "left"
+        ).select(
+            "host",
+            F.when(F.col("failures").isNull(), F.col("c"))
+            .when(
+                F.col("failures") > 0,
+                F.greatest(F.lit(1), F.expr("c div 2")),
+            )
+            .otherwise(F.least(F.lit(max_c).cast("long"), F.col("c") + 1))
+            .cast("long")
+            .alias("c"),
+        )
+        if checkpoint:
+            state = state.localCheckpoint(eager=True)
+    return state.select("host", F.col("c").alias("concurrency"))
+
+
+def aimd_oracle_sql(
+    obs_sql: str,
+    epochs: int,
+    init: int = 1,
+    max_c: int = 64,
+) -> str:
+    """DuckDB recomputation of :func:`aimd_concurrency` — unrolled
+    epoch chain over any ``(host, epoch, failures)`` subquery."""
+    parts = [
+        f"with obs as ({obs_sql})",
+        f"s0 as (select distinct host, {init}::BIGINT c from obs)",
+    ]
+    for t in range(epochs):
+        parts.append(
+            f"s{t + 1} as (select s.host,"
+            " case when o.failures is null then s.c"
+            "      when o.failures > 0 then greatest(1, s.c // 2)"
+            f"      else least({max_c}, s.c + 1) end::BIGINT c"
+            f" from s{t} s left join (select * from obs where epoch = {t}) o"
+            " on s.host = o.host)"
+        )
+    joined = ",\n".join(parts)
+    return (
+        f"{joined}\n"
+        f"select host, c as concurrency from s{epochs}"
+    )

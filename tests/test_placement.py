@@ -1,0 +1,143 @@
+"""Consistent-hash ring placement + AIMD concurrency tests."""
+
+import hashlib
+
+import pytest
+
+
+def _naive(ring, key):
+    h = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+    cands = [pw for pw in ring if pw[0] >= h]
+    return cands[0] if cands else ring[0]
+
+
+def test_consistent_assign_equals_naive_rule(spark):
+    from podcast_crawler_spark.operators.placement import (
+        consistent_assign, ring_vnodes,
+    )
+
+    workers = [f"w{i}" for i in range(8)]
+    keys = [(f"host{i}.example",) for i in range(300)]
+    df = spark.createDataFrame(keys, "host string")
+    ring = ring_vnodes(workers, 16)
+    got = sorted(
+        (r["host"], r["ring_pos"], r["worker"])
+        for r in consistent_assign(df, workers, vnodes=16).collect()
+    )
+    exp = sorted((k, *_naive(ring, k)) for (k,) in keys)
+    assert got == exp
+
+
+def test_consistent_assign_wraparound_and_bucket_boundaries(spark):
+    # tiny ring + coarse buckets forces cross-bucket successor lookups
+    # and the wrap-to-minimum path
+    from podcast_crawler_spark.operators.placement import (
+        consistent_assign, ring_vnodes,
+    )
+
+    workers = ["a", "b"]
+    keys = [(f"k{i}",) for i in range(200)]
+    df = spark.createDataFrame(keys, "host string")
+    ring = ring_vnodes(workers, 2)
+    got = {
+        r["host"]: (r["ring_pos"], r["worker"])
+        for r in consistent_assign(
+            df, workers, vnodes=2, bucket_bits=3
+        ).collect()
+    }
+    for (k,) in keys:
+        assert got[k] == _naive(ring, k)
+    # with only 4 vnodes in 8 buckets, some key MUST wrap
+    assert any(got[k][0] == ring[0][0] for (k,) in keys)
+
+
+def test_rebalance_moves_about_one_over_n(spark):
+    from podcast_crawler_spark.operators.placement import rebalance_stats
+
+    workers = [f"w{i}" for i in range(8)]
+    df = spark.createDataFrame(
+        [(f"host{i}",) for i in range(400)], "host string"
+    )
+    r = rebalance_stats(df, workers, workers + ["w8"], vnodes=32).collect()[0]
+    assert r["n_keys"] == 400
+    # ring property: ~1/9 ≈ 11% moved; assert well under modulo's ~89%
+    assert 0 < r["moved_pct"] <= 25
+
+
+def test_empty_workers_raises(spark):
+    from podcast_crawler_spark.operators.placement import consistent_assign
+
+    df = spark.createDataFrame([("x",)], "host string")
+    with pytest.raises(ValueError):
+        consistent_assign(df, [])
+
+
+# ---------------------------------------------------------------- AIMD
+
+
+def _py_aimd(obs, epochs, init, max_c):
+    hosts = {h for h, _, _ in obs}
+    by = {(h, e): f for h, e, f in obs}
+    c = {h: init for h in hosts}
+    for t in range(epochs):
+        for h in hosts:
+            f = by.get((h, t))
+            if f is None:
+                continue
+            c[h] = max(1, c[h] // 2) if f > 0 else min(max_c, c[h] + 1)
+    return c
+
+
+def test_aimd_matches_python(spark):
+    from podcast_crawler_spark.operators.refetch import aimd_concurrency
+
+    obs = []
+    for h in range(12):
+        for e in range(5):
+            if (h + e) % 4 == 0:
+                continue  # idle epoch: hold
+            obs.append((f"h{h}", e, 1 if (h * e) % 3 == 0 else 0))
+    df = spark.createDataFrame(obs, "host string, epoch int, failures long")
+    got = {
+        r["host"]: r["concurrency"]
+        for r in aimd_concurrency(df, epochs=5, init=2, max_c=6).collect()
+    }
+    assert got == _py_aimd(obs, 5, 2, 6)
+
+
+def test_aimd_halving_floor_and_cap(spark):
+    from podcast_crawler_spark.operators.refetch import aimd_concurrency
+
+    # all-clean host rails at max_c; all-dirty host floors at 1
+    obs = [("clean", e, 0) for e in range(10)] + [
+        ("dirty", e, 3) for e in range(10)
+    ]
+    df = spark.createDataFrame(obs, "host string, epoch int, failures long")
+    got = {
+        r["host"]: r["concurrency"]
+        for r in aimd_concurrency(df, epochs=10, init=1, max_c=4).collect()
+    }
+    assert got == {"clean": 4, "dirty": 1}
+
+
+def test_aimd_oracle_sql_matches(spark):
+    import duckdb
+    from podcast_crawler_spark.operators.refetch import (
+        aimd_concurrency, aimd_oracle_sql,
+    )
+
+    obs = [
+        (f"h{h}", e, (h * 7 + e) % 5 // 4) for h in range(9) for e in range(6)
+    ]
+    df = spark.createDataFrame(obs, "host string, epoch int, failures long")
+    got = sorted(
+        (r["host"], r["concurrency"])
+        for r in aimd_concurrency(df, epochs=6, init=1, max_c=8).collect()
+    )
+    vals = ",".join(f"('{h}',{e},{f})" for h, e, f in obs)
+    osql = aimd_oracle_sql(
+        f"select * from (values {vals}) o(host, epoch, failures)",
+        epochs=6, init=1, max_c=8,
+    )
+    exp = sorted((a, int(b)) for a, b in duckdb.sql(osql).fetchall())
+    assert got == exp
