@@ -1962,6 +1962,75 @@ def _hits_scores(spark, sf_dir):
     return graph.hits(edges, iters=3)
 
 
+def _frontier_scoring(spark, sf_dir):
+    # composite frontier priority: importance (integer pagerank) scaled
+    # down by crawl depth (BFS hops from seeds; unreachable hosts get
+    # the max penalty) — the admission-ranking rule a discovery crawl
+    # runs every epoch.  priority = rank_scaled div (1 + hops), all
+    # BIGINT; the oracle nests BOTH unrolled CTE chains, so the whole
+    # two-operator composition is recomputed end to end.
+    ev = _t(spark, sf_dir, "events")
+    edges = (
+        ev.select(
+            (F.col("user_id") % 97).alias("src"),
+            ((F.col("user_id") * 31 + F.col("event_id")) % 97).alias("dst"),
+        )
+        .filter("src <> dst")
+        .distinct()
+    )
+    seeds = edges.select(F.col("src").alias("node")).filter(
+        F.col("node") % 10 == 0
+    ).distinct()
+    pr = graph.pagerank(edges, iters=5).select("node", "rank_scaled")
+    hd = graph.hop_distance(edges, seeds, max_hops=4)
+    return (
+        pr.join(hd, "node", "left")
+        .select(
+            "node",
+            "rank_scaled",
+            F.coalesce(F.col("hops"), F.lit(10)).cast("int").alias("hops"),
+            F.expr("rank_scaled div (1 + coalesce(hops, 10))").alias(
+                "priority"
+            ),
+        )
+    )
+
+
+def _frontier_scoring_oracle() -> str:
+    pr_sql = graph.pagerank_oracle_sql(_PR_EDGES_SQL, iters=5)
+    hd_sql = graph.hop_distance_oracle_sql(
+        _PR_EDGES_SQL,
+        f"select distinct src as node from ({_PR_EDGES_SQL}) e"
+        " where src % 10 = 0",
+        max_hops=4,
+    )
+    return f"""
+        with pr as ({pr_sql}), hd as ({hd_sql})
+        select pr.node, pr.rank_scaled,
+               coalesce(hd.hops, 10)::int as hops,
+               (pr.rank_scaled // (1 + coalesce(hd.hops, 10)))::BIGINT
+                 as priority
+        from pr left join hd on pr.node = hd.node
+    """
+
+
+def _host_communities(spark, sf_dir):
+    # label-propagation communities over the synthesized host graph
+    # (deterministic min-tie variant): podcast-network / CDN / link-
+    # farm grouping for shared politeness budgets.  Unrolled-CTE
+    # oracle replays every vote round.
+    ev = _t(spark, sf_dir, "events")
+    edges = (
+        ev.select(
+            (F.col("user_id") % 97).alias("src"),
+            ((F.col("user_id") * 31 + F.col("event_id")) % 97).alias("dst"),
+        )
+        .filter("src <> dst")
+        .distinct()
+    )
+    return graph.label_propagation(edges, iters=4)
+
+
 def _budget_apportion(spark, sf_dir):
     # rank-proportional epoch budget: largest-remainder apportionment
     # of 100k fetch slots over the pagerank'd host graph — sums to the
@@ -2283,6 +2352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_apportion": _budget_apportion,
         "hits_scores": _hits_scores,
         "hop_distance": _hop_distance,
+        "host_communities": _host_communities,
+        "frontier_scoring": _frontier_scoring,
         "triangle_counts": _triangle_counts,
         "mirror_hosts": _mirror_hosts,
         "winnow_fps": _winnow_fps,
@@ -3187,6 +3258,10 @@ def oracle_sql() -> dict[str, str]:
             max_hops=4,
         ),
         "triangle_counts": graph.triangle_oracle_sql(_PR_EDGES_SQL),
+        "host_communities": graph.label_propagation_oracle_sql(
+            _PR_EDGES_SQL, iters=4
+        ),
+        "frontier_scoring": _frontier_scoring_oracle(),
         "mirror_hosts": traps.mirror_oracle_sql(
             _MIRROR_HD_SQL, min_shared=2, max_digest_hosts=1000
         ),

@@ -740,3 +740,106 @@ def triangle_oracle_sql(edges_sql: str) -> str:
                     union all select z from tri)
         select node, count(*)::BIGINT triangles from corners group by 1
     """
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007), deterministic variant: every node starts labeled with
+    itself; each iteration every node adopts the most frequent label
+    among its neighbors, ties broken toward the SMALLER label (the same
+    determinism move as ``dedup_clusters``' min-label propagation —
+    classic LPA's random tie-break is irreproducible across runs, which
+    is useless for an oracle-gated engine).  Isolated behavior: the
+    graph is symmetrized; a node with no neighbors keeps its own label.
+    Returns ``(node, label)`` after ``iters`` rounds.
+
+    Crawl use: host communities = podcast networks / CDN clusters /
+    link farms — the grouping unit for shared politeness budgets
+    (mirror candidates from ``traps.mirror_hosts`` feed in as edges)
+    and for frontier diversity quotas.
+
+    Scale shape: per iteration one O(edges) join (labels onto edge
+    sources), one (dst, label) groupBy with map-side combine, and one
+    window-free argmax via ``min(struct(-cnt, label))`` — the
+    ``traps.trap_stats`` discipline; `localCheckpoint` truncates
+    lineage per round.  Fixed iteration count + deterministic ties ⇒
+    the whole trajectory is replayed by an unrolled DuckDB CTE chain.
+    """
+    raw = edges.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    und = (
+        raw.union(
+            raw.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .distinct()
+    )
+    if checkpoint:
+        und = und.localCheckpoint(eager=True)
+    nodes = und.select(F.col("u").alias("node")).distinct()
+    if checkpoint:
+        nodes = nodes.localCheckpoint(eager=True)
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(iters):
+        lab_src = labels.select(
+            F.col("node").alias("l_node"), "label"
+        )
+        votes = (
+            und.join(lab_src, und["u"] == lab_src["l_node"])
+            .groupBy(F.col("v").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        best = votes.groupBy("node").agg(
+            F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("label")))
+            .alias("b")
+        ).select("node", F.col("b.label").alias("new_label"))
+        labels = (
+            nodes.join(labels, "node")
+            .join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+        )
+        if checkpoint:
+            labels = labels.localCheckpoint(eager=True)
+    return labels
+
+
+def label_propagation_oracle_sql(edges_sql: str, iters: int = 4) -> str:
+    """DuckDB recomputation of :func:`label_propagation` — the same
+    symmetrize / vote / min-tie argmax chain, iterations unrolled."""
+    parts = [
+        f"with raw as (select * from ({edges_sql}) t where src <> dst)",
+        "und as (select src u, dst v from raw"
+        " union select dst, src from raw)",
+        "nodes as (select distinct u as node from und)",
+        "l0 as (select node, node as label from nodes)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"v{i} as (select e.v as node, c.label,"
+            " count(*)::BIGINT cnt"
+            f" from und e join l{i} c on e.u = c.node"
+            " group by 1, 2)"
+        )
+        parts.append(
+            f"b{i} as (select node, label as new_label from ("
+            "  select node, label, row_number() over ("
+            "    partition by node order by cnt desc, label asc) rn"
+            f"  from v{i}) x where rn = 1)"
+        )
+        parts.append(
+            f"l{i + 1} as (select n.node,"
+            " coalesce(b.new_label, c.label) as label"
+            f" from nodes n join l{i} c on n.node = c.node"
+            f" left join b{i} b on n.node = b.node)"
+        )
+    joined = ",\n".join(parts)
+    return f"{joined}\nselect node, label from l{iters}"

@@ -465,3 +465,72 @@ def test_triangle_oracle_sql_matches(spark):
     osql = triangle_oracle_sql(f"select * from (values {vals}) t(src,dst)")
     exp = sorted((int(a), int(b)) for a, b in duckdb.sql(osql).fetchall())
     assert got == exp
+
+
+# ------------------------------------------------------------------ LPA
+
+
+def _py_lpa(edges, iters):
+    und = set()
+    for s, d in edges:
+        if s != d:
+            und.add((s, d)); und.add((d, s))
+    nodes = {u for u, _ in und}
+    adj = {}
+    for u, v in und:
+        adj.setdefault(v, []).append(u)
+    lab = {n: n for n in nodes}
+    for _ in range(iters):
+        new = {}
+        for n in nodes:
+            votes = {}
+            for u in adj.get(n, []):
+                votes[lab[u]] = votes.get(lab[u], 0) + 1
+            if votes:
+                new[n] = min(votes, key=lambda l: (-votes[l], l))
+            else:
+                new[n] = lab[n]
+        lab = new
+    return lab
+
+
+def test_label_propagation_matches_python(spark):
+    from podcast_crawler_spark.operators.graph import label_propagation
+
+    # two dense cliques with one bridge edge
+    edges = []
+    for i in range(5):
+        for j in range(i + 1, 5):
+            edges.append((i, j))
+            edges.append((10 + i, 10 + j))
+    edges.append((4, 10))
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(e, iters=4).collect()
+    }
+    assert got == _py_lpa(edges, 4)
+    # communities resolve: clique A all share one label, B another
+    a = {got[i] for i in range(5)}
+    b = {got[10 + i] for i in range(5) if 10 + i in got}
+    assert len(a) == 1 and len(b) == 1 and a != b
+
+
+def test_label_propagation_oracle_sql_matches(spark):
+    import duckdb
+    from podcast_crawler_spark.operators.graph import (
+        label_propagation, label_propagation_oracle_sql,
+    )
+
+    edges = [(i, (i * 7 + 3) % 19) for i in range(40)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted(
+        (r["node"], r["label"])
+        for r in label_propagation(e, iters=3).collect()
+    )
+    vals = ",".join(f"({a}::BIGINT,{b}::BIGINT)" for a, b in edges)
+    osql = label_propagation_oracle_sql(
+        f"select * from (values {vals}) t(src,dst)", iters=3
+    )
+    exp = sorted((int(a), int(b)) for a, b in duckdb.sql(osql).fetchall())
+    assert got == exp
