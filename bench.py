@@ -84,6 +84,15 @@ BENCH_QUERIES = [
     "pmi_collocations",
     "doc_keywords",
     "export_manifest",
+    # round-3 session-4 additions
+    "winnow_fps",
+    "containment_pairs",
+    "hop_distance",
+    "triangle_counts",
+    "mirror_hosts",
+    "host_communities",
+    "consistent_placement",
+    "jsonld_extract",
 ]
 
 

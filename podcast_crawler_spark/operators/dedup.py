@@ -458,9 +458,12 @@ def incremental_minhash_lsh(
             .unionByName(candidates.select(F.col("id_b").alias("id")))
             .distinct()
         )
+        # three consumers below (sizes + both sides of the common-
+        # shingle join) — cache so the corpus-shingle semi-join and the
+        # distinct shuffle run once, not three times
         all_sh = batch_sh.unionByName(
             corpus_shingles.join(cand_ids, "id", "left_semi")
-        ).distinct()
+        ).distinct().cache()
     sizes = all_sh.groupBy("id").agg(F.count("*").alias("sz"))
     common = (
         candidates.join(all_sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
