@@ -1801,6 +1801,17 @@ _JSONLD_PAGES_SQL = """
 """
 
 
+def _cdc_chunks(spark, sf_dir):
+    # content-defined chunking (LBFS/FastCDC boundary rule at token
+    # granularity): shift-robust storage-dedup units — an insertion
+    # disturbs only nearby chunks, unlike fixed-size blocks.  Window
+    # hashes are one materialized array projection (the winnow_fps
+    # lesson); everything map-side, text never crosses an exchange.
+    return dedup.cdc_chunks(
+        _t(spark, sf_dir, "documents"), window=4, mask_bits=4
+    )
+
+
 def _winnow_fps(spark, sf_dir):
     # winnowing fingerprints (Schleimer et al. '03): per-window
     # rightmost-min k-gram md5 selection, all map-side array codegen;
@@ -2375,6 +2386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ring_rebalance": _ring_rebalance,
         "aimd_concurrency": _aimd_concurrency,
         "containment_pairs": _containment_pairs,
+        "cdc_chunks": _cdc_chunks,
         "classifier_score": _classifier_score,
         "sitemap_scan": _sitemap_scan,
         "span_dedup": _span_dedup,
@@ -3295,6 +3307,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "winnow_fps": textstats.winnow_oracle_sql(
             "select doc_id as id, text from documents", k=5, w=4
+        ),
+        "cdc_chunks": dedup.cdc_oracle_sql(
+            "select doc_id as id, text from documents",
+            window=4, mask_bits=4,
         ),
         "containment_pairs": dedup.containment_oracle_sql(
             "select doc_id as id, text from documents",

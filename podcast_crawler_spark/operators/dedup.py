@@ -935,3 +935,141 @@ def containment_oracle_sql(
         join sizes sa on p.id_a = sa.id
         join sizes sb on p.id_b = sb.id
     """
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 4,
+    mask_bits: int = 4,
+) -> DataFrame:
+    """Content-defined chunking: split each document into variable-size
+    chunks at positions where the rolling window hash satisfies a mask —
+    the Rabin/gear-CDC boundary rule (LBFS, Muthitacharoen et al. '01;
+    FastCDC '16) at token granularity.  Returns one row per chunk:
+    ``(id, chunk_idx, start, n_tokens, chunk_md5)``.
+
+    Why not fixed-size blocks: an insertion shifts every later block
+    boundary, so no downstream block matches storage again; CDC
+    boundaries are functions of local CONTENT, so an edit disturbs only
+    the chunks it touches — the shift-robust unit for storage-level
+    dedup of near-identical pages (CMS re-renders, boilerplate drift),
+    complementing doc-level (:func:`exact_dedup`) and span-level
+    (:func:`span_dedup`) dedup.
+
+    Boundary rule (exact, engine-portable): token position i (0-based)
+    ends a chunk iff ``int(md5(join(tokens[i-window+1 .. i]))[:8], 16)
+    % 2^mask_bits == 0`` — expected chunk length 2^mask_bits tokens.
+    The last token always ends a chunk.  Chunk digest = md5 of the
+    space-joined chunk tokens.
+
+    Scale shape: the winnowing discipline — window hashes are one
+    materialized array projection (md5 per position, computed once),
+    boundary selection and chunk assembly are array expressions, one
+    posexplode emits chunk rows; map-side, zero shuffle, the text never
+    crosses an exchange (downstream dedup joins carry 16-byte digests).
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    whash = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(
+                    F.array_join(
+                        F.slice(
+                            toks,
+                            F.greatest(i - window + 2, F.lit(1)),
+                            F.least(i + 1, F.lit(window)),
+                        ),
+                        " ",
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), toks.alias("t"), whash.alias("wh")
+    )
+    mask = (1 << mask_bits) - 1
+    # boundary positions (0-based, inclusive chunk ends); last always
+    bounds = F.array_union(
+        F.filter(
+            F.sequence(F.lit(0), F.size("t") - 1),
+            lambda i: F.element_at("wh", i + 1).bitwiseAND(mask) == 0,
+        ),
+        F.array(F.size("t") - 1),
+    )
+    withb = base.select("id", "t", F.array_sort(bounds).alias("b"))
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.size("b") - 1),
+        lambda ci: F.struct(
+            F.when(ci == 0, F.lit(0))
+            .otherwise(F.element_at("b", ci) + 1)
+            .alias("start"),
+            F.element_at("b", ci + 1).alias("end"),
+        ),
+    )
+    return (
+        withb.select("id", "t", F.posexplode(chunks).alias("chunk_idx", "c"))
+        .select(
+            "id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("c.start").cast("int").alias("start"),
+            (F.col("c.end") - F.col("c.start") + 1)
+            .cast("int")
+            .alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.slice(
+                        "t",
+                        F.col("c.start") + 1,
+                        F.col("c.end") - F.col("c.start") + 1,
+                    ),
+                    " ",
+                )
+            ).alias("chunk_md5"),
+        )
+    )
+
+
+def cdc_oracle_sql(
+    docs_sql: str, window: int = 4, mask_bits: int = 4
+) -> str:
+    """DuckDB recomputation of :func:`cdc_chunks` — same window-hash /
+    mask / assembly chain via unnested positions and an ordered
+    string_agg per chunk."""
+    mask = (1 << mask_bits) - 1
+    return f"""
+        with docs as (select * from ({docs_sql}) d),
+        toks as (select id, string_split(text, ' ') tk from docs),
+        pos as (select id, tk, unnest(range(len(tk))) i from toks),
+        wh as (select id, tk, i,
+                      try_cast('0x' || substr(md5(array_to_string(
+                        tk[greatest(i - {window} + 2, 1) :
+                           greatest(i - {window} + 2, 1)
+                           + least(i + 1, {window}) - 1], ' ')), 1, 8)
+                        as BIGINT) h
+               from pos),
+        flags as (select id, tk, i,
+                         (h & {mask}) = 0 or i = len(tk) - 1 as cut
+                  from wh),
+        cid as (select id, tk, i,
+                       count(*) filter (cut) over (
+                         partition by id order by i
+                         rows between unbounded preceding
+                                  and 1 preceding)::int chunk_idx
+                from flags),
+        agg as (select id, chunk_idx,
+                       min(i)::int as "start",
+                       count(*)::int n_tokens,
+                       md5(string_agg(tk[i + 1], ' ' order by i))
+                         chunk_md5
+                from cid group by 1, 2)
+        select * from agg
+    """

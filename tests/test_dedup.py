@@ -571,3 +571,101 @@ def test_containment_oracle_sql_matches(spark):
     )
     exp = sorted(tuple(r) for r in duckdb.sql(osql).fetchall())
     assert got == exp
+
+
+# ---------------------------------------------------------------- CDC
+
+
+def _py_cdc(text, w, mbits):
+    import hashlib
+
+    toks = text.split(" ")
+    mask = (1 << mbits) - 1
+    cuts = []
+    for i in range(len(toks)):
+        lo = max(i - w + 1, 0)
+        h = int(
+            hashlib.md5(" ".join(toks[lo:i + 1]).encode()).hexdigest()[:8],
+            16,
+        )
+        if (h & mask) == 0 or i == len(toks) - 1:
+            cuts.append(i)
+    out, start = [], 0
+    for ci, end in enumerate(cuts):
+        chunk = toks[start:end + 1]
+        out.append(
+            (ci, start, len(chunk),
+             hashlib.md5(" ".join(chunk).encode()).hexdigest())
+        )
+        start = end + 1
+    return out
+
+
+def test_cdc_chunks_match_python(spark):
+    from podcast_crawler_spark.operators.dedup import cdc_chunks
+
+    docs = [
+        (1, " ".join(f"t{(i * 17) % 101}" for i in range(80))),
+        (2, "short doc here"),
+        (3, "a"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        tuple(r) for r in cdc_chunks(df, window=4, mask_bits=4).collect()
+    )
+    exp = sorted((i, *c) for i, t in docs for c in _py_cdc(t, 4, 4))
+    assert got == exp
+
+
+def test_cdc_chunks_cover_document_exactly(spark):
+    # chunks partition the token sequence: contiguous, disjoint, total
+    from podcast_crawler_spark.operators.dedup import cdc_chunks
+
+    text = " ".join(f"w{(i * 7) % 53}" for i in range(120))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        (r["chunk_idx"], r["start"], r["n_tokens"])
+        for r in cdc_chunks(df).collect()
+    )
+    pos = 0
+    for ci, (idx, start, n) in enumerate(rows):
+        assert idx == ci and start == pos and n >= 1
+        pos += n
+    assert pos == 120
+
+
+def test_cdc_shift_robustness(spark):
+    # prepending a token preserves most chunk digests (the property
+    # fixed-size blocks lack)
+    from podcast_crawler_spark.operators.dedup import cdc_chunks
+
+    t0 = " ".join(f"x{(i * 13) % 97}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, t0), (2, "INS " + t0)], "doc_id long, text string"
+    )
+    by = {}
+    for r in cdc_chunks(df).collect():
+        by.setdefault(r["id"], set()).add(r["chunk_md5"])
+    shared = by[1] & by[2]
+    assert len(shared) >= len(by[1]) - 3
+
+
+def test_cdc_oracle_sql_matches(spark):
+    import duckdb
+    from podcast_crawler_spark.operators.dedup import (
+        cdc_chunks, cdc_oracle_sql,
+    )
+
+    docs = [
+        (i, " ".join(f"w{(i * j) % 31}" for j in range(50)))
+        for i in range(1, 7)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(tuple(r) for r in cdc_chunks(df).collect())
+    vals = ",".join(f"({i}, '{t}')" for i, t in docs)
+    osql = cdc_oracle_sql(f"select * from (values {vals}) v(id, text)")
+    exp = sorted(
+        (int(a), int(b), int(c), int(d), e)
+        for a, b, c, d, e in duckdb.sql(osql).fetchall()
+    )
+    assert got == exp
