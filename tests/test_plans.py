@@ -566,3 +566,61 @@ def test_snapshot_expiry_plan_matches_driver_action(spark, tmp_path):
     res = t.expire(retain_last=1)
     for seg, deletable in plan.items():
         assert (seg in res["deleted_dirs"]) == deletable, seg
+
+
+def test_winnow_and_cdc_zero_exchange(spark):
+    """Winnowing fingerprints and CDC chunking are pure map-side array
+    pipelines: no Exchange anywhere — the text never leaves the
+    partition that scanned it."""
+    from podcast_crawler_spark.operators.dedup import cdc_chunks
+    from podcast_crawler_spark.operators.textstats import (
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l")], "doc_id long, text string"
+    )
+    for out in (winnow_fingerprints(df), cdc_chunks(df)):
+        p = plan_of(out)
+        assert "Exchange" not in p, p
+
+
+def test_winnow_gram_array_materialized_once(spark):
+    """The gram md5 array must appear ONCE in the optimized plan (its
+    own projection), not inlined into every window lambda — inlining is
+    the O(n²·w) re-evaluation blowup (measured minutes at sf0.01)."""
+    from podcast_crawler_spark.operators.textstats import (
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l")], "doc_id long, text string"
+    )
+    p = optimized_of(winnow_fingerprints(df))
+    assert p.count("lambdafunction(md5") == 1, p
+
+
+def test_consistent_assign_broadcast_only(spark):
+    """Ring placement joins the tiny bucket table broadcast — the keys
+    themselves are never shuffled."""
+    from podcast_crawler_spark.operators.placement import consistent_assign
+
+    df = spark.createDataFrame([(f"h{i}",) for i in range(50)], "host string")
+    p = plan_of(consistent_assign(df, ["a", "b", "c"], vnodes=8))
+    assert "BroadcastHashJoin" in p, p
+    assert "Exchange hashpartitioning" not in p, p
+
+
+def test_mirror_hosts_payload_pruned_at_scan(spark, tmp_path):
+    """Column pruning reaches the scan: the mirror join reads only
+    (host, digest) from storage — payload columns never enter the plan,
+    so nothing heavier than a 16-byte digest can cross its shuffles."""
+    from podcast_crawler_spark.operators.traps import mirror_hosts
+
+    path = str(tmp_path / "hd")
+    spark.createDataFrame(
+        [("h1", "d1", "PAYLOAD" * 100)],
+        "host string, digest string, blob string",
+    ).write.parquet(path)
+    p = plan_of(mirror_hosts(spark.read.parquet(path)))
+    assert "blob" not in p, p
