@@ -1801,6 +1801,41 @@ _JSONLD_PAGES_SQL = """
 """
 
 
+_SCRIPT_SNIPPETS = [
+    "",
+    " привет мир как дела",
+    " 你好世界欢迎光临",
+    " مرحبا بالعالم",
+]
+
+
+def _script_profile(spark, sf_dir):
+    # writing-system detection over a synthesized multilingual corpus:
+    # every 4th doc gets a Cyrillic / CJK / Arabic tail appended to its
+    # Latin text, exercising mixed-script argmax and the fixed-order
+    # tie-break; pure map-side regexp counts, exact RE2/Java agreement.
+    snip = F.lit(_SCRIPT_SNIPPETS[0])
+    for i, s in enumerate(_SCRIPT_SNIPPETS):
+        if i:
+            snip = F.when(F.col("doc_id") % 4 == i, F.lit(s)).otherwise(snip)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.col("text"), snip).alias("text")
+    )
+    return textstats.script_profile(docs)
+
+
+def _script_docs_sql() -> str:
+    cases = " ".join(
+        f"when doc_id % 4 = {i} then '{s}'"
+        for i, s in enumerate(_SCRIPT_SNIPPETS)
+        if i
+    )
+    return (
+        f"select doc_id as id, text || case {cases} else '' end as text"
+        " from documents"
+    )
+
+
 def _cdc_chunks(spark, sf_dir):
     # content-defined chunking (LBFS/FastCDC boundary rule at token
     # granularity): shift-robust storage-dedup units — an insertion
@@ -2387,6 +2422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aimd_concurrency": _aimd_concurrency,
         "containment_pairs": _containment_pairs,
         "cdc_chunks": _cdc_chunks,
+        "script_profile": _script_profile,
         "classifier_score": _classifier_score,
         "sitemap_scan": _sitemap_scan,
         "span_dedup": _span_dedup,
@@ -3308,6 +3344,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fps": textstats.winnow_oracle_sql(
             "select doc_id as id, text from documents", k=5, w=4
         ),
+        "script_profile": textstats.script_oracle_sql(_script_docs_sql()),
         "cdc_chunks": dedup.cdc_oracle_sql(
             "select doc_id as id, text from documents",
             window=4, mask_bits=4,

@@ -623,3 +623,116 @@ def winnow_oracle_sql(
         select distinct id, i::int as pos, h as fp
         from sel where rn = 1
     """
+
+
+# script ranges (BMP blocks): name -> character-class regex.  Literal
+# range chars, identical bytes in Java regex (Spark) and RE2 (DuckDB).
+SCRIPT_RANGES = [
+    ("latin", "[A-Za-zÀ-ɏ]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("cjk", "[一-鿿぀-ヿ]"),
+    ("arabic", "[؀-ۿ]"),
+]
+
+
+def script_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Writing-system detection by codepoint-range counts — the
+    coverage :func:`lang_id` (stopword markers, space-tokenized
+    European languages) structurally cannot give: CJK has no spaces,
+    Cyrillic/Arabic share no markers.  A webtext pipeline routes on
+    script FIRST (tokenizer choice, lang-ID model choice, CJK-specific
+    dedup shingling), then on language within the script.
+
+    Returns ``(id, n_chars, latin, cyrillic, cjk, arabic,
+    dominant_script, script_pct)``: per-range character counts, the
+    argmax range (ties broken by the fixed order of SCRIPT_RANGES;
+    ``unknown`` when all counts are 0), and integer percent of counted
+    script chars in the dominant range.
+
+    Scale shape: one ``regexp_replace``-difference count per range —
+    pure map-side codegen, zero shuffle, no explode (counting via
+    length delta, not extraction).  Exact SQL oracle (DuckDB replays
+    with RE2 + the same tie-break chain).
+    """
+    t = F.col(text_col)
+    counts = {
+        name: F.length(t)
+        - F.length(F.regexp_replace(t, pat, ""))
+        for name, pat in SCRIPT_RANGES
+    }
+    names = [n for n, _ in SCRIPT_RANGES]
+    total = None
+    for n in names:
+        total = counts[n] if total is None else total + counts[n]
+    # fixed-order argmax: later entries win only with STRICTLY larger
+    # counts, so ties resolve to the earlier range
+    dom_expr = F.lit("unknown")
+    for n in names:
+        cond = (counts[n] > 0)
+        for m in names:
+            if m == n:
+                continue
+            if names.index(m) < names.index(n):
+                cond = cond & (counts[n] > counts[m])
+            else:
+                cond = cond & (counts[n] >= counts[m])
+        dom_expr = F.when(cond, F.lit(n)).otherwise(dom_expr)
+    dom_count = F.lit(0)
+    for n in names:
+        dom_count = F.when(dom_expr == n, counts[n]).otherwise(dom_count)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.length(t).cast("long").alias("n_chars"),
+        *[counts[n].cast("long").alias(n) for n in names],
+        dom_expr.alias("dominant_script"),
+        F.when(total > 0, (100 * dom_count.cast("long")) / total)
+        .otherwise(F.lit(None))
+        .cast("long")
+        .alias("script_pct"),
+    )
+
+
+def script_oracle_sql(docs_sql: str) -> str:
+    """DuckDB recomputation of :func:`script_profile`."""
+    cnt = {
+        name: (
+            f"(length(text) - length(regexp_replace(text,"
+            f" '{pat}', '', 'g')))::BIGINT"
+        )
+        for name, pat in SCRIPT_RANGES
+    }
+    names = [n for n, _ in SCRIPT_RANGES]
+    total = " + ".join(f"c.{n}" for n in names)
+    dom = "'unknown'"
+    # build the same fixed-order argmax chain, innermost-first
+    chains = []
+    for n in names:
+        conds = [f"c.{n} > 0"]
+        for m in names:
+            if m == n:
+                continue
+            op = ">" if names.index(m) < names.index(n) else ">="
+            conds.append(f"c.{n} {op} c.{m}")
+        chains.append((n, " and ".join(conds)))
+    dom_expr = "'unknown'"
+    for n, cond in reversed(chains):
+        dom_expr = f"case when {cond} then '{n}' else {dom_expr} end"
+    dom_cnt = "0"
+    for n in names:
+        dom_cnt = f"case when d.dominant_script = '{n}' then c.{n} else {dom_cnt} end"
+    cols = ",\n".join(f"{expr} as {name}" for name, expr in cnt.items())
+    return f"""
+        with docs as (select * from ({docs_sql}) t),
+        c as (select id, length(text)::BIGINT n_chars, {cols}
+              from docs),
+        d as (select c.*, {dom_expr} as dominant_script from c)
+        select d.id, d.n_chars, {', '.join('d.' + n for n in names)},
+               d.dominant_script,
+               case when ({total.replace('c.', 'd.')}) > 0
+                    then ((100 * ({dom_cnt.replace('c.', 'd.')}))
+                          // ({total.replace('c.', 'd.')}))::BIGINT
+               end as script_pct
+        from d
+    """

@@ -520,3 +520,70 @@ def test_winnow_oracle_sql_matches(spark):
         (int(a), int(b), c) for a, b, c in duckdb.sql(osql).fetchall()
     )
     assert got == exp
+
+
+# ------------------------------------------------------------- scripts
+
+
+def test_script_profile_pure_scripts(spark):
+    from podcast_crawler_spark.operators.textstats import script_profile
+
+    docs = [
+        (1, "hello plain english"),
+        (2, "привет мир"),
+        (3, "你好世界"),
+        (4, "مرحبا بالعالم"),
+        (5, "1234 !!! ???"),
+        (6, "café résumé"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["id"]: (r["dominant_script"], r["script_pct"])
+        for r in script_profile(df).collect()
+    }
+    assert got[1] == ("latin", 100)
+    assert got[2] == ("cyrillic", 100)
+    assert got[3] == ("cjk", 100)
+    assert got[4] == ("arabic", 100)
+    assert got[5] == ("unknown", None)
+    assert got[6] == ("latin", 100)  # accented Latin counted
+
+
+def test_script_profile_mixed_and_tiebreak(spark):
+    from podcast_crawler_spark.operators.textstats import script_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello привет"),  # 5 latin vs 6 cyrillic
+            (2, "ab яб"),         # exact 2-2 tie -> earlier range wins
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: (r["latin"], r["cyrillic"], r["dominant_script"])
+        for r in script_profile(df).collect()
+    }
+    assert got[1] == (5, 6, "cyrillic")
+    assert got[2] == (2, 2, "latin")
+
+
+def test_script_oracle_sql_matches(spark):
+    import duckdb
+    from podcast_crawler_spark.operators.textstats import (
+        script_profile, script_oracle_sql,
+    )
+
+    docs = [
+        (1, "hello plain"),
+        (2, "привет мир hello"),
+        (3, "你好 world"),
+        (4, "..."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(tuple(r) for r in script_profile(df).collect())
+    vals = ",".join("(%d, '%s')" % (i, t) for i, t in docs)
+    osql = script_oracle_sql(f"select * from (values {vals}) v(id, text)")
+    exp = sorted(tuple(r) for r in duckdb.sql(osql).fetchall())
+    assert [tuple(g) for g in got] == [
+        tuple(int(x) if isinstance(x, int) else x for x in e) for e in exp
+    ]
