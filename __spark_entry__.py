@@ -1809,6 +1809,13 @@ _SCRIPT_SNIPPETS = [
 ]
 
 
+def _length_buckets(spark, sf_dir):
+    # padded-batching economics: pow-2 token-length buckets with exact
+    # integer ceil-log2 (length(bin(n-1)) — no libm) and per-bucket
+    # padding waste; one map-side pass + a <=9-group aggregate.
+    return curation.length_buckets(_t(spark, sf_dir, "documents"))
+
+
 def _script_profile(spark, sf_dir):
     # writing-system detection over a synthesized multilingual corpus:
     # every 4th doc gets a Cyrillic / CJK / Arabic tail appended to its
@@ -2423,6 +2430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": _containment_pairs,
         "cdc_chunks": _cdc_chunks,
         "script_profile": _script_profile,
+        "length_buckets": _length_buckets,
         "classifier_score": _classifier_score,
         "sitemap_scan": _sitemap_scan,
         "span_dedup": _span_dedup,
@@ -3345,6 +3353,9 @@ def oracle_sql() -> dict[str, str]:
             "select doc_id as id, text from documents", k=5, w=4
         ),
         "script_profile": textstats.script_oracle_sql(_script_docs_sql()),
+        "length_buckets": curation.length_buckets_oracle_sql(
+            "select doc_id as id, text from documents"
+        ),
         "cdc_chunks": dedup.cdc_oracle_sql(
             "select doc_id as id, text from documents",
             window=4, mask_bits=4,

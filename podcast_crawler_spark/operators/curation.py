@@ -491,3 +491,95 @@ def export_manifest(
             F.sum("_fp").alias("content_fp"),
         )
     )
+
+
+def length_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_bucket: int = 16,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """Length-bucketed batching stats: assign every document to the
+    power-of-two token-length bucket that would hold it, and report the
+    padding economics per bucket — ``(bucket_cap, n_docs, total_tokens,
+    padded_tokens, waste_pct)``.  The planning table behind batched
+    inference / padded training (docs in a batch pad to the longest;
+    bucketing by pow-2 caps bounds waste at <50% — this table says what
+    it actually is, per bucket, so the serving layer can split or merge
+    buckets).  Complements :func:`pack_shards` (concat-packing wastes
+    nothing but destroys doc boundaries; padding keeps boundaries and
+    this measures its cost).
+
+    ``bucket_cap = clamp(2^ceil(log2(n_tokens)), min_bucket,
+    max_bucket)`` with ceil-log2 as EXACT integer arithmetic
+    (``length(bin(n-1))`` — the ``_bitlen`` discipline of
+    ``textstats.lm_surprisal``; no libm, so every engine agrees at
+    powers of two).  Docs longer than ``max_bucket`` land in the
+    ``max_bucket`` bucket with ``padded < total`` (they'd be truncated
+    — visible as negative-waste accounting rather than hidden).
+
+    Scale shape: token count + bucket id are map-side; ONE tiny
+    aggregation (≤ log2(max/min)+1 groups) with map-side combine.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_tok = F.size(F.filter(toks, lambda t: F.length(t) > 0))
+    per_doc = df.select(
+        F.col(id_col).alias("id"),
+        n_tok.cast("long").alias("n_tokens"),
+    ).select(
+        "id",
+        "n_tokens",
+        F.expr(
+            "least(greatest(shiftleft(1L,"
+            " case when n_tokens <= 1 then 0"
+            " else length(bin(n_tokens - 1)) end),"
+            f" {min_bucket}L), {max_bucket}L)"
+        ).alias("bucket_cap"),
+    )
+    return (
+        per_doc.groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .select(
+            "bucket_cap",
+            "n_docs",
+            "total_tokens",
+            (F.col("n_docs") * F.col("bucket_cap"))
+            .cast("long")
+            .alias("padded_tokens"),
+            F.expr(
+                "(100 * (n_docs * bucket_cap - total_tokens))"
+                " div (n_docs * bucket_cap)"
+            ).alias("waste_pct"),
+        )
+    )
+
+
+def length_buckets_oracle_sql(
+    docs_sql: str, min_bucket: int = 16, max_bucket: int = 4096
+) -> str:
+    """DuckDB recomputation of :func:`length_buckets` — same integer
+    ceil-log2 (binary-string length) and padding arithmetic."""
+    return f"""
+        with docs as (select * from ({docs_sql}) t),
+        d as (select id,
+                     len(list_filter(string_split(text, ' '),
+                                     x -> length(x) > 0))::BIGINT n
+              from docs),
+        b as (select id, n,
+                     least(greatest(
+                       (1::BIGINT << (case when n <= 1 then 0
+                          else length(bin(n - 1)) end)),
+                       {min_bucket}), {max_bucket})::BIGINT bucket_cap
+              from d)
+        select bucket_cap,
+               count(*)::BIGINT n_docs,
+               sum(n)::BIGINT total_tokens,
+               (count(*) * bucket_cap)::BIGINT padded_tokens,
+               ((100 * (count(*) * bucket_cap - sum(n)))
+                // (count(*) * bucket_cap))::BIGINT waste_pct
+        from b group by 1
+    """

@@ -362,3 +362,53 @@ def test_export_manifest_membership_and_fingerprint(spark):
     # full files hold exactly rows_per_file docs; only the last is ragged
     sizes = [man[f].n_docs for f in sorted(man)]
     assert sizes[:-1] == [10] * 5 and sizes[-1] == 7
+
+
+def test_length_buckets_pow2_and_waste(spark):
+    from podcast_crawler_spark.operators.curation import length_buckets
+
+    docs = [
+        (i, " ".join(f"t{j}" for j in range(n)))
+        for i, n in [(1, 1), (2, 15), (3, 16), (4, 17), (5, 100)]
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["bucket_cap"]: (r["n_docs"], r["total_tokens"], r["waste_pct"])
+        for r in length_buckets(df).collect()
+    }
+    # 1, 15, 16 -> cap 16; 17 -> 32; 100 -> 128
+    assert got[16] == (3, 32, 33)
+    assert got[32] == (1, 17, 46)
+    assert got[128] == (1, 100, 21)
+
+
+def test_length_buckets_truncation_visible(spark):
+    # doc beyond max_bucket: negative waste, not silently hidden
+    from podcast_crawler_spark.operators.curation import length_buckets
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{j}" for j in range(300)))],
+        "doc_id long, text string",
+    )
+    row = length_buckets(df, max_bucket=256).collect()[0]
+    assert row["bucket_cap"] == 256 and row["waste_pct"] < 0
+
+
+def test_length_buckets_oracle_matches(spark):
+    import duckdb
+    from podcast_crawler_spark.operators.curation import (
+        length_buckets, length_buckets_oracle_sql,
+    )
+
+    docs = [
+        (i, " ".join(f"w{j}" for j in range((i * 13) % 70)))
+        for i in range(1, 20)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(tuple(r) for r in length_buckets(df).collect())
+    vals = ",".join("(%d, '%s')" % (i, t) for i, t in docs)
+    osql = length_buckets_oracle_sql(
+        f"select * from (values {vals}) v(id, text)"
+    )
+    exp = sorted(tuple(int(x) for x in r) for r in duckdb.sql(osql).fetchall())
+    assert [tuple(int(x) for x in g) for g in got] == exp
