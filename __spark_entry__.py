@@ -1723,6 +1723,32 @@ _AIMD_OBS_SQL = (
 )
 
 
+def _circuit_state(spark, sf_dir):
+    # per-host circuit breaker over the same synthesized outcome grid
+    # as aimd_concurrency: consecutive-failure runs since the last
+    # clean epoch open the breaker with exponential probe backoff.
+    # One exchange (window + groupBy share the host key).
+    from podcast_crawler_spark.operators import refetch
+
+    obs = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.concat(
+                F.lit("h"), (F.col("user_id") % 61).cast("string")
+            ).alias("host"),
+            (F.col("event_id") % 6).alias("epoch"),
+        )
+        .agg(
+            F.sum(
+                ((F.col("user_id") + F.col("event_id")) % 13 == 0).cast(
+                    "long"
+                )
+            ).alias("failures")
+        )
+    )
+    return refetch.circuit_state(obs, k_open=2, max_backoff=16)
+
+
 def _jsonld_extract(spark, sf_dir):
     # schema.org JSON-LD extraction from synthesized podcast pages:
     # valid PodcastSeries objects, multi-entity arrays (doc_id%5),
@@ -2427,6 +2453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consistent_placement": _consistent_placement,
         "ring_rebalance": _ring_rebalance,
         "aimd_concurrency": _aimd_concurrency,
+        "circuit_state": _circuit_state,
         "containment_pairs": _containment_pairs,
         "cdc_chunks": _cdc_chunks,
         "script_profile": _script_profile,
@@ -3345,6 +3372,9 @@ def oracle_sql() -> dict[str, str]:
             _RING_WORKERS,
             _RING_WORKERS + ["w16"],
             vnodes=32,
+        ),
+        "circuit_state": refetch.circuit_oracle_sql(
+            _AIMD_OBS_SQL, k_open=2, max_backoff=16
         ),
         "aimd_concurrency": refetch.aimd_oracle_sql(
             _AIMD_OBS_SQL, epochs=6, init=1, max_c=8

@@ -215,3 +215,104 @@ def aimd_oracle_sql(
         f"{joined}\n"
         f"select host, c as concurrency from s{epochs}"
     )
+
+
+def circuit_state(
+    obs: DataFrame,
+    k_open: int = 3,
+    max_backoff: int = 64,
+    host_col: str = "host",
+    epoch_col: str = "epoch",
+    failures_col: str = "failures",
+) -> DataFrame:
+    """Per-host circuit breaker from epoch outcome history — the gating
+    rule next to :func:`aimd_concurrency`'s rate rule: AIMD shrinks
+    concurrency on a flaky host; the breaker STOPS fetching a dead one
+    (DNS gone, permanent 5xx) and schedules a probe instead of burning
+    budget every epoch (the reference retries each task up to
+    ``max_retries`` with no host-level memory, ``rss_fetcher.rs``
+    retry loop — per-host memory is the fleet-scale upgrade).
+
+    Per host: ``last_ok`` = newest epoch with 0 failures, ``consec_fail``
+    = number of failing epochs after it (all epochs, if it never
+    succeeded).  ``state = 'open'`` when ``consec_fail >= k_open`` —
+    with ``retry_epoch = last_epoch + min(2^consec_fail, max_backoff)``
+    (exponential probe backoff, integer shiftleft); else ``'closed'``
+    with null ``retry_epoch``.
+
+    Scale shape: ONE exchange — the window and the groupBy share the
+    host key, so Spark reuses the partitioning; everything else is
+    conditional aggregates.  Exact integer oracle.
+    """
+    from pyspark.sql import Window
+
+    o = obs.select(
+        F.col(host_col).alias("host"),
+        F.col(epoch_col).alias("epoch"),
+        F.col(failures_col).alias("failures"),
+    )
+    w = Window.partitionBy("host")
+    with_ok = o.withColumn(
+        "last_ok",
+        F.max(F.when(F.col("failures") == 0, F.col("epoch"))).over(w),
+    )
+    agg = with_ok.groupBy("host").agg(
+        F.max("epoch").alias("last_epoch"),
+        F.first("last_ok").alias("last_ok"),
+        F.sum(
+            (
+                (F.col("failures") > 0)
+                & (F.col("epoch") > F.coalesce("last_ok", F.lit(-1)))
+            ).cast("long")
+        ).alias("consec_fail"),
+    )
+    is_open = F.col("consec_fail") >= k_open
+    return agg.select(
+        "host",
+        F.col("last_ok").cast("long").alias("last_ok"),
+        F.col("consec_fail").cast("long").alias("consec_fail"),
+        F.when(is_open, F.lit("open")).otherwise(F.lit("closed")).alias(
+            "state"
+        ),
+        F.when(
+            is_open,
+            F.col("last_epoch")
+            + F.least(
+                F.expr("shiftleft(1L, cast(least(consec_fail, 32) as int))"),
+                F.lit(max_backoff).cast("long"),
+            ),
+        )
+        .cast("long")
+        .alias("retry_epoch"),
+    )
+
+
+def circuit_oracle_sql(
+    obs_sql: str, k_open: int = 3, max_backoff: int = 64
+) -> str:
+    """DuckDB recomputation of :func:`circuit_state`."""
+    return f"""
+        with obs as ({obs_sql}),
+        wk as (select host, epoch, failures,
+                      max(case when failures = 0 then epoch end)
+                        over (partition by host) last_ok
+               from obs),
+        agg as (select host,
+                       max(epoch) last_epoch,
+                       any_value(last_ok) last_ok,
+                       sum((failures > 0 and
+                            epoch > coalesce(last_ok, -1))::int)::BIGINT
+                         consec_fail
+                from wk group by 1)
+        select host,
+               last_ok::BIGINT as last_ok,
+               consec_fail,
+               case when consec_fail >= {k_open} then 'open'
+                    else 'closed' end as state,
+               case when consec_fail >= {k_open} then
+                 (last_epoch + least(
+                    1::BIGINT << least(consec_fail, 32)::int,
+                    {max_backoff}))::BIGINT
+               end as retry_epoch
+        from agg
+    """

@@ -79,3 +79,74 @@ def test_plan_is_one_partial_agg_no_join(spark):
     assert "Join" not in plan
     assert plan.count("Exchange") == 1  # one keyed shuffle of partials
     assert "partial_count" in plan or "partial" in plan.lower()
+
+
+# ------------------------------------------------------------- breaker
+
+
+def test_circuit_opens_after_consecutive_failures(spark):
+    from podcast_crawler_spark.operators.refetch import circuit_state
+
+    obs = [
+        # ok at 0, then 3 failing epochs -> open, retry = 3 + 2^3 = 11
+        ("dead", 0, 0), ("dead", 1, 2), ("dead", 2, 1), ("dead", 3, 5),
+        # flaky but recovered: failure then success -> closed
+        ("flaky", 0, 1), ("flaky", 1, 0),
+        # never succeeded, 2 failures < k_open=3 -> closed
+        ("young", 0, 1), ("young", 1, 1),
+        # never succeeded, 4 failures -> open from the start
+        ("never", 0, 1), ("never", 1, 1), ("never", 2, 1), ("never", 3, 1),
+    ]
+    df = spark.createDataFrame(obs, "host string, epoch long, failures long")
+    got = {
+        r["host"]: (r["last_ok"], r["consec_fail"], r["state"],
+                    r["retry_epoch"])
+        for r in circuit_state(df, k_open=3, max_backoff=64).collect()
+    }
+    assert got["dead"] == (0, 3, "open", 3 + 8)
+    assert got["flaky"] == (1, 0, "closed", None)
+    assert got["young"] == (None, 2, "closed", None)
+    assert got["never"] == (None, 4, "open", 3 + 16)
+
+
+def test_circuit_backoff_capped(spark):
+    from podcast_crawler_spark.operators.refetch import circuit_state
+
+    obs = [("h", e, 1) for e in range(20)]
+    df = spark.createDataFrame(obs, "host string, epoch long, failures long")
+    r = circuit_state(df, k_open=3, max_backoff=64).collect()[0]
+    assert r["state"] == "open" and r["retry_epoch"] == 19 + 64
+
+
+def test_circuit_single_exchange(spark):
+    # window + groupBy share the host key -> one hashpartitioning
+    from podcast_crawler_spark.operators.refetch import circuit_state
+
+    df = spark.createDataFrame(
+        [("h", 0, 1)], "host string, epoch long, failures long"
+    )
+    p = circuit_state(df)._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_circuit_oracle_sql_matches(spark):
+    import duckdb
+    from podcast_crawler_spark.operators.refetch import (
+        circuit_state, circuit_oracle_sql,
+    )
+
+    obs = [
+        (f"h{h}", e, (h * 5 + e) % 4 // 3)
+        for h in range(10) for e in range(8)
+    ]
+    df = spark.createDataFrame(obs, "host string, epoch long, failures long")
+    got = sorted(tuple(r) for r in circuit_state(df, k_open=2).collect())
+    vals = ",".join(f"('{h}',{e},{f})" for h, e, f in obs)
+    osql = circuit_oracle_sql(
+        f"select * from (values {vals}) o(host, epoch, failures)", k_open=2
+    )
+    exp = sorted(tuple(r) for r in duckdb.sql(osql).fetchall())
+    norm = lambda t: tuple(
+        int(x) if isinstance(x, int) else x for x in t
+    )
+    assert [norm(g) for g in got] == [norm(e) for e in exp]
