@@ -1835,6 +1835,17 @@ _SCRIPT_SNIPPETS = [
 ]
 
 
+def _bpe_candidates(spark, sf_dir):
+    # BPE merge-candidate mining (Sennrich '16 first iteration):
+    # adjacent char-pair counts aggregated over the VOCAB (the
+    # vocab-sized-exchange move that makes tokenizer training viable
+    # at 10^10 docs), TakeOrderedAndProject top-k, total-order
+    # tie-break.
+    return textstats.bpe_merge_candidates(
+        _t(spark, sf_dir, "documents"), k=50
+    )
+
+
 def _length_buckets(spark, sf_dir):
     # padded-batching economics: pow-2 token-length buckets with exact
     # integer ceil-log2 (length(bin(n-1)) — no libm) and per-bucket
@@ -2458,6 +2469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": _cdc_chunks,
         "script_profile": _script_profile,
         "length_buckets": _length_buckets,
+        "bpe_candidates": _bpe_candidates,
         "classifier_score": _classifier_score,
         "sitemap_scan": _sitemap_scan,
         "span_dedup": _span_dedup,
@@ -3383,6 +3395,9 @@ def oracle_sql() -> dict[str, str]:
             "select doc_id as id, text from documents", k=5, w=4
         ),
         "script_profile": textstats.script_oracle_sql(_script_docs_sql()),
+        "bpe_candidates": textstats.bpe_oracle_sql(
+            "select doc_id as id, text from documents", k=50
+        ),
         "length_buckets": curation.length_buckets_oracle_sql(
             "select doc_id as id, text from documents"
         ),

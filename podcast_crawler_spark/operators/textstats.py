@@ -736,3 +736,69 @@ def script_oracle_sql(docs_sql: str) -> str:
                end as script_pct
         from d
     """
+
+
+def bpe_merge_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+) -> DataFrame:
+    """Tokenizer-training primitive: the top-*k* adjacent CHARACTER
+    pairs by corpus frequency — exactly the statistic BPE's first merge
+    iteration maximizes (Sennrich et al. 2016; byte/char symbols, every
+    whitespace token an independent sequence).  Returns ``(sym1, sym2,
+    pair_count)`` ordered by ``(count desc, sym1, sym2)`` — the
+    deterministic merge-pick order.
+
+    Scale shape — the move that makes BPE training tractable on 10^10
+    docs: pair counting runs over the VOCABULARY (distinct token →
+    corpus count via one map-side-combine groupBy; the exchange is
+    vocab-sized, not corpus-sized), then per-token character pairs are
+    array expressions weighted by the token's corpus count.  The final
+    top-k is ``TakeOrderedAndProject`` (per-partition heaps), never a
+    global sort.  Exact integer counts ⇒ exact SQL oracle.
+    """
+    tok = (
+        df.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("token")
+        )
+        .filter(F.length("token") > 1)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tok_cnt"))
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length("token") - 1),
+        lambda i: F.struct(
+            F.substring(F.col("token"), i, 1).alias("sym1"),
+            F.substring(F.col("token"), i + 1, 1).alias("sym2"),
+        ),
+    )
+    return (
+        tok.select(F.explode(pairs).alias("p"), "tok_cnt")
+        .groupBy(
+            F.col("p.sym1").alias("sym1"), F.col("p.sym2").alias("sym2")
+        )
+        .agg(F.sum("tok_cnt").cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("sym1"), F.asc("sym2"))
+        .limit(k)
+    )
+
+
+def bpe_oracle_sql(docs_sql: str, k: int = 50) -> str:
+    """DuckDB recomputation of :func:`bpe_merge_candidates`."""
+    return f"""
+        with docs as (select * from ({docs_sql}) t),
+        tok as (select tk as token, count(*)::BIGINT tok_cnt
+                from docs, unnest(string_split(text, ' ')) u(tk)
+                where length(tk) > 1 group by 1),
+        pairs as (select substr(token, i, 1) sym1,
+                         substr(token, i + 1, 1) sym2,
+                         tok_cnt
+                  from tok, unnest(range(1, length(token))) r(i)),
+        agg as (select sym1, sym2, sum(tok_cnt)::BIGINT pair_count
+                from pairs group by 1, 2)
+        select * from agg
+        order by pair_count desc, sym1, sym2
+        limit {k}
+    """

@@ -587,3 +587,61 @@ def test_script_oracle_sql_matches(spark):
     assert [tuple(g) for g in got] == [
         tuple(int(x) if isinstance(x, int) else x for x in e) for e in exp
     ]
+
+
+# ----------------------------------------------------------------- BPE
+
+
+def test_bpe_candidates_counts(spark):
+    from podcast_crawler_spark.operators.textstats import (
+        bpe_merge_candidates,
+    )
+
+    # "abab abab ab" -> token 'abab' x2, 'ab' x1 (len>1 kept)
+    df = spark.createDataFrame(
+        [(1, "abab abab ab"), (2, "x")], "doc_id long, text string"
+    )
+    got = {
+        (r["sym1"], r["sym2"]): r["pair_count"]
+        for r in bpe_merge_candidates(df, k=10).collect()
+    }
+    # 'abab': pairs ab, ba, ab -> per token (2 ab, 1 ba), x2 tokens
+    # 'ab': 1 ab.  totals: ab=5, ba=2; 'x' dropped (len 1)
+    assert got == {("a", "b"): 5, ("b", "a"): 2}
+
+
+def test_bpe_candidates_tiebreak_total_order(spark):
+    from podcast_crawler_spark.operators.textstats import (
+        bpe_merge_candidates,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ab cd ab cd ef")], "doc_id long, text string"
+    )
+    rows = [
+        (r["sym1"], r["sym2"], r["pair_count"])
+        for r in bpe_merge_candidates(df, k=2).collect()
+    ]
+    # ab=2, cd=2, ef=1; k=2 keeps the two count-2 pairs in (sym1,sym2)
+    # order — deterministic cut at the boundary
+    assert rows == [("a", "b", 2), ("c", "d", 2)]
+
+
+def test_bpe_oracle_sql_matches(spark):
+    import duckdb
+    from podcast_crawler_spark.operators.textstats import (
+        bpe_merge_candidates, bpe_oracle_sql,
+    )
+
+    docs = [
+        (i, " ".join(f"w{(i * j) % 17}x{(j * 3) % 7}" for j in range(20)))
+        for i in range(1, 8)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [tuple(r) for r in bpe_merge_candidates(df, k=25).collect()]
+    vals = ",".join("(%d, '%s')" % (i, t) for i, t in docs)
+    osql = bpe_oracle_sql(f"select * from (values {vals}) v(id, text)", k=25)
+    exp = [
+        (a, b, int(c)) for a, b, c in duckdb.sql(osql).fetchall()
+    ]
+    assert got == exp
