@@ -1635,6 +1635,13 @@ def _sitemap_scan(spark, sf_dir):
     return sitemap.scan_sitemaps(docs)
 
 
+from podcast_crawler_spark.operators import links as _links
+
+
+def _links_mod():
+    return _links
+
+
 from podcast_crawler_spark.operators import placement as _placement
 
 
@@ -1747,6 +1754,70 @@ def _circuit_state(spark, sf_dir):
         )
     )
     return refetch.circuit_state(obs, k_open=2, max_backoff=16)
+
+
+_DIRECTIVE_PAGES_SPARK = None  # built inline below
+
+
+def _page_directives(spark, sf_dir):
+    # page-level robots directives over synthesized pages: meta robots
+    # (noindex/nofollow, attr order varies by doc), rel=canonical
+    # links, nofollow anchors — the in-page half of the politeness
+    # stack.  Tag-extract + list-probe (RE2 has no lookahead; the
+    # oracle replays the same chain).
+    from podcast_crawler_spark.operators import links as linksmod
+
+    d = F.col("doc_id")
+    meta = (
+        F.when(d % 5 == 0, F.lit('<meta name="robots" content="noindex">'))
+        .when(d % 5 == 1, F.lit("<meta content='nofollow, noarchive' name='ROBOTS'>"))
+        .when(d % 5 == 2, F.lit('<meta name="viewport" content="w">'))
+        .otherwise(F.lit(""))
+    )
+    canon = F.when(
+        d % 3 == 0,
+        F.concat(
+            F.lit('<link rel="canonical" href="https://c'),
+            (d % 23).cast("string"),
+            F.lit('.example/page">'),
+        ),
+    ).otherwise(F.lit(""))
+    anchors = F.when(
+        d % 2 == 0,
+        F.lit('<a href="x" rel="nofollow">x</a><a href="y">y</a>'),
+    ).otherwise(F.lit('<a href="z">z</a>'))
+    pages = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head>"), meta, canon,
+            F.lit("</head><body><p>"), F.substring("text", 1, 30),
+            F.lit("</p>"), anchors, F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    return linksmod.page_directives(pages)
+
+
+_DIRECTIVE_PAGES_SQL = """
+    select doc_id as id,
+           '<html><head>'
+           || case when doc_id % 5 = 0 then
+                '<meta name="robots" content="noindex">'
+              when doc_id % 5 = 1 then
+                '<meta content=''nofollow, noarchive'' name=''ROBOTS''>'
+              when doc_id % 5 = 2 then
+                '<meta name="viewport" content="w">'
+              else '' end
+           || case when doc_id % 3 = 0 then
+                '<link rel="canonical" href="https://c'
+                || (doc_id % 23)::varchar || '.example/page">'
+              else '' end
+           || '</head><body><p>' || substr(text, 1, 30) || '</p>'
+           || case when doc_id % 2 = 0 then
+                '<a href="x" rel="nofollow">x</a><a href="y">y</a>'
+              else '<a href="z">z</a>' end
+           || '</body></html>' as html
+    from documents
+"""
 
 
 def _jsonld_extract(spark, sf_dir):
@@ -2461,6 +2532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_hosts": _mirror_hosts,
         "winnow_fps": _winnow_fps,
         "jsonld_extract": _jsonld_extract,
+        "page_directives": _page_directives,
         "consistent_placement": _consistent_placement,
         "ring_rebalance": _ring_rebalance,
         "aimd_concurrency": _aimd_concurrency,
@@ -3374,6 +3446,9 @@ def oracle_sql() -> dict[str, str]:
             _MIRROR_HD_SQL, min_shared=2, max_digest_hosts=1000
         ),
         "jsonld_extract": htmltext.jsonld_oracle_sql(_JSONLD_PAGES_SQL),
+        "page_directives": _links_mod().directives_oracle_sql(
+            _DIRECTIVE_PAGES_SQL
+        ),
         "consistent_placement": _placement_mod().assign_oracle_sql(
             f"select host, host as key from ({_PLACEMENT_KEYS_SQL}) k",
             _RING_WORKERS,

@@ -120,3 +120,109 @@ def resolve_case_sql(href_expr: str, base_expr: str) -> str:
                      ELSE {origin} || '/' END) || {h}
         END
     """
+
+
+_TAG_META = "(?i)<meta[^>]*>"
+_TAG_LINK = "(?i)<link[^>]*>"
+_TAG_A = "(?i)<a[\\s][^>]*>"
+_ATTR_ROBOTS = "(?i)name\\s*=\\s*[\"']robots[\"']"
+_ATTR_CANON = "(?i)rel\\s*=\\s*[\"']canonical[\"']"
+_ATTR_NOFOLLOW = "(?i)rel\\s*=\\s*[\"'][^\"']*nofollow"
+_ATTR_CONTENT = "(?i)content\\s*=\\s*[\"']([^\"']*)[\"']"
+_ATTR_HREF = "(?i)href\\s*=\\s*[\"']([^\"']*)[\"']"
+
+
+def page_directives(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Page-level crawl directives: the in-page half of the politeness
+    stack (robots.txt is host-level; pages opt out individually via
+    meta robots, REP §meta / rel-nofollow, canonical URLs collapse
+    parameter/mirror variants BEFORE content dedup ever runs).
+    Returns ``(id, robots_content, noindex, nofollow_meta,
+    canonical_url, n_links, n_nofollow_links)``.
+
+    - ``noindex`` / ``nofollow_meta``: from the first ``<meta
+      name="robots">`` tag's content list (attribute order tolerant —
+      tags are extracted whole, then attributes probed, because RE2 has
+      no lookahead and the oracle must replay in it).
+    - ``canonical_url``: href of the first ``<link rel="canonical">``.
+    - ``n_nofollow_links``: anchors whose rel contains ``nofollow`` —
+      these are excluded from discovery admission (their targets earn
+      no PageRank from this page).
+
+    A crawler consumes this row next to ``extract_links``: drop
+    outlinks of nofollow pages, store under ``canonical_url`` when
+    present, skip indexing noindex pages.
+
+    Scale shape: tag extraction + list probes are per-page array
+    expressions — map-side codegen, zero shuffle, no UDF; HTML never
+    crosses an exchange.
+    """
+    html = F.col(html_col).cast("string")
+    metas = F.regexp_extract_all(html, F.lit(_TAG_META), 0)
+    robots = F.filter(metas, lambda m: m.rlike(_ATTR_ROBOTS))
+    content = F.lower(
+        F.regexp_extract(
+            F.coalesce(F.try_element_at(robots, F.lit(1)), F.lit("")),
+            _ATTR_CONTENT,
+            1,
+        )
+    )
+    links = F.regexp_extract_all(html, F.lit(_TAG_LINK), 0)
+    canon = F.filter(links, lambda m: m.rlike(_ATTR_CANON))
+    canonical = F.regexp_extract(
+        F.coalesce(F.try_element_at(canon, F.lit(1)), F.lit("")),
+        _ATTR_HREF,
+        1,
+    )
+    anchors = F.regexp_extract_all(html, F.lit(_TAG_A), 0)
+    nofollow = F.filter(anchors, lambda a: a.rlike(_ATTR_NOFOLLOW))
+    return df.select(
+        F.col(id_col).alias("id"),
+        content.alias("robots_content"),
+        content.contains("noindex").alias("noindex"),
+        content.contains("nofollow").alias("nofollow_meta"),
+        F.when(canonical != "", canonical).alias("canonical_url"),
+        F.size(anchors).cast("int").alias("n_links"),
+        F.size(nofollow).cast("int").alias("n_nofollow_links"),
+    )
+
+
+def directives_oracle_sql(pages_sql: str) -> str:
+    """DuckDB recomputation of :func:`page_directives` — same
+    tag-extract / list-filter / attribute-probe chain in RE2."""
+
+    def q(pat: str) -> str:
+        return pat.replace("'", "''")
+
+    return f"""
+        with pages as (select * from ({pages_sql}) p),
+        t as (select id,
+                regexp_extract_all(html, '{q(_TAG_META)}', 0) metas,
+                regexp_extract_all(html, '{q(_TAG_LINK)}', 0) links,
+                regexp_extract_all(html, '{q(_TAG_A)}', 0) anchors
+              from pages),
+        d as (select id,
+                lower(regexp_extract(coalesce(
+                  list_filter(metas,
+                    m -> regexp_matches(m, '{q(_ATTR_ROBOTS)}'))[1], ''),
+                  '{q(_ATTR_CONTENT)}', 1)) robots_content,
+                regexp_extract(coalesce(
+                  list_filter(links,
+                    m -> regexp_matches(m, '{q(_ATTR_CANON)}'))[1], ''),
+                  '{q(_ATTR_HREF)}', 1) canon,
+                len(anchors)::int n_links,
+                len(list_filter(anchors,
+                  a -> regexp_matches(a, '{q(_ATTR_NOFOLLOW)}')))::int
+                  n_nofollow_links
+              from t)
+        select id, robots_content,
+               contains(robots_content, 'noindex') as noindex,
+               contains(robots_content, 'nofollow') as nofollow_meta,
+               case when canon <> '' then canon end as canonical_url,
+               n_links, n_nofollow_links
+        from d
+    """

@@ -92,3 +92,68 @@ def test_resolve_href_is_null_for_dropped(spark):
     )
     got = df.select(resolve_href(F.col("h"), F.col("url")).alias("r")).first()
     assert got["r"] is None
+
+
+# ---------------------------------------------------------- directives
+
+
+def test_page_directives_semantics(spark):
+    from podcast_crawler_spark.operators.links import page_directives
+
+    pages = [
+        (1, '<head><meta content="noindex, nofollow" name="ROBOTS">'
+            '<link rel="canonical" href="https://ex.io/a"></head>'
+            '<a href="x" rel="nofollow">y</a><a href="z">w</a>'),
+        (2, '<meta name="viewport" content="w"><a href="p">q</a>'),
+        (3, "<META NAME='robots' CONTENT='INDEX, FOLLOW'>"),
+        (4, '<link href="https://ex.io/c" rel="canonical">'
+            '<a rel="me nofollow ugc" href="u">v</a>'),
+        (5, "no tags at all"),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, html string")
+    got = {r["id"]: r.asDict() for r in page_directives(df).collect()}
+    assert got[1]["noindex"] and got[1]["nofollow_meta"]
+    assert got[1]["canonical_url"] == "https://ex.io/a"
+    assert (got[1]["n_links"], got[1]["n_nofollow_links"]) == (2, 1)
+    # non-robots meta ignored
+    assert not got[2]["noindex"] and got[2]["robots_content"] == ""
+    # case-insensitive tag + attrs; index,follow is not noindex
+    assert got[3]["robots_content"] == "index, follow"
+    assert not got[3]["noindex"]
+    # attribute order reversed; rel list containing nofollow
+    assert got[4]["canonical_url"] == "https://ex.io/c"
+    assert got[4]["n_nofollow_links"] == 1
+    assert got[5]["canonical_url"] is None
+
+
+def test_page_directives_zero_exchange(spark):
+    from podcast_crawler_spark.operators.links import page_directives
+
+    df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id long, html string")
+    p = page_directives(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p
+
+
+def test_page_directives_oracle_matches(spark):
+    import duckdb
+    from podcast_crawler_spark.operators.links import (
+        directives_oracle_sql, page_directives,
+    )
+
+    pages = [
+        (1, '<meta name="robots" content="noindex">'
+            '<a rel="nofollow" href="a">x</a>'),
+        (2, '<link rel="canonical" href="https://e.io/2">'),
+        (3, "plain"),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, html string")
+    got = sorted(tuple(r) for r in page_directives(df).collect())
+    vals = ",".join(
+        "(%d, '%s')" % (i, h.replace("'", "''")) for i, h in pages
+    )
+    osql = directives_oracle_sql(
+        f"select * from (values {vals}) v(id, html)"
+    )
+    exp = sorted(tuple(r) for r in duckdb.sql(osql).fetchall())
+    norm = lambda t: tuple(int(x) if isinstance(x, bool) else x for x in t)
+    assert [norm(g) for g in got] == [norm(e) for e in exp]
