@@ -205,6 +205,64 @@ def main() -> None:
         "ONE full-outer join keyed on the id — no payload column in any\n"
         "exchange; unchanged keys filtered immediately above the join.",
     )
+    add(
+        "winnow_fps (winnowing fingerprints, map-side only)",
+        qs["winnow_fps"](spark, SF),
+        "Expected: ZERO exchanges — gram md5 array materialized as its own\n"
+        "projection (computed once; inlined it re-evaluates per window\n"
+        "lambda, an O(n²·w) blowup), window selection as array lambdas,\n"
+        "one Generate(explode) for the fingerprint rows.",
+    )
+    add(
+        "containment_pairs (asymmetric near-dup over winnow fps)",
+        qs["containment_pairs"](spark, SF),
+        "Expected: the inverted-index discipline — fingerprint generation\n"
+        "map-side, hot-fp cap via a grouped count + semi join, the pair\n"
+        "self-join and all aggregations carrying only (id, 32-char fp) or\n"
+        "smaller; integer containment arithmetic.",
+    )
+    add(
+        "hop_distance (delta-frontier BFS, ONE level uncheckpointed)",
+        graph_ops.hop_distance(
+            pr_edges,
+            pr_edges.select(F.col("src").alias("node")).distinct().limit(5),
+            max_hops=1,
+            checkpoint=False,
+        ),
+        "Production localCheckpoints per level; this dump disables it to\n"
+        "expose one level's true shape.  Expected: frontier⋈edges hash\n"
+        "join + distinct + left_anti against visited — the join input is\n"
+        "the LAST level's frontier only, never the visited set.",
+    )
+    add(
+        "triangle_counts (degree-oriented wedge join)",
+        qs["triangle_counts"](spark, SF),
+        "Expected: symmetrize+distinct, degree join, oriented edge list\n"
+        "self-joined on the middle vertex (wedges), closed by an equi-join\n"
+        "probe on (x, z) — all hash joins on node ids; per-node out-degree\n"
+        "bounded O(√m) by the orientation, so no hub task blowup.",
+    )
+    add(
+        "consistent_placement (ring successor via bucket broadcast)",
+        qs["consistent_placement"](spark, SF),
+        "Expected: ONE BroadcastHashJoin on the key's ring bucket (the\n"
+        "4096-row bucket table broadcast) + array probes — no\n"
+        "hashpartitioning exchange anywhere; keys are never shuffled.",
+    )
+    add(
+        "cdc_chunks (content-defined chunking)",
+        qs["cdc_chunks"](spark, SF),
+        "Expected: ZERO exchanges — window hashes materialized once\n"
+        "(the winnow_fps discipline), boundary selection and chunk\n"
+        "assembly as array lambdas, one Generate(posexplode).",
+    )
+    add(
+        "circuit_state (per-host breaker, single exchange)",
+        qs["circuit_state"](spark, SF),
+        "Expected: the last_ok window and the per-host aggregate share\n"
+        "the host hashpartitioning — exactly ONE exchange above the\n"
+        "outcome synthesis; breaker rule is pure projection arithmetic.",
+    )
     keys = spark.range(0, 2000, 1, 4).select(
         F.xxhash64(F.col("id").cast("string")).alias("url_hash"), "id"
     )
