@@ -1917,6 +1917,22 @@ def _bpe_candidates(spark, sf_dir):
     )
 
 
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("in", "g"), ("o", "r"),
+]
+
+
+def _bpe_encode(spark, sf_dir):
+    # BPE application with a fixed merge table (tokenizer config, the
+    # k-means-centroid precedent): unrolled leftmost-non-overlapping
+    # replaces per token, map-side codegen; the exact segmentation is
+    # pinned via pieces_md5.
+    return textstats.bpe_encode(
+        _t(spark, sf_dir, "documents"), _BPE_MERGES
+    )
+
+
 def _length_buckets(spark, sf_dir):
     # padded-batching economics: pow-2 token-length buckets with exact
     # integer ceil-log2 (length(bin(n-1)) — no libm) and per-bucket
@@ -2542,6 +2558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": _script_profile,
         "length_buckets": _length_buckets,
         "bpe_candidates": _bpe_candidates,
+        "bpe_encode": _bpe_encode,
         "classifier_score": _classifier_score,
         "sitemap_scan": _sitemap_scan,
         "span_dedup": _span_dedup,
@@ -3470,6 +3487,9 @@ def oracle_sql() -> dict[str, str]:
             "select doc_id as id, text from documents", k=5, w=4
         ),
         "script_profile": textstats.script_oracle_sql(_script_docs_sql()),
+        "bpe_encode": textstats.bpe_encode_oracle_sql(
+            "select doc_id as id, text from documents", _BPE_MERGES
+        ),
         "bpe_candidates": textstats.bpe_oracle_sql(
             "select doc_id as id, text from documents", k=50
         ),

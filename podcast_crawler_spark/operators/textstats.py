@@ -802,3 +802,93 @@ def bpe_oracle_sql(docs_sql: str, k: int = 50) -> str:
         order by pair_count desc, sym1, sym2
         limit {k}
     """
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned BPE merge table: tokenize every whitespace token
+    into subword pieces — the other half of the tokenizer next to
+    :func:`bpe_merge_candidates` (which mines the merges).  Returns
+    ``(id, n_tokens, n_pieces, pieces_md5)`` — piece counts plus a
+    digest of the full piece sequence (space-and-slash joined), so the
+    exact segmentation is pinned without shipping a pieces column.
+
+    Encoding follows the reference BPE rule: merges apply in priority
+    order; each merge rewrites ALL current occurrences of its pair,
+    leftmost-first for overlaps — exactly the semantics of a string
+    ``replace`` over the space-separated symbol sequence, which is how
+    it is implemented: token → ``' c1 c2 … '``, then one global
+    ``replace(' a b ', ' ab ')`` per merge, unrolled (the merge table
+    is tokenizer config — bounded, driver-side, the k-means-centroid
+    precedent).  ``Σ n_pieces`` per doc is then symbols remaining.
+
+    Scale shape: M+2 string expressions per token, all map-side
+    codegen over the vocab-free doc scan; zero shuffle, no UDF.  Spark
+    ``replace`` and DuckDB ``replace`` share leftmost-non-overlapping
+    semantics, so the oracle replays byte-for-byte.
+    """
+    toks = F.split(F.col(text_col), " ")
+
+    def encode_one(t):
+        # ' c1 c2 ... cn ' — spaces as symbol separators
+        seq = F.concat(
+            F.lit(" "),
+            F.array_join(F.split(t, ""), " "),
+            F.lit(" "),
+        )
+        for a, b in merges:
+            seq = F.replace(
+                seq, F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+            )
+        return F.trim(seq)
+
+    pieces = F.transform(
+        F.filter(toks, lambda t: F.length(t) > 0), encode_one
+    )
+    n_pieces = F.aggregate(
+        pieces,
+        F.lit(0).cast("long"),
+        lambda acc, p: acc
+        + F.size(F.split(p, " ")).cast("long"),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 0))
+        .cast("long")
+        .alias("n_tokens"),
+        n_pieces.alias("n_pieces"),
+        F.md5(F.array_join(pieces, "/")).alias("pieces_md5"),
+    )
+
+
+def bpe_encode_oracle_sql(docs_sql: str, merges: list) -> str:
+    """DuckDB recomputation of :func:`bpe_encode` — the same unrolled
+    replace chain per token."""
+    seq = (
+        "' ' || array_to_string(string_split(t.tok, ''), ' ') || ' '"
+    )
+    for a, b in merges:
+        seq = f"replace({seq}, ' {a} {b} ', ' {a}{b} ')"
+    return f"""
+        with docs as (select * from ({docs_sql}) d),
+        lst as (select id,
+                       list_filter(string_split(text, ' '),
+                                   x -> length(x) > 0) l
+                from docs),
+        tok as (select id, i as ord, l[i] tok
+                from lst, unnest(range(1, len(l) + 1)) r(i)),
+        enc as (select id, ord, trim({seq}) piece
+                from tok t),
+        per_doc as (select id,
+                           count(*)::BIGINT n_tokens,
+                           sum(len(string_split(piece, ' ')))::BIGINT
+                             n_pieces,
+                           md5(string_agg(piece, '/' order by ord))
+                             pieces_md5
+                    from enc group by 1)
+        select id, n_tokens, n_pieces, pieces_md5 from per_doc
+    """

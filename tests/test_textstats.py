@@ -645,3 +645,59 @@ def test_bpe_oracle_sql_matches(spark):
         (a, b, int(c)) for a, b, c in duckdb.sql(osql).fetchall()
     ]
     assert got == exp
+
+
+def test_bpe_encode_matches_python(spark):
+    import hashlib
+    from podcast_crawler_spark.operators.textstats import bpe_encode
+
+    merges = [("t", "h"), ("th", "e"), ("a", "n"), ("an", "d")]
+
+    def enc(tok):
+        seq = " " + " ".join(list(tok)) + " "
+        for a, b in merges:
+            seq = seq.replace(f" {a} {b} ", f" {a}{b} ")
+        return seq.strip()
+
+    docs = [(1, "the cat and the hat"), (2, "x"), (3, "thethe and")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["id"]: tuple(r)[1:] for r in bpe_encode(df, merges).collect()}
+    for i, t in docs:
+        toks = [x for x in t.split(" ") if x]
+        pieces = [enc(x) for x in toks]
+        np = sum(len(p.split(" ")) for p in pieces)
+        md = hashlib.md5("/".join(pieces).encode()).hexdigest()
+        assert got[i] == (len(toks), np, md)
+
+
+def test_bpe_encode_merge_priority_order(spark):
+    # ("t","h") must merge before ("th","e") can fire — reversing the
+    # table changes the segmentation
+    from podcast_crawler_spark.operators.textstats import bpe_encode
+
+    df = spark.createDataFrame([(1, "the")], "doc_id long, text string")
+    fwd = bpe_encode(df, [("t", "h"), ("th", "e")]).collect()[0]
+    rev = bpe_encode(df, [("th", "e"), ("t", "h")]).collect()[0]
+    assert fwd["n_pieces"] == 1  # t h e -> th e -> the
+    assert rev["n_pieces"] == 2  # 'th e' merge can't fire first -> th, e
+
+
+def test_bpe_encode_oracle_matches(spark):
+    import duckdb
+    from podcast_crawler_spark.operators.textstats import (
+        bpe_encode, bpe_encode_oracle_sql,
+    )
+
+    merges = [("t", "h"), ("th", "e"), ("i", "n"), ("in", "g")]
+    docs = [(i, f"thing{i} the ring singing w{i}") for i in range(1, 8)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(tuple(r) for r in bpe_encode(df, merges).collect())
+    vals = ",".join("(%d, '%s')" % (i, t) for i, t in docs)
+    osql = bpe_encode_oracle_sql(
+        f"select * from (values {vals}) v(id, text)", merges
+    )
+    exp = sorted(
+        (int(a), int(b), int(c), d)
+        for a, b, c, d in duckdb.sql(osql).fetchall()
+    )
+    assert got == exp
