@@ -2221,6 +2221,31 @@ def _host_communities(spark, sf_dir):
     return graph.label_propagation(edges, iters=4)
 
 
+def _hierarchical_budget(spark, sf_dir):
+    # two-level politeness budget: domains compete first (driver-scalar
+    # apportion — bounded), hosts split within domains via FULLY
+    # DISTRIBUTED per-group largest remainder (windows over the domain
+    # key, no per-domain driver scalars).  Sums exact at both levels.
+    ev = _t(spark, sf_dir, "events")
+    ranks = ev.groupBy(
+        F.concat(F.lit("d"), (F.col("user_id") % 7).cast("string")).alias(
+            "domain"
+        ),
+        F.concat(F.lit("h"), (F.col("user_id") % 61).cast("string")).alias(
+            "node"
+        ),
+    ).agg((F.count(F.lit(1)) + 1).alias("rank_scaled"))
+    return graph.hierarchical_budget(ranks, 100000)
+
+
+_HIER_RANKS_SQL = (
+    "select 'd' || (user_id % 7)::varchar as domain,"
+    " 'h' || (user_id % 61)::varchar as node,"
+    " (count(*) + 1)::BIGINT as rank_scaled"
+    " from events group by 1, 2"
+)
+
+
 def _budget_apportion(spark, sf_dir):
     # rank-proportional epoch budget: largest-remainder apportionment
     # of 100k fetch slots over the pagerank'd host graph — sums to the
@@ -2540,6 +2565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_redirects": _resolve_redirects,
         "crawl_host_rank": _crawl_host_rank,
         "budget_apportion": _budget_apportion,
+        "hierarchical_budget": _hierarchical_budget,
         "hits_scores": _hits_scores,
         "hop_distance": _hop_distance,
         "host_communities": _host_communities,
@@ -3459,6 +3485,9 @@ def oracle_sql() -> dict[str, str]:
             _PR_EDGES_SQL, iters=4
         ),
         "frontier_scoring": _frontier_scoring_oracle(),
+        "hierarchical_budget": graph.hierarchical_oracle_sql(
+            _HIER_RANKS_SQL, 100000
+        ),
         "mirror_hosts": traps.mirror_oracle_sql(
             _MIRROR_HD_SQL, min_shared=2, max_digest_hosts=1000
         ),

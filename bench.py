@@ -93,6 +93,12 @@ BENCH_QUERIES = [
     "host_communities",
     "consistent_placement",
     "jsonld_extract",
+    "cdc_chunks",
+    "script_profile",
+    "bpe_candidates",
+    "bpe_encode",
+    "page_directives",
+    "hierarchical_budget",
 ]
 
 

@@ -843,3 +843,104 @@ def label_propagation_oracle_sql(edges_sql: str, iters: int = 4) -> str:
         )
     joined = ",\n".join(parts)
     return f"{joined}\nselect node, label from l{iters}"
+
+
+def hierarchical_budget(
+    ranks: DataFrame,
+    total_budget: int,
+    domain_col: str = "domain",
+    node_col: str = "node",
+    weight_col: str = "rank_scaled",
+) -> DataFrame:
+    """Two-level fetch-budget apportionment: registrable domain first,
+    then hosts within each domain — the politeness-correct split (a
+    podcast network with 500 subdomain hosts should compete for budget
+    as ONE domain, then divide internally; flat host-level apportionment
+    lets a subdomain farm multiply its share — the same abuse vector
+    DUST/mirror detection closes for dedup).
+
+    Level 1 reuses :func:`apportion_budget` across domain weight sums
+    (bounded driver scalars, documented there).  Level 2 — the level
+    with real fan-out (10^2..10^6 hosts per domain) — is a FULLY
+    DISTRIBUTED largest-remainder: per-domain weight sums, floor
+    quotas, remainder ranks and the ``rank <= leftover_d`` top-up are
+    all windows over the domain key, so one exchange partitions the
+    work and every domain resolves in parallel; no driver scalar per
+    domain (that would be a 10^7-round-trip loop).
+
+    Output: ``(domain, node, w, domain_budget, base, budget)`` with
+    Σbudget per domain = that domain's level-1 budget EXACTLY, hence
+    Σbudget = total_budget exactly.
+    """
+    from pyspark.sql import Window
+
+    r = ranks.select(
+        F.col(domain_col).alias("domain"),
+        F.col(node_col).alias("node"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    dom_w = r.groupBy("domain").agg(F.sum("w").alias("dw"))
+    dom_budget = apportion_budget(
+        dom_w, total_budget, node_col="domain", weight_col="dw"
+    ).select("node", "budget").withColumnRenamed("node", "domain").withColumnRenamed(
+        "budget", "domain_budget"
+    )
+    j = r.join(dom_budget, "domain")
+    wd = Window.partitionBy("domain")
+    j = j.withColumn("dw", F.sum("w").over(wd))
+    j = j.withColumn(
+        "base", F.expr("(domain_budget * w) div dw")
+    ).withColumn("rem", F.expr("(domain_budget * w) % dw"))
+    j = j.withColumn(
+        "leftover", F.col("domain_budget") - F.sum("base").over(wd)
+    )
+    wrk = Window.partitionBy("domain").orderBy(
+        F.desc("rem"), F.asc("node")
+    )
+    j = j.withColumn("rn", F.row_number().over(wrk))
+    return j.select(
+        "domain",
+        "node",
+        "w",
+        "domain_budget",
+        "base",
+        (
+            F.col("base")
+            + (F.col("rn") <= F.col("leftover")).cast("long")
+        ).alias("budget"),
+    )
+
+
+def hierarchical_oracle_sql(
+    ranks_sql: str, total_budget: int
+) -> str:
+    """DuckDB recomputation of :func:`hierarchical_budget` over any
+    ``(domain, node, rank_scaled)`` subquery — nests the level-1
+    apportionment oracle, then replays the per-domain windows."""
+    dom_sql = (
+        f"select domain as node, sum(rank_scaled)::BIGINT as"
+        f" rank_scaled from ({ranks_sql}) rr group by 1"
+    )
+    l1 = apportion_oracle_sql(dom_sql, total_budget)
+    return f"""
+        with r as (select domain, node, rank_scaled::BIGINT w
+                   from ({ranks_sql}) t),
+        l1 as (select node as domain, budget as domain_budget
+               from ({l1}) x),
+        j as (select r.*, l1.domain_budget,
+                     sum(w) over (partition by r.domain) dw
+              from r join l1 using (domain)),
+        q as (select *,
+                     (domain_budget * w) // dw as base,
+                     (domain_budget * w) % dw as rem
+              from j),
+        l as (select *,
+                     domain_budget - sum(base) over (partition by domain)
+                       leftover,
+                     row_number() over (partition by domain
+                                        order by rem desc, node) rn
+              from q)
+        select domain, node, w, domain_budget, base,
+               (base + (rn <= leftover)::int)::BIGINT budget
+        from l
+    """

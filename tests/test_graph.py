@@ -534,3 +534,65 @@ def test_label_propagation_oracle_sql_matches(spark):
     )
     exp = sorted((int(a), int(b)) for a, b in duckdb.sql(osql).fetchall())
     assert got == exp
+
+
+# ------------------------------------------------------- hierarchical
+
+
+def test_hierarchical_budget_exact_sums(spark):
+    from podcast_crawler_spark.operators.graph import hierarchical_budget
+
+    rows = [
+        (f"d{h % 4}", f"h{h}", (h * 37 + 11) % 100 + 1) for h in range(30)
+    ]
+    df = spark.createDataFrame(rows, "domain string, node string, rank_scaled long")
+    out = hierarchical_budget(df, 10007).collect()
+    total = sum(r["budget"] for r in out)
+    assert total == 10007
+    # per-domain sums equal the level-1 budgets exactly
+    per_dom = {}
+    dom_budget = {}
+    for r in out:
+        per_dom[r["domain"]] = per_dom.get(r["domain"], 0) + r["budget"]
+        dom_budget[r["domain"]] = r["domain_budget"]
+    assert per_dom == dom_budget
+    # proportionality: budgets within one unit of the real quota
+    w_by_dom = {}
+    for d, n, w in rows:
+        w_by_dom[d] = w_by_dom.get(d, 0) + w
+    for r in out:
+        quota = dom_budget[r["domain"]] * r["w"] / w_by_dom[r["domain"]]
+        assert abs(r["budget"] - quota) < 1 + 1e-9
+
+
+def test_hierarchical_budget_domain_isolation(spark):
+    # a domain with many hosts gets ONE domain-level share, not many
+    from podcast_crawler_spark.operators.graph import hierarchical_budget
+
+    rows = [("farm", f"s{i}", 10) for i in range(50)] + [("solo", "h", 500)]
+    df = spark.createDataFrame(rows, "domain string, node string, rank_scaled long")
+    out = hierarchical_budget(df, 1000).collect()
+    farm = sum(r["budget"] for r in out if r["domain"] == "farm")
+    solo = sum(r["budget"] for r in out if r["domain"] == "solo")
+    assert farm == solo == 500  # equal domain weights -> equal budgets
+
+
+def test_hierarchical_oracle_matches(spark):
+    import duckdb
+    from podcast_crawler_spark.operators.graph import (
+        hierarchical_budget, hierarchical_oracle_sql,
+    )
+
+    rows = [
+        (f"d{h % 3}", f"h{h}", (h * 13) % 50 + 1) for h in range(20)
+    ]
+    df = spark.createDataFrame(rows, "domain string, node string, rank_scaled long")
+    got = sorted(tuple(r) for r in hierarchical_budget(df, 777).collect())
+    vals = ",".join(f"('{d}','{n}',{w})" for d, n, w in rows)
+    osql = hierarchical_oracle_sql(
+        f"select * from (values {vals}) v(domain, node, rank_scaled)", 777
+    )
+    exp = sorted(tuple(int(x) if not isinstance(x, str) else x for x in r)
+                 for r in duckdb.sql(osql).fetchall())
+    assert [tuple(int(x) if not isinstance(x, str) else x for x in g)
+            for g in got] == exp
