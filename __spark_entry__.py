@@ -1820,6 +1820,136 @@ _DIRECTIVE_PAGES_SQL = """
 """
 
 
+def _frontier_gating(spark, sf_dir):
+    # admission gate integration: the deny-list a discovery crawl
+    # applies every epoch — trap hosts (URL-template dominance) and
+    # circuit-open hosts (consecutive-failure runs) anti-joined against
+    # the frontier, with the reason kept ('trap' wins over
+    # 'circuit_open').  The oracle nests BOTH operator chains.
+    from podcast_crawler_spark.operators import refetch, traps
+
+    ev = _t(spark, sf_dir, "events")
+    urls = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias(
+            "host"
+        ),
+        F.when(
+            F.col("user_id") % 20 == 7,
+            F.concat(
+                F.lit("https://h7.example.com/page?id="),
+                F.col("event_id").cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://h"),
+                (F.col("user_id") % 20).cast("string"),
+                F.lit(".example.com/"),
+                F.col("event_type"),
+                F.lit("/"),
+                F.col("event_id").cast("string"),
+            )
+        )
+        .alias("url"),
+    )
+    trap_hosts = (
+        traps.trap_stats(urls, min_urls=50)
+        .filter(F.col("is_trap"))
+        .select("host", F.lit(True).alias("_trap"))
+    )
+    obs = (
+        ev.groupBy(
+            F.concat(
+                F.lit("h"), (F.col("user_id") % 61).cast("string")
+            ).alias("host"),
+            (F.col("event_id") % 6).alias("epoch"),
+        )
+        .agg(
+            F.sum(
+                ((F.col("user_id") + F.col("event_id")) % 13 == 0).cast(
+                    "long"
+                )
+            ).alias("failures")
+        )
+    )
+    open_hosts = (
+        refetch.circuit_state(obs, k_open=2, max_backoff=16)
+        .filter(F.col("state") == "open")
+        .select("host", F.lit(True).alias("_open"))
+    )
+    frontier = obs.select("host").distinct()
+    return (
+        frontier.join(F.broadcast(trap_hosts), "host", "left")
+        .join(F.broadcast(open_hosts), "host", "left")
+        .select(
+            "host",
+            F.when(F.col("_trap"), F.lit("trap"))
+            .when(F.col("_open"), F.lit("circuit_open"))
+            .alias("deny_reason"),
+            (F.col("_trap").isNull() & F.col("_open").isNull()).alias(
+                "admitted"
+            ),
+        )
+    )
+
+
+_TRAP_HOSTS_CTE = """
+    select r.host
+    from (select host, sum(cnt)::BIGINT n_urls
+          from (select host,
+                       regexp_replace(url, '[0-9]+', 'N', 'g') as template,
+                       count(*)::BIGINT cnt
+                from (select 'h' || (user_id % 20) host,
+                             case when user_id % 20 = 7
+                                  then 'https://h7.example.com/page?id='
+                                       || event_id
+                                  else 'https://h' || (user_id % 20)
+                                       || '.example.com/' || event_type
+                                       || '/' || event_id end url
+                      from events) u
+                group by 1, 2) pt
+          group by 1) r
+    join (select host, template, cnt,
+                 row_number() over (partition by host
+                                    order by cnt desc, template) rn
+          from (select host,
+                       regexp_replace(url, '[0-9]+', 'N', 'g') as template,
+                       count(*)::BIGINT cnt
+                from (select 'h' || (user_id % 20) host,
+                             case when user_id % 20 = 7
+                                  then 'https://h7.example.com/page?id='
+                                       || event_id
+                                  else 'https://h' || (user_id % 20)
+                                       || '.example.com/' || event_type
+                                       || '/' || event_id end url
+                      from events) u2
+                group by 1, 2) pt2) t
+      on r.host = t.host and t.rn = 1
+    where r.n_urls >= 50 and t.cnt * 10 >= r.n_urls * 9
+"""
+
+
+def _frontier_gating_oracle() -> str:
+    from podcast_crawler_spark.operators import refetch as _rf
+
+    circ = _rf.circuit_oracle_sql(_AIMD_OBS_SQL, k_open=2, max_backoff=16)
+    return f"""
+        with trap_hosts as ({_TRAP_HOSTS_CTE}),
+        circ as ({circ}),
+        open_hosts as (select host from circ where state = 'open'),
+        frontier as (select distinct host from ({_AIMD_OBS_SQL}) o)
+        select f.host,
+               case when f.host in (select host from trap_hosts)
+                    then 'trap'
+                    when f.host in (select host from open_hosts)
+                    then 'circuit_open' end as deny_reason,
+               (f.host not in (select host from trap_hosts)
+                and f.host not in (select host from open_hosts))
+                 as admitted
+        from frontier f
+    """
+
+
 def _jsonld_extract(spark, sf_dir):
     # schema.org JSON-LD extraction from synthesized podcast pages:
     # valid PodcastSeries objects, multi-entity arrays (doc_id%5),
@@ -2575,6 +2705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fps": _winnow_fps,
         "jsonld_extract": _jsonld_extract,
         "page_directives": _page_directives,
+        "frontier_gating": _frontier_gating,
         "consistent_placement": _consistent_placement,
         "ring_rebalance": _ring_rebalance,
         "aimd_concurrency": _aimd_concurrency,
@@ -3495,6 +3626,7 @@ def oracle_sql() -> dict[str, str]:
         "page_directives": _links_mod().directives_oracle_sql(
             _DIRECTIVE_PAGES_SQL
         ),
+        "frontier_gating": _frontier_gating_oracle(),
         "consistent_placement": _placement_mod().assign_oracle_sql(
             f"select host, host as key from ({_PLACEMENT_KEYS_SQL}) k",
             _RING_WORKERS,
