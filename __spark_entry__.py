@@ -2053,6 +2053,25 @@ _BPE_MERGES = [
 ]
 
 
+def _weighted_sample(spark, sf_dir):
+    # weight-proportional bottom-k (integer-rule A-ES cousin): quality-
+    # weighted eval draw over documents, weight = n_chars; the exact
+    # integer priority makes the identical sample fall out of any
+    # engine.  TakeOrderedAndProject, never a global sort.
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("weight")
+    )
+    return sampling_mod().weighted_bottom_k(
+        docs, key_col="doc_id", weight_col="weight", k=100
+    )
+
+
+def sampling_mod():
+    from podcast_crawler_spark.operators import sampling
+
+    return sampling
+
+
 def _bpe_encode(spark, sf_dir):
     # BPE application with a fixed merge table (tokenizer config, the
     # k-means-centroid precedent): unrolled leftmost-non-overlapping
@@ -2716,6 +2735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_buckets": _length_buckets,
         "bpe_candidates": _bpe_candidates,
         "bpe_encode": _bpe_encode,
+        "weighted_sample": _weighted_sample,
         "classifier_score": _classifier_score,
         "sitemap_scan": _sitemap_scan,
         "span_dedup": _span_dedup,
@@ -3648,6 +3668,11 @@ def oracle_sql() -> dict[str, str]:
             "select doc_id as id, text from documents", k=5, w=4
         ),
         "script_profile": textstats.script_oracle_sql(_script_docs_sql()),
+        "weighted_sample": sampling_mod().weighted_oracle_sql(
+            "select doc_id, n_chars::BIGINT as weight,"
+            " doc_id as key from documents",
+            k=100,
+        ),
         "bpe_encode": textstats.bpe_encode_oracle_sql(
             "select doc_id as id, text from documents", _BPE_MERGES
         ),

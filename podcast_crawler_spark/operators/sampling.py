@@ -154,3 +154,58 @@ def mixture_sample(
     return df.filter(key_hash32(F.col(key_col)) < threshold).withColumn(
         "rate", rate_expr
     )
+
+
+def weighted_bottom_k(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Weight-proportional bottom-k sample: the *k* rows with the
+    smallest ``priority = (1_000_000 · h32(key)) div w`` — heavier rows
+    draw proportionally smaller priorities, so inclusion probability
+    rises with weight (the integer-rule cousin of A-ES/priority
+    sampling, Efraimidis & Spirakis '06 / Duffield et al. '07, which
+    use ``u^(1/w)`` / ``u/w`` float keys; the engine contract here is
+    the EXACT integer rule, so every engine draws the identical
+    sample).  Use: quality-weighted eval-set draws, importance-weighted
+    corpus subsampling.
+
+    Determinism: priority depends only on (key, weight) — reproducible
+    across runs, partitionings, engines; mergeable like
+    :func:`topk_sample` (bottom-k of a union = bottom-k of per-side
+    bottom-ks), so shards can pre-select locally.  Weights must be
+    positive BIGINTs ≤ ~9·10^12 (overflow guard: 10^6·2^32 < 2^63).
+
+    Plan shape: priority is map-side; the global bottom-k is
+    ``TakeOrderedAndProject`` (per-partition heaps + bounded merge),
+    never a global sort.  Output: input columns + ``priority``,
+    ordered by (priority, key) for a total order.
+    """
+    pri = F.expr(
+        f"(1000000 * h32) div {weight_col}"
+    )
+    return (
+        df.withColumn("h32", key_hash32(F.col(key_col)))
+        .withColumn("priority", pri)
+        .drop("h32")
+        .orderBy(F.col("priority"), F.col(key_col))
+        .limit(k)
+    )
+
+
+def weighted_oracle_sql(rows_sql: str, k: int) -> str:
+    """DuckDB recomputation of :func:`weighted_bottom_k` over any
+    subquery with ``key`` and ``weight`` columns (pass the original
+    columns through)."""
+    return f"""
+        with r as (select *,
+                     ('0x' || substr(md5(key::varchar), 1, 8))::BIGINT h32
+                   from ({rows_sql}) t)
+        select * exclude (h32, key),
+               ((1000000 * h32) // weight)::BIGINT priority
+        from r
+        order by priority, key
+        limit {k}
+    """

@@ -276,3 +276,66 @@ def test_topk_sample_exact_k_merge_and_plan(spark):
     assert {(r.doc_id, r.sample_rank) for r in merged.collect()} == a
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_weighted_bottom_k_matches_python_and_favors_weight(spark):
+    import hashlib
+
+    from podcast_crawler_spark.operators.sampling import weighted_bottom_k
+
+    rows = [(i, (i * 7) % 50 + 1) for i in range(1, 400)]
+    df = spark.createDataFrame(rows, "doc_id long, weight long")
+    got = [
+        (r["doc_id"], r["priority"])
+        for r in weighted_bottom_k(df, "doc_id", "weight", 50).collect()
+    ]
+
+    def pri(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        return (1000000 * h) // w
+
+    exp = sorted(((pri(i, w), i) for i, w in rows))[:50]
+    assert got == [(i, p) for p, i in exp]
+    # inclusion is weight-biased: mean weight of the sample beats the
+    # population mean
+    wmap = dict(rows)
+    samp_mean = sum(wmap[i] for i, _ in got) / len(got)
+    pop_mean = sum(w for _, w in rows) / len(rows)
+    assert samp_mean > pop_mean
+
+
+def test_weighted_bottom_k_mergeable(spark):
+    # bottom-k of a union == bottom-k of per-side bottom-ks
+    from podcast_crawler_spark.operators.sampling import weighted_bottom_k
+
+    a = spark.createDataFrame(
+        [(i, i % 9 + 1) for i in range(200)], "doc_id long, weight long"
+    )
+    b = spark.createDataFrame(
+        [(i, i % 9 + 1) for i in range(200, 400)], "doc_id long, weight long"
+    )
+    full = weighted_bottom_k(a.union(b), "doc_id", "weight", 30).collect()
+    merged = weighted_bottom_k(
+        weighted_bottom_k(a, "doc_id", "weight", 30)
+        .drop("priority")
+        .union(weighted_bottom_k(b, "doc_id", "weight", 30).drop("priority")),
+        "doc_id",
+        "weight",
+        30,
+    ).collect()
+    assert [tuple(r) for r in full] == [tuple(r) for r in merged]
+
+
+def test_weighted_bottom_k_plan_no_global_sort(spark):
+    from podcast_crawler_spark.operators.sampling import weighted_bottom_k
+
+    df = spark.createDataFrame(
+        [(1, 1)], "doc_id long, weight long"
+    )
+    p = (
+        weighted_bottom_k(df, "doc_id", "weight", 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in p, p
