@@ -447,3 +447,90 @@ def windowed_event_counts(
             "n_users",
         )
     )
+
+
+CIRCUIT_OUTPUT = (
+    "host string, last_ok long, consec_fail long, state string,"
+    " retry_epoch long"
+)
+CIRCUIT_STATE = "last_ok long, consec_fail long, last_epoch long"
+
+
+def streaming_circuit(
+    obs_stream: DataFrame,
+    k_open: int = 3,
+    max_backoff: int = 64,
+    output_mode: str = "update",
+):
+    """The per-host circuit breaker (``refetch.circuit_state``) as a
+    stateful streaming operator: fold each micro-batch's (host, epoch,
+    failures) rows into GroupState and emit the post-batch breaker row
+    per host — the live view a long-running fetch loop gates on,
+    sharing the batch operator's exact rule (clean epoch resets the
+    run and sets ``last_ok``; failing epoch extends it; ``open`` at
+    ``consec_fail ≥ k_open`` with ``retry_epoch = last_epoch +
+    min(2^consec_fail, max_backoff)``).
+
+    Equivalence contract (pinned in ``test_streaming.py``): for
+    in-order epochs, ANY micro-batch slicing folds to the same final
+    rows as the batch operator over the full history — the same
+    batch≡stream kernel discipline as ``rate_limit_slots`` /
+    ``windowed_counts``.  Rows within a batch fold in epoch order;
+    late (out-of-order ACROSS batches) epochs fold as they arrive —
+    the deviation a watermark would bound, documented not hidden.
+
+    State is 3 longs per host — O(hosts) total, the smallest possible
+    live-breaker state.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(
+        key: Tuple[str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        host = key[0]
+        if state.exists:
+            last_ok, consec, last_epoch = state.get
+        else:
+            last_ok, consec, last_epoch = None, 0, None
+        touched = False
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            touched = True
+            pdf = pdf.sort_values("epoch", kind="mergesort")
+            for epoch, failures in zip(
+                pdf["epoch"].to_numpy(), pdf["failures"].to_numpy()
+            ):
+                e = int(epoch)
+                if int(failures) == 0:
+                    last_ok, consec = e, 0
+                else:
+                    consec += 1
+                last_epoch = e if last_epoch is None else max(last_epoch, e)
+        state.update((last_ok, consec, last_epoch))
+        if touched:
+            is_open = consec >= k_open
+            retry = (
+                last_epoch + min(1 << min(consec, 32), max_backoff)
+                if is_open
+                else None
+            )
+            yield pd.DataFrame(
+                {
+                    "host": [host],
+                    "last_ok": [last_ok],
+                    "consec_fail": [consec],
+                    "state": ["open" if is_open else "closed"],
+                    "retry_epoch": [retry],
+                }
+            )
+
+    return obs_stream.groupBy("host").applyInPandasWithState(
+        fn,
+        CIRCUIT_OUTPUT,
+        CIRCUIT_STATE,
+        output_mode,
+        GroupStateTimeout.NoTimeout,
+    )

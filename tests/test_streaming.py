@@ -442,3 +442,106 @@ def test_fetch_outcome_join_stream_timeout(spark, tmp_path):
         q.stop()
     assert "u2" in rows2, sorted(rows2)
     assert rows2["u2"].done_ts is None and rows2["u2"].latency_s is None
+
+
+def test_streaming_circuit_matches_batch_kernel(spark, tmp_path):
+    """Breaker state folded across micro-batches equals the batch
+    operator over the full history (in-order epochs), and the final
+    emitted row per host reflects the open/closed decision."""
+    from podcast_crawler_spark.operators.refetch import circuit_state
+    from podcast_crawler_spark.streaming.crawl_stream import (
+        streaming_circuit,
+    )
+
+    obs = [
+        ("dead", 0, 0), ("dead", 1, 2), ("dead", 2, 1), ("dead", 3, 5),
+        ("flaky", 0, 1), ("flaky", 1, 0),
+        ("never", 0, 1), ("never", 1, 1), ("never", 2, 1),
+    ]
+    schema = "host string, epoch long, failures long"
+
+    stream_dir = str(tmp_path / "obs_stream")
+    os.makedirs(stream_dir)
+    # batch 1: epochs 0-1; batch 2: the rest
+    b1 = [o for o in obs if o[1] <= 1]
+    b2 = [o for o in obs if o[1] > 1]
+    drop_batch(spark.createDataFrame(b1, schema), tmp_path, stream_dir, "c1")
+    src = spark.readStream.schema(schema).parquet(stream_dir)
+    q = (
+        streaming_circuit(src, k_open=3, max_backoff=64)
+        .writeStream.format("memory")
+        .queryName("circuit_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "circ_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        drop_batch(
+            spark.createDataFrame(b2, schema), tmp_path, stream_dir, "c2"
+        )
+        q.processAllAvailable()
+        # last update per host = live state after all batches
+        rows = spark.sql("select * from circuit_sink").collect()
+        live = {}
+        for r in rows:  # memory sink appends updates in batch order
+            live[r["host"]] = (
+                r["last_ok"], r["consec_fail"], r["state"], r["retry_epoch"]
+            )
+    finally:
+        q.stop()
+    batch = {
+        r["host"]: (
+            r["last_ok"], r["consec_fail"], r["state"], r["retry_epoch"]
+        )
+        for r in circuit_state(
+            spark.createDataFrame(obs, schema), k_open=3, max_backoff=64
+        ).collect()
+    }
+    assert live == batch
+    assert live["dead"][2] == "open" and live["flaky"][2] == "closed"
+
+
+def test_streaming_circuit_reset_on_clean_epoch(spark, tmp_path):
+    """A clean epoch arriving in a later micro-batch closes an open
+    breaker (consec run resets through GroupState)."""
+    from podcast_crawler_spark.streaming.crawl_stream import (
+        streaming_circuit,
+    )
+
+    schema = "host string, epoch long, failures long"
+    stream_dir = str(tmp_path / "obs2")
+    os.makedirs(stream_dir)
+    drop_batch(
+        spark.createDataFrame(
+            [("h", 0, 1), ("h", 1, 1), ("h", 2, 1)], schema
+        ),
+        tmp_path, stream_dir, "d1",
+    )
+    src = spark.readStream.schema(schema).parquet(stream_dir)
+    q = (
+        streaming_circuit(src, k_open=2)
+        .writeStream.format("memory")
+        .queryName("circuit_sink2")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "circ_ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = spark.sql(
+            "select state from circuit_sink2"
+        ).collect()[-1]["state"]
+        drop_batch(
+            spark.createDataFrame([("h", 3, 0)], schema),
+            tmp_path, stream_dir, "d2",
+        )
+        q.processAllAvailable()
+        rows = spark.sql("select * from circuit_sink2").collect()
+    finally:
+        q.stop()
+    assert first == "open"
+    last = rows[-1]
+    assert (last["state"], last["consec_fail"], last["last_ok"]) == (
+        "closed", 0, 3
+    )
