@@ -2036,6 +2036,42 @@ _SCRIPT_SNIPPETS = [
 ]
 
 
+_MESSY_TAILS = [
+    "",
+    " zero\u200bwidth\u200c tail",
+    " curly \u2018q\u2019 \u201cd\u201d",
+    " dash \u2013 \u2014 \u2026 end",
+    "\u00a0\u00a0padded\u00a0tail",
+]
+
+
+def _normalize_text(spark, sf_dir):
+    # pre-dedup canonicalization over synthesized CMS-dialect text:
+    # zero-width evaders, curly quotes, dashes/ellipsis, nbsp — every
+    # rewrite rule is a module constant replayed verbatim by the
+    # oracle; n_changed audits the pass.
+    tail = F.lit(_MESSY_TAILS[0])
+    for i, s in enumerate(_MESSY_TAILS):
+        if i:
+            tail = F.when(F.col("doc_id") % 5 == i, F.lit(s)).otherwise(tail)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.col("text"), tail).alias("text")
+    )
+    return textstats.normalize_text(docs)
+
+
+def _normalize_docs_sql() -> str:
+    cases = " ".join(
+        "when doc_id %% 5 = %d then '%s'" % (i, s.replace("'", "''"))
+        for i, s in enumerate(_MESSY_TAILS)
+        if i
+    )
+    return (
+        "select doc_id as id, text || case " + cases + " else '' end as text"
+        " from documents"
+    )
+
+
 def _bpe_candidates(spark, sf_dir):
     # BPE merge-candidate mining (Sennrich '16 first iteration):
     # adjacent char-pair counts aggregated over the VOCAB (the
@@ -2736,6 +2772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_candidates": _bpe_candidates,
         "bpe_encode": _bpe_encode,
         "weighted_sample": _weighted_sample,
+        "normalize_text": _normalize_text,
         "classifier_score": _classifier_score,
         "sitemap_scan": _sitemap_scan,
         "span_dedup": _span_dedup,
@@ -3668,6 +3705,9 @@ def oracle_sql() -> dict[str, str]:
             "select doc_id as id, text from documents", k=5, w=4
         ),
         "script_profile": textstats.script_oracle_sql(_script_docs_sql()),
+        "normalize_text": textstats.normalize_oracle_sql(
+            _normalize_docs_sql()
+        ),
         "weighted_sample": sampling_mod().weighted_oracle_sql(
             "select doc_id, n_chars::BIGINT as weight,"
             " doc_id as key from documents",

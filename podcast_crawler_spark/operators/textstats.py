@@ -892,3 +892,73 @@ def bpe_encode_oracle_sql(docs_sql: str, merges: list) -> str:
                     from enc group by 1)
         select id, n_tokens, n_pieces, pieces_md5 from per_doc
     """
+
+
+# typographic / invisible-character normalization table (explicit and
+# auditable -- the subset of NFKC a dedup pipeline actually needs; full
+# NFKC needs ICU, unavailable here and mostly irrelevant for dedup keys)
+NORMALIZE_MAP = [
+    ("\u00a0", " "),                      # nbsp
+    ("\u2018", "'"), ("\u2019", "'"),     # curly single quotes
+    ("\u201c", '"'), ("\u201d", '"'),     # curly double quotes
+    ("\u2013", "-"), ("\u2014", "-"),     # en/em dash
+    ("\u2026", "..."),                    # ellipsis
+]
+# C0 controls (minus \t \n \r), zero-width space/joiners, BOM
+STRIP_RE = (
+    "[\u0000-\u0008\u000b\u000c\u000e-\u001f"
+    "\u200b-\u200d\ufeff]"
+)
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Canonicalize text before it becomes a dedup/shingle key:
+    strip control and zero-width characters (the classic dedup evader --
+    two byte-distinct pages, one rendered text), map typographic
+    punctuation to ASCII (curly quotes, dashes, ellipsis, nbsp), then
+    collapse whitespace runs and trim.  CMSes disagree on exactly these
+    characters, so without this pass exact/near dedup fragments into
+    CMS dialects.
+
+    Returns ``(id, text, n_changed)`` -- the normalized text plus the
+    net character-count change of the pass (0 usually means untouched;
+    the audit column).  Order: strip -> map -> collapse, each an
+    explicit rule (NORMALIZE_MAP / STRIP_RE are module constants --
+    auditable, extendable, and replayed verbatim by the oracle).
+
+    Scale shape: pure map-side replace/regexp chain, zero shuffle.
+    """
+    t = F.col(text_col)
+    orig_len = F.length(t)
+    s = F.regexp_replace(t, STRIP_RE, "")
+    for src, dst in NORMALIZE_MAP:
+        s = F.replace(s, F.lit(src), F.lit(dst))
+    s = F.trim(F.regexp_replace(s, "\\s+", " "))
+    return df.select(
+        F.col(id_col).alias("id"),
+        s.alias("text"),
+        (orig_len - F.length(s)).cast("long").alias("n_changed"),
+    )
+
+
+def normalize_oracle_sql(docs_sql: str) -> str:
+    """DuckDB recomputation of :func:`normalize_text`."""
+    s = "text"
+    # same class as STRIP_RE in RE2's \x{hhhh} escape syntax
+    strip = (
+        "[\\x{0000}-\\x{0008}\\x{000b}\\x{000c}"
+        "\\x{000e}-\\x{001f}\\x{200b}-\\x{200d}\\x{feff}]"
+    )
+    s = f"regexp_replace({s}, '{strip}', '', 'g')"
+    for src, dst in NORMALIZE_MAP:
+        d = dst.replace("'", "''")
+        s = f"replace({s}, '{src}', '{d}')"
+    s = f"trim(regexp_replace({s}, '\\s+', ' ', 'g'))"
+    return f"""
+        with docs as (select * from ({docs_sql}) t)
+        select id, {s} as text,
+               (length(text) - length({s}))::BIGINT as n_changed
+        from docs
+    """

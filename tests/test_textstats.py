@@ -701,3 +701,63 @@ def test_bpe_encode_oracle_matches(spark):
         for a, b, c, d in duckdb.sql(osql).fetchall()
     )
     assert got == exp
+
+
+
+def test_normalize_text_rules(spark):
+    from podcast_crawler_spark.operators.textstats import normalize_text
+
+    docs = [
+        (1, "plain ascii text"),
+        (2, "zero\u200bwidth\u200c here"),
+        (3, "curly \u2018quotes\u2019 and \u201cdouble\u201d"),
+        (4, "dash \u2013 and \u2014 plus \u2026 nbsp\u00a0end"),
+        (5, "  spaced   out  "),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["id"]: (r["text"], r["n_changed"])
+           for r in normalize_text(df).collect()}
+    assert got[1] == ("plain ascii text", 0)
+    assert got[2] == ("zerowidth here", 2)
+    assert got[3] == ("curly 'quotes' and \"double\"", 0)
+    assert got[4] == ("dash - and - plus ... nbsp end", -2)
+    assert got[5] == ("spaced out", 6)
+
+
+def test_normalize_makes_dedup_evaders_identical(spark):
+    # byte-distinct, render-identical docs collapse to one digest
+    from pyspark.sql import functions as F
+
+    from podcast_crawler_spark.operators.textstats import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "the same\u200b sentence here"),
+            (2, "the same sentence\u00a0here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = normalize_text(df).select(F.md5("text").alias("d")).collect()
+    assert out[0]["d"] == out[1]["d"]
+
+
+def test_normalize_oracle_matches(spark):
+    import duckdb
+
+    from podcast_crawler_spark.operators.textstats import (
+        normalize_oracle_sql, normalize_text,
+    )
+
+    docs = [
+        (1, "a\u200bb \u2018c\u2019"),
+        (2, "plain"),
+        (3, "x \u2026 y\u00a0z"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(tuple(r) for r in normalize_text(df).collect())
+    vals = ",".join(
+        "(%d, '%s')" % (i, t.replace("'", "''")) for i, t in docs
+    )
+    osql = normalize_oracle_sql(f"select * from (values {vals}) v(id, text)")
+    exp = sorted((int(a), b, int(c)) for a, b, c in duckdb.sql(osql).fetchall())
+    assert [tuple(g) for g in got] == exp
