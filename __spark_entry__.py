@@ -1730,6 +1730,29 @@ _AIMD_OBS_SQL = (
 )
 
 
+def _host_latency(spark, sf_dir):
+    # latency-adaptive per-host politeness delay: exact grouped p50/p95
+    # (percentile ≡ quantile_cont, the stats_median precedent) with an
+    # explicit-floor clamp (double→long cast truncates in Spark but
+    # rounds in DuckDB).
+    from podcast_crawler_spark.operators import refetch
+
+    ev = _t(spark, sf_dir, "events")
+    obs = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 31).cast("string")).alias(
+            "host"
+        ),
+        (F.abs(F.col("value")) * 100).alias("latency_ms"),
+    )
+    return refetch.host_latency_profile(obs, min_n=20)
+
+
+_LATENCY_OBS_SQL = (
+    "select 'h' || (user_id % 31)::varchar as host,"
+    " abs(value) * 100 as latency_ms from events"
+)
+
+
 def _circuit_state(spark, sf_dir):
     # per-host circuit breaker over the same synthesized outcome grid
     # as aimd_concurrency: consecutive-failure runs since the last
@@ -2765,6 +2788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ring_rebalance": _ring_rebalance,
         "aimd_concurrency": _aimd_concurrency,
         "circuit_state": _circuit_state,
+        "host_latency": _host_latency,
         "containment_pairs": _containment_pairs,
         "cdc_chunks": _cdc_chunks,
         "script_profile": _script_profile,
@@ -3694,6 +3718,9 @@ def oracle_sql() -> dict[str, str]:
             _RING_WORKERS,
             _RING_WORKERS + ["w16"],
             vnodes=32,
+        ),
+        "host_latency": refetch.latency_oracle_sql(
+            _LATENCY_OBS_SQL, min_n=20
         ),
         "circuit_state": refetch.circuit_oracle_sql(
             _AIMD_OBS_SQL, k_open=2, max_backoff=16

@@ -316,3 +316,84 @@ def circuit_oracle_sql(
                end as retry_epoch
         from agg
     """
+
+
+def host_latency_profile(
+    obs: DataFrame,
+    host_col: str = "host",
+    latency_col: str = "latency_ms",
+    min_n: int = 20,
+    min_delay_ms: int = 100,
+    max_delay_ms: int = 10000,
+) -> DataFrame:
+    """Adaptive politeness from OBSERVED latency: per-host exact p50 /
+    p95 fetch latency and a recommended inter-request delay
+    ``clamp(floor(2·p95), min, max)`` — the "don't hit a struggling
+    server at full rate" rule (the reference uses one global governor
+    delay, ``rate_limiter.rs:34-41``; latency-adaptive per-host delays
+    are the fleet-scale refinement, and pair with
+    :func:`aimd_concurrency` / :func:`circuit_state` as the third leg
+    of the adaptation stack: rate, gating, spacing).
+
+    ``low_sample`` marks hosts with fewer than ``min_n`` observations —
+    their delay is still computed but a scheduler should prefer the
+    global prior.  ``floor`` (not cast) before the clamp: Spark's
+    double→long cast truncates while DuckDB's ``::BIGINT`` rounds —
+    the explicit floor makes both engines exact (the
+    ``sampling._threshold`` lesson).
+
+    Scale shape: ONE host-keyed exchange into exact grouped
+    percentiles (Spark's ``percentile`` aggregate — sort-based within
+    group, fine for per-host fetch-log cardinalities; use
+    ``hist_quantiles`` when a host's log itself is huge).
+    """
+    return (
+        obs.groupBy(F.col(host_col).alias("host"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.expr(f"percentile({latency_col}, 0.5)"), 6
+            ).alias("p50_ms"),
+            F.round(
+                F.expr(f"percentile({latency_col}, 0.95)"), 6
+            ).alias("p95_ms"),
+        )
+        .select(
+            "host",
+            "n",
+            "p50_ms",
+            "p95_ms",
+            F.least(
+                F.lit(max_delay_ms).cast("long"),
+                F.greatest(
+                    F.lit(min_delay_ms).cast("long"),
+                    F.floor(2 * F.col("p95_ms")).cast("long"),
+                ),
+            ).alias("delay_ms"),
+            (F.col("n") < min_n).alias("low_sample"),
+        )
+    )
+
+
+def latency_oracle_sql(
+    obs_sql: str,
+    min_n: int = 20,
+    min_delay_ms: int = 100,
+    max_delay_ms: int = 10000,
+) -> str:
+    """DuckDB recomputation of :func:`host_latency_profile` —
+    ``quantile_cont`` matches Spark's ``percentile`` interpolation
+    (the ``stats_median`` precedent)."""
+    return f"""
+        with obs as ({obs_sql}),
+        a as (select host, count(*)::BIGINT n,
+                     round(quantile_cont(latency_ms, 0.5), 6) p50_ms,
+                     round(quantile_cont(latency_ms, 0.95), 6) p95_ms
+              from obs group by 1)
+        select host, n, p50_ms, p95_ms,
+               least({max_delay_ms},
+                     greatest({min_delay_ms},
+                              floor(2 * p95_ms)::BIGINT))::BIGINT delay_ms,
+               (n < {min_n}) as low_sample
+        from a
+    """

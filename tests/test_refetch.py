@@ -150,3 +150,61 @@ def test_circuit_oracle_sql_matches(spark):
         int(x) if isinstance(x, int) else x for x in t
     )
     assert [norm(g) for g in got] == [norm(e) for e in exp]
+
+
+# ------------------------------------------------------------- latency
+
+
+def test_host_latency_profile_delay_rule(spark):
+    from podcast_crawler_spark.operators.refetch import (
+        host_latency_profile,
+    )
+
+    rows = (
+        [("fast", float(i % 5 + 1)) for i in range(40)]
+        + [("slow", float(3000 + i)) for i in range(40)]
+        + [("rare", 50.0)] * 3
+    )
+    df = spark.createDataFrame(rows, "host string, latency_ms double")
+    got = {r["host"]: r.asDict() for r in
+           host_latency_profile(df, min_n=20).collect()}
+    # fast host clamps up to the floor delay
+    assert got["fast"]["delay_ms"] == 100
+    # slow host: 2*p95 within range
+    assert 6000 <= got["slow"]["delay_ms"] <= 10000
+    assert not got["fast"]["low_sample"] and got["rare"]["low_sample"]
+
+
+def test_host_latency_clamps_at_max(spark):
+    from podcast_crawler_spark.operators.refetch import (
+        host_latency_profile,
+    )
+
+    df = spark.createDataFrame(
+        [("h", 99999.0)] * 25, "host string, latency_ms double"
+    )
+    r = host_latency_profile(df).collect()[0]
+    assert r["delay_ms"] == 10000
+
+
+def test_host_latency_oracle_matches(spark):
+    import duckdb
+    from podcast_crawler_spark.operators.refetch import (
+        host_latency_profile, latency_oracle_sql,
+    )
+
+    rows = [
+        (f"h{i % 5}", float((i * 37) % 400 + 1)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "host string, latency_ms double")
+    got = sorted(tuple(r) for r in
+                 host_latency_profile(df, min_n=15).collect())
+    vals = ",".join(f"('{h}',{v})" for h, v in rows)
+    osql = latency_oracle_sql(
+        f"select * from (values {vals}) o(host, latency_ms)", min_n=15
+    )
+    exp = sorted(tuple(r) for r in duckdb.sql(osql).fetchall())
+    norm = lambda t: tuple(
+        int(x) if isinstance(x, (int, bool)) else x for x in t
+    )
+    assert [norm(g) for g in got] == [norm(e) for e in exp]
