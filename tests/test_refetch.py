@@ -201,10 +201,12 @@ def test_host_latency_oracle_matches(spark):
                  host_latency_profile(df, min_n=15).collect())
     vals = ",".join(f"('{h}',{v})" for h, v in rows)
     osql = latency_oracle_sql(
-        f"select * from (values {vals}) o(host, latency_ms)", min_n=15
+        "select host, latency_ms::DOUBLE as latency_ms"
+        f" from (values {vals}) o(host, latency_ms)",
+        min_n=15,
     )
     exp = sorted(tuple(r) for r in duckdb.sql(osql).fetchall())
     norm = lambda t: tuple(
-        int(x) if isinstance(x, (int, bool)) else x for x in t
+        float(x) if not isinstance(x, (str, bool)) else x for x in t
     )
     assert [norm(g) for g in got] == [norm(e) for e in exp]
