@@ -1527,6 +1527,41 @@ def _dust_params(spark, sf_dir):
     return traps.dust_params(urls, min_support=3)
 
 
+def _sitemap_refresh(spark, sf_dir):
+    # lastmod-driven refetch: sitemap entries (through the REAL
+    # mapInPandas XML scan) joined against the stored fetch log —
+    # stale = lastmod after last_fetch; index entries and lastmod-less
+    # entries are never stale (no evidence).  The bridge from sitemap
+    # discovery to the refetch scheduler.
+    from podcast_crawler_spark.operators import sitemap as sm
+
+    entries = _sitemap_scan(spark, sf_dir)
+    d = F.col("doc_id")
+    stored = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://h"), (d % 13).cast("string"),
+            F.lit(".example.com/doc/"), d.cast("string"),
+            F.lit("?a=1&b=2"),
+        ).alias("loc"),
+        F.lit("2025-01-15").alias("last_fetch"),
+    )
+    return (
+        entries.join(stored, "loc", "left")
+        .select(
+            "sitemap_url",
+            "loc",
+            "lastmod",
+            "last_fetch",
+            (
+                (~F.col("is_index"))
+                & F.col("lastmod").isNotNull()
+                & F.col("last_fetch").isNotNull()
+                & (F.col("lastmod") > F.col("last_fetch"))
+            ).alias("stale"),
+        )
+    )
+
+
 def _trap_stats(spark, sf_dir):
     # crawl-trap detection over a deterministically synthesized URL log:
     # most hosts spread across 5 event-type templates; host 7 is a trap
@@ -2799,6 +2834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": _normalize_text,
         "classifier_score": _classifier_score,
         "sitemap_scan": _sitemap_scan,
+        "sitemap_refresh": _sitemap_refresh,
         "span_dedup": _span_dedup,
         "trap_stats": _trap_stats,
         "dust_params": _dust_params,
@@ -3593,6 +3629,52 @@ def oracle_sql() -> dict[str, str]:
         # sitemap scan: the oracle re-derives the expected entry rows
         # (unescaped locs, skipped loc-less entries, index flag) straight
         # from the synthesis formula.
+        "sitemap_refresh": """
+            with scan as (
+            with d as (select doc_id,
+                              'https://h' || (doc_id % 13) || '.example.com'
+                                as host
+                       from documents),
+            e as (
+              select host || '/sitemap-' || doc_id || '.xml' sitemap_url,
+                     0 pos,
+                     host || '/doc/' || doc_id || '?a=1&b=2' loc,
+                     '2025-01-' || lpad((doc_id % 27 + 1)::VARCHAR, 2, '0')
+                       lastmod,
+                     NULL::VARCHAR changefreq,
+                     '0.' || (doc_id % 10) priority,
+                     false is_index
+              from d where doc_id % 5 <> 0
+              union all
+              select host || '/sitemap-' || doc_id || '.xml', 1,
+                     host || '/alt/' || doc_id, NULL,
+                     'daily', NULL, false
+              from d where doc_id % 5 <> 0
+              union all
+              select host || '/sitemap-' || doc_id || '.xml', 0,
+                     host || '/sitemap-child-1.xml', '2025-02-01',
+                     NULL, NULL, true
+              from d where doc_id % 5 = 0
+              union all
+              select host || '/sitemap-' || doc_id || '.xml', 1,
+                     host || '/sitemap-child-2.xml', NULL,
+                     NULL, NULL, true
+              from d where doc_id % 5 = 0)
+            select sitemap_url, pos::INT pos, loc, lastmod,
+                   changefreq, priority, is_index
+            from e
+        ),
+            stored as (select 'https://h' || (doc_id % 13)
+                              || '.example.com/doc/' || doc_id
+                              || '?a=1&b=2' as loc,
+                              '2025-01-15' as last_fetch
+                       from documents)
+            select s.sitemap_url, s.loc, s.lastmod, st.last_fetch,
+                   (not s.is_index and s.lastmod is not null
+                    and st.last_fetch is not null
+                    and s.lastmod > st.last_fetch) as stale
+            from scan s left join stored st using (loc)
+        """,
         "sitemap_scan": """
             with d as (select doc_id,
                               'https://h' || (doc_id % 13) || '.example.com'
