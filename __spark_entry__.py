@@ -2008,6 +2008,49 @@ def _frontier_gating_oracle() -> str:
     """
 
 
+def _feed_autodiscovery(spark, sf_dir):
+    # RSS/Atom autodiscovery over synthesized show pages: every 3rd doc
+    # advertises an RSS feed (attr order varies), every 4th an Atom
+    # feed with a title, decoys (stylesheet links, wrong MIME) never
+    # match.  The seed-bootstrap op for the frontier.
+    from podcast_crawler_spark.operators import links as linksmod
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    rss = F.when(
+        d % 3 == 0,
+        F.concat(
+            F.lit('<link rel="alternate" type="application/rss+xml"'
+                  ' href="https://h'),
+            (d % 23).cast("string"),
+            F.lit('.example/feed.xml">'),
+        ),
+    ).otherwise(F.lit(""))
+    atom = F.when(
+        d % 4 == 0,
+        F.concat(
+            F.lit("<link type='application/atom+xml' title='Show "),
+            ds,
+            F.lit("' rel='alternate' href='/atom-"),
+            ds,
+            F.lit(".xml'>"),
+        ),
+    ).otherwise(F.lit(""))
+    pages = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><head><link rel="stylesheet" href="s.css">'),
+            rss, atom,
+            F.lit('<link rel="alternate" type="text/html" href="m.html">'
+                  "</head><body>x</body></html>"),
+        ).alias("html"),
+    )
+    return linksmod.feed_autodiscovery(pages)
+
+
+_AUTODISC_PAGES_SQL = '\n    select doc_id as id,\n           \'<html><head><link rel="stylesheet" href="s.css">\'\n           || case when doc_id % 3 = 0 then\n                \'<link rel="alternate" type="application/rss+xml"\'\n                || \' href="https://h\' || (doc_id % 23)::varchar\n                || \'.example/feed.xml">\'\n              else \'\' end\n           || case when doc_id % 4 = 0 then\n                \'<link type=\'\'application/atom+xml\'\' title=\'\'Show \'\n                || doc_id::varchar || \'\'\' rel=\'\'alternate\'\'\'\n                || \' href=\'\'/atom-\' || doc_id::varchar || \'.xml\'\'>\'\n              else \'\' end\n           || \'<link rel="alternate" type="text/html" href="m.html">\'\n           || \'</head><body>x</body></html>\' as html\n    from documents\n'
+
+
 def _jsonld_extract(spark, sf_dir):
     # schema.org JSON-LD extraction from synthesized podcast pages:
     # valid PodcastSeries objects, multi-entity arrays (doc_id%5),
@@ -2819,6 +2862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_extract": _jsonld_extract,
         "page_directives": _page_directives,
         "frontier_gating": _frontier_gating,
+        "feed_autodiscovery": _feed_autodiscovery,
         "consistent_placement": _consistent_placement,
         "ring_rebalance": _ring_rebalance,
         "aimd_concurrency": _aimd_concurrency,
@@ -3790,6 +3834,9 @@ def oracle_sql() -> dict[str, str]:
             _DIRECTIVE_PAGES_SQL
         ),
         "frontier_gating": _frontier_gating_oracle(),
+        "feed_autodiscovery": _links_mod().autodiscovery_oracle_sql(
+            _AUTODISC_PAGES_SQL
+        ),
         "consistent_placement": _placement_mod().assign_oracle_sql(
             f"select host, host as key from ({_PLACEMENT_KEYS_SQL}) k",
             _RING_WORKERS,

@@ -226,3 +226,87 @@ def directives_oracle_sql(pages_sql: str) -> str:
                n_links, n_nofollow_links
         from d
     """
+
+
+_ATTR_ALT = "(?i)rel\\s*=\\s*[\"']alternate[\"']"
+_ATTR_FEEDTYPE = (
+    "(?i)type\\s*=\\s*[\"']application/(rss|atom)\\+xml[\"']"
+)
+_ATTR_TYPE_GROUP = (
+    "(?i)type\\s*=\\s*[\"']application/(rss|atom)\\+xml[\"']"
+)
+_ATTR_TITLE = "(?i)title\\s*=\\s*[\"']([^\"']*)[\"']"
+
+
+def feed_autodiscovery(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RSS/Atom feed autodiscovery: every ``<link rel="alternate"
+    type="application/rss+xml|atom+xml">`` on a page — THE seed-list
+    bootstrap for a podcast crawler (the reference starts from a fixed
+    seed list, `rss_fetcher.rs`; autodiscovery is how new feeds enter
+    the frontier: crawl show pages, lift their advertised feeds, admit
+    through the seen-set).  Returns one row per advertised feed:
+    ``(id, feed_idx, feed_url, feed_type, title)`` with ``feed_type``
+    in {'rss', 'atom'} (lowercased from the MIME subtype).
+
+    Attribute order tolerant (whole-tag extract + probes — the
+    :func:`page_directives` discipline, RE2-compatible); relative hrefs
+    are returned verbatim (resolve against the page URL with
+    :func:`resolve_href`).
+
+    Scale shape: map-side array expressions, zero shuffle, no UDF.
+    """
+    html = F.col(html_col).cast("string")
+    links = F.regexp_extract_all(html, F.lit(_TAG_LINK), 0)
+    feeds = F.filter(
+        links,
+        lambda m: m.rlike(_ATTR_ALT) & m.rlike(_ATTR_FEEDTYPE),
+    )
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(feeds).alias("feed_idx", "tag"),
+    )
+    return out.select(
+        "id",
+        F.col("feed_idx").cast("int").alias("feed_idx"),
+        F.regexp_extract("tag", _ATTR_HREF, 1).alias("feed_url"),
+        F.lower(
+            F.regexp_extract("tag", _ATTR_TYPE_GROUP, 1)
+        ).alias("feed_type"),
+        F.when(
+            F.regexp_extract("tag", _ATTR_TITLE, 1) != "",
+            F.regexp_extract("tag", _ATTR_TITLE, 1),
+        ).alias("title"),
+    )
+
+
+def autodiscovery_oracle_sql(pages_sql: str) -> str:
+    """DuckDB recomputation of :func:`feed_autodiscovery`."""
+
+    def q(pat: str) -> str:
+        return pat.replace("'", "''")
+
+    return f"""
+        with pages as (select * from ({pages_sql}) p),
+        t as (select id,
+                     list_filter(
+                       regexp_extract_all(html, '{q(_TAG_LINK)}', 0),
+                       m -> regexp_matches(m, '{q(_ATTR_ALT)}')
+                        and regexp_matches(m, '{q(_ATTR_FEEDTYPE)}'))
+                       feeds
+              from pages),
+        e as (select id, unnest(range(len(feeds))) fi, feeds from t)
+        select id, fi::int feed_idx,
+               regexp_extract(feeds[fi + 1], '{q(_ATTR_HREF)}', 1)
+                 feed_url,
+               lower(regexp_extract(feeds[fi + 1],
+                                    '{q(_ATTR_TYPE_GROUP)}', 1))
+                 feed_type,
+               nullif(regexp_extract(feeds[fi + 1],
+                                     '{q(_ATTR_TITLE)}', 1), '')
+                 title
+        from e
+    """

@@ -157,3 +157,60 @@ def test_page_directives_oracle_matches(spark):
     exp = sorted(tuple(r) for r in duckdb.sql(osql).fetchall())
     norm = lambda t: tuple(int(x) if isinstance(x, bool) else x for x in t)
     assert [norm(g) for g in got] == [norm(e) for e in exp]
+
+
+# ------------------------------------------------------- autodiscovery
+
+
+def test_feed_autodiscovery_semantics(spark):
+    from podcast_crawler_spark.operators.links import feed_autodiscovery
+
+    pages = [
+        (1, '<link rel="alternate" type="application/rss+xml"'
+            ' href="https://e.io/feed.xml" title="My Pod">'),
+        (2, "<link type='application/atom+xml' rel='alternate'"
+            " href='/atom.xml'>"),  # reversed attrs, relative href
+        (3, '<link rel="alternate" type="text/html" href="m.html">'
+            '<link rel="stylesheet" href="s.css">'),  # decoys
+        (4, '<LINK REL="ALTERNATE" TYPE="application/RSS+xml"'
+            ' HREF="up.xml">'),  # case-insensitive
+        (5, '<link rel="alternate" type="application/rss+xml" href="a">'
+            '<link rel="alternate" type="application/atom+xml" href="b">'),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, html string")
+    got = {
+        (r["id"], r["feed_idx"]): (r["feed_url"], r["feed_type"], r["title"])
+        for r in feed_autodiscovery(df).collect()
+    }
+    assert got[(1, 0)] == ("https://e.io/feed.xml", "rss", "My Pod")
+    assert got[(2, 0)] == ("/atom.xml", "atom", None)
+    assert not any(i == 3 for i, _ in got)
+    assert got[(4, 0)] == ("up.xml", "rss", None)
+    assert got[(5, 0)][1] == "rss" and got[(5, 1)][1] == "atom"
+
+
+def test_feed_autodiscovery_oracle_matches(spark):
+    import duckdb
+    from podcast_crawler_spark.operators.links import (
+        autodiscovery_oracle_sql, feed_autodiscovery,
+    )
+
+    pages = [
+        (1, '<link rel="alternate" type="application/rss+xml" href="f1">'),
+        (2, "<link href='f2' type='application/atom+xml'"
+            " rel='alternate' title='T2'>"),
+        (3, "none"),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, html string")
+    got = sorted(tuple(r) for r in feed_autodiscovery(df).collect())
+    vals = ",".join(
+        "(%d, '%s')" % (i, h.replace("'", "''")) for i, h in pages
+    )
+    osql = autodiscovery_oracle_sql(
+        f"select * from (values {vals}) v(id, html)"
+    )
+    exp = sorted(tuple(r) for r in duckdb.sql(osql).fetchall())
+    assert [tuple(int(x) if isinstance(x, int) else x for x in g)
+            for g in got] == [
+        tuple(int(x) if isinstance(x, int) else x for x in e) for e in exp
+    ]
