@@ -2173,6 +2173,13 @@ def _normalize_docs_sql() -> str:
     )
 
 
+def _lang_id_ngram(spark, sf_dir):
+    # char-trigram language ID (Cavnar-Trenkle profiles as fixed
+    # constants): robust to missing spaces and partial words; integer
+    # scores + margin over the same table in both engines.
+    return textstats.lang_id_ngram(_t(spark, sf_dir, "documents"))
+
+
 def _bpe_candidates(spark, sf_dir):
     # BPE merge-candidate mining (Sennrich '16 first iteration):
     # adjacent char-pair counts aggregated over the VOCAB (the
@@ -2876,6 +2883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _bpe_encode,
         "weighted_sample": _weighted_sample,
         "normalize_text": _normalize_text,
+        "lang_id_ngram": _lang_id_ngram,
         "classifier_score": _classifier_score,
         "sitemap_scan": _sitemap_scan,
         "sitemap_refresh": _sitemap_refresh,
@@ -3861,6 +3869,9 @@ def oracle_sql() -> dict[str, str]:
             "select doc_id as id, text from documents", k=5, w=4
         ),
         "script_profile": textstats.script_oracle_sql(_script_docs_sql()),
+        "lang_id_ngram": textstats.lang_id_ngram_oracle_sql(
+            "select doc_id as id, text from documents"
+        ),
         "normalize_text": textstats.normalize_oracle_sql(
             _normalize_docs_sql()
         ),

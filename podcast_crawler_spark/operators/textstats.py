@@ -962,3 +962,137 @@ def normalize_oracle_sql(docs_sql: str) -> str:
                (length(text) - length({s}))::BIGINT as n_changed
         from docs
     """
+
+
+
+# char-trigram profiles (Cavnar & Trenkle '94 reduced to a fixed,
+# auditable table): top trigrams of a seed paragraph per language,
+# weight = profile_size - rank.  Module constants so both engines score
+# the identical table; built deterministically at import from the seed
+# texts below (no I/O, no randomness).
+_LID_SEEDS = {
+    "en": "the quick brown fox jumps over the lazy dog and then the "
+          "other dogs that were there with them all day",
+    "de": "der schnelle braune fuchs springt ueber den faulen hund und "
+          "dann die anderen hunde die den ganzen tag dort waren",
+    "fr": "le rapide renard brun saute par dessus le chien paresseux et "
+          "puis les autres chiens qui etaient la toute la journee",
+    "es": "el rapido zorro marron salta sobre el perro perezoso y luego "
+          "los otros perros que estuvieron alli todo el dia",
+}
+_LID_PROFILE_SIZE = 15
+
+
+def _build_profiles():
+    out = {}
+    for lang, seed in _LID_SEEDS.items():
+        s = " " + seed + " "
+        counts = {}
+        for i in range(len(s) - 2):
+            g = s[i:i + 3]
+            counts[g] = counts.get(g, 0) + 1
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        out[lang] = [
+            (g, _LID_PROFILE_SIZE - r)
+            for r, (g, _) in enumerate(top[:_LID_PROFILE_SIZE])
+        ]
+    return out
+
+
+LID_PROFILES = _build_profiles()
+
+
+def _count_substr(padded: Column, needle: str) -> Column:
+    return (
+        (F.length(padded) - F.length(
+            F.replace(padded, F.lit(needle), F.lit(""))
+        )) / len(needle)
+    ).cast("long")
+
+
+def lang_id_ngram(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Character-trigram language ID -- the profile-based upgrade of
+    :func:`language_id` (whose stopword markers need spaces and full
+    words; trigram profiles score partial words, no-space text and
+    mixed content).  Per language: ``score = sum over profile trigrams
+    of count(text, trigram) * (profile_size - rank)`` -- integer, over
+    the fixed LID_PROFILES table; prediction is the argmax with
+    alphabetical tie-break, 'unk' at score 0.
+
+    Returns ``(id, lang_pred, lang_score, margin)`` where ``margin`` =
+    best minus second-best score (the confidence signal a router
+    thresholds on).
+
+    Scale shape: ~60 replace-count expressions, all map-side codegen,
+    zero shuffle; exact SQL oracle over the same constant table.
+    """
+    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    scores = {
+        lang: sum_cols(
+            [_count_substr(padded, g) * w for g, w in prof]
+        )
+        for lang, prof in LID_PROFILES.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("unk")
+    for lang in sorted(scores, reverse=True):
+        pred = F.when(
+            (scores[lang] == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    # second best: max over each lang of (score if not the argmax)
+    second = F.greatest(
+        *[
+            F.when(F.lit(lang) == pred, F.lit(0).cast("long")).otherwise(
+                scores[lang]
+            )
+            for lang in scores
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        pred.alias("lang_pred"),
+        best.cast("long").alias("lang_score"),
+        (best - second).cast("long").alias("margin"),
+    )
+
+
+def lang_id_ngram_oracle_sql(docs_sql: str) -> str:
+    """DuckDB recomputation of :func:`lang_id_ngram` over the same
+    LID_PROFILES constants."""
+
+    def cnt(g: str) -> str:
+        e = g.replace("'", "''")
+        return (
+            f"((length(p) - length(replace(p, '{e}', ''))) / 3)::BIGINT"
+        )
+
+    score = {
+        lang: " + ".join(f"{cnt(g)} * {w}" for g, w in prof)
+        for lang, prof in LID_PROFILES.items()
+    }
+    cols = ",\n".join(
+        f"({expr}) as s_{lang}" for lang, expr in score.items()
+    )
+    langs = sorted(LID_PROFILES)
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    pred = "'unk'"
+    for lang in sorted(langs, reverse=True):
+        pred = (
+            f"case when s_{lang} = best and best > 0"
+            f" then '{lang}' else {pred} end"
+        )
+    second_terms = ", ".join(
+        f"case when lang_pred = '{l}' then 0 else s_{l} end" for l in langs
+    )
+    return f"""
+        with docs as (select * from ({docs_sql}) t),
+        p as (select id, ' ' || lower(text) || ' ' as p from docs),
+        s as (select id, {cols} from p),
+        b as (select *, {best} as best from s),
+        pr as (select *, {pred} as lang_pred from b)
+        select id, lang_pred, best::BIGINT as lang_score,
+               (best - greatest({second_terms}))::BIGINT as margin
+        from pr
+    """

@@ -761,3 +761,71 @@ def test_normalize_oracle_matches(spark):
     osql = normalize_oracle_sql(f"select * from (values {vals}) v(id, text)")
     exp = sorted((int(a), b, int(c)) for a, b, c in duckdb.sql(osql).fetchall())
     assert [tuple(g) for g in got] == exp
+
+
+# -------------------------------------------------------- trigram LID
+
+
+def test_lang_id_ngram_discriminates_and_handles_nospace(spark):
+    from podcast_crawler_spark.operators.textstats import lang_id_ngram
+
+    docs = [
+        (1, "the dogs were there with them over the day"),
+        (2, "der hund springt ueber den anderen hund den ganzen tag"),
+        (3, "le chien saute par dessus les autres chiens la journee"),
+        (4, "el perro salta sobre los otros perros todo el dia"),
+        (5, "zzz qqq xxx"),
+        (6, "thequickbrownfoxjumpsoverthelazydog"),  # no spaces
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["id"]: (r["lang_pred"], r["margin"])
+           for r in lang_id_ngram(df).collect()}
+    assert got[1][0] == "en" and got[2][0] == "de"
+    assert got[3][0] == "fr" and got[4][0] == "es"
+    assert got[5] == ("unk", 0)
+    assert got[6][0] == "en" and got[6][1] > 0  # stopword LID can't
+
+
+def test_lang_id_ngram_python_oracle(spark):
+    from podcast_crawler_spark.operators.textstats import (
+        LID_PROFILES, lang_id_ngram,
+    )
+
+    text = "the rapid dog and der hund"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = lang_id_ngram(df).collect()[0]
+    padded = " " + text.lower() + " "
+    scores = {
+        lang: sum(padded.count(g) * w for g, w in prof)
+        for lang, prof in LID_PROFILES.items()
+    }
+    best = max(scores.values())
+    pred = min(l for l, s in scores.items() if s == best)
+    second = max(s for l, s in scores.items() if l != pred)
+    assert (r["lang_pred"], r["lang_score"], r["margin"]) == (
+        pred, best, best - second
+    )
+
+
+def test_lang_id_ngram_oracle_sql_matches(spark):
+    import duckdb
+    from podcast_crawler_spark.operators.textstats import (
+        lang_id_ngram, lang_id_ngram_oracle_sql,
+    )
+
+    docs = [
+        (1, "the day with the dogs"),
+        (2, "den ganzen tag mit den hunden"),
+        (3, "mixed le the der el"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(tuple(r) for r in lang_id_ngram(df).collect())
+    vals = ",".join("(%d, '%s')" % (i, t) for i, t in docs)
+    osql = lang_id_ngram_oracle_sql(
+        f"select * from (values {vals}) v(id, text)"
+    )
+    exp = sorted(
+        (int(a), b, int(c), int(d))
+        for a, b, c, d in duckdb.sql(osql).fetchall()
+    )
+    assert [tuple(g) for g in got] == exp
