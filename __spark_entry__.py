@@ -1878,6 +1878,27 @@ _DIRECTIVE_PAGES_SQL = """
 """
 
 
+def _canonical_groups(spark, sf_dir):
+    # canonical-URL collapse: pages grouped under their advertised
+    # rel=canonical target (self when absent) — the URL-level dedup
+    # that runs BEFORE content dedup ever fetches a variant.  Rides
+    # page_directives; the oracle nests its chain.
+    pd = _page_directives(spark, sf_dir)
+    target = F.coalesce(
+        F.col("canonical_url"),
+        F.concat(F.lit("self:"), F.col("id").cast("string")),
+    )
+    return (
+        pd.groupBy(target.alias("target"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pages"),
+            F.sum(F.col("canonical_url").isNotNull().cast("long")).alias(
+                "n_canonicalized"
+            ),
+        )
+    )
+
+
 def _frontier_gating(spark, sf_dir):
     # admission gate integration: the deny-list a discovery crawl
     # applies every epoch — trap hosts (URL-template dominance) and
@@ -2870,6 +2891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_directives": _page_directives,
         "frontier_gating": _frontier_gating,
         "feed_autodiscovery": _feed_autodiscovery,
+        "canonical_groups": _canonical_groups,
         "consistent_placement": _consistent_placement,
         "ring_rebalance": _ring_rebalance,
         "aimd_concurrency": _aimd_concurrency,
@@ -3845,6 +3867,17 @@ def oracle_sql() -> dict[str, str]:
         "feed_autodiscovery": _links_mod().autodiscovery_oracle_sql(
             _AUTODISC_PAGES_SQL
         ),
+        "canonical_groups": (
+            lambda d_sql: f"""
+                with pd as ({d_sql})
+                select coalesce(canonical_url,
+                                'self:' || id::varchar) as target,
+                       count(*)::BIGINT n_pages,
+                       sum((canonical_url is not null)::int)::BIGINT
+                         n_canonicalized
+                from pd group by 1
+            """
+        )(_links_mod().directives_oracle_sql(_DIRECTIVE_PAGES_SQL)),
         "consistent_placement": _placement_mod().assign_oracle_sql(
             f"select host, host as key from ({_PLACEMENT_KEYS_SQL}) k",
             _RING_WORKERS,
