@@ -1562,6 +1562,46 @@ def _sitemap_refresh(spark, sf_dir):
     )
 
 
+def _atom_parse(spark, sf_dir):
+    # Atom feed parsing (RFC 4287) through the real tolerant-XML event
+    # scanner + mapInPandas batch stage — the support the reference
+    # only DECLARED (error::InvalidAtom is never constructed there).
+    # Synthesis: every doc becomes an Atom feed with two entries (one
+    # full: published + alternate link + enclosure with &amp;-escaped
+    # query; one minimal: updated-only date fallback); every 11th doc
+    # is truncated mid-tag -> one parse_ok=false row with the
+    # invalid_atom kind.  The oracle re-derives every field from the
+    # same doc_id rules.
+    from podcast_crawler_spark.sources.atomfeeds import parse_atom_feeds
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    day = F.lpad((d % 27 + 1).cast("string"), 2, "0")
+    xml_good = F.concat(
+        F.lit('<?xml version="1.0"?><feed><title>Pod '), ds,
+        F.lit("</title><author><name>A"), (d % 7).cast("string"),
+        F.lit("</name></author><entry><title>Ep "), ds,
+        F.lit("-0</title><id>urn:ep:"), ds,
+        F.lit('-0</id><published>2024-12-'), day,
+        F.lit('T10:06:00Z</published><link href="https://x.io/'), ds,
+        F.lit('/0"/><link rel="enclosure" '
+              'href="https://cdn.x.io/'), ds,
+        F.lit('.mp3?a=1&amp;b=2" type="audio/mpeg" length="'),
+        (d % 1000).cast("string"),
+        F.lit('"/><summary>sum '), ds,
+        F.lit("</summary></entry><entry><title>Ep "), ds,
+        F.lit("-1</title><updated>2025-01-"), day,
+        F.lit("T00:00:00Z</updated></entry></feed>"),
+    )
+    xml = F.when(d % 11 == 0, F.lit("<feed><title>t<")).otherwise(xml_good)
+    feeds = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://h"), (d % 13).cast("string"),
+                 F.lit(".example/atom-"), ds, F.lit(".xml")).alias("url"),
+        xml.alias("xml"),
+    )
+    return parse_atom_feeds(feeds)
+
+
 def _trap_stats(spark, sf_dir):
     # crawl-trap detection over a deterministically synthesized URL log:
     # most hosts spread across 5 event-type templates; host 7 is a trap
@@ -2909,6 +2949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_score": _classifier_score,
         "sitemap_scan": _sitemap_scan,
         "sitemap_refresh": _sitemap_refresh,
+        "atom_parse": _atom_parse,
         "span_dedup": _span_dedup,
         "trap_stats": _trap_stats,
         "dust_params": _dust_params,
@@ -3703,6 +3744,45 @@ def oracle_sql() -> dict[str, str]:
         # sitemap scan: the oracle re-derives the expected entry rows
         # (unescaped locs, skipped loc-less entries, index flag) straight
         # from the synthesis formula.
+        "atom_parse": """
+            with d as (select doc_id,
+                              'https://h' || (doc_id % 13)
+                              || '.example/atom-' || doc_id || '.xml'
+                                as feed_url,
+                              lpad((doc_id % 27 + 1)::VARCHAR, 2, '0')
+                                as day
+                       from documents),
+            rows_ as (
+              select feed_url, true parse_ok, NULL::VARCHAR error_kind,
+                     'Pod ' || doc_id podcast_title,
+                     'A' || (doc_id % 7) author,
+                     0 ep_idx, 'Ep ' || doc_id || '-0' ep_title,
+                     'urn:ep:' || doc_id || '-0' guid,
+                     'https://x.io/' || doc_id || '/0' link,
+                     'https://cdn.x.io/' || doc_id || '.mp3?a=1&b=2'
+                       enclosure_url,
+                     (doc_id % 1000)::BIGINT enclosure_length,
+                     '2024-12-' || day || 'T10:06:00+00:00' pub_date_iso,
+                     'sum ' || doc_id description
+              from d where doc_id % 11 <> 0
+              union all
+              select feed_url, true, NULL,
+                     'Pod ' || doc_id, 'A' || (doc_id % 7),
+                     1, 'Ep ' || doc_id || '-1',
+                     NULL, NULL, NULL, NULL,
+                     '2025-01-' || day || 'T00:00:00+00:00', NULL
+              from d where doc_id % 11 <> 0
+              union all
+              select feed_url, false, 'invalid_atom',
+                     NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+                     NULL, NULL
+              from d where doc_id % 11 = 0)
+            select feed_url, parse_ok, error_kind, podcast_title,
+                   author, ep_idx::INT ep_idx, ep_title, guid, link,
+                   enclosure_url, enclosure_length, pub_date_iso,
+                   description
+            from rows_
+        """,
         "sitemap_refresh": """
             with scan as (
             with d as (select doc_id,
