@@ -1805,6 +1805,47 @@ _AIMD_OBS_SQL = (
 )
 
 
+def _cache_ttl(spark, sf_dir):
+    # RFC 9111 freshness -> refetch TTL over synthesized Cache-Control
+    # headers: plain max-age, s-maxage override, no-store, absent
+    # header, and an out-of-range max-age that must clamp.
+    from podcast_crawler_spark.operators import refetch
+
+    d = F.col("o_orderkey")
+    cc = (
+        F.when(d % 5 == 0, F.concat(F.lit("public, max-age="),
+                                    (d % 100000).cast("string")))
+        .when(d % 5 == 1, F.concat(
+            F.lit("max-age=60, s-maxage="), (d % 7200).cast("string")))
+        .when(d % 5 == 2, F.lit("no-store"))
+        .when(d % 5 == 3, F.lit("private, no-cache, max-age=900"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    rows = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("https://h"), (d % 23).cast("string"),
+                 F.lit(".example/r/"), d.cast("string")).alias("url"),
+        cc.alias("cache_control"),
+        (1700000000 + d % 86400).cast("long").alias("fetch_unix"),
+    )
+    return refetch.cache_ttl(rows)
+
+
+_CACHE_ROWS_SQL = """
+    select 'https://h' || (o_orderkey % 23)::varchar || '.example/r/'
+           || o_orderkey::varchar as url,
+           case when o_orderkey % 5 = 0 then
+                  'public, max-age=' || (o_orderkey % 100000)::varchar
+                when o_orderkey % 5 = 1 then
+                  'max-age=60, s-maxage=' || (o_orderkey % 7200)::varchar
+                when o_orderkey % 5 = 2 then 'no-store'
+                when o_orderkey % 5 = 3 then
+                  'private, no-cache, max-age=900'
+           end as cache_control,
+           (1700000000 + o_orderkey % 86400)::BIGINT as fetch_unix
+    from orders
+"""
+
+
 def _host_latency(spark, sf_dir):
     # latency-adaptive per-host politeness delay: exact grouped p50/p95
     # (percentile ≡ quantile_cont, the stats_median precedent) with an
@@ -2937,6 +2978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aimd_concurrency": _aimd_concurrency,
         "circuit_state": _circuit_state,
         "host_latency": _host_latency,
+        "cache_ttl": _cache_ttl,
         "containment_pairs": _containment_pairs,
         "cdc_chunks": _cdc_chunks,
         "script_profile": _script_profile,
@@ -3969,6 +4011,7 @@ def oracle_sql() -> dict[str, str]:
             _RING_WORKERS + ["w16"],
             vnodes=32,
         ),
+        "cache_ttl": refetch.cache_ttl_oracle_sql(_CACHE_ROWS_SQL),
         "host_latency": refetch.latency_oracle_sql(
             _LATENCY_OBS_SQL, min_n=20
         ),

@@ -397,3 +397,101 @@ def latency_oracle_sql(
                (n < {min_n}) as low_sample
         from a
     """
+
+
+_MAXAGE_RE = "(?i)(?:^|[,\\s])max-age\\s*=\\s*([0-9]+)"
+_SMAXAGE_RE = "(?i)(?:^|[,\\s])s-maxage\\s*=\\s*([0-9]+)"
+_NOSTORE_RE = "(?i)(?:^|[,\\s])(no-store|no-cache)(?:$|[,\\s=])"
+
+
+def cache_ttl(
+    df: DataFrame,
+    cc_col: str = "cache_control",
+    url_col: str = "url",
+    fetch_ts_col: str = "fetch_unix",
+    default_ttl_s: int = 3600,
+    min_ttl_s: int = 60,
+    max_ttl_s: int = 604800,
+) -> DataFrame:
+    """HTTP freshness → refetch TTL: parse each response's
+    ``Cache-Control`` and derive when the URL may be refetched —
+    the header-driven leg of the refetch stack (RFC 9111 §5.2;
+    :func:`refetch_schedule` infers rates from CONTENT history,
+    this consumes what the server DECLARES).  Returns ``(url,
+    max_age_s, no_store, ttl_s, refetch_unix)``:
+
+      - ``s-maxage`` wins over ``max-age`` (shared-cache rule — a
+        crawler is a shared cache); absent both → ``default_ttl_s``.
+      - ``no-store`` / ``no-cache`` ⇒ ``no_store = true`` and the
+        DEFAULT ttl (a polite crawler still rate-limits refetches of
+        uncacheable resources; it just must not serve them stale).
+      - ttl clamps to [min, max] — a ``max-age=31536000`` feed is
+        refetched weekly regardless (feeds lie), ``max-age=0`` floors
+        at a minute.
+
+    Directive grammar is token-boundary regex (``max-age`` must not
+    match ``s-maxage``'s tail — hence the leading boundary class),
+    identical in Java regex and RE2.  Map-side, zero shuffle; exact
+    integer oracle.
+    """
+    cc = F.coalesce(F.col(cc_col), F.lit(""))
+    maxage = F.nullif(F.regexp_extract(cc, _MAXAGE_RE, 1), F.lit(""))
+    smaxage = F.nullif(F.regexp_extract(cc, _SMAXAGE_RE, 1), F.lit(""))
+    age = F.coalesce(
+        smaxage.cast("long"), maxage.cast("long")
+    )
+    no_store = F.regexp_extract(cc, _NOSTORE_RE, 1) != ""
+    ttl = F.when(no_store | age.isNull(), F.lit(default_ttl_s).cast("long")).otherwise(
+        F.least(
+            F.lit(max_ttl_s).cast("long"),
+            F.greatest(F.lit(min_ttl_s).cast("long"), age),
+        )
+    )
+    return df.select(
+        F.col(url_col).alias("url"),
+        age.alias("max_age_s"),
+        no_store.alias("no_store"),
+        ttl.alias("ttl_s"),
+        (F.col(fetch_ts_col).cast("long") + ttl).alias("refetch_unix"),
+    )
+
+
+def cache_ttl_oracle_sql(
+    rows_sql: str,
+    default_ttl_s: int = 3600,
+    min_ttl_s: int = 60,
+    max_ttl_s: int = 604800,
+) -> str:
+    """DuckDB recomputation of :func:`cache_ttl` over any
+    ``(url, cache_control, fetch_unix)`` subquery."""
+
+    def q(p: str) -> str:
+        return p.replace("'", "''").replace("\\", "\\")
+
+    return f"""
+        with r as (select url, coalesce(cache_control, '') cc,
+                          fetch_unix
+                   from ({rows_sql}) t),
+        p as (select url, fetch_unix,
+                     nullif(regexp_extract(cc,
+                       '{q(_SMAXAGE_RE)}', 1), '')::BIGINT sm,
+                     nullif(regexp_extract(cc,
+                       '{q(_MAXAGE_RE)}', 1), '')::BIGINT ma,
+                     regexp_extract(cc, '{q(_NOSTORE_RE)}', 1) <> ''
+                       no_store
+              from r),
+        d as (select url, fetch_unix, no_store,
+                     coalesce(sm, ma) age
+              from p)
+        select url, age as max_age_s, no_store,
+               (case when no_store or age is null then {default_ttl_s}
+                     else least({max_ttl_s},
+                                greatest({min_ttl_s}, age)) end)::BIGINT
+                 as ttl_s,
+               (fetch_unix::BIGINT
+                + case when no_store or age is null then {default_ttl_s}
+                       else least({max_ttl_s},
+                                  greatest({min_ttl_s}, age)) end
+               )::BIGINT as refetch_unix
+        from d
+    """

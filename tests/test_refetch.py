@@ -210,3 +210,68 @@ def test_host_latency_oracle_matches(spark):
         float(x) if not isinstance(x, (str, bool)) else x for x in t
     )
     assert [norm(g) for g in got] == [norm(e) for e in exp]
+
+
+# --------------------------------------------------------------- TTLs
+
+
+def test_cache_ttl_directive_grammar(spark):
+    from podcast_crawler_spark.operators.refetch import cache_ttl
+
+    rows = [
+        ("u1", "public, max-age=1200", 1000),
+        ("u2", "max-age=60, s-maxage=7200", 1000),   # s-maxage wins
+        ("u3", "no-store", 1000),
+        ("u4", "private, no-cache, max-age=900", 1000),
+        ("u5", None, 1000),
+        ("u6", "max-age=31536000", 1000),            # clamps to max
+        ("u7", "max-age=0", 1000),                   # floors at min
+        ("u8", "s-maxage=500", 1000),                # alone
+        ("u9", "Max-Age=300", 1000),                 # case-insensitive
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, cache_control string, fetch_unix long"
+    )
+    got = {r["url"]: (r["max_age_s"], r["no_store"], r["ttl_s"],
+                      r["refetch_unix"])
+           for r in cache_ttl(df).collect()}
+    assert got["u1"] == (1200, False, 1200, 2200)
+    assert got["u2"] == (7200, False, 7200, 8200)
+    assert got["u3"] == (None, True, 3600, 4600)
+    assert got["u4"] == (900, True, 3600, 4600)  # no-cache dominates
+    assert got["u5"] == (None, False, 3600, 4600)
+    assert got["u6"] == (31536000, False, 604800, 605800)
+    assert got["u7"] == (0, False, 60, 1060)
+    assert got["u8"] == (500, False, 500, 1500)
+    assert got["u9"][0] == 300
+
+
+def test_cache_ttl_oracle_matches(spark):
+    import duckdb
+    from podcast_crawler_spark.operators.refetch import (
+        cache_ttl, cache_ttl_oracle_sql,
+    )
+
+    rows = [
+        (f"u{i}",
+         ["max-age=120", "no-store", None, "s-maxage=999, max-age=5",
+          "weird, max-age=40"][i % 5],
+         1000 + i)
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, cache_control string, fetch_unix long"
+    )
+    got = sorted(tuple(r) for r in cache_ttl(df).collect())
+    vals = ",".join(
+        "('%s', %s, %d)" % (u, "NULL" if c is None else f"'{c}'", t)
+        for u, c, t in rows
+    )
+    osql = cache_ttl_oracle_sql(
+        f"select * from (values {vals}) v(url, cache_control, fetch_unix)"
+    )
+    exp = sorted(tuple(r) for r in duckdb.sql(osql).fetchall())
+    norm = lambda t: tuple(
+        int(x) if isinstance(x, (int, bool)) else x for x in t
+    )
+    assert [norm(g) for g in got] == [norm(e) for e in exp]
