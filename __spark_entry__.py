@@ -1959,6 +1959,37 @@ _DIRECTIVE_PAGES_SQL = """
 """
 
 
+def _scheme_upgrades(spark, sf_dir):
+    # http->https twin detection over synthesized URL logs: every 3rd
+    # path appears under both schemes (plus ftp decoys filtered out);
+    # the upgrade map feeds seen-set canonicalization.
+    from podcast_crawler_spark.operators import links as linksmod
+
+    d = F.col("o_orderkey")
+    scheme = (
+        F.when(d % 3 == 0, F.lit("http"))
+        .when(d % 3 == 1, F.lit("https"))
+        .otherwise(F.lit("ftp"))
+    )
+    urls = _t(spark, sf_dir, "orders").select(
+        F.concat(
+            scheme, F.lit("://h"), (d % 29).cast("string"),
+            F.lit(".example/p/"), (d % 500).cast("string"),
+        ).alias("url")
+    )
+    return linksmod.scheme_upgrades(urls)
+
+
+_SCHEME_URLS_SQL = """
+    select (case when o_orderkey % 3 = 0 then 'http'
+                 when o_orderkey % 3 = 1 then 'https'
+                 else 'ftp' end)
+           || '://h' || (o_orderkey % 29)::varchar
+           || '.example/p/' || (o_orderkey % 500)::varchar as url
+    from orders
+"""
+
+
 def _canonical_groups(spark, sf_dir):
     # canonical-URL collapse: pages grouped under their advertised
     # rel=canonical target (self when absent) — the URL-level dedup
@@ -2973,6 +3004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_gating": _frontier_gating,
         "feed_autodiscovery": _feed_autodiscovery,
         "canonical_groups": _canonical_groups,
+        "scheme_upgrades": _scheme_upgrades,
         "consistent_placement": _consistent_placement,
         "ring_rebalance": _ring_rebalance,
         "aimd_concurrency": _aimd_concurrency,
@@ -3988,6 +4020,9 @@ def oracle_sql() -> dict[str, str]:
         "frontier_gating": _frontier_gating_oracle(),
         "feed_autodiscovery": _links_mod().autodiscovery_oracle_sql(
             _AUTODISC_PAGES_SQL
+        ),
+        "scheme_upgrades": _links_mod().scheme_oracle_sql(
+            _SCHEME_URLS_SQL
         ),
         "canonical_groups": (
             lambda d_sql: f"""

@@ -310,3 +310,70 @@ def autodiscovery_oracle_sql(pages_sql: str) -> str:
                  title
         from e
     """
+
+
+def scheme_upgrades(
+    df: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """HTTP→HTTPS migration detection: for every (host, path) key seen
+    under BOTH schemes, emit the upgrade mapping — the canonicalization
+    input that collapses scheme twins in the seen-set and frontier
+    (fetching both wastes politeness budget; treating them as distinct
+    splits PageRank and dedup evidence).  Output: ``(host, path_key,
+    http_url, https_url, n_http, n_https)``.
+
+    Scale shape: one map-side parse (scheme/host/path split via
+    ``parse_url``-free regexes — dialect-portable), one groupBy on
+    (host, path_key) carrying counts and min-URL representatives via
+    conditional aggregates; no join, no window.
+    """
+    url = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1))
+    host = F.lower(F.regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    path = F.regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    base = df.select(
+        url.alias("url"),
+        scheme.alias("s"),
+        host.alias("host"),
+        F.when(path == "", "/").otherwise(path).alias("path_key"),
+    ).filter(F.col("s").isin("http", "https"))
+    agg = base.groupBy("host", "path_key").agg(
+        F.min(F.when(F.col("s") == "http", F.col("url"))).alias("http_url"),
+        F.min(F.when(F.col("s") == "https", F.col("url"))).alias(
+            "https_url"
+        ),
+        F.sum((F.col("s") == "http").cast("long")).alias("n_http"),
+        F.sum((F.col("s") == "https").cast("long")).alias("n_https"),
+    )
+    return agg.filter(
+        F.col("http_url").isNotNull() & F.col("https_url").isNotNull()
+    )
+
+
+def scheme_oracle_sql(urls_sql: str) -> str:
+    """DuckDB recomputation of :func:`scheme_upgrades` over any
+    ``(url)`` subquery."""
+    return f"""
+        with u as (select url from ({urls_sql}) t),
+        p as (select url,
+                lower(regexp_extract(url,
+                  '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1)) s,
+                lower(regexp_extract(url,
+                  '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) host,
+                case when regexp_extract(url,
+                  '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) = ''
+                  then '/' else regexp_extract(url,
+                  '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+                end path_key
+              from u
+              where lower(regexp_extract(url,
+                '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1)) in ('http','https')),
+        a as (select host, path_key,
+                     min(case when s = 'http' then url end) http_url,
+                     min(case when s = 'https' then url end) https_url,
+                     sum((s = 'http')::int)::BIGINT n_http,
+                     sum((s = 'https')::int)::BIGINT n_https
+              from p group by 1, 2)
+        select * from a
+        where http_url is not null and https_url is not null
+    """

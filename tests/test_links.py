@@ -214,3 +214,49 @@ def test_feed_autodiscovery_oracle_matches(spark):
             for g in got] == [
         tuple(int(x) if isinstance(x, int) else x for x in e) for e in exp
     ]
+
+
+# ------------------------------------------------------ scheme twins
+
+
+def test_scheme_upgrades_detects_twins(spark):
+    from podcast_crawler_spark.operators.links import scheme_upgrades
+
+    urls = [
+        ("http://a.io/x",), ("https://a.io/x",),   # twin
+        ("http://a.io/only",),                      # http-only
+        ("https://b.io/y",),                        # https-only
+        ("ftp://a.io/x",),                          # decoy scheme
+        ("HTTPS://c.io",), ("http://c.io",),        # case + bare path
+        ("http://a.io/x?q=1",),                     # query stripped
+    ]
+    df = spark.createDataFrame(urls, "url string")
+    got = {
+        (r["host"], r["path_key"]): (r["n_http"], r["n_https"])
+        for r in scheme_upgrades(df).collect()
+    }
+    assert got[("a.io", "/x")] == (2, 1)  # ?q=1 collapses into /x
+    assert got[("c.io", "/")] == (1, 1)
+    assert ("a.io", "/only") not in got and ("b.io", "/y") not in got
+
+
+def test_scheme_upgrades_oracle_matches(spark):
+    import duckdb
+    from podcast_crawler_spark.operators.links import (
+        scheme_oracle_sql, scheme_upgrades,
+    )
+
+    urls = [
+        (f"{'http' if i % 2 else 'https'}://h{i % 5}.io/p/{i % 7}",)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(urls, "url string")
+    got = sorted(tuple(r) for r in scheme_upgrades(df).collect())
+    vals = ",".join(f"('{u}')" for (u,) in urls)
+    osql = scheme_oracle_sql(f"select * from (values {vals}) v(url)")
+    exp = sorted(
+        tuple(int(x) if isinstance(x, int) else x for x in r)
+        for r in duckdb.sql(osql).fetchall()
+    )
+    assert [tuple(int(x) if isinstance(x, int) else x for x in g)
+            for g in got] == exp
