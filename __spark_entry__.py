@@ -2359,6 +2359,16 @@ def _bpe_encode(spark, sf_dir):
     )
 
 
+def _curriculum_interleave(spark, sf_dir):
+    # stratified training order: every source at its proportional
+    # cadence from the first batch (global_shuffle randomizes; this
+    # interleaves by share).  Windows share the source key - one
+    # exchange.
+    return curation.curriculum_interleave(
+        _t(spark, sf_dir, "documents")
+    )
+
+
 def _length_buckets(spark, sf_dir):
     # padded-batching economics: pow-2 token-length buckets with exact
     # integer ceil-log2 (length(bin(n-1)) — no libm) and per-bucket
@@ -3015,6 +3025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": _cdc_chunks,
         "script_profile": _script_profile,
         "length_buckets": _length_buckets,
+        "curriculum_interleave": _curriculum_interleave,
         "bpe_candidates": _bpe_candidates,
         "bpe_encode": _bpe_encode,
         "weighted_sample": _weighted_sample,
@@ -4076,6 +4087,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bpe_candidates": textstats.bpe_oracle_sql(
             "select doc_id as id, text from documents", k=50
+        ),
+        "curriculum_interleave": curation.interleave_oracle_sql(
+            "select doc_id as id, source from documents"
         ),
         "length_buckets": curation.length_buckets_oracle_sql(
             "select doc_id as id, text from documents"

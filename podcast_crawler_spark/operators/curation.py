@@ -583,3 +583,72 @@ def length_buckets_oracle_sql(
                 // (count(*) * bucket_cap))::BIGINT waste_pct
         from b group by 1
     """
+
+
+def curriculum_interleave(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    stride_scale: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic cross-source interleave for training order: each
+    source's docs are ranked by hash (a reproducible within-source
+    shuffle), then spread evenly over a common [0, stride_scale) axis —
+    ``interleave_key = ((rank-1) · stride_scale + stride_scale/2) div
+    n_source`` — so reading in ``(interleave_key, source, rank)`` order
+    yields every source at its proportional cadence from the very first
+    batch (a 1%-share source appears ~every 100 docs, not after 99% of
+    training).  The standard fix for source-blocked training order
+    (curriculum/mixing literature; :func:`global_shuffle` randomizes
+    globally, this STRATIFIES the randomness by source share).
+
+    Output: ``(id, source, src_rank, n_source, interleave_key)``.
+    Total order = (interleave_key, source, src_rank) — engine-exact.
+
+    Scale shape: one window per source partition (rank by md5 — the
+    ``sampling.topk_sample`` shuffle unit), one tiny per-source count
+    broadcast back via the same window (no second exchange: count is
+    a window aggregate over the same key), map-side key arithmetic.
+    """
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("id").cast("string")), F.col("id")
+    )
+    wc = Window.partitionBy("source")
+    return (
+        df.select(
+            F.col(id_col).alias("id"), F.col(source_col).alias("source")
+        )
+        .withColumn("src_rank", F.row_number().over(w))
+        .withColumn("n_source", F.count(F.lit(1)).over(wc))
+        .select(
+            "id",
+            "source",
+            "src_rank",
+            F.col("n_source").cast("long").alias("n_source"),
+            F.expr(
+                f"((src_rank - 1) * {stride_scale}L"
+                f" + {stride_scale}L div 2) div n_source"
+            ).alias("interleave_key"),
+        )
+    )
+
+
+def interleave_oracle_sql(
+    rows_sql: str, stride_scale: int = 1_000_000
+) -> str:
+    """DuckDB recomputation of :func:`curriculum_interleave` over any
+    ``(id, source)`` subquery."""
+    return f"""
+        with r as (select * from ({rows_sql}) t),
+        w as (select id, source,
+                     row_number() over (partition by source
+                       order by md5(id::varchar), id) src_rank,
+                     count(*) over (partition by source) n_source
+              from r)
+        select id, source, src_rank::INT src_rank,
+               n_source::BIGINT n_source,
+               (((src_rank - 1) * {stride_scale}
+                 + {stride_scale} // 2) // n_source)::BIGINT
+                 interleave_key
+        from w
+    """

@@ -412,3 +412,49 @@ def test_length_buckets_oracle_matches(spark):
     )
     exp = sorted(tuple(int(x) for x in r) for r in duckdb.sql(osql).fetchall())
     assert [tuple(int(x) for x in g) for g in got] == exp
+
+
+def test_curriculum_interleave_cadence(spark):
+    from podcast_crawler_spark.operators.curation import (
+        curriculum_interleave,
+    )
+
+    # 90 docs of source A, 10 of B: in interleave order, every prefix
+    # of length ~10k/1k should contain B at ~its share
+    rows = [(i, "A") for i in range(90)] + [(100 + i, "B") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sorted(
+        (r["interleave_key"], r["source"], r["src_rank"], r["id"])
+        for r in curriculum_interleave(df).collect()
+    )
+    first20 = [s for _, s, _, _ in out[:20]]
+    assert first20.count("B") >= 1  # B appears early, not after all of A
+    # every source's ranks are a permutation 1..n
+    ranks_a = sorted(r for _, s, r, _ in out if s == "A")
+    ranks_b = sorted(r for _, s, r, _ in out if s == "B")
+    assert ranks_a == list(range(1, 91)) and ranks_b == list(range(1, 11))
+    # proportional spacing: B's keys are ~evenly spread over the axis
+    keys_b = sorted(k for k, s, _, _ in out if s == "B")
+    gaps = [b - a for a, b in zip(keys_b, keys_b[1:])]
+    assert max(gaps) <= 2 * min(gaps)
+
+
+def test_curriculum_interleave_oracle_matches(spark):
+    import duckdb
+    from podcast_crawler_spark.operators.curation import (
+        curriculum_interleave, interleave_oracle_sql,
+    )
+
+    rows = [(i, f"s{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = sorted(tuple(r) for r in curriculum_interleave(df).collect())
+    vals = ",".join(f"({i},'{s}')" for i, s in rows)
+    osql = interleave_oracle_sql(
+        f"select * from (values {vals}) v(id, source)"
+    )
+    exp = sorted(
+        tuple(int(x) if isinstance(x, int) else x for x in r)
+        for r in duckdb.sql(osql).fetchall()
+    )
+    assert [tuple(int(x) if isinstance(x, int) else x for x in g)
+            for g in got] == exp
