@@ -1805,6 +1805,40 @@ _AIMD_OBS_SQL = (
 )
 
 
+def _validator_stats(spark, sf_dir):
+    # If-None-Match / If-Modified-Since capability per host from
+    # synthesized response headers (strong/weak ETags, Last-Modified,
+    # bare responses) -- the 304-refetch planning table.
+    from podcast_crawler_spark.operators import refetch
+
+    d = F.col("o_orderkey")
+    etag = (
+        F.when(d % 4 == 0, F.concat(F.lit('"e'), d.cast("string"), F.lit('"')))
+        .when(d % 4 == 1, F.concat(F.lit('W/"w'), d.cast("string"), F.lit('"')))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    lm = F.when(
+        d % 3 == 0, F.lit("Wed, 04 Dec 2024 10:06:00 GMT")
+    ).otherwise(F.lit(None).cast("string"))
+    rows = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("h"), (d % 19).cast("string")).alias("host"),
+        etag.alias("etag"),
+        lm.alias("last_modified"),
+    )
+    return refetch.validator_stats(rows)
+
+
+_VALIDATOR_ROWS_SQL = """
+    select 'h' || (o_orderkey % 19)::varchar as host,
+           case when o_orderkey % 4 = 0 then '"e' || o_orderkey || '"'
+                when o_orderkey % 4 = 1 then 'W/"w' || o_orderkey || '"'
+           end as etag,
+           case when o_orderkey % 3 = 0
+                then 'Wed, 04 Dec 2024 10:06:00 GMT' end as last_modified
+    from orders
+"""
+
+
 def _cache_ttl(spark, sf_dir):
     # RFC 9111 freshness -> refetch TTL over synthesized Cache-Control
     # headers: plain max-age, s-maxage override, no-store, absent
@@ -2356,6 +2390,34 @@ def _bpe_encode(spark, sf_dir):
     # pinned via pieces_md5.
     return textstats.bpe_encode(
         _t(spark, sf_dir, "documents"), _BPE_MERGES
+    )
+
+
+def _quality_gate(spark, sf_dir):
+    # corpus-percentile quality gate: keep docs above the P10 quality
+    # and at or below the P90 length -- thresholds from ONE corpus
+    # aggregate (broadcast back, no driver scalar), keep flags +
+    # reasons.  percentile ≡ quantile_cont (stats_median precedent).
+    q = textstats.quality_scores(_t(spark, sf_dir, "documents"))
+    th = q.agg(
+        F.expr("percentile(quality, 0.10)").alias("q_lo"),
+        F.expr("percentile(n_chars, 0.90)").alias("len_hi"),
+    )
+    return (
+        q.crossJoin(F.broadcast(th))
+        .select(
+            "id",
+            "quality",
+            "n_chars",
+            F.round("q_lo", 6).alias("q_lo"),
+            F.round("len_hi", 6).alias("len_hi"),
+            (F.col("quality") >= F.col("q_lo")).alias("pass_quality"),
+            (F.col("n_chars") <= F.col("len_hi")).alias("pass_length"),
+            (
+                (F.col("quality") >= F.col("q_lo"))
+                & (F.col("n_chars") <= F.col("len_hi"))
+            ).alias("keep"),
+        )
     )
 
 
@@ -3021,11 +3083,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "circuit_state": _circuit_state,
         "host_latency": _host_latency,
         "cache_ttl": _cache_ttl,
+        "validator_stats": _validator_stats,
         "containment_pairs": _containment_pairs,
         "cdc_chunks": _cdc_chunks,
         "script_profile": _script_profile,
         "length_buckets": _length_buckets,
         "curriculum_interleave": _curriculum_interleave,
+        "quality_gate": _quality_gate,
         "bpe_candidates": _bpe_candidates,
         "bpe_encode": _bpe_encode,
         "weighted_sample": _weighted_sample,
@@ -4058,6 +4122,9 @@ def oracle_sql() -> dict[str, str]:
             vnodes=32,
         ),
         "cache_ttl": refetch.cache_ttl_oracle_sql(_CACHE_ROWS_SQL),
+        "validator_stats": refetch.validator_oracle_sql(
+            _VALIDATOR_ROWS_SQL
+        ),
         "host_latency": refetch.latency_oracle_sql(
             _LATENCY_OBS_SQL, min_n=20
         ),
@@ -4088,6 +4155,30 @@ def oracle_sql() -> dict[str, str]:
         "bpe_candidates": textstats.bpe_oracle_sql(
             "select doc_id as id, text from documents", k=50
         ),
+        "quality_gate": f"""
+            with b as (
+              select doc_id id, length(text) n_chars,
+                     len(list_filter(string_split(text,' '),
+                                     x -> len(x) > 0)) n_tokens,
+                     ({stop_sum}) stop,
+                     length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))
+                       alnum
+              from documents),
+            q as (select id, n_chars,
+                   round(least(n_tokens / 20.0, 1.0) * 0.4
+                         + least(stop::DOUBLE / n_tokens * 10.0, 1.0) * 0.3
+                         + alnum::DOUBLE / n_chars * 0.3, 6) quality
+                  from b),
+            th as (select quantile_cont(quality, 0.10) q_lo,
+                          quantile_cont(n_chars, 0.90) len_hi
+                   from q)
+            select q.id, q.quality, q.n_chars,
+                   round(th.q_lo, 6) q_lo, round(th.len_hi, 6) len_hi,
+                   (q.quality >= th.q_lo) pass_quality,
+                   (q.n_chars <= th.len_hi) pass_length,
+                   (q.quality >= th.q_lo and q.n_chars <= th.len_hi) keep
+            from q cross join th
+        """,
         "curriculum_interleave": curation.interleave_oracle_sql(
             "select doc_id as id, source from documents"
         ),

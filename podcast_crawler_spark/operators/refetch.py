@@ -495,3 +495,62 @@ def cache_ttl_oracle_sql(
                )::BIGINT as refetch_unix
         from d
     """
+
+
+def validator_stats(
+    df: DataFrame,
+    host_col: str = "host",
+    etag_col: str = "etag",
+    lastmod_col: str = "last_modified",
+) -> DataFrame:
+    """Conditional-revalidation capability per host: how many of a
+    host's responses carry an ETag and/or Last-Modified — the planning
+    table for If-None-Match / If-Modified-Since refetching (a host at
+    90% validator coverage refetches nearly free on 304s; one at 0%
+    pays full bodies forever, so its refetch interval should stretch).
+    Weak ETags (``W/"..."`` prefix) are counted separately — they
+    validate byte-range-free refetches only.
+
+    Output: ``(host, n, n_etag, n_weak_etag, n_lastmod, n_any,
+    revalidation_pct)`` with integer percent.  One map-side-combine
+    groupBy; exact oracle.
+    """
+    etag = F.col(etag_col)
+    lm = F.col(lastmod_col)
+    has_etag = etag.isNotNull() & (etag != "")
+    weak = has_etag & etag.startswith("W/")
+    has_lm = lm.isNotNull() & (lm != "")
+    return (
+        df.groupBy(F.col(host_col).alias("host"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(has_etag.cast("long")).alias("n_etag"),
+            F.sum(weak.cast("long")).alias("n_weak_etag"),
+            F.sum(has_lm.cast("long")).alias("n_lastmod"),
+            F.sum((has_etag | has_lm).cast("long")).alias("n_any"),
+        )
+        .select(
+            "*",
+            F.expr("(100 * n_any) div n").alias("revalidation_pct"),
+        )
+    )
+
+
+def validator_oracle_sql(rows_sql: str) -> str:
+    """DuckDB recomputation of :func:`validator_stats`."""
+    return f"""
+        with r as (select * from ({rows_sql}) t),
+        a as (select host, count(*)::BIGINT n,
+                sum((etag is not null and etag <> '')::int)::BIGINT
+                  n_etag,
+                sum((etag is not null and etag <> ''
+                     and starts_with(etag, 'W/'))::int)::BIGINT
+                  n_weak_etag,
+                sum((last_modified is not null
+                     and last_modified <> '')::int)::BIGINT n_lastmod,
+                sum(((etag is not null and etag <> '')
+                     or (last_modified is not null
+                         and last_modified <> ''))::int)::BIGINT n_any
+              from r group by 1)
+        select *, ((100 * n_any) // n)::BIGINT revalidation_pct from a
+    """

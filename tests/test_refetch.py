@@ -275,3 +275,25 @@ def test_cache_ttl_oracle_matches(spark):
         int(x) if isinstance(x, (int, bool)) else x for x in t
     )
     assert [norm(g) for g in got] == [norm(e) for e in exp]
+
+
+def test_validator_stats_counts(spark):
+    from podcast_crawler_spark.operators.refetch import validator_stats
+
+    rows = [
+        ("h1", '"e1"', None),
+        ("h1", 'W/"w1"', "Wed, 04 Dec 2024 10:06:00 GMT"),
+        ("h1", None, None),
+        ("h1", "", "Thu, 05 Dec 2024 10:06:00 GMT"),
+        ("h2", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "host string, etag string, last_modified string"
+    )
+    got = {r["host"]: r.asDict() for r in validator_stats(df).collect()}
+    h1 = got["h1"]
+    assert (h1["n"], h1["n_etag"], h1["n_weak_etag"]) == (4, 2, 1)
+    assert (h1["n_lastmod"], h1["n_any"], h1["revalidation_pct"]) == (
+        2, 3, 75
+    )
+    assert got["h2"]["revalidation_pct"] == 0
