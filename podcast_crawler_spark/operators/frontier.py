@@ -181,6 +181,7 @@ def schedule_epoch(
     robots: DataFrame,
     epoch_ts: datetime,
     cfg: CrawlConfig = CrawlConfig(),
+    deny_hosts: "DataFrame | None" = None,
 ) -> DataFrame:
     """W4+W5: select due pending rows, apply robots, rank them per host by
     ``(next_fetch_ts, priority, url_hash)`` and keep the per-host budget.
@@ -209,6 +210,17 @@ def schedule_epoch(
         (F.col("state") != FAILED)
         & (F.col("next_fetch_ts") <= F.lit(epoch_ts).cast("timestamp"))
     )
+    if deny_hosts is not None:
+        # operational deny-list (trap hosts, circuit-open hosts — see
+        # the frontier_gating composition): broadcast anti-join on
+        # host, the same never-shuffle-the-frontier discipline as the
+        # robots join.  Rows come back when the breaker closes / the
+        # trap rule clears; robots denial below stays authoritative.
+        due = due.join(
+            F.broadcast(deny_hosts.select("host").distinct()),
+            "host",
+            "left_anti",
+        )
     allowed = robots_filter(due, robots).filter(~F.col("robots_denied"))
 
     order_cols = ["next_fetch_ts", "priority", "url_hash"]
