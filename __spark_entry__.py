@@ -1602,6 +1602,55 @@ def _atom_parse(spark, sf_dir):
     return parse_atom_feeds(feeds)
 
 
+def _robots_rfc_match(spark, sf_dir):
+    # RFC 9309-complete robots matching (wildcards, $ anchors, Allow,
+    # longest-match precedence with allow-wins ties) over synthesized
+    # rules + paths: every REP feature exercised; the legacy prefix
+    # filter stays the reference-parity path inside the epoch.
+    from podcast_crawler_spark.operators import robots as robotsmod
+
+    d = F.col("o_orderkey")
+    rules_rows = []
+    paths = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("h"), (d % 11).cast("string")).alias("host"),
+        F.when(d % 6 == 0,
+               F.concat(F.lit("/private/p"), (d % 40).cast("string")))
+        .when(d % 6 == 1,
+              F.concat(F.lit("/private/ok/p"), (d % 40).cast("string")))
+        .when(d % 6 == 2,
+              F.concat(F.lit("/files/f"), (d % 40).cast("string"),
+                       F.lit(".pdf")))
+        .when(d % 6 == 3,
+              F.concat(F.lit("/files/f"), (d % 40).cast("string"),
+                       F.lit(".pdf.html")))
+        .when(d % 6 == 4,
+              F.concat(F.lit("/tmp/t"), (d % 40).cast("string")))
+        .otherwise(
+            F.concat(F.lit("/open/o"), (d % 40).cast("string"))
+        ).alias("path"),
+    )
+    hosts = spark.range(0, 11).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host")
+    )
+    rules = hosts.select(
+        "host",
+        F.explode(
+            F.array(
+                F.struct(F.lit("disallow").alias("rule"),
+                         F.lit("/private/").alias("pattern")),
+                F.struct(F.lit("allow").alias("rule"),
+                         F.lit("/private/ok/").alias("pattern")),
+                F.struct(F.lit("disallow").alias("rule"),
+                         F.lit("/*.pdf$").alias("pattern")),
+                F.struct(F.lit("disallow").alias("rule"),
+                         F.lit("/tmp*").alias("pattern")),
+            )
+        ).alias("r"),
+    ).select("host", F.col("r.rule").alias("rule"),
+             F.col("r.pattern").alias("pattern"))
+    return robotsmod.match_rfc9309(paths, rules)
+
+
 def _trap_stats(spark, sf_dir):
     # crawl-trap detection over a deterministically synthesized URL log:
     # most hosts spread across 5 event-type templates; host 7 is a trap
@@ -1708,6 +1757,13 @@ def _sitemap_scan(spark, sf_dir):
         F.when(d % 5 == 0, index).otherwise(urlset).alias("xml"),
     )
     return sitemap.scan_sitemaps(docs)
+
+
+from podcast_crawler_spark.operators import robots as _robots
+
+
+def _robots_mod():
+    return _robots
 
 
 from podcast_crawler_spark.operators import links as _links
@@ -3111,6 +3167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_parse": _jsonl_parse,
         "tfidf_pairs": _tfidf_pairs,
         "robots_sitemaps": _robots_sitemaps,
+        "robots_rfc_match": _robots_rfc_match,
         "dedup_exact": _dedup_exact,
         "dedup_incremental": _dedup_incremental,
         "dedup_clusters": _dedup_clusters,
@@ -3608,6 +3665,32 @@ def oracle_sql() -> dict[str, str]:
         # robots Sitemap directives: expected rows re-derived from the
         # synthesis formula (a stray Sitemap line in a fixture body
         # would surface as a mismatch — tripwire by construction)
+        "robots_rfc_match": _robots_mod().rfc9309_oracle_sql(
+            """
+    select 'h' || (o_orderkey % 11)::varchar as host,
+           case when o_orderkey % 6 = 0 then
+                  '/private/p' || (o_orderkey % 40)::varchar
+                when o_orderkey % 6 = 1 then
+                  '/private/ok/p' || (o_orderkey % 40)::varchar
+                when o_orderkey % 6 = 2 then
+                  '/files/f' || (o_orderkey % 40)::varchar || '.pdf'
+                when o_orderkey % 6 = 3 then
+                  '/files/f' || (o_orderkey % 40)::varchar || '.pdf.html'
+                when o_orderkey % 6 = 4 then
+                  '/tmp/t' || (o_orderkey % 40)::varchar
+                else '/open/o' || (o_orderkey % 40)::varchar
+           end as path
+    from orders
+""",
+            """
+    select 'h' || r.i::varchar as host, x.rule, x.pattern
+    from (select unnest(range(11)) i) r
+    cross join (values ('disallow', '/private/'),
+                       ('allow', '/private/ok/'),
+                       ('disallow', '/*.pdf$'),
+                       ('disallow', '/tmp*')) x(rule, pattern)
+""",
+        ),
         "robots_sitemaps": f"""
             select host, 0::INT pos,
                    'https://' || host || '/sitemap.xml' sitemap_url

@@ -151,3 +151,150 @@ def sitemap_directives(
         "host", F.col("pos").cast("int").alias("pos"),
         F.col("col").alias("sitemap_url"),
     )
+
+
+def _pattern_to_like(pat_col):
+    """robots pattern → SQL LIKE pattern: escape LIKE metachars, ``*``
+    → ``%``, trailing ``$`` anchors (no trailing ``%``)."""
+    p = F.replace(pat_col, F.lit("\\"), F.lit("\\\\"))
+    p = F.replace(p, F.lit("%"), F.lit("\\%"))
+    p = F.replace(p, F.lit("_"), F.lit("\\_"))
+    p = F.replace(p, F.lit("*"), F.lit("%"))
+    anchored = pat_col.endswith("$")
+    like = F.when(
+        anchored, F.expr("substring(_like_tmp, 1, length(_like_tmp) - 1)")
+    ).otherwise(F.concat(F.col("_like_tmp"), F.lit("%")))
+    return p, anchored, like
+
+
+def match_rfc9309(
+    paths: DataFrame,
+    rules: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """RFC 9309-complete robots matching: ``*`` wildcards, ``$`` end
+    anchors, Allow lines, and LONGEST-MATCH precedence (allow wins
+    length ties) — the full REP the legacy prefix filter
+    (:func:`frontier.robots_filter`, reference-parity semantics)
+    deliberately omits.  Input: per-URL ``(host, path)`` rows and a
+    rules table ``(host, rule, pattern)`` with ``rule`` in
+    {'allow','disallow'}.  Output: the paths plus ``(matched_pattern,
+    matched_rule, allowed)``; hosts/paths matching no rule are allowed.
+
+    Matching compiles each pattern ONCE to a SQL LIKE expression
+    (metachars escaped, ``*``→``%``, ``$`` anchor ⇒ no trailing ``%``)
+    — Spark and DuckDB LIKE semantics coincide, so the oracle replays
+    every decision.  Precedence = max(length of pattern sans ``$``),
+    allow over disallow on ties, then lexicographically smaller pattern
+    (a total order, so the decision is engine-exact even with
+    duplicate-length rules).
+
+    Scale shape: rules are host metadata (broadcast); one
+    broadcast-join + groupBy(path-key) argmax via ``min(struct(...))``
+    (window-free, the ``trap_stats`` discipline).
+    """
+    r = rules.select(
+        F.col(host_col).alias("r_host"),
+        F.col("rule"),
+        F.col("pattern"),
+    ).withColumn(
+        "_like_tmp",
+        F.replace(
+            F.replace(
+                F.replace(
+                    F.replace(F.col("pattern"), F.lit("\\"), F.lit("\\\\")),
+                    F.lit("%"),
+                    F.lit("\\%"),
+                ),
+                F.lit("_"),
+                F.lit("\\_"),
+            ),
+            F.lit("*"),
+            F.lit("%"),
+        ),
+    )
+    r = r.withColumn(
+        "_like",
+        F.when(
+            F.col("pattern").endswith("$"),
+            F.expr("substring(_like_tmp, 1, length(_like_tmp) - 1)"),
+        ).otherwise(F.concat(F.col("_like_tmp"), F.lit("%"))),
+    ).withColumn(
+        "_plen",
+        F.when(
+            F.col("pattern").endswith("$"),
+            F.length("pattern") - 1,
+        ).otherwise(F.length("pattern")),
+    )
+    p = paths.select(
+        F.col(host_col).alias("host"), F.col(path_col).alias("path")
+    ).distinct()
+    # the LIKE lives in the JOIN condition: a path matching none of its
+    # host's rules must keep its null row (post-filtering would drop it)
+    joined = p.join(
+        F.broadcast(r),
+        (p["host"] == r["r_host"])
+        & F.expr("path like _like escape '\\\\'"),
+        "left",
+    )
+    pick = joined.groupBy("host", "path").agg(
+        F.min(
+            F.when(
+                F.col("pattern").isNotNull(),
+                F.struct(
+                    (-F.col("_plen")).alias("nl"),
+                    F.when(F.col("rule") == "allow", F.lit(0))
+                    .otherwise(F.lit(1))
+                    .alias("ra"),
+                    F.col("pattern").alias("pat"),
+                    F.col("rule").alias("rl"),
+                ),
+            )
+        ).alias("b")
+    )
+    return pick.select(
+        "host",
+        "path",
+        F.col("b.pat").alias("matched_pattern"),
+        F.col("b.rl").alias("matched_rule"),
+        F.coalesce(F.col("b.rl") != "disallow", F.lit(True)).alias(
+            "allowed"
+        ),
+    )
+
+
+def rfc9309_oracle_sql(paths_sql: str, rules_sql: str) -> str:
+    """DuckDB recomputation of :func:`match_rfc9309`."""
+    return f"""
+        with p as (select distinct host, path from ({paths_sql}) a),
+        r0 as (select host r_host, rule, pattern from ({rules_sql}) b),
+        r as (select *,
+                replace(replace(replace(replace(pattern,
+                  '\\', '\\\\'), '%', '\\%'), '_', '\\_'), '*', '%')
+                  lt
+              from r0),
+        r2 as (select r_host, rule, pattern,
+                      case when pattern like '%$'
+                           then substring(lt, 1, length(lt) - 1)
+                           else lt || '%' end lk,
+                      case when pattern like '%$'
+                           then length(pattern) - 1
+                           else length(pattern) end plen
+               from r),
+        j as (select p.host, p.path, r2.rule, r2.pattern, r2.plen
+              from p left join r2 on p.host = r2.r_host
+               and p.path like r2.lk escape '\\'),
+        pick as (select host, path,
+                        min(case when pattern is not null then
+                          struct_pack(nl := -plen,
+                                      ra := (rule <> 'allow')::int,
+                                      pat := pattern, rl := rule)
+                        end) b
+                 from j group by 1, 2)
+        select host, path,
+               b.pat as matched_pattern,
+               b.rl as matched_rule,
+               coalesce(b.rl <> 'disallow', true) as allowed
+        from pick
+    """

@@ -398,3 +398,68 @@ def test_schedule_epoch_deny_hosts(spark):
     # recovery: scheduling again without the deny list re-admits
     again = schedule_epoch(frontier, robots, EPOCH0, cfg)
     assert again.filter(F.col("host") == denied).count() > 0
+
+
+def test_rfc9309_matching_semantics(spark):
+    from podcast_crawler_spark.operators.robots import match_rfc9309
+
+    rules = [
+        ("a.io", "disallow", "/private/"),
+        ("a.io", "allow", "/private/ok/"),
+        ("a.io", "disallow", "/*.pdf$"),
+        ("a.io", "disallow", "/tmp*"),
+        ("a.io", "allow", "/tmp/keep$"),
+        ("c.io", "allow", "/x/"),
+        ("c.io", "disallow", "/x/"),
+    ]
+    paths = [
+        ("a.io", "/private/page"),
+        ("a.io", "/private/ok/page"),
+        ("a.io", "/doc/x.pdf"),
+        ("a.io", "/doc/x.pdf.html"),
+        ("a.io", "/tmp/keep"),
+        ("c.io", "/x/z"),
+        ("d.io", "/anything"),
+    ]
+    got = {
+        (r["host"], r["path"]): (r["matched_pattern"], r["allowed"])
+        for r in match_rfc9309(
+            spark.createDataFrame(paths, "host string, path string"),
+            spark.createDataFrame(
+                rules, "host string, rule string, pattern string"
+            ),
+        ).collect()
+    }
+    assert got[("a.io", "/private/page")] == ("/private/", False)
+    # longest match wins
+    assert got[("a.io", "/private/ok/page")] == ("/private/ok/", True)
+    # $ anchor matches the exact suffix only
+    assert got[("a.io", "/doc/x.pdf")] == ("/*.pdf$", False)
+    assert got[("a.io", "/doc/x.pdf.html")] == (None, True)
+    # anchored allow outranks the shorter wildcard disallow
+    assert got[("a.io", "/tmp/keep")] == ("/tmp/keep$", True)
+    # equal length: allow wins the tie
+    assert got[("c.io", "/x/z")] == ("/x/", True)
+    # rule-less host: allowed, null match
+    assert got[("d.io", "/anything")] == (None, True)
+
+
+def test_rfc9309_like_metachar_escaping(spark):
+    # robots patterns containing % or _ must match literally
+    from podcast_crawler_spark.operators.robots import match_rfc9309
+
+    rules = [("a.io", "disallow", "/100%_off/")]
+    paths = [("a.io", "/100%_off/deal"), ("a.io", "/100X_off/deal"),
+             ("a.io", "/100%Yoff/deal")]
+    got = {
+        r["path"]: r["allowed"]
+        for r in match_rfc9309(
+            spark.createDataFrame(paths, "host string, path string"),
+            spark.createDataFrame(
+                rules, "host string, rule string, pattern string"
+            ),
+        ).collect()
+    }
+    assert got["/100%_off/deal"] is False
+    assert got["/100X_off/deal"] is True   # _ is literal, not any-char
+    assert got["/100%Yoff/deal"] is True   # % is literal, not any-run
