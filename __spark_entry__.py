@@ -2449,6 +2449,18 @@ def _bpe_encode(spark, sf_dir):
     )
 
 
+def _dataset_split(spark, sf_dir):
+    # leakage-safe train/val/test assignment keyed by SOURCE (whole
+    # groups land in one split -- the near-dup leakage guard); pure
+    # hash rule, engine-exact.
+    return sampling_mod().dataset_split(
+        _t(spark, sf_dir, "documents").select("doc_id", "source"),
+        key_col="source",
+        val_pct=10,
+        test_pct=10,
+    )
+
+
 def _quality_gate(spark, sf_dir):
     # corpus-percentile quality gate: keep docs above the P10 quality
     # and at or below the P90 length -- thresholds from ONE corpus
@@ -3146,6 +3158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_buckets": _length_buckets,
         "curriculum_interleave": _curriculum_interleave,
         "quality_gate": _quality_gate,
+        "dataset_split": _dataset_split,
         "bpe_candidates": _bpe_candidates,
         "bpe_encode": _bpe_encode,
         "weighted_sample": _weighted_sample,
@@ -4237,6 +4250,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bpe_candidates": textstats.bpe_oracle_sql(
             "select doc_id as id, text from documents", k=50
+        ),
+        "dataset_split": sampling_mod().split_oracle_sql(
+            "select doc_id, source from documents", "source",
+            val_pct=10, test_pct=10,
         ),
         "quality_gate": f"""
             with b as (

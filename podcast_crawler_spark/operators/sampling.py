@@ -209,3 +209,54 @@ def weighted_oracle_sql(rows_sql: str, k: int) -> str:
         order by priority, key
         limit {k}
     """
+
+
+def dataset_split(
+    df: DataFrame,
+    key_col: str,
+    val_pct: int = 5,
+    test_pct: int = 5,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by key hash: bucket =
+    ``h32(key) % 10000``; the last ``test_pct`` percent of bucket space
+    is test, the ``val_pct`` before it val, the rest train.  The
+    leakage-safe split rule: membership is a pure function of the key
+    (re-runs, engine changes and corpus growth never move a document
+    across splits — the property random assignment lacks), and keying
+    by a GROUP id (e.g. host) puts whole groups in one split, the
+    standard guard against near-dup train/test leakage.
+
+    Output: input columns + ``(split_bucket, split)``.  Integer percent
+    boundaries; exact SQL oracle.
+    """
+    if val_pct + test_pct >= 100:
+        raise ValueError("dataset_split: val+test must be < 100")
+    b = key_hash32(F.col(key_col)) % 10000
+    test_lo = 10000 - 100 * test_pct
+    val_lo = test_lo - 100 * val_pct
+    return df.withColumn("split_bucket", b.cast("int")).withColumn(
+        "split",
+        F.when(F.col("split_bucket") >= test_lo, F.lit("test"))
+        .when(F.col("split_bucket") >= val_lo, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def split_oracle_sql(
+    rows_sql: str, key_expr: str, val_pct: int = 5, test_pct: int = 5
+) -> str:
+    """DuckDB recomputation of :func:`dataset_split`; *key_expr* is the
+    key column expression within *rows_sql*'s output."""
+    test_lo = 10000 - 100 * test_pct
+    val_lo = test_lo - 100 * val_pct
+    return f"""
+        with r as (select *,
+                     (('0x' || substr(md5(({key_expr})::varchar), 1, 8))
+                        ::BIGINT % 10000)::int as split_bucket
+                   from ({rows_sql}) t)
+        select * exclude (split_bucket), split_bucket,
+               case when split_bucket >= {test_lo} then 'test'
+                    when split_bucket >= {val_lo} then 'val'
+                    else 'train' end as split
+        from r
+    """

@@ -339,3 +339,43 @@ def test_weighted_bottom_k_plan_no_global_sort(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_dataset_split_deterministic_and_group_safe(spark):
+    import hashlib
+
+    from podcast_crawler_spark.operators.sampling import dataset_split
+
+    rows = [(i, f"s{i % 20}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = dataset_split(df, "source", val_pct=10, test_pct=10).collect()
+    # every doc of a source shares its split (group-leakage guard)
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], set()).add(r["split"])
+    assert all(len(v) == 1 for v in by_src.values())
+    # python replay of the rule
+    for r in out[:50]:
+        b = int(hashlib.md5(r["source"].encode()).hexdigest()[:8], 16) % 10000
+        exp = "test" if b >= 9000 else ("val" if b >= 8000 else "train")
+        assert (r["split_bucket"], r["split"]) == (b, exp)
+    # growth stability: adding docs never moves existing keys
+    more = spark.createDataFrame(
+        rows + [(1000 + i, f"s{i % 20}") for i in range(100)],
+        "doc_id long, source string",
+    )
+    out2 = {
+        (r["doc_id"], r["split"])
+        for r in dataset_split(more, "source", 10, 10).collect()
+    }
+    assert {(r["doc_id"], r["split"]) for r in out} <= out2
+
+
+def test_dataset_split_rejects_bad_pcts(spark):
+    import pytest
+
+    from podcast_crawler_spark.operators.sampling import dataset_split
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError):
+        dataset_split(df, "source", val_pct=50, test_pct=50)
