@@ -99,6 +99,12 @@ BENCH_QUERIES = [
     "bpe_encode",
     "page_directives",
     "hierarchical_budget",
+    "lang_id_ngram",
+    "normalize_text",
+    "robots_rfc_match",
+    "cache_ttl",
+    "curriculum_interleave",
+    "atom_parse",
 ]
 
 
