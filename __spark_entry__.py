@@ -1108,6 +1108,57 @@ def _mm_audio_features(spark, sf_dir):
 
 FIXTURES = "/root/repo/fixtures/crawl"
 
+def _warc_export(spark, sf_dir):
+    # distributed WARC sink: plan the whole archive layout declaratively
+    # (closed-form record lengths, two-phase prefix sums for shard
+    # assignment + byte offsets), WRITE the shards, and emit the
+    # per-record manifest with the md5 of the REAL written bytes.  The
+    # oracle replays the layout as naive windows and rebuilds each
+    # record's md5 from the literal header strings, so a single wrong
+    # byte anywhere in the writer (or a prefix-sum fold error) reds the
+    # row.  Reference anchor: the fetch loop persists raw responses
+    # before parse (crawler/rss_fetcher.rs) -- the archive IS that
+    # persisted raw stream at Common-Crawl shape.
+    from podcast_crawler_spark.sources.warc import warc_export
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    pages = docs.select(
+        F.col("doc_id").alias("page_id"),
+        F.concat(
+            F.lit("https://archive.example.org/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.expr(
+            "timestamp '2024-01-01 00:00:00'"
+            " + make_dt_interval(0, 0, 0, doc_id)"
+        ).alias("warc_ts"),
+        (F.lit(200) + (F.col("doc_id") % 2) * 204).cast("int").alias(
+            "http_status"
+        ),
+        F.col("text").cast("binary").alias("html"),
+    )
+    return warc_export(pages, _scratch_dir("warcexp"), shard_rows=250)
+
+
+def _warc_export_oracle() -> str:
+    from podcast_crawler_spark.sources.warc import warc_export_oracle_sql
+
+    pages_sql = """
+        select doc_id as id,
+               'https://archive.example.org/doc/'
+                   || cast(doc_id as varchar) as url,
+               TIMESTAMP '2024-01-01 00:00:00'
+                   + doc_id * INTERVAL 1 SECOND as ts,
+               200 + (doc_id % 2) * 204 as status,
+               text as body
+        from documents
+        where doc_id is not null and text is not null
+    """
+    return warc_export_oracle_sql(pages_sql, shard_rows=250)
+
+
 def _warc_scan(spark, sf_dir):
     # WARC source (Common-Crawl-style archive → pages rows): parse the
     # fixture archive and fingerprint every record's body.  The oracle
@@ -3230,6 +3281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_resize": _mm_image_resize,
         "mm_audio_features": _mm_audio_features,
         "warc_scan": _warc_scan,
+        "warc_export": _warc_export,
         "cdx_index": _cdx_index,
         "robots_rules": _robots_rules,
         "crawl_seed_scan": _crawl_seed_scan,
@@ -5089,6 +5141,7 @@ def oracle_sql() -> dict[str, str]:
             from afinal a
         """,
         "bm25_topk": _bm25_oracle(),
+        "warc_export": _warc_export_oracle(),
         "warc_scan": f"""
             select url, 200 as http_status, n_bytes, body_md5
             from read_parquet('{FIXTURES}/crawl_warc_meta.parquet')

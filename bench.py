@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "cache_ttl",
     "curriculum_interleave",
     "atom_parse",
+    "warc_export",
 ]
 
 

@@ -261,7 +261,8 @@ def paragraph_dedup(
 
 
 def _bucketed_prefix_sum(
-    df: DataFrame, val_col: str, order_cols: list
+    df: DataFrame, val_col: str, order_cols: list,
+    extra_val_cols: tuple = (),
 ) -> DataFrame:
     """Two-phase distributed prefix sum over order-aligned buckets — the
     shared core of :func:`pack_shards` and :func:`global_shuffle`.
@@ -285,22 +286,40 @@ def _bucketed_prefix_sum(
 
     Returns the cached rows plus ``local_cum`` and ``bkt_offset``; the
     global inclusive prefix sum is ``bkt_offset + local_cum``.
+
+    *extra_val_cols* threads additional value columns through the SAME
+    window pass and offset fold at zero extra exchanges (one window
+    frame computes all running sums; the B-row fold aggregates all
+    totals): each ``v`` yields ``local_cum__v`` / ``bkt_offset__v``.
+    The WARC export sink uses this to carry the record-count prefix
+    (shard assignment) and the byte prefix (record offsets) in one scan.
     """
     local_w = (
         Window.partitionBy("bkt")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = df.withColumn("local_cum", F.sum(val_col).over(local_w)).cache()
+    local = df.withColumn("local_cum", F.sum(val_col).over(local_w))
+    for v in extra_val_cols:
+        local = local.withColumn(f"local_cum__{v}", F.sum(v).over(local_w))
+    local = local.cache()
     offsets_w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (
-        local.groupBy("bkt")
-        .agg(F.max("local_cum").alias("bkt_total"))
-        .withColumn(
-            "bkt_offset",
-            F.coalesce(F.sum("bkt_total").over(offsets_w), F.lit(0)),
+    aggs = [F.max("local_cum").alias("bkt_total")] + [
+        F.max(f"local_cum__{v}").alias(f"bkt_total__{v}")
+        for v in extra_val_cols
+    ]
+    offsets = local.groupBy("bkt").agg(*aggs).withColumn(
+        "bkt_offset",
+        F.coalesce(F.sum("bkt_total").over(offsets_w), F.lit(0)),
+    )
+    for v in extra_val_cols:
+        offsets = offsets.withColumn(
+            f"bkt_offset__{v}",
+            F.coalesce(F.sum(f"bkt_total__{v}").over(offsets_w), F.lit(0)),
         )
-        .select("bkt", "bkt_offset")
+    offsets = offsets.select(
+        "bkt", "bkt_offset",
+        *[f"bkt_offset__{v}" for v in extra_val_cols],
     )
     return local.join(F.broadcast(offsets), "bkt")
 

@@ -231,6 +231,35 @@ def cdx_index(idx: DataFrame, num_partitions: Optional[int] = None) -> DataFrame
     )
 
 
+def _format_record(
+    url: str,
+    ts: datetime,
+    status: int,
+    body: bytes,
+    content_type: str = "application/xml",
+) -> bytes:
+    """One WARC response record's exact bytes — the single layout both
+    :func:`write_warc_file` (fixture helper) and :func:`warc_export`
+    (distributed sink) emit and :func:`parse_warc_records` reads back.
+
+    The byte LENGTH of the record is a closed-form function of the
+    field widths (``record_length_expr`` builds the same formula as a
+    Spark column; ``warc_export_oracle_sql`` replays it in DuckDB), so
+    offsets can be planned declaratively before any bytes exist."""
+    http = (
+        f"HTTP/1.1 {status} OK\r\nContent-Type: {content_type}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode()
+    return head + http + b"\r\n\r\n"
+
+
 def write_warc_file(
     records: List[Tuple[str, datetime, int, bytes]],
     path: str,
@@ -246,23 +275,262 @@ def write_warc_file(
     buf = io.BytesIO()
     locs = []
     for url, ts, status, body in records:
-        http = (
-            f"HTTP/1.1 {status} OK\r\nContent-Type: application/xml\r\n"
-            f"Content-Length: {len(body)}\r\n\r\n"
-        ).encode() + body
-        head = (
-            "WARC/1.0\r\n"
-            "WARC-Type: response\r\n"
-            f"WARC-Target-URI: {url}\r\n"
-            f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
-            f"Content-Length: {len(http)}\r\n\r\n"
-        ).encode()
+        rec = _format_record(url, ts, status, body)
         start = buf.tell()
-        buf.write(head + http + b"\r\n\r\n")
-        locs.append((start, buf.tell() - start))
+        buf.write(rec)
+        locs.append((start, len(rec)))
     data = buf.getvalue()
     if compress:
         data = gzip.compress(data, mtime=0)
     with open(path, "wb") as fh:
         fh.write(data)
     return locs
+
+
+def record_length_expr(
+    url_col: str,
+    status_col: str,
+    body_col: str,
+    content_type: str = "application/xml",
+):
+    """Spark column: the exact byte length :func:`_format_record` will
+    produce for a row — 103 fixed WARC-header bytes + url bytes + the
+    digit width of the HTTP message length, plus the HTTP message
+    (50 + content-type + status digits + body-digit width + body bytes)
+    and the 4-byte record separator.  ``octet_length`` (bytes, not
+    chars) everywhere; the writer asserts the formula against the real
+    bytes on every record, so drift fails loudly instead of corrupting
+    offsets."""
+    from pyspark.sql import functions as F
+
+    def digits(c):
+        return F.length(c.cast("string")).cast("long")
+
+    body_b = F.octet_length(F.col(body_col)).cast("long")
+    http_len = (
+        F.lit(50 + len(content_type)).cast("long")
+        + digits(F.col(status_col))
+        + digits(body_b)
+        + body_b
+    )
+    head_len = (
+        F.lit(103).cast("long")
+        + F.octet_length(F.col(url_col)).cast("long")
+        + digits(http_len)
+    )
+    return head_len + http_len + F.lit(4).cast("long")
+
+
+EXPORT_MANIFEST_SCHEMA = StructType([
+    StructField("id", LongType(), False),
+    StructField("url", StringType(), False),
+    StructField("shard_id", LongType(), False),
+    StructField("file_name", StringType(), False),
+    StructField("rec_offset", LongType(), False),
+    StructField("rec_length", LongType(), False),
+    StructField("record_md5", StringType(), False),
+])
+
+
+def warc_export(
+    pages: DataFrame,
+    out_dir: str,
+    shard_rows: int = 1000,
+    id_col: str = "page_id",
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    status_col: str = "http_status",
+    html_col: str = "html",
+    content_type: str = "application/xml",
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Distributed WARC sink: lay the pages table out as Common-Crawl
+    style archive shards of exactly *shard_rows* records in ``id_col``
+    order and WRITE them, returning the per-record manifest
+    ``(id, url, shard_id, file_name, rec_offset, rec_length,
+    record_md5)`` — the write-side twin of :func:`read_warc` /
+    :func:`read_warc_index` (reference semantics anchor: the fetch loop
+    persists raw responses before parse, ``crawler/rss_fetcher.rs`` —
+    here the archive IS the persisted raw response stream).
+
+    The whole byte layout is PLANNED declaratively before a single
+    byte exists: record length is the closed-form
+    :func:`record_length_expr`, the record's global position and byte
+    prefix come from ONE two-phase bucketed prefix-sum pass
+    (``curation._bucketed_prefix_sum`` with ``extra_val_cols`` — both
+    running sums share one window frame, one corpus-size
+    hashpartitioning(bkt) exchange), ``shard_id = pos div shard_rows``
+    and ``rec_offset = byte_prefix − min(byte_prefix) over the shard``
+    (an S-row aggregate broadcast back).  The writer task then only
+    CONFIRMS the plan: it formats each record, asserts the actual
+    offset and length equal the planned ones (fail-loud on layout
+    drift), writes ``part-{shard:05d}.warc`` and emits manifest rows
+    with the md5 of the real written bytes — which the DuckDB oracle
+    recomputes from the field values, so the test gate checks the
+    writer produced exactly the planned bytes.
+
+    Scale shape: bodies ride two exchanges (the bkt window pass and the
+    final groupBy(shard_id) writer grouping); the cached window frame
+    spills via MEMORY_AND_DISK.  At archive-writing scale the write
+    itself dominates; if body movement ever matters, run the prefix
+    pass on a projected narrow frame and join the manifest back by id
+    (one extra join, bodies still move twice — the floor is one move,
+    achievable only by aligning shard boundaries to input splits, which
+    trades exact shard sizes away).
+    """
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..operators.curation import _bucketed_prefix_sum
+
+    if shard_rows <= 0:
+        raise ValueError(f"shard_rows must be positive, got {shard_rows}")
+    staged = pages.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("ts"),
+        F.col(status_col).cast("int").alias("status"),
+        F.col(html_col).cast("binary").alias("body"),
+    ).withColumn(
+        "rec_length",
+        record_length_expr("url", "status", "body", content_type),
+    ).withColumn("one", F.lit(1).cast("long"))
+    if num_partitions is None:
+        num_partitions = int(
+            pages.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    lo, hi = staged.agg(F.min("id"), F.max("id")).first()
+    if lo is None:
+        lo, width = 0, 1
+    else:
+        width = max((hi - lo) // num_partitions + 1, 1)
+    bucketed = staged.withColumn(
+        "bkt",
+        F.coalesce(
+            ((F.col("id") - F.lit(lo)) / F.lit(width)).cast("long"), F.lit(0)
+        ),
+    )
+    pr = _bucketed_prefix_sum(
+        bucketed, "one", ["id"], extra_val_cols=("rec_length",)
+    )
+    rows = pr.select(
+        "id", "url", "ts", "status", "body", "rec_length",
+        (F.col("bkt_offset") + F.col("local_cum") - 1).alias("pos"),
+        (
+            F.col("bkt_offset__rec_length")
+            + F.col("local_cum__rec_length")
+            - F.col("rec_length")
+        ).alias("byte_excl"),
+    ).withColumn("shard_id", F.expr(f"pos div {int(shard_rows)}"))
+    starts = rows.groupBy("shard_id").agg(
+        F.min("byte_excl").alias("shard_start")
+    )
+    rows = rows.join(F.broadcast(starts), "shard_id").withColumn(
+        "rec_offset", F.col("byte_excl") - F.col("shard_start")
+    )
+
+    def _write(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("pos").reset_index(drop=True)
+        sid = int(pdf["shard_id"].iloc[0])
+        fname = f"part-{sid:05d}.warc"
+        buf = io.BytesIO()
+        out = []
+        for r in pdf.itertuples(index=False):
+            if buf.tell() != int(r.rec_offset):
+                raise ValueError(
+                    f"planned offset {r.rec_offset} != actual {buf.tell()}"
+                    f" for {r.url} in shard {sid}"
+                )
+            rec = _format_record(
+                r.url, r.ts, int(r.status), bytes(r.body), content_type
+            )
+            if len(rec) != int(r.rec_length):
+                raise ValueError(
+                    f"planned length {r.rec_length} != actual {len(rec)}"
+                    f" for {r.url} (record_length_expr drift)"
+                )
+            buf.write(rec)
+            out.append((
+                int(r.id), r.url, sid, fname, int(r.rec_offset),
+                int(r.rec_length), hashlib.md5(rec).hexdigest(),
+            ))
+        os.makedirs(out_dir, exist_ok=True)  # concurrent-safe on local FS
+        with open(os.path.join(out_dir, fname), "wb") as fh:
+            fh.write(buf.getvalue())
+        return pd.DataFrame(
+            out, columns=[f.name for f in EXPORT_MANIFEST_SCHEMA.fields]
+        )
+
+    return rows.groupBy("shard_id").applyInPandas(
+        _write, schema=EXPORT_MANIFEST_SCHEMA
+    )
+
+
+def warc_export_oracle_sql(
+    pages_sql: str,
+    shard_rows: int = 1000,
+    content_type: str = "application/xml",
+) -> str:
+    """DuckDB recomputation of the ENTIRE :func:`warc_export` layout —
+    record lengths from field widths (``strlen`` = bytes), the global
+    order as a naive window, shard assignment, per-shard byte offsets,
+    and the record md5 rebuilt from the literal header strings — so the
+    distributed two-phase prefix sums AND the writer's actual bytes are
+    both checked against a single-node replay.  *pages_sql* must yield
+    (id, url, ts TIMESTAMP, status, body VARCHAR-utf8)."""
+    crlf = "chr(13) || chr(10)"
+    return f"""
+        WITH p AS (SELECT * FROM ({pages_sql})),
+        r AS (
+            SELECT id, url, ts, status, body,
+                   50 + {len(content_type)}
+                      + length(CAST(status AS VARCHAR))
+                      + length(CAST(strlen(body) AS VARCHAR))
+                      + strlen(body) AS http_len
+            FROM p
+        ),
+        l AS (
+            SELECT *,
+                   103 + strlen(url)
+                       + length(CAST(http_len AS VARCHAR))
+                       + http_len + 4 AS rec_length,
+                   ROW_NUMBER() OVER (ORDER BY id) - 1 AS pos
+            FROM r
+        ),
+        s AS (
+            SELECT *, pos // {int(shard_rows)} AS shard_id,
+                   COALESCE(SUM(rec_length) OVER (
+                       ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS byte_excl
+            FROM l
+        ),
+        o AS (
+            SELECT *,
+                   byte_excl - MIN(byte_excl) OVER (
+                       PARTITION BY shard_id
+                   ) AS rec_offset
+            FROM s
+        )
+        SELECT id, url, shard_id,
+               printf('part-%05d.warc', shard_id) AS file_name,
+               rec_offset, rec_length,
+               md5('WARC/1.0' || {crlf}
+                   || 'WARC-Type: response' || {crlf}
+                   || 'WARC-Target-URI: ' || url || {crlf}
+                   || 'WARC-Date: '
+                       || strftime(ts, '%Y-%m-%dT%H:%M:%SZ') || {crlf}
+                   || 'Content-Length: '
+                       || CAST(http_len AS VARCHAR) || {crlf} || {crlf}
+                   || 'HTTP/1.1 ' || CAST(status AS VARCHAR) || ' OK'
+                       || {crlf}
+                   || 'Content-Type: {content_type}' || {crlf}
+                   || 'Content-Length: '
+                       || CAST(strlen(body) AS VARCHAR)
+                       || {crlf} || {crlf}
+                   || body || {crlf} || {crlf}
+               ) AS record_md5
+        FROM o
+    """

@@ -105,3 +105,86 @@ def test_read_warc_index_and_cdx_layout(spark, tmp_path):
     # surt groups a host's captures regardless of subdomain ordering
     surts = sorted(r.surt for r in laid.collect())
     assert surts[0].startswith("example,a)")
+
+
+def test_warc_export_roundtrip_and_layout(spark, tmp_path):
+    """Distributed sink → scanner round-trip: warc_export's shards are
+    byte-valid WARC the reader recovers exactly, every manifest
+    (offset, length) slices out exactly one parseable record, and the
+    md5 is of the real bytes."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from podcast_crawler_spark.sources.warc import warc_export
+
+    out = str(tmp_path / "shards")
+    rows = [
+        # multibyte body (é, 2 bytes utf-8) exercises byte-vs-char math
+        (i, f"https://h{i}.example/p/{i}", 200 if i % 2 else 301,
+         ("corps-é-" * (i + 1)) + str(i))
+        for i in range(7)
+    ]
+    pages = spark.createDataFrame(
+        rows, "page_id long, url string, http_status int, text string"
+    ).select(
+        "page_id", "url",
+        F.expr(
+            "timestamp '2024-01-01 00:00:00'"
+            " + make_dt_interval(0, 0, 0, page_id)"
+        ).alias("warc_ts"),
+        "http_status",
+        F.col("text").cast("binary").alias("html"),
+    )
+    man = warc_export(pages, out, shard_rows=3).toPandas()
+    assert len(man) == 7
+    assert sorted(man.shard_id.value_counts().to_dict().items()) == [
+        (0, 3), (1, 3), (2, 1)
+    ]
+    # scanner recovers every record byte-identically
+    from podcast_crawler_spark.sources.warc import parse_warc_bytes
+
+    got = {}
+    for fname in sorted(set(man.file_name)):
+        data = open(f"{out}/{fname}", "rb").read()
+        for url, ts, status, body in parse_warc_bytes(data):
+            got[url] = (status, body)
+    for i, url, status, text in rows:
+        assert got[url] == (status, text.encode()), url
+    # every manifest (offset, length) slices out exactly that record,
+    # and record_md5 is the md5 of the slice
+    for r in man.itertuples(index=False):
+        data = open(f"{out}/{r.file_name}", "rb").read()
+        rec = data[r.rec_offset:r.rec_offset + r.rec_length]
+        assert hashlib.md5(rec).hexdigest() == r.record_md5
+        (url, _ts, status, _body) = parse_warc_bytes(rec)[0]
+        assert url == r.url
+
+
+def test_warc_export_plan_single_corpus_window(spark, tmp_path):
+    """Both prefix sums (position + bytes) share ONE window pass: the
+    plan has exactly one Window node computing two running sums, so the
+    extra_val_cols path adds no exchange."""
+    from pyspark.sql import functions as F
+
+    from podcast_crawler_spark.sources.warc import warc_export
+
+    pages = spark.range(20).select(
+        F.col("id").alias("page_id"),
+        F.concat(F.lit("https://x/"), F.col("id")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.lit(200).alias("http_status"),
+        F.lit("body").cast("binary").alias("html"),
+    )
+    df = warc_export(pages, str(tmp_path / "s"), shard_rows=5)
+    df.collect()  # finalize the adaptive plan on THIS QueryExecution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]
+    # ONE corpus-size exchange (the bkt window pass); the byte prefix
+    # rides the same pass — extra_val_cols added no exchange
+    assert final.count("Exchange hashpartitioning(bkt") == 1, plan
+    # both running sums live in one window spec over bkt
+    assert "windowspecdefinition(bkt" in final, plan
+    # offset fold + writer grouping are the only other exchanges
+    assert final.count("Exchange SinglePartition") <= 1, plan
+    assert final.count("Exchange hashpartitioning(shard_id") == 1, plan
