@@ -1831,6 +1831,13 @@ def _placement_mod():
     return _placement
 
 
+from podcast_crawler_spark.operators import frontier as _frontier
+
+
+def _frontier_mod():
+    return _frontier
+
+
 _RING_WORKERS = [f"w{i:02d}" for i in range(16)]
 
 
@@ -2150,6 +2157,49 @@ def _canonical_groups(spark, sf_dir):
             ),
         )
     )
+
+
+_IPQ_URLS_SQL = """
+    select distinct 'h' || cast(user_id % 50 as varchar) as host,
+           'https://h' || cast(user_id % 50 as varchar)
+               || '.example.com/' || event_type || '/'
+               || cast(event_id as varchar) as url
+    from events
+"""
+
+_IPQ_MAP_SQL = """
+    select 'h' || cast(i as varchar) as host,
+           '10.0.' || cast(i % 17 as varchar) || '.1' as ip
+    from range(40) t(i)
+"""
+
+
+def _ip_politeness(spark, sf_dir):
+    # queue-by-IP politeness (Heritrix IpAddressQueueAssignmentPolicy):
+    # 50 synthetic hosts resolve onto 17 addresses (vhost sharing), 10
+    # stay unresolved (private host: fallback queues) -- hosts sharing a
+    # server share its budget, so sum(n_selected) over a queue <= 5 by
+    # construction.  The oracle replays queue mapping, naive per-queue
+    # rank, budget cut, and both aggregation levels.
+    from podcast_crawler_spark.operators import frontier as fr
+
+    ev = _t(spark, sf_dir, "events")
+    k = (F.col("user_id") % 50).cast("string")
+    urls = ev.select(
+        F.concat(F.lit("h"), k).alias("host"),
+        F.concat(
+            F.lit("https://h"), k, F.lit(".example.com/"),
+            F.col("event_type"), F.lit("/"),
+            F.col("event_id").cast("string"),
+        ).alias("url"),
+    ).distinct()
+    hostmap = spark.range(40).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        F.concat(
+            F.lit("10.0."), (F.col("id") % 17).cast("string"), F.lit(".1")
+        ).alias("ip"),
+    )
+    return fr.ip_politeness(urls, hostmap, per_queue_budget=5)
 
 
 def _frontier_gating(spark, sf_dir):
@@ -3193,6 +3243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_extract": _jsonld_extract,
         "page_directives": _page_directives,
         "frontier_gating": _frontier_gating,
+        "ip_politeness": _ip_politeness,
         "feed_autodiscovery": _feed_autodiscovery,
         "canonical_groups": _canonical_groups,
         "scheme_upgrades": _scheme_upgrades,
@@ -4241,6 +4292,9 @@ def oracle_sql() -> dict[str, str]:
             _DIRECTIVE_PAGES_SQL
         ),
         "frontier_gating": _frontier_gating_oracle(),
+        "ip_politeness": _frontier_mod().ip_politeness_oracle_sql(
+            _IPQ_URLS_SQL, _IPQ_MAP_SQL, per_queue_budget=5
+        ),
         "feed_autodiscovery": _links_mod().autodiscovery_oracle_sql(
             _AUTODISC_PAGES_SQL
         ),

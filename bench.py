@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "curriculum_interleave",
     "atom_parse",
     "warc_export",
+    "ip_politeness",
 ]
 
 

@@ -364,3 +364,127 @@ def apply_epoch_results(
         )
         .drop("o_hash", "fetch_ok", "parse_error_kind", "parse_error_message")
     )
+
+
+def ip_politeness(
+    urls: DataFrame,
+    host_ip: DataFrame,
+    per_queue_budget: int = 8,
+    host_col: str = "host",
+    url_col: str = "url",
+    salt_buckets: int = 16,
+    skew_safe_max_budget: int = 4096,
+) -> DataFrame:
+    """Queue-by-IP politeness (Heritrix's IpAddressQueueAssignmentPolicy;
+    the host-keyed scheduler in :func:`schedule_epoch` is queue-by-host):
+    hosts that resolve to the SAME address share one politeness queue —
+    100 vhosts on one server must share that server's budget, or the
+    crawler hammers the box 100× while believing it is polite.
+
+    *host_ip* is the resolver table ``(host, ip)`` — a dim of distinct
+    hosts, broadcast; hosts it does not cover (unresolved) fall back to
+    a private ``host:<host>`` queue, so missing DNS never merges
+    strangers.  Per queue, the top *per_queue_budget* URLs in
+    deterministic ``url_col`` order are selected; the output is the
+    per-(queue, host) accounting ``(host, queue_key, n_hosts_on_queue,
+    n_urls_host, n_urls_queue, n_selected_host)`` — Σ n_selected over a
+    queue ≤ budget by construction, which IS the shared-server
+    politeness guarantee.
+
+    Scale shape: one broadcast join (resolver dim), the bounded-budget
+    two-phase rank of :func:`schedule_epoch` (a CDN address fronting
+    10^6 hosts is the skew case — the pre-rank splits it across
+    *salt_buckets* tasks, and the union of per-bucket top-k contains
+    the global top-k, so results are identical to the single window),
+    then map-side-combined aggregates per (queue, host) on both the
+    full frame and the ≤budget-per-queue survivors, joined
+    aggregate-to-aggregate — no corpus row crosses more than the
+    window exchange.  URLs must be unique rows (the frontier invariant
+    the seen-set maintains) — the per-queue rank treats each row as
+    one fetch slot.
+    """
+    q = urls.join(
+        F.broadcast(host_ip.select(host_col, "ip").distinct()),
+        host_col,
+        "left",
+    ).withColumn(
+        "queue_key",
+        F.coalesce(F.col("ip"), F.concat(F.lit("host:"), F.col(host_col))),
+    )
+    order_cols = [url_col]
+    if per_queue_budget * salt_buckets <= skew_safe_max_budget:
+        w1 = Window.partitionBy(
+            "queue_key", F.pmod(F.xxhash64(url_col), F.lit(salt_buckets))
+        ).orderBy(*order_cols)
+        pre = q.withColumn("_pre", F.row_number().over(w1)).filter(
+            F.col("_pre") <= per_queue_budget
+        ).drop("_pre")
+    else:
+        pre = q
+    w = Window.partitionBy("queue_key").orderBy(*order_cols)
+    sel = (
+        pre.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= per_queue_budget)
+        .groupBy("queue_key", host_col)
+        .agg(F.count(F.lit(1)).alias("n_selected_host"))
+    )
+    per_host = (
+        q.groupBy("queue_key", host_col)
+        .agg(F.count(F.lit(1)).alias("n_urls_host"))
+        .join(sel, ["queue_key", host_col], "left")
+        .withColumn(
+            "n_selected_host",
+            F.coalesce(F.col("n_selected_host"), F.lit(0).cast("long")),
+        )
+    )
+    per_queue = per_host.groupBy("queue_key").agg(
+        F.count(F.lit(1)).alias("n_hosts_on_queue"),
+        F.sum("n_urls_host").alias("n_urls_queue"),
+    )
+    return per_host.join(per_queue, "queue_key").select(
+        host_col,
+        "queue_key",
+        "n_hosts_on_queue",
+        "n_urls_host",
+        "n_urls_queue",
+        "n_selected_host",
+    )
+
+
+def ip_politeness_oracle_sql(
+    urls_sql: str,
+    hostmap_sql: str,
+    per_queue_budget: int = 8,
+) -> str:
+    """DuckDB recomputation of :func:`ip_politeness` — queue mapping
+    with the unresolved fallback, naive per-queue rank, budget cut, and
+    both aggregation levels."""
+    return f"""
+        WITH u AS (SELECT * FROM ({urls_sql})),
+        m AS (SELECT DISTINCT host, ip FROM ({hostmap_sql})),
+        q AS (
+            SELECT u.host, u.url,
+                   COALESCE(m.ip, 'host:' || u.host) AS queue_key
+            FROM u LEFT JOIN m ON u.host = m.host
+        ),
+        r AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY queue_key ORDER BY url
+            ) <= {int(per_queue_budget)} AS sel
+            FROM q
+        ),
+        h AS (
+            SELECT queue_key, host,
+                   COUNT(*) AS n_urls_host,
+                   SUM(CASE WHEN sel THEN 1 ELSE 0 END) AS n_selected_host
+            FROM r GROUP BY queue_key, host
+        ),
+        t AS (
+            SELECT queue_key, COUNT(*) AS n_hosts_on_queue,
+                   SUM(n_urls_host) AS n_urls_queue
+            FROM h GROUP BY queue_key
+        )
+        SELECT h.host, h.queue_key, t.n_hosts_on_queue,
+               h.n_urls_host, t.n_urls_queue, h.n_selected_host
+        FROM h JOIN t USING (queue_key)
+    """

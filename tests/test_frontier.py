@@ -463,3 +463,39 @@ def test_rfc9309_like_metachar_escaping(spark):
     assert got["/100%_off/deal"] is False
     assert got["/100X_off/deal"] is True   # _ is literal, not any-char
     assert got["/100%Yoff/deal"] is True   # % is literal, not any-run
+
+
+def test_ip_politeness_shared_budget_and_fallback(spark):
+    """Hosts on one IP share one queue (sum selected <= budget);
+    unresolved hosts get private fallback queues; the two-phase salted
+    rank equals the single-window plan exactly."""
+    from pyspark.sql import functions as F
+
+    from podcast_crawler_spark.operators.frontier import ip_politeness
+
+    urls = spark.createDataFrame(
+        [(f"h{i % 4}", f"https://h{i % 4}.ex/p{i}") for i in range(40)],
+        "host string, url string",
+    )
+    # h0+h1 share an ip; h2 resolved alone; h3 unresolved
+    hostmap = spark.createDataFrame(
+        [("h0", "10.0.0.1"), ("h1", "10.0.0.1"), ("h2", "10.0.0.2")],
+        "host string, ip string",
+    )
+    out = ip_politeness(urls, hostmap, per_queue_budget=5)
+    rows = {(r.host): r for r in out.collect()}
+    assert rows["h0"].queue_key == rows["h1"].queue_key == "10.0.0.1"
+    assert rows["h0"].n_hosts_on_queue == 2
+    # the shared-server guarantee: the two vhosts TOGETHER get 5 slots
+    assert rows["h0"].n_selected_host + rows["h1"].n_selected_host == 5
+    assert rows["h2"].n_selected_host == 5
+    assert rows["h3"].queue_key == "host:h3"
+    assert rows["h3"].n_selected_host == 5
+    assert all(r.n_urls_host == 10 for r in rows.values())
+    # two-phase (salted pre-rank) == single window, bit for bit
+    single = ip_politeness(
+        urls, hostmap, per_queue_budget=5, skew_safe_max_budget=0
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, single.collect())
+    )
