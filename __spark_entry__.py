@@ -800,6 +800,21 @@ def _mixture_sample(spark, sf_dir):
     ).select("doc_id", "lang", "n_chars", "rate")
 
 
+def _temperature_mixture(spark, sf_dir):
+    # temperature-flattened multilingual resampling (XLM-R alpha-rule at
+    # alpha=0.5): rate_s = sqrt(n_min/n_s) over per-language char
+    # totals -- the smallest language keeps everything, bigger ones are
+    # cut so kept sizes track n^0.5.  sqrt and the double division are
+    # IEEE-correctly-rounded in both engines, so the emitted rate is
+    # bit-checked, not just the membership.
+    from podcast_crawler_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.temperature_mixture(
+        docs, "doc_id", "lang", "n_chars"
+    ).select("doc_id", "lang", "n_chars", "rate")
+
+
 _PD_BOILER = "cookie notice accept all cookies to continue"
 _PD_FOOTER = "subscribe to our newsletter for updates"
 
@@ -1836,6 +1851,13 @@ from podcast_crawler_spark.operators import frontier as _frontier
 
 def _frontier_mod():
     return _frontier
+
+
+from podcast_crawler_spark.operators import sampling as _sampling
+
+
+def _sampling_mod():
+    return _sampling
 
 
 _RING_WORKERS = [f"w{i:02d}" for i in range(16)]
@@ -3312,6 +3334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _sample_stratified,
         "sample_topk": _sample_topk,
         "mixture_sample": _mixture_sample,
+        "temperature_mixture": _temperature_mixture,
         "paragraph_dedup": _paragraph_dedup,
         "lm_surprisal": _lm_surprisal,
         "bigram_surprisal": _bigram_surprisal,
@@ -4783,6 +4806,10 @@ def oracle_sql() -> dict[str, str]:
                   < (case lang when 'en' then 0.5 when 'de' then 0.1
                      else 0.25 end * 4294967296)::BIGINT
         """,
+        "temperature_mixture": _sampling_mod().temperature_oracle_sql(
+            "select doc_id, lang, n_chars from documents",
+            "doc_id", "lang", "n_chars",
+        ),
         "mixture_sample": """
             with tot as (select lang s, sum(n_chars) w from documents group by 1),
             r as (select s, case when s='en' then least(1.0, 30000.0/w)

@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "atom_parse",
     "warc_export",
     "ip_politeness",
+    "temperature_mixture",
 ]
 
 

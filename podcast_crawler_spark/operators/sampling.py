@@ -260,3 +260,91 @@ def split_oracle_sql(
                     else 'train' end as split
         from r
     """
+
+
+def temperature_mixture(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    weight_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-flattened mixture resampling (the multilingual
+    pre-training rule of mBERT / XLM-R, Conneau et al. '20 §3.1): the
+    corpus distribution ``p_s ∝ n_s`` is flattened to ``q_s ∝ n_s^α``,
+    realized by SUBSAMPLING only (no upsampling): acceptance rate
+
+        ``rate_s = (n_s/n_min)^(α−1)``  (= ``sqrt(n_min/n_s)`` at α=½)
+
+    — the smallest stratum keeps everything, every larger stratum is
+    cut so the kept sizes are exactly proportional to ``n_s^α``.
+    Membership is the same deterministic hash-threshold rule as every
+    sampler here; output = input columns + ``rate``.
+
+    α=0.5 (the default, and the only α the SQL oracle replays) keeps
+    the derivation engine-exact: ``n_min/n_s`` is one correctly-rounded
+    double division and ``sqrt`` is correctly rounded by IEEE 754 in
+    the JVM, Python and DuckDB alike — ``pow`` for general α carries
+    no such guarantee across libm builds, so non-default α is for
+    in-engine use (document the tolerance if you oracle it).
+
+    Scale shape: identical to :func:`mixture_sample` — ONE tiny
+    aggregate (k strata rows to the driver) plans the rates, the
+    sample is a map-side filter riding the scan.  No corpus shuffle.
+    """
+    import math
+
+    totals = {
+        r["s"]: r["w"]
+        for r in df.groupBy(F.col(strata_col).alias("s"))
+        .agg(F.sum(weight_col).alias("w"))
+        .collect()
+        if r["w"] is not None and r["w"] > 0
+    }
+    if not totals:
+        return df.filter(F.lit(False)).withColumn("rate", F.lit(0.0))
+    n_min = min(totals.values())
+    if alpha == 0.5:
+        rates = {s: math.sqrt(n_min / w) for s, w in totals.items()}
+    else:
+        rates = {s: (w / n_min) ** (alpha - 1.0) for s, w in totals.items()}
+    rate_expr = F.lit(0.0)
+    threshold = F.lit(0)
+    for s, rate in sorted(rates.items()):
+        rate_expr = F.when(F.col(strata_col) == s, F.lit(rate)).otherwise(
+            rate_expr
+        )
+        threshold = F.when(
+            F.col(strata_col) == s, F.lit(_threshold(rate))
+        ).otherwise(threshold)
+    return df.filter(key_hash32(F.col(key_col)) < threshold).withColumn(
+        "rate", rate_expr
+    )
+
+
+def temperature_oracle_sql(
+    rows_sql: str,
+    key_col: str,
+    strata_col: str,
+    weight_col: str,
+) -> str:
+    """DuckDB recomputation of :func:`temperature_mixture` at α=0.5 —
+    stratum totals, the sqrt rate derivation (bit-identical doubles),
+    and the hash-threshold membership."""
+    return f"""
+        WITH rows_in AS (SELECT * FROM ({rows_sql})),
+        tot AS (
+            SELECT {strata_col} AS s, SUM({weight_col}) AS w
+            FROM rows_in GROUP BY 1
+            HAVING SUM({weight_col}) > 0
+        ),
+        r AS (
+            SELECT s,
+                   sqrt((SELECT MIN(w) FROM tot)::DOUBLE / w) AS rate
+            FROM tot
+        )
+        SELECT d.*, r.rate
+        FROM rows_in d JOIN r ON d.{strata_col} = r.s
+        WHERE ('0x' || substr(md5(d.{key_col}::VARCHAR), 1, 8))::BIGINT
+              < (r.rate * 4294967296)::BIGINT
+    """

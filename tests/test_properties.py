@@ -379,3 +379,33 @@ def test_dataset_split_rejects_bad_pcts(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
     with pytest.raises(ValueError):
         dataset_split(df, "source", val_pct=50, test_pct=50)
+
+
+def test_temperature_mixture_flattens_to_alpha(spark):
+    """Kept sizes must track n^0.5: two strata sized 400/100 (4:1) keep
+    ~2:1 after flattening; the small stratum keeps everything
+    (rate 1.0); rates are exact sqrt(n_min/n_s)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from podcast_crawler_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 400, "big").otherwise("small").alias("lang"),
+        F.lit(1).alias("w"),
+    )
+    out = temperature_mixture(df, "doc_id", "lang", "w")
+    rates = {
+        r.lang: r.rate for r in out.select("lang", "rate").distinct().collect()
+    }
+    assert rates["small"] == 1.0
+    assert rates["big"] == math.sqrt(100 / 400)
+    kept = {r.lang: r.n for r in out.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    assert kept["small"] == 100  # rate-1.0 stratum keeps every row
+    # hash sampling: big stratum keeps ~400*0.5 = 200 (binomial, wide slack)
+    assert 140 <= kept["big"] <= 260
