@@ -1859,6 +1859,12 @@ from podcast_crawler_spark.operators import sampling as _sampling
 def _sampling_mod():
     return _sampling
 
+from podcast_crawler_spark.operators import refetch as _refetch
+
+
+def _refetch_mod():
+    return _refetch
+
 
 _RING_WORKERS = [f"w{i:02d}" for i in range(16)]
 
@@ -2222,6 +2228,37 @@ def _ip_politeness(spark, sf_dir):
         ).alias("ip"),
     )
     return fr.ip_politeness(urls, hostmap, per_queue_budget=5)
+
+
+_CRS_FETCHES_SQL = """
+    select 'u' || cast(user_id % 40 as varchar) as url,
+           1700000000 + event_id as fetch_unix,
+           case when user_id % 40 < 5 then 'const'
+                else cast((event_id // 7) % 3 as varchar) end
+               as content_digest
+    from events
+"""
+
+
+def _change_rates(spark, sf_dir):
+    # Cho & Garcia-Molina observed-change-rate revisit policy: per-URL
+    # lag over the fetch log -> change counts -> exact integer interval
+    # (span div changes, clamped) and change_ppm.  5 of the 40 synthetic
+    # URLs never change (max-interval branch); the rest rotate digests
+    # at varying per-URL gaps.  The oracle replays lag + aggregate +
+    # integer derivation bit-for-bit.
+    from podcast_crawler_spark.operators import refetch
+
+    ev = _t(spark, sf_dir, "events")
+    k = F.col("user_id") % 40
+    fetches = ev.select(
+        F.concat(F.lit("u"), k.cast("string")).alias("url"),
+        (F.lit(1700000000) + F.col("event_id")).alias("fetch_unix"),
+        F.when(k < 5, F.lit("const"))
+        .otherwise(F.expr("cast((event_id div 7) % 3 as string)"))
+        .alias("content_digest"),
+    )
+    return refetch.change_rate_schedule(fetches)
 
 
 def _frontier_gating(spark, sf_dir):
@@ -3266,6 +3303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_directives": _page_directives,
         "frontier_gating": _frontier_gating,
         "ip_politeness": _ip_politeness,
+        "change_rates": _change_rates,
         "feed_autodiscovery": _feed_autodiscovery,
         "canonical_groups": _canonical_groups,
         "scheme_upgrades": _scheme_upgrades,
@@ -4315,6 +4353,9 @@ def oracle_sql() -> dict[str, str]:
             _DIRECTIVE_PAGES_SQL
         ),
         "frontier_gating": _frontier_gating_oracle(),
+        "change_rates": _refetch_mod().change_rate_oracle_sql(
+            _CRS_FETCHES_SQL
+        ),
         "ip_politeness": _frontier_mod().ip_politeness_oracle_sql(
             _IPQ_URLS_SQL, _IPQ_MAP_SQL, per_queue_budget=5
         ),

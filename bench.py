@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "warc_export",
     "ip_politeness",
     "temperature_mixture",
+    "change_rates",
 ]
 
 

@@ -35,7 +35,7 @@ Semantics (all epoch seconds, BIGINT):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -553,4 +553,124 @@ def validator_oracle_sql(rows_sql: str) -> str:
                          and last_modified <> ''))::int)::BIGINT n_any
               from r group by 1)
         select *, ((100 * n_any) // n)::BIGINT revalidation_pct from a
+    """
+
+
+def change_rate_schedule(
+    fetches: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "fetch_unix",
+    digest_col: str = "content_digest",
+    min_interval_s: int = 3600,
+    max_interval_s: int = 7 * 86400,
+) -> DataFrame:
+    """Observed-change-rate revisit policy (Cho & Garcia-Molina '03,
+    "Effective page refresh policies for web crawlers"): estimate how
+    often a page ACTUALLY changes from its fetch history and schedule
+    the next visit at the observed change cadence — the third leg of
+    the refetch stack (:func:`refetch_schedule` infers from what the
+    feed PUBLISHES, :func:`cache_ttl` from what the server DECLARES;
+    this one from what the crawler OBSERVED).
+
+    *fetches* is the fetch log ``(url, fetch_unix, content_digest)``,
+    one row per completed fetch.  Per URL, consecutive digests are
+    compared in fetch order; with ``n_changes`` changes over the
+    observed ``span_s = last−first``:
+
+      - ``interval_s = clamp(span_s div n_changes)`` — the mean
+        observed time between changes (the paper's ``T/X`` estimator,
+        kept as EXACT integer division; the Poisson-MLE refinement
+        ``−ln(1−X/n)`` needs libm and buys little at crawl noise
+        levels);
+      - never-changed URLs back off to ``max_interval_s``;
+      - ``change_ppm = 10^6·n_changes div n_intervals`` — the
+        change fraction as an exact integer, for host-level rollups.
+
+    Output: ``(url, n_obs, n_changes, change_ppm, first_ts, last_ts,
+    interval_s, next_fetch_ts)``.  Single-observation URLs carry no
+    evidence and also take ``max_interval_s``.
+
+    Scale shape: one exchange — the per-URL lag window; the groupBy
+    that follows is keyed by the same column, so it rides the window's
+    partitioning (partial aggregation map-side either way).  All
+    integer arithmetic; the oracle replays lag + aggregate exactly.
+    """
+    w = Window.partitionBy(url_col).orderBy(ts_col)
+    lagged = fetches.withColumn("_prev", F.lag(digest_col).over(w))
+    agg = lagged.groupBy(url_col).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(
+            (
+                F.col("_prev").isNotNull()
+                & (F.col("_prev") != F.col(digest_col))
+            ).cast("long")
+        ).alias("n_changes"),
+        F.min(ts_col).alias("first_ts"),
+        F.max(ts_col).alias("last_ts"),
+    )
+    interval = F.when(
+        F.col("n_changes") > 0,
+        F.greatest(
+            F.lit(min_interval_s).cast("long"),
+            F.least(
+                F.lit(max_interval_s).cast("long"),
+                F.expr("(last_ts - first_ts) div n_changes"),
+            ),
+        ),
+    ).otherwise(F.lit(max_interval_s).cast("long"))
+    ppm = F.when(
+        F.col("n_obs") >= 2,
+        F.expr("(1000000 * n_changes) div (n_obs - 1)"),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        agg.withColumn("change_ppm", ppm)
+        .withColumn("interval_s", interval)
+        .withColumn("next_fetch_ts", F.col("last_ts") + F.col("interval_s"))
+        .select(
+            url_col, "n_obs", "n_changes", "change_ppm", "first_ts",
+            "last_ts", "interval_s", "next_fetch_ts",
+        )
+    )
+
+
+def change_rate_oracle_sql(
+    fetches_sql: str,
+    min_interval_s: int = 3600,
+    max_interval_s: int = 7 * 86400,
+) -> str:
+    """DuckDB replay of :func:`change_rate_schedule` — lag window,
+    change counting, exact integer interval/ppm derivation."""
+    return f"""
+        WITH f AS (SELECT * FROM ({fetches_sql})),
+        l AS (
+            SELECT url, fetch_unix, content_digest,
+                   LAG(content_digest) OVER (
+                       PARTITION BY url ORDER BY fetch_unix
+                   ) AS prev
+            FROM f
+        ),
+        a AS (
+            SELECT url, COUNT(*) AS n_obs,
+                   SUM(CASE WHEN prev IS NOT NULL
+                             AND prev <> content_digest
+                            THEN 1 ELSE 0 END)::BIGINT AS n_changes,
+                   MIN(fetch_unix) AS first_ts,
+                   MAX(fetch_unix) AS last_ts
+            FROM l GROUP BY url
+        ),
+        b AS (
+            SELECT *,
+                   CASE WHEN n_obs >= 2
+                        THEN (1000000 * n_changes) // (n_obs - 1)
+                        ELSE 0 END AS change_ppm,
+                   CASE WHEN n_changes > 0
+                        THEN GREATEST({min_interval_s}, LEAST(
+                            {max_interval_s},
+                            (last_ts - first_ts) // n_changes))
+                        ELSE {max_interval_s} END AS interval_s
+            FROM a
+        )
+        SELECT url, n_obs, n_changes, change_ppm, first_ts, last_ts,
+               interval_s, last_ts + interval_s AS next_fetch_ts
+        FROM b
     """

@@ -297,3 +297,39 @@ def test_validator_stats_counts(spark):
         2, 3, 75
     )
     assert got["h2"]["revalidation_pct"] == 0
+
+
+def test_change_rate_schedule_intervals(spark):
+    """Pinned history: 2 changes over a 400 s span -> interval = 200 s
+    (unclamped), next fetch 200 s after the last observation; a
+    never-changing URL and a single-observation URL both back off to
+    max_interval_s."""
+    from podcast_crawler_spark.operators.refetch import (
+        change_rate_schedule,
+    )
+
+    rows = (
+        [("a", t, d) for t, d in
+         [(0, "x"), (100, "x"), (200, "y"), (300, "y"), (400, "z")]]
+        + [("b", t, "same") for t in (0, 100, 200)]
+        + [("c", 50, "once")]
+    )
+    df = spark.createDataFrame(
+        rows, "url string, fetch_unix long, content_digest string"
+    )
+    out = {
+        r.url: r
+        for r in change_rate_schedule(
+            df, min_interval_s=1, max_interval_s=10_000
+        ).collect()
+    }
+    a = out["a"]
+    assert (a.n_obs, a.n_changes, a.interval_s, a.next_fetch_ts) == (
+        5, 2, 200, 600
+    )
+    assert a.change_ppm == 500_000  # 2 changes / 4 intervals
+    assert out["b"].n_changes == 0
+    assert out["b"].interval_s == 10_000
+    assert out["c"].n_obs == 1
+    assert out["c"].interval_s == 10_000
+    assert out["c"].change_ppm == 0
