@@ -2609,6 +2609,40 @@ def _bpe_encode(spark, sf_dir):
     )
 
 
+_SL_ROWS_SQL = """
+    select doc_id,
+           case when doc_id % 10 < 2
+                    then 'shared boilerplate landing page text'
+                when doc_id % 17 = 0
+                    then 'secondary mirrored article body'
+                else text end as text
+    from documents
+"""
+
+
+def _split_leakage(spark, sf_dir):
+    # cross-split contamination audit: 20% of docs share one injected
+    # boilerplate text and ~6% a second one (same in-query-synthesis
+    # precedent as paragraph_dedup -- the flat corpus has no exact
+    # dups), so both digests span train/val/test under the doc_id-keyed
+    # hash split and surface as leaks.  The oracle replays split
+    # buckets, digests, and the cross-split aggregation.
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 < 2,
+            F.lit("shared boilerplate landing page text"),
+        )
+        .when(
+            F.col("doc_id") % 17 == 0,
+            F.lit("secondary mirrored article body"),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return curation.split_leakage(docs, "doc_id")
+
+
 def _dataset_split(spark, sf_dir):
     # leakage-safe train/val/test assignment keyed by SOURCE (whole
     # groups land in one split -- the near-dup leakage guard); pure
@@ -3321,6 +3355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_interleave": _curriculum_interleave,
         "quality_gate": _quality_gate,
         "dataset_split": _dataset_split,
+        "split_leakage": _split_leakage,
         "bpe_candidates": _bpe_candidates,
         "bpe_encode": _bpe_encode,
         "weighted_sample": _weighted_sample,
@@ -4420,6 +4455,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bpe_candidates": textstats.bpe_oracle_sql(
             "select doc_id as id, text from documents", k=50
+        ),
+        "split_leakage": curation.split_leakage_oracle_sql(
+            _SL_ROWS_SQL, "doc_id"
         ),
         "dataset_split": sampling_mod().split_oracle_sql(
             "select doc_id, source from documents", "source",

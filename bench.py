@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "ip_politeness",
     "temperature_mixture",
     "change_rates",
+    "split_leakage",
 ]
 
 

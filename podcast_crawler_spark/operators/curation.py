@@ -671,3 +671,81 @@ def interleave_oracle_sql(
                  interleave_key
         from w
     """
+
+
+def split_leakage(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    val_pct: int = 5,
+    test_pct: int = 5,
+) -> DataFrame:
+    """Cross-split contamination audit: exact-duplicate CONTENT that
+    lands in more than one of train/val/test.  Deterministic hash
+    splits (``sampling.dataset_split``) are leakage-safe only in the
+    KEY — two byte-identical documents with different keys still split
+    apart, and a val/test doc whose twin sits in train inflates every
+    metric trained on the corpus (the reason Lee et al. '22 dedup
+    before splitting, and why ``dataset_split`` recommends group keys).
+    This operator measures exactly that residual risk.
+
+    Output: one row per leaked digest — ``(content_md5, n_docs,
+    n_splits, splits)`` with ``splits`` the sorted comma-joined split
+    names.  Empty result = clean corpus.
+
+    Scale shape: split assignment and the md5 are map-side; ONE
+    exchange carries (16-byte digest, split) pairs with map-side
+    partial aggregation; the leak filter prunes before any further
+    consumer.  Same digest-shuffle discipline as ``dedup.exact_dups``.
+    """
+    from .sampling import dataset_split
+
+    assigned = dataset_split(df, key_col, val_pct=val_pct,
+                             test_pct=test_pct)
+    return (
+        assigned.withColumn("content_md5", F.md5(F.col(text_col)))
+        .groupBy("content_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("split").alias("n_splits"),
+            F.array_join(
+                F.sort_array(F.collect_set("split")), ","
+            ).alias("splits"),
+        )
+        .filter(F.col("n_splits") > 1)
+    )
+
+
+def split_leakage_oracle_sql(
+    rows_sql: str,
+    key_col: str,
+    text_col: str = "text",
+    val_pct: int = 5,
+    test_pct: int = 5,
+) -> str:
+    """DuckDB replay of :func:`split_leakage` — the dataset_split
+    bucket rule, md5 digests, and the cross-split aggregation."""
+    test_lo = 10000 - 100 * test_pct
+    val_lo = test_lo - 100 * val_pct
+    return f"""
+        WITH d AS (SELECT * FROM ({rows_sql})),
+        s AS (
+            SELECT *,
+                   ('0x' || substr(md5({key_col}::VARCHAR), 1, 8))::BIGINT
+                       % 10000 AS b
+            FROM d
+        ),
+        a AS (
+            SELECT md5({text_col}) AS content_md5,
+                   CASE WHEN b >= {test_lo} THEN 'test'
+                        WHEN b >= {val_lo} THEN 'val'
+                        ELSE 'train' END AS split
+            FROM s
+        )
+        SELECT content_md5, COUNT(*) AS n_docs,
+               COUNT(DISTINCT split) AS n_splits,
+               string_agg(DISTINCT split, ',' ORDER BY split) AS splits
+        FROM a
+        GROUP BY content_md5
+        HAVING COUNT(DISTINCT split) > 1
+    """

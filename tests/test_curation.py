@@ -458,3 +458,28 @@ def test_curriculum_interleave_oracle_matches(spark):
     )
     assert [tuple(int(x) if isinstance(x, int) else x for x in g)
             for g in got] == exp
+
+
+def test_split_leakage_detects_cross_split_twins(spark):
+    """Byte-identical docs with different keys leak across splits and
+    are reported; keying the split by a GROUP id that ties the twins
+    together removes the leak; a dup-free corpus reports nothing."""
+    from pyspark.sql import functions as F
+
+    from podcast_crawler_spark.operators.curation import split_leakage
+
+    # 200 unique docs + one duplicated text carried by 30 different ids
+    rows = [(i, f"g{i}", f"unique text {i}") for i in range(200)] + [
+        (1000 + i, "gdup", "identical twin body") for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, text string")
+    leaks = split_leakage(df, "doc_id", val_pct=20, test_pct=20).collect()
+    assert len(leaks) == 1
+    assert leaks[0].n_docs == 30 and leaks[0].n_splits >= 2
+    assert "," in leaks[0].splits
+    # group-keyed split: all twins share grp -> one split -> no leak
+    assert (
+        split_leakage(df, "grp", val_pct=20, test_pct=20).count() == 0
+    )
+    clean = df.filter(F.col("doc_id") < 200)
+    assert split_leakage(clean, "doc_id", val_pct=20, test_pct=20).count() == 0
