@@ -2556,6 +2556,48 @@ def _normalize_docs_sql() -> str:
     )
 
 
+_PLM_EN = "the quick thing and the other things that we have here"
+_PLM_FR = "les choses que nous avons dans cette vie sont les leurs"
+_PLM_DE = "ich habe der und die das mit einer schnellen sache und"
+_PLM_ES = "los que estan aqui son las cosas de esta vida que hay"
+
+_PLM_DOCS_SQL = f"""
+    select doc_id as id,
+           text
+           || chr(10) || chr(10) ||
+           (case when doc_id % 3 = 0 then '{_PLM_FR}'
+                 when doc_id % 3 = 1 then '{_PLM_DE}'
+                 else '{_PLM_EN}' end)
+           || (case when doc_id % 5 = 0
+                    then chr(10) || chr(10) || '{_PLM_ES}'
+                    else '' end) as text
+    from documents
+"""
+
+
+def _paragraph_lang_mix(spark, sf_dir):
+    # paragraph-level language mix (mC4/CCNet segment LID): every doc
+    # gets its own text plus one or two language-marked paragraphs
+    # (same in-query synthesis precedent as paragraph_dedup), so
+    # mixed-language rollups, the dominance tie-break and mix_ppm all
+    # exercise live branches.  The oracle replays explode -> trigram
+    # scoring (same profile table) -> two-level rollup.
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\n\n"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_PLM_FR))
+            .when(F.col("doc_id") % 3 == 1, F.lit(_PLM_DE))
+            .otherwise(F.lit(_PLM_EN)),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit("\n\n"), F.lit(_PLM_ES)),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return textstats.paragraph_lang_mix(docs)
+
+
 def _lang_id_ngram(spark, sf_dir):
     # char-trigram language ID (Cavnar-Trenkle profiles as fixed
     # constants): robust to missing spaces and partial words; integer
@@ -3361,6 +3403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _weighted_sample,
         "normalize_text": _normalize_text,
         "lang_id_ngram": _lang_id_ngram,
+        "paragraph_lang_mix": _paragraph_lang_mix,
         "classifier_score": _classifier_score,
         "sitemap_scan": _sitemap_scan,
         "sitemap_refresh": _sitemap_refresh,
@@ -4455,6 +4498,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bpe_candidates": textstats.bpe_oracle_sql(
             "select doc_id as id, text from documents", k=50
+        ),
+        "paragraph_lang_mix": textstats.paragraph_lang_oracle_sql(
+            _PLM_DOCS_SQL
         ),
         "split_leakage": curation.split_leakage_oracle_sql(
             _SL_ROWS_SQL, "doc_id"

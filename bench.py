@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "temperature_mixture",
     "change_rates",
     "split_leakage",
+    "paragraph_lang_mix",
 ]
 
 

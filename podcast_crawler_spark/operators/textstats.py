@@ -1096,3 +1096,111 @@ def lang_id_ngram_oracle_sql(docs_sql: str) -> str:
                (best - greatest({second_terms}))::BIGINT as margin
         from pr
     """
+
+
+def paragraph_lang_mix(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Paragraph-level language profiling (the mC4/CCNet move: web
+    pages are routinely MIXED-language — an English article with French
+    pull-quotes, boilerplate in the site's language — and a document-
+    level LID call mislabels or discards them wholesale).  Split on
+    blank lines, run :func:`lang_id_ngram` per paragraph, and roll up:
+
+    ``(id, n_paras, n_langs, dominant_lang, dominant_n, mix_ppm)``
+
+    where ``dominant_lang`` is the most frequent paragraph language
+    (ties to the lexicographically larger tag — the exact semantics of
+    ``max(struct(n, lang))``, replayed by the oracle), and ``mix_ppm =
+    10^6·(n_paras − dominant_n) div n_paras`` — the exact-integer
+    fraction of paragraphs OUTSIDE the dominant language, the router
+    signal for segment-level extraction vs whole-doc keep/drop.
+    'unk' paragraphs count as their own language class.
+
+    Scale shape: the explode and the trigram scoring are map-side; the
+    first exchange carries (id, lang_pred) pairs — narrow rows, never
+    paragraph text — with map-side combine; the rollup groupBy(id)
+    reuses the same partitioning.  Empty/whitespace paragraphs are
+    dropped before scoring (docs with no usable paragraph are absent
+    from the output).
+    """
+    paras = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), "\n\n")).alias(
+                "idx", "para"
+            ),
+        )
+        .filter(F.length(F.trim(F.col("para"))) > 0)
+    )
+    scored = lang_id_ngram(paras, text_col="para", id_col="id")
+    per_lang = scored.groupBy("id", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    agg = per_lang.groupBy("id").agg(
+        F.sum("n").alias("n_paras"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.max(F.struct(F.col("n"), F.col("lang_pred"))).alias("dom"),
+    )
+    return agg.select(
+        "id",
+        F.col("n_paras").cast("long").alias("n_paras"),
+        F.col("n_langs").cast("long").alias("n_langs"),
+        F.col("dom.lang_pred").alias("dominant_lang"),
+        F.col("dom.n").cast("long").alias("dominant_n"),
+        F.expr("(1000000 * (n_paras - dom.n)) div n_paras").alias(
+            "mix_ppm"
+        ),
+    )
+
+
+def paragraph_lang_oracle_sql(
+    docs_sql: str, sep_sql: str = "chr(10) || chr(10)"
+) -> str:
+    """DuckDB replay of :func:`paragraph_lang_mix`: explode on the
+    separator, score each paragraph through the SAME
+    :func:`lang_id_ngram_oracle_sql` profile table (composite
+    ``doc#idx`` ids thread the paragraph identity through), then the
+    two-level rollup with the ``(n desc, lang desc)`` dominance rule."""
+    paras_sql = f"""
+        select cast(id as varchar) || '#' || cast(idx as varchar) as id,
+               para as text
+        from (
+            select id,
+                   unnest(string_split(text, {sep_sql})) as para,
+                   generate_subscripts(
+                       string_split(text, {sep_sql}), 1) as idx
+            from ({docs_sql}) t0
+        ) t1
+        where length(trim(para)) > 0
+    """
+    scored = lang_id_ngram_oracle_sql(paras_sql)
+    return f"""
+        with x as (
+            select split_part(id, '#', 1)::BIGINT as id, lang_pred
+            from ({scored}) sc
+        ),
+        g as (
+            select id, lang_pred, count(*) as n
+            from x group by 1, 2
+        ),
+        a as (
+            select id, sum(n) as n_paras, count(*) as n_langs
+            from g group by 1
+        ),
+        d as (
+            select id, lang_pred, n,
+                   row_number() over (
+                       partition by id
+                       order by n desc, lang_pred desc
+                   ) as rn
+            from g
+        )
+        select a.id, a.n_paras::BIGINT as n_paras,
+               a.n_langs::BIGINT as n_langs,
+               d.lang_pred as dominant_lang,
+               d.n::BIGINT as dominant_n,
+               ((1000000 * (a.n_paras - d.n)) // a.n_paras)::BIGINT
+                   as mix_ppm
+        from a join d on a.id = d.id and d.rn = 1
+    """

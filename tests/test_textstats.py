@@ -829,3 +829,30 @@ def test_lang_id_ngram_oracle_sql_matches(spark):
         for a, b, c, d in duckdb.sql(osql).fetchall()
     )
     assert [tuple(g) for g in got] == exp
+
+
+def test_paragraph_lang_mix_rollup(spark):
+    """A two-language doc reports both classes with the majority
+    dominant and an exact mix_ppm; a single-language doc is pure; an
+    empty-paragraph doc is absent."""
+    from podcast_crawler_spark.operators.textstats import (
+        paragraph_lang_mix,
+    )
+
+    en = "the quick thing and the other things that we have here"
+    fr = "les choses que nous avons dans cette vie sont les leurs"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{en}\n\n{fr}\n\n{en}"),
+            (2, f"{en}\n\n{en}"),
+            (3, "   \n\n  "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in paragraph_lang_mix(docs).collect()}
+    assert set(out) == {1, 2}
+    d1 = out[1]
+    assert (d1.n_paras, d1.n_langs, d1.dominant_lang) == (3, 2, "en")
+    assert d1.dominant_n == 2 and d1.mix_ppm == 333_333
+    d2 = out[2]
+    assert (d2.n_langs, d2.dominant_lang, d2.mix_ppm) == (1, "en", 0)
