@@ -1866,6 +1866,13 @@ def _refetch_mod():
     return _refetch
 
 
+from podcast_crawler_spark.operators import similarity as _similarity
+
+
+def _similarity_mod():
+    return _similarity
+
+
 _RING_WORKERS = [f"w{i:02d}" for i in range(16)]
 
 
@@ -1979,6 +1986,150 @@ _VALIDATOR_ROWS_SQL = """
                 then 'Wed, 04 Dec 2024 10:06:00 GMT' end as last_modified
     from orders
 """
+
+
+_RA_NOW = 1700000000
+
+_RA_OUTCOMES_SQL = """
+    select 'h' || cast(i as varchar) as host,
+           case when i % 7 = 0 then NULL
+                when i % 7 = 1 then 503
+                when i % 7 = 2 then 500
+                when i % 7 = 3 then 404
+                when i % 7 = 4 then 301
+                else 200 end as http_status,
+           1700000000 - (i % 40) * 86400 as fetched_unix
+    from range(60) t(i)
+"""
+
+
+def _robots_availability(spark, sf_dir):
+    # RFC 9309 2.3.1 access-result policy: what to ASSUME when
+    # robots.txt itself is a 4xx (allow all), 5xx/unreachable (disallow
+    # all), or has been unreachable past the grace window (treat as
+    # unavailable).  Synthetic latest-outcome table covers every status
+    # class and both sides of the 30-day grace boundary.
+    from podcast_crawler_spark.operators import robots as robotsmod
+
+    outcomes = spark.range(60).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        F.when(F.col("id") % 7 == 0, F.lit(None).cast("int"))
+        .when(F.col("id") % 7 == 1, F.lit(503))
+        .when(F.col("id") % 7 == 2, F.lit(500))
+        .when(F.col("id") % 7 == 3, F.lit(404))
+        .when(F.col("id") % 7 == 4, F.lit(301))
+        .otherwise(F.lit(200))
+        .alias("http_status"),
+        (F.lit(1700000000) - (F.col("id") % 40) * 86400)
+        .cast("long")
+        .alias("fetched_unix"),
+    )
+    return robotsmod.robots_availability(outcomes, now_unix=_RA_NOW)
+
+
+_RD_NOW = 1700050000
+
+_RD_ROWS_SQL = """
+    select 'https://h' || (o_orderkey % 23)::varchar || '.example/r/'
+           || o_orderkey::varchar as url,
+           case when o_orderkey % 5 = 0 then
+                  'public, max-age=' || (o_orderkey % 100000)::varchar
+                when o_orderkey % 5 = 1 then
+                  'max-age=60, s-maxage=' || (o_orderkey % 7200)::varchar
+                when o_orderkey % 5 = 2 then 'no-store'
+                when o_orderkey % 5 = 3 then
+                  'private, no-cache, max-age=900'
+           end as cache_control,
+           (1700000000 + o_orderkey % 86400)::BIGINT as fetch_unix,
+           case when o_orderkey % 3 = 0
+                then '"t' || o_orderkey::varchar || '"' end as etag,
+           case when o_orderkey % 4 = 1
+                then 'Mon, 01 Jan 2024 00:00:00 GMT' end as last_modified,
+           (500 + o_orderkey % 9999)::BIGINT as n_bytes
+    from orders
+"""
+
+
+def _refetch_decision(spark, sf_dir):
+    # per-URL refetch action plan: cache_ttl freshness -> skip;
+    # stale + validator -> conditional GET (saved_bytes = stored body);
+    # stale bare -> full fetch.  The oracle NESTS the cache_ttl oracle,
+    # so the composition is recomputed end to end, not just the final
+    # three-way rule.
+    from podcast_crawler_spark.operators import refetch
+
+    d = F.col("o_orderkey")
+    cc = (
+        F.when(d % 5 == 0, F.concat(F.lit("public, max-age="),
+                                    (d % 100000).cast("string")))
+        .when(d % 5 == 1, F.concat(
+            F.lit("max-age=60, s-maxage="), (d % 7200).cast("string")))
+        .when(d % 5 == 2, F.lit("no-store"))
+        .when(d % 5 == 3, F.lit("private, no-cache, max-age=900"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    rows = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("https://h"), (d % 23).cast("string"),
+                 F.lit(".example/r/"), d.cast("string")).alias("url"),
+        cc.alias("cache_control"),
+        (1700000000 + d % 86400).cast("long").alias("fetch_unix"),
+        F.when(d % 3 == 0, F.concat(F.lit('"t'), d.cast("string"),
+                                    F.lit('"'))).alias("etag"),
+        F.when(d % 4 == 1, F.lit("Mon, 01 Jan 2024 00:00:00 GMT")).alias(
+            "last_modified"
+        ),
+        (F.lit(500) + d % 9999).cast("long").alias("n_bytes"),
+    )
+    return refetch.refetch_decision(rows, now_unix=_RD_NOW)
+
+
+def _jl_project(spark, sf_dir):
+    # Johnson-Lindenstrauss sign projection: 64-float embeddings -> 8
+    # doubles via md5-derived +-1 literals; unrolled left-associated
+    # sums make every projected double bit-identical across engines, so
+    # the oracle hash-checks the values themselves.
+    from podcast_crawler_spark.operators import similarity
+
+    return similarity.jl_project(
+        _t(spark, sf_dir, "embeddings"), in_dim=64, out_dim=8
+    )
+
+
+_RAF_NOW = 1700000000
+
+_RAF_ROWS_SQL = """
+    select 'https://h' || (o_orderkey % 23)::varchar || '.example/r/'
+           || o_orderkey::varchar as url,
+           case when o_orderkey % 6 = 0 then (o_orderkey % 700)::varchar
+                when o_orderkey % 6 = 1 then 'Wed, 15 Nov 2023 06:25:24 GMT'
+                when o_orderkey % 6 = 2 then '999999999'
+                when o_orderkey % 6 = 3 then 'Mon, 13 Nov 2023 06:25:24 GMT'
+                when o_orderkey % 6 = 4 then 'soon'
+           end as retry_after
+    from orders
+"""
+
+
+def _retry_after(spark, sf_dir):
+    # Retry-After (RFC 9110 10.2.3): both grammars (delay-seconds +
+    # IMF-fixdate), hostile-delay clamp, garbage fallback -- the
+    # server's explicit back-pressure signal the polite fetcher honors
+    # above its own backoff.  A past date (Mon 13 Nov < now) keeps
+    # the zero-floor branch live; 999999999 exercises the hostile clamp.
+    from podcast_crawler_spark.operators import refetch
+
+    d = F.col("o_orderkey")
+    rows = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("https://h"), (d % 23).cast("string"),
+                 F.lit(".example/r/"), d.cast("string")).alias("url"),
+        F.when(d % 6 == 0, (d % 700).cast("string"))
+        .when(d % 6 == 1, F.lit("Wed, 15 Nov 2023 06:25:24 GMT"))
+        .when(d % 6 == 2, F.lit("999999999"))
+        .when(d % 6 == 3, F.lit("Mon, 13 Nov 2023 06:25:24 GMT"))
+        .when(d % 6 == 4, F.lit("soon"))
+        .alias("retry_after"),
+    )
+    return refetch.retry_after(rows, now_unix=_RAF_NOW)
 
 
 def _cache_ttl(spark, sf_dir):
@@ -3389,6 +3540,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "circuit_state": _circuit_state,
         "host_latency": _host_latency,
         "cache_ttl": _cache_ttl,
+        "robots_availability": _robots_availability,
+        "refetch_decision": _refetch_decision,
+        "retry_after": _retry_after,
+        "jl_project": _jl_project,
         "validator_stats": _validator_stats,
         "containment_pairs": _containment_pairs,
         "cdc_chunks": _cdc_chunks,
@@ -4431,6 +4586,21 @@ def oracle_sql() -> dict[str, str]:
             _DIRECTIVE_PAGES_SQL
         ),
         "frontier_gating": _frontier_gating_oracle(),
+        "retry_after": _refetch_mod().retry_after_oracle_sql(
+            _RAF_ROWS_SQL, now_unix=_RAF_NOW
+        ),
+        "robots_availability": _robots_mod().availability_oracle_sql(
+            _RA_OUTCOMES_SQL, now_unix=_RA_NOW
+        ),
+        "refetch_decision": _refetch_mod().decision_oracle_sql(
+            _refetch_mod().cache_ttl_oracle_sql(_RD_ROWS_SQL),
+            _RD_ROWS_SQL,
+            now_unix=_RD_NOW,
+        ),
+        "jl_project": _similarity_mod().jl_oracle_sql(
+            "select vec_id, embedding from embeddings",
+            in_dim=64, out_dim=8,
+        ),
         "change_rates": _refetch_mod().change_rate_oracle_sql(
             _CRS_FETCHES_SQL
         ),

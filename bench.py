@@ -111,6 +111,10 @@ BENCH_QUERIES = [
     "change_rates",
     "split_leakage",
     "paragraph_lang_mix",
+    "robots_availability",
+    "refetch_decision",
+    "retry_after",
+    "jl_project",
 ]
 
 

@@ -674,3 +674,200 @@ def change_rate_oracle_sql(
                interval_s, last_ts + interval_s AS next_fetch_ts
         FROM b
     """
+
+
+def refetch_decision(
+    df: DataFrame,
+    now_unix: int,
+    cc_col: str = "cache_control",
+    url_col: str = "url",
+    fetch_ts_col: str = "fetch_unix",
+    etag_col: str = "etag",
+    lm_col: str = "last_modified",
+    bytes_col: str = "n_bytes",
+    **ttl_kwargs,
+) -> DataFrame:
+    """Per-URL refetch action plan — the composition the fetch loop
+    actually executes each epoch, built on :func:`cache_ttl`:
+
+      - cache still fresh (``now < refetch_unix``)      → ``skip``
+      - stale, response carried an ETag or Last-Modified → ``revalidate``
+        (conditional GET: If-None-Match / If-Modified-Since — a 304
+        costs headers only, so ``saved_bytes`` = the stored body size)
+      - stale, no validator                              → ``full_fetch``
+
+    ``no_store`` responses are never served from cache, but the polite
+    refetch cadence (cache_ttl's clamped TTL) still gates WHEN they are
+    refetched; they revalidate if a validator exists (RFC 9110 §13.1.2
+    permits conditional requests regardless of cacheability).
+
+    Output: ``(url, refetch_unix, decision, saved_bytes)``.  Pure
+    map-side composition — cache_ttl's regex parse plus three
+    conditionals; zero shuffle at any scale.  The oracle nests the
+    cache_ttl oracle and replays the decision rule.
+    """
+    ttl = cache_ttl(
+        df, cc_col=cc_col, url_col=url_col, fetch_ts_col=fetch_ts_col,
+        **ttl_kwargs,
+    ).select(url_col, "refetch_unix")
+    has_validator = (
+        F.col(etag_col).isNotNull() | F.col(lm_col).isNotNull()
+    )
+    base = df.select(
+        url_col, F.col(etag_col), F.col(lm_col),
+        F.col(bytes_col).cast("long").alias("_nb"),
+    ).join(ttl, url_col)
+    decision = (
+        F.when(F.lit(int(now_unix)) < F.col("refetch_unix"), F.lit("skip"))
+        .when(has_validator, F.lit("revalidate"))
+        .otherwise(F.lit("full_fetch"))
+    )
+    return base.select(
+        url_col,
+        "refetch_unix",
+        decision.alias("decision"),
+        F.when(decision == "revalidate", F.col("_nb"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("saved_bytes"),
+    )
+
+
+def decision_oracle_sql(
+    cache_ttl_sql: str,
+    rows_sql: str,
+    now_unix: int,
+) -> str:
+    """DuckDB replay of :func:`refetch_decision`: *cache_ttl_sql* is the
+    already-built :func:`cache_ttl_oracle_sql` over the same rows (the
+    nesting pins the composition, not just the final rule)."""
+    return f"""
+        WITH t AS (SELECT url, refetch_unix FROM ({cache_ttl_sql}) x),
+        r AS (SELECT * FROM ({rows_sql})),
+        j AS (
+            SELECT r.url, t.refetch_unix,
+                   (r.etag IS NOT NULL
+                    OR r.last_modified IS NOT NULL) AS hv,
+                   r.n_bytes
+            FROM r JOIN t ON r.url = t.url
+        ),
+        d AS (
+            SELECT url, refetch_unix,
+                   CASE WHEN {int(now_unix)} < refetch_unix THEN 'skip'
+                        WHEN hv THEN 'revalidate'
+                        ELSE 'full_fetch' END AS decision,
+                   n_bytes
+            FROM j
+        )
+        SELECT url, refetch_unix, decision,
+               CASE WHEN decision = 'revalidate'
+                    THEN n_bytes ELSE 0 END::BIGINT AS saved_bytes
+        FROM d
+    """
+
+
+_IMF_FIXDATE_RE = (
+    r"^[A-Za-z]{3}, \d{2} [A-Za-z]{3} \d{4} \d{2}:\d{2}:\d{2} GMT$"
+)
+# weekday token stripped before parsing: Spark 3+ forbids day-of-week
+# fields in datetime PARSE patterns (redundant with the date), so the
+# grammar gate is the regex above and the parse runs on the tail
+_RETRY_AFTER_DATE_FMT = "dd MMM yyyy HH:mm:ss 'GMT'"
+
+
+def retry_after(
+    df: DataFrame,
+    now_unix: int,
+    header_col: str = "retry_after",
+    url_col: str = "url",
+    max_delay_s: int = 86400,
+) -> DataFrame:
+    """``Retry-After`` header parsing (RFC 9110 §10.2.3) — the server's
+    EXPLICIT back-pressure signal on 429/503 responses, which a polite
+    crawler must honor above its own backoff heuristics
+    (:func:`aimd_concurrency` / the circuit breaker infer; this header
+    DECLARES).  Both grammars:
+
+      - delay-seconds: ``Retry-After: 120``
+      - HTTP-date:     ``Retry-After: Wed, 21 Oct 2015 07:28:00 GMT``
+        (IMF-fixdate, the only format a server SHOULD send)
+
+    Output: ``(url, delay_s, not_before_unix, parsed)`` — ``delay_s``
+    clamped to [0, max_delay_s] (a hostile ``Retry-After: 10^9`` must
+    not park a URL forever), ``parsed=false`` rows (garbage header)
+    fall back to delay 0 so the caller's own backoff governs.
+
+    Map-side only: one digits-regex probe, one fixed-format timestamp
+    parse (``EEE, dd MMM yyyy HH:mm:ss GMT`` — locale-independent
+    day/month tokens, identical in JVM SimpleDateFormat semantics and
+    DuckDB ``strptime``), two clamps.  Zero shuffle.
+    """
+    h = F.trim(F.coalesce(F.col(header_col), F.lit("")))
+    secs = F.nullif(F.regexp_extract(h, r"^(\d{1,9})$", 1), F.lit(""))
+    # try_to_timestamp: malformed headers are EXPECTED input — under
+    # ANSI mode (Spark 4 default) the non-try parse would throw
+    dt = F.when(
+        h.rlike(_IMF_FIXDATE_RE),
+        F.try_to_timestamp(
+            F.substring(h, 6, 100), F.lit(_RETRY_AFTER_DATE_FMT)
+        ).cast("long"),
+    )
+    raw = F.coalesce(
+        secs.cast("long"),
+        dt - F.lit(int(now_unix)),
+    )
+    # least/greatest IGNORE nulls in both Spark and DuckDB — an
+    # unparsed (null) raw would silently clamp to max_delay_s; gate the
+    # clamp on parse success so garbage falls back to 0 as documented
+    clamped = F.when(
+        raw.isNotNull(),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.least(F.lit(int(max_delay_s)).cast("long"), raw),
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    return df.select(
+        url_col,
+        clamped.alias("delay_s"),
+        (F.lit(int(now_unix)) + clamped).alias("not_before_unix"),
+        raw.isNotNull().alias("parsed"),
+    )
+
+
+def retry_after_oracle_sql(
+    rows_sql: str,
+    now_unix: int,
+    max_delay_s: int = 86400,
+) -> str:
+    """DuckDB replay of :func:`retry_after` — same digits grammar, same
+    IMF-fixdate parse (``try_strptime``), same clamps."""
+    return f"""
+        WITH r AS (SELECT * FROM ({rows_sql})),
+        p AS (
+            SELECT url, trim(coalesce(retry_after, '')) AS h FROM r
+        ),
+        x AS (
+            SELECT url,
+                   CASE WHEN regexp_matches(h, '^\\d{{1,9}}$')
+                        THEN h::BIGINT
+                        WHEN regexp_matches(h,
+                            '^[A-Za-z]{{3}}, \\d{{2}} [A-Za-z]{{3}}'
+                            || ' \\d{{4}} \\d{{2}}:\\d{{2}}:\\d{{2}} GMT$')
+                        THEN epoch(try_strptime(substr(h, 6),
+                             '%d %b %Y %H:%M:%S GMT'))::BIGINT
+                             - {int(now_unix)}
+                   END AS raw
+            FROM p
+        ),
+        c AS (
+            SELECT url,
+                   CASE WHEN raw IS NOT NULL
+                        THEN GREATEST(0, LEAST({int(max_delay_s)}, raw))
+                        ELSE 0 END AS cl,
+                   raw IS NOT NULL AS parsed
+            FROM x
+        )
+        SELECT url, cl AS delay_s,
+               {int(now_unix)} + cl AS not_before_unix,
+               parsed
+        FROM c
+    """

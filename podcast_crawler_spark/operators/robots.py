@@ -298,3 +298,97 @@ def rfc9309_oracle_sql(paths_sql: str, rules_sql: str) -> str:
                coalesce(b.rl <> 'disallow', true) as allowed
         from pick
     """
+
+
+def robots_availability(
+    outcomes: DataFrame,
+    now_unix: int,
+    unreachable_grace_s: int = 30 * 86400,
+    host_col: str = "host",
+    status_col: str = "http_status",
+    ts_col: str = "fetched_unix",
+) -> DataFrame:
+    """RFC 9309 §2.3.1 access-result policy — what a crawler must ASSUME
+    about a host whose robots.txt it could not parse (the rules-parsing
+    pipeline in :func:`parse_robots` only ever sees 2xx bodies):
+
+      - 2xx                  → ``apply_rules`` (parse output governs)
+      - 3xx                  → ``apply_rules`` (MUST follow redirects —
+        the fetch layer resolves them; the landed status is what's
+        recorded here, so a 3xx row means an unconsumed redirect and
+        conservatively keeps rules semantics)
+      - 4xx ("unavailable")  → ``allow_all`` (the RFC: a 404 robots.txt
+        means crawling is unrestricted)
+      - 5xx / null status ("unreachable") → ``disallow_all``, UNLESS
+        the condition has persisted past *unreachable_grace_s* (RFC:
+        "a crawler MAY assume unavailable" after a long outage —
+        operationally: a host whose robots.txt has 500'd for a month is
+        a broken server, not a directive) → ``allow_all``.
+
+    Input: one row per host — the LATEST robots fetch outcome
+    ``(host, http_status, fetched_unix)`` (status null = network
+    error).  Output: ``(host, status_class, policy, stale)`` where
+    ``stale`` marks grace-period expiry.  Pure map-side expression,
+    zero shuffle; exact SQL oracle.
+    """
+    st = F.col(status_col)
+    age = F.lit(int(now_unix)) - F.col(ts_col)
+    status_class = (
+        F.when(st.isNull(), F.lit("unreachable"))
+        .when((st >= 500), F.lit("unreachable"))
+        .when((st >= 400), F.lit("unavailable"))
+        .when((st >= 300), F.lit("redirect"))
+        .otherwise(F.lit("ok"))
+    )
+    stale = (
+        status_class.isin("unreachable")
+        & (age > F.lit(int(unreachable_grace_s)))
+    )
+    policy = (
+        F.when(status_class == "ok", F.lit("apply_rules"))
+        .when(status_class == "redirect", F.lit("apply_rules"))
+        .when(status_class == "unavailable", F.lit("allow_all"))
+        .when(stale, F.lit("allow_all"))
+        .otherwise(F.lit("disallow_all"))
+    )
+    return outcomes.select(
+        host_col,
+        status_class.alias("status_class"),
+        policy.alias("policy"),
+        stale.alias("stale"),
+    )
+
+
+def availability_oracle_sql(
+    outcomes_sql: str,
+    now_unix: int,
+    unreachable_grace_s: int = 30 * 86400,
+) -> str:
+    """DuckDB replay of :func:`robots_availability`."""
+    return f"""
+        WITH o AS (SELECT * FROM ({outcomes_sql})),
+        c AS (
+            SELECT host, http_status, fetched_unix,
+                   CASE WHEN http_status IS NULL THEN 'unreachable'
+                        WHEN http_status >= 500 THEN 'unreachable'
+                        WHEN http_status >= 400 THEN 'unavailable'
+                        WHEN http_status >= 300 THEN 'redirect'
+                        ELSE 'ok' END AS status_class
+            FROM o
+        ),
+        s AS (
+            SELECT *,
+                   status_class = 'unreachable'
+                   AND ({int(now_unix)} - fetched_unix)
+                       > {int(unreachable_grace_s)} AS stale
+            FROM c
+        )
+        SELECT host, status_class,
+               CASE WHEN status_class IN ('ok', 'redirect')
+                        THEN 'apply_rules'
+                    WHEN status_class = 'unavailable' THEN 'allow_all'
+                    WHEN stale THEN 'allow_all'
+                    ELSE 'disallow_all' END AS policy,
+               stale
+        FROM s
+    """

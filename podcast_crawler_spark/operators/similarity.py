@@ -677,3 +677,93 @@ def pq_adc_topk(
         .orderBy(F.col("adc_dist"), F.col(id_col))
         .limit(k)
     )
+
+
+def _jl_signs(seed: int, in_dim: int, out_dim: int) -> list:
+    """Deterministic ±1 sign matrix from md5 parity — auditable,
+    engine-independent, and regenerable from (seed, dims) alone."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()[:8], 16
+            )
+            % 2
+            == 0
+            else -1
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def jl_project(
+    embeds: DataFrame,
+    in_dim: int,
+    out_dim: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Johnson–Lindenstrauss sign projection (Achlioptas '03 ±1
+    variant): project each embedding onto *out_dim* random ±1
+    directions and scale by ``1/sqrt(out_dim)`` — the cheap sketch that
+    preserves pairwise distances within (1±ε) and turns 64-float
+    vectors into 8 doubles for pre-filtering near-dup / ANN candidates
+    before exact verification (the same cheap-first discipline as
+    sign-LSH, but metric-preserving rather than bucketing).
+
+    Determinism across engines: the sign matrix is md5-derived literals
+    baked into the plan; each output is an UNROLLED left-associated sum
+    of ``element(i)·(±1.0)`` — float→double widening, ±1 products and
+    fixed-order IEEE additions are all exact or correctly rounded
+    identically in the JVM and DuckDB, so the projected doubles are
+    bit-checkable, not approximately-equal.
+
+    Pure map-side column expressions (out_dim × in_dim fused-codegen
+    terms): zero shuffle, embarrassingly parallel at any corpus size.
+    Output: ``(id, p0..p{out_dim-1})``.
+    """
+    import math
+
+    signs = _jl_signs(seed, in_dim, out_dim)
+    scale = repr(1.0 / math.sqrt(out_dim))
+    cols = [F.col(id_col).alias("id")]
+    for j in range(out_dim):
+        terms = " + ".join(
+            f"cast(element_at({vec_col}, {i + 1}) as double)"
+            f" * {float(signs[j][i])!r}"
+            for i in range(in_dim)
+        )
+        cols.append(F.expr(f"({terms}) * {scale}").alias(f"p{j}"))
+    return embeds.select(*cols)
+
+
+def jl_oracle_sql(
+    rows_sql: str,
+    in_dim: int,
+    out_dim: int = 8,
+    seed: int = 42,
+) -> str:
+    """DuckDB replay of :func:`jl_project` — the SAME md5-derived sign
+    literals, same term order, same scale literal — over any
+    ``(vec_id, embedding)`` subquery."""
+    import math
+
+    signs = _jl_signs(seed, in_dim, out_dim)
+    scale = repr(1.0 / math.sqrt(out_dim))
+    cols = []
+    for j in range(out_dim):
+        terms = " + ".join(
+            f"embedding[{i + 1}]::DOUBLE * ({float(signs[j][i])!r})"
+            for i in range(in_dim)
+        )
+        cols.append(f"({terms}) * {scale} AS p{j}")
+    sel = ",\n               ".join(cols)
+    return f"""
+        SELECT vec_id AS id,
+               {sel}
+        FROM ({rows_sql})
+    """

@@ -499,3 +499,35 @@ def test_ip_politeness_shared_budget_and_fallback(spark):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, single.collect())
     )
+
+
+def test_robots_availability_policy(spark):
+    """RFC 9309 access results: 404 allows all, 5xx/network-error
+    disallows all until the grace window lapses, 2xx/3xx defer to
+    parsed rules."""
+    from podcast_crawler_spark.operators.robots import (
+        robots_availability,
+    )
+
+    day = 86400
+    now = 1_700_000_000
+    rows = [
+        ("ok", 200, now - day),
+        ("redir", 302, now - day),
+        ("gone", 404, now - day),
+        ("err-new", 500, now - day),
+        ("err-old", 503, now - 31 * day),
+        ("dead-new", None, now - day),
+        ("dead-old", None, now - 40 * day),
+    ]
+    df = spark.createDataFrame(
+        rows, "host string, http_status int, fetched_unix long"
+    )
+    out = {r.host: r for r in robots_availability(df, now_unix=now).collect()}
+    assert out["ok"].policy == "apply_rules"
+    assert out["redir"].policy == "apply_rules"
+    assert out["gone"].policy == "allow_all"
+    assert out["err-new"].policy == "disallow_all"
+    assert out["err-old"].policy == "allow_all" and out["err-old"].stale
+    assert out["dead-new"].policy == "disallow_all"
+    assert out["dead-old"].policy == "allow_all" and out["dead-old"].stale

@@ -333,3 +333,58 @@ def test_change_rate_schedule_intervals(spark):
     assert out["c"].n_obs == 1
     assert out["c"].interval_s == 10_000
     assert out["c"].change_ppm == 0
+
+
+def test_refetch_decision_three_way(spark):
+    """Fresh → skip; stale with a validator → revalidate (body bytes
+    saved); stale bare → full fetch.  no-store is never 'fresh' past
+    its clamped cadence but still revalidates when a validator exists."""
+    from podcast_crawler_spark.operators.refetch import refetch_decision
+
+    now = 2_000_000
+    rows = [
+        # url, cc, fetch, etag, lm, bytes
+        ("fresh", "max-age=900000", 1_500_000, None, None, 100),
+        ("stale-etag", "max-age=60", 1_000_000, '"abc"', None, 7777),
+        ("stale-lm", "max-age=60", 1_000_000, None, "Mon GMT", 500),
+        ("stale-bare", "max-age=60", 1_000_000, None, None, 9),
+        ("nostore-etag", "no-store", 1_000_000, '"x"', None, 42),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, cache_control string, fetch_unix long,"
+        " etag string, last_modified string, n_bytes long",
+    )
+    out = {r.url: r for r in refetch_decision(df, now_unix=now).collect()}
+    assert out["fresh"].decision == "skip"
+    assert out["fresh"].saved_bytes == 0
+    assert out["stale-etag"].decision == "revalidate"
+    assert out["stale-etag"].saved_bytes == 7777
+    assert out["stale-lm"].decision == "revalidate"
+    assert out["stale-bare"].decision == "full_fetch"
+    assert out["nostore-etag"].decision == "revalidate"
+
+
+def test_retry_after_grammars_and_clamps(spark):
+    """delay-seconds and IMF-fixdate both parse; hostile delays clamp;
+    past dates floor at zero; garbage falls back unparsed."""
+    from podcast_crawler_spark.operators.refetch import retry_after
+
+    now = 1_700_000_000  # 2023-11-14 22:13:20 UTC
+    rows = [
+        ("secs", "120"),
+        ("future", "Wed, 15 Nov 2023 06:25:24 GMT"),
+        ("past", "Mon, 13 Nov 2023 06:25:24 GMT"),
+        ("hostile", "999999999"),
+        ("junk", "soon"),
+        ("absent", None),
+    ]
+    df = spark.createDataFrame(rows, "url string, retry_after string")
+    out = {r.url: r for r in retry_after(df, now_unix=now).collect()}
+    assert out["secs"].delay_s == 120 and out["secs"].parsed
+    assert out["future"].delay_s == 1_700_029_524 - now
+    assert out["past"].delay_s == 0 and out["past"].parsed
+    assert out["hostile"].delay_s == 86_400
+    assert not out["junk"].parsed and out["junk"].delay_s == 0
+    assert not out["absent"].parsed
+    assert out["secs"].not_before_unix == now + 120

@@ -310,3 +310,32 @@ def test_pq_encode_plan_is_map_side(spark):
     )
     assert "Exchange" not in plan and "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_jl_project_preserves_distances(spark):
+    """The ±1/√k projection is (a) bit-deterministic across runs and
+    (b) approximately norm-preserving — the JL contract the pre-filter
+    relies on; orthogonal-ish inputs stay separated."""
+    import numpy as np
+
+    from podcast_crawler_spark.operators.similarity import (
+        _jl_signs,
+        jl_project,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(50, 64).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = jl_project(df, in_dim=64, out_dim=16).orderBy("id").collect()
+    proj = np.array([[getattr(r, f"p{j}") for j in range(16)] for r in out])
+    # numpy replay of the same literals = exact same doubles
+    S = np.array(_jl_signs(42, 64, 16), dtype=np.float64)
+    expected = (vecs.astype(np.float64) @ S.T) / np.sqrt(16.0)
+    # same values (operation order differs numpy-vs-unrolled: allow ulps)
+    assert np.allclose(proj, expected, rtol=1e-12, atol=1e-12)
+    # norm preservation in distribution: median ratio near 1
+    r = np.linalg.norm(proj, axis=1) / np.linalg.norm(
+        vecs.astype(np.float64), axis=1
+    )
+    assert 0.7 < np.median(r) < 1.3
