@@ -2412,6 +2412,37 @@ def _change_rates(spark, sf_dir):
     return refetch.change_rate_schedule(fetches)
 
 
+_AGE_NOW = 1700000000
+
+_AGE_URLS_SQL = """
+    select 'https://h' || cast(user_id % 30 as varchar) || '/e/'
+               || cast(event_id as varchar) as url,
+           (user_id % 100)::BIGINT as priority,
+           1700000000 - (event_id % 200) * 43200 as enqueued_unix
+    from events
+"""
+
+
+def _priority_aging(spark, sf_dir):
+    # starvation guard: +1 priority per day queued, capped -- waits up
+    # to 100 days across the synthetic frontier, so uncapped, capped and
+    # zero-wait branches are all live.  Exact integer oracle.
+    from podcast_crawler_spark.operators import frontier as fr
+
+    ev = _t(spark, sf_dir, "events")
+    urls = ev.select(
+        F.concat(
+            F.lit("https://h"), (F.col("user_id") % 30).cast("string"),
+            F.lit("/e/"), F.col("event_id").cast("string"),
+        ).alias("url"),
+        (F.col("user_id") % 100).cast("long").alias("priority"),
+        (F.lit(1700000000) - (F.col("event_id") % 200) * 43200)
+        .cast("long")
+        .alias("enqueued_unix"),
+    )
+    return fr.aged_priority(urls, now_unix=_AGE_NOW, max_boost=60)
+
+
 def _frontier_gating(spark, sf_dir):
     # admission gate integration: the deny-list a discovery crawl
     # applies every epoch — trap hosts (URL-template dominance) and
@@ -3530,6 +3561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_directives": _page_directives,
         "frontier_gating": _frontier_gating,
         "ip_politeness": _ip_politeness,
+        "priority_aging": _priority_aging,
         "change_rates": _change_rates,
         "feed_autodiscovery": _feed_autodiscovery,
         "canonical_groups": _canonical_groups,
@@ -4603,6 +4635,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "change_rates": _refetch_mod().change_rate_oracle_sql(
             _CRS_FETCHES_SQL
+        ),
+        "priority_aging": _frontier_mod().aged_priority_oracle_sql(
+            _AGE_URLS_SQL, now_unix=_AGE_NOW, max_boost=60
         ),
         "ip_politeness": _frontier_mod().ip_politeness_oracle_sql(
             _IPQ_URLS_SQL, _IPQ_MAP_SQL, per_queue_budget=5

@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "refetch_decision",
     "retry_after",
     "jl_project",
+    "priority_aging",
 ]
 
 
@@ -240,6 +241,10 @@ def main() -> None:
                 ),
                 "value": total,
                 "unit": "sec",
+                # total grows with COVERAGE (28 queries in r2, 70+ in
+                # r3): compare per-query times or crawl.urls_per_sec
+                # across rounds, never raw totals
+                "n_queries": len(BENCH_QUERIES),
                 "queries": results,
                 "sf": sf,
                 "cpus": CPUS,

@@ -488,3 +488,64 @@ def ip_politeness_oracle_sql(
                h.n_urls_host, t.n_urls_queue, h.n_selected_host
         FROM h JOIN t USING (queue_key)
     """
+
+
+def aged_priority(
+    urls: DataFrame,
+    now_unix: int,
+    aging_step_s: int = 86400,
+    max_boost: int = 100,
+    priority_col: str = "priority",
+    enqueued_col: str = "enqueued_unix",
+) -> DataFrame:
+    """Starvation guard: boost a queued URL's priority by one per
+    *aging_step_s* it has waited, capped at *max_boost* (Heritrix's
+    wait-cost precedence; without aging, a bounded per-host budget can
+    defer a low-priority URL forever behind a steady stream of
+    higher-priority arrivals).  ``aged = priority + min(max_boost,
+    wait div step)`` — monotone in wait, so ANY queued URL eventually
+    outranks any fixed finite priority gap ≤ max_boost·1.
+
+    Output: input columns + ``(wait_s, boost, aged_priority)``.  Pure
+    map-side integer arithmetic (rides the frontier scan, composes
+    before :func:`schedule_epoch`'s per-host rank); exact SQL oracle.
+    """
+    wait = F.greatest(
+        F.lit(0).cast("long"),
+        F.lit(int(now_unix)) - F.col(enqueued_col),
+    )
+    boost = F.least(
+        F.lit(int(max_boost)).cast("long"),
+        F.expr(
+            f"(greatest(0, {int(now_unix)} - {enqueued_col}))"
+            f" div {int(aging_step_s)}"
+        ),
+    )
+    return (
+        urls.withColumn("wait_s", wait)
+        .withColumn("boost", boost)
+        .withColumn(
+            "aged_priority", F.col(priority_col) + F.col("boost")
+        )
+    )
+
+
+def aged_priority_oracle_sql(
+    urls_sql: str,
+    now_unix: int,
+    aging_step_s: int = 86400,
+    max_boost: int = 100,
+) -> str:
+    """DuckDB replay of :func:`aged_priority` over any subquery with
+    (priority, enqueued_unix) — pass original columns through."""
+    return f"""
+        SELECT *,
+               GREATEST(0, {int(now_unix)} - enqueued_unix) AS wait_s,
+               LEAST({int(max_boost)},
+                     GREATEST(0, {int(now_unix)} - enqueued_unix)
+                         // {int(aging_step_s)}) AS boost,
+               priority + LEAST({int(max_boost)},
+                     GREATEST(0, {int(now_unix)} - enqueued_unix)
+                         // {int(aging_step_s)}) AS aged_priority
+        FROM ({urls_sql})
+    """

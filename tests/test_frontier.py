@@ -531,3 +531,30 @@ def test_robots_availability_policy(spark):
     assert out["err-old"].policy == "allow_all" and out["err-old"].stale
     assert out["dead-new"].policy == "disallow_all"
     assert out["dead-old"].policy == "allow_all" and out["dead-old"].stale
+
+
+def test_aged_priority_starvation_guard(spark):
+    """Boost grows one per step up to the cap; a starved low-priority
+    URL eventually outranks a fresh high-priority one."""
+    from podcast_crawler_spark.operators.frontier import aged_priority
+
+    now = 10_000_000
+    rows = [
+        ("old-low", 1, now - 50 * 86400),
+        ("fresh-high", 40, now - 3600),
+        ("capped", 0, now - 500 * 86400),
+        ("future", 5, now + 999),  # clock skew: never negative
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, priority long, enqueued_unix long"
+    )
+    out = {
+        r.url: r
+        for r in aged_priority(df, now_unix=now, max_boost=100).collect()
+    }
+    assert out["old-low"].boost == 50
+    assert out["old-low"].aged_priority == 51
+    assert out["fresh-high"].aged_priority == 40  # boost 0
+    assert out["old-low"].aged_priority > out["fresh-high"].aged_priority
+    assert out["capped"].boost == 100  # cap, not 500
+    assert out["future"].wait_s == 0 and out["future"].boost == 0
