@@ -2132,6 +2132,43 @@ def _retry_after(spark, sf_dir):
     return refetch.retry_after(rows, now_unix=_RAF_NOW)
 
 
+_ED_ROBOTS_SQL = """
+    select 'h' || cast(i as varchar) as host,
+           (i % 12)::BIGINT as robots_delay_s
+    from range(0, 40) t(i)
+"""
+_ED_LATENCY_SQL = """
+    select 'h' || cast(i as varchar) as host,
+           ((i * 3) % 10)::BIGINT as latency_delay_s
+    from range(20, 60) t(i)
+"""
+_ED_RETRY_SQL = """
+    select 'h' || cast(i as varchar) as host,
+           (i * 97 % 5000)::BIGINT as retry_delay_s
+    from range(35, 71) t(i)
+"""
+
+
+def _effective_delay(spark, sf_dir):
+    # politeness-delay resolver: robots Crawl-delay vs latency-derived
+    # delay vs server Retry-After, most conservative wins with
+    # provenance (retry > robots > latency > default).  Overlapping
+    # host ranges keep every outer-join branch, the clamp, and every
+    # source label live.
+    from podcast_crawler_spark.operators import refetch
+
+    def hosts(lo, hi, col, expr):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+            expr.cast("long").alias(col),
+        )
+
+    r = hosts(0, 40, "robots_delay_s", F.col("id") % 12)
+    l = hosts(20, 60, "latency_delay_s", (F.col("id") * 3) % 10)
+    t = hosts(35, 71, "retry_delay_s", (F.col("id") * 97) % 5000)
+    return refetch.effective_delay(r, l, t)
+
+
 def _cache_ttl(spark, sf_dir):
     # RFC 9111 freshness -> refetch TTL over synthesized Cache-Control
     # headers: plain max-age, s-maxage override, no-store, absent
@@ -3205,6 +3242,36 @@ def _host_communities(spark, sf_dir):
     return graph.label_propagation(edges, iters=4)
 
 
+def _focused_budget(spark, sf_dir):
+    # focused-crawl budget feedback: per-host keep-worthiness from the
+    # oracled quality chain -> integer good_ppm -> 4/2/1/0 budget tiers
+    # (the drop tier is the boilerplate-farm cutoff).  Host quality is
+    # made to CORRELATE with the host (junk-text fractions 100% / 60% /
+    # 30% / 0% by host stripe) so all four tiers are live.
+    base = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id") % 25
+    junk = (
+        F.when(k < 5, F.lit(True))
+        .when((k < 10) & (F.col("doc_id") % 10 < 6), F.lit(True))
+        .when((k < 15) & (F.col("doc_id") % 10 < 3), F.lit(True))
+        .otherwise(F.lit(False))
+    )
+    shaped = base.select(
+        "doc_id",
+        F.when(junk, F.lit("%%% ### %%% ### %%%")).otherwise(
+            F.col("text")
+        ).alias("text"),
+    )
+    q = textstats.quality_scores(shaped)
+    docs = q.select(
+        F.concat(F.lit("h"), (F.col("id") % 25).cast("string")).alias(
+            "host"
+        ),
+        "quality",
+    )
+    return graph.focused_budget(docs, base_budget=8, tau=0.5)
+
+
 def _hierarchical_budget(spark, sf_dir):
     # two-level politeness budget: domains compete first (driver-scalar
     # apportion — bounded), hosts split within domains via FULLY
@@ -3550,6 +3617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_host_rank": _crawl_host_rank,
         "budget_apportion": _budget_apportion,
         "hierarchical_budget": _hierarchical_budget,
+        "focused_budget": _focused_budget,
         "hits_scores": _hits_scores,
         "hop_distance": _hop_distance,
         "host_communities": _host_communities,
@@ -3575,6 +3643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_availability": _robots_availability,
         "refetch_decision": _refetch_decision,
         "retry_after": _retry_after,
+        "effective_delay": _effective_delay,
         "jl_project": _jl_project,
         "validator_stats": _validator_stats,
         "containment_pairs": _containment_pairs,
@@ -4618,6 +4687,9 @@ def oracle_sql() -> dict[str, str]:
             _DIRECTIVE_PAGES_SQL
         ),
         "frontier_gating": _frontier_gating_oracle(),
+        "effective_delay": _refetch_mod().effective_delay_oracle_sql(
+            _ED_ROBOTS_SQL, _ED_LATENCY_SQL, _ED_RETRY_SQL
+        ),
         "retry_after": _refetch_mod().retry_after_oracle_sql(
             _RAF_ROWS_SQL, now_unix=_RAF_NOW
         ),
@@ -5016,6 +5088,41 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": f"""
             select doc_id id, {pred_case} lang_pred, {greatest_all} lang_score
             from documents
+        """,
+        "focused_budget": f"""
+            with d0 as (
+              select doc_id,
+                     case when (doc_id % 25) < 5 then '%%% ### %%% ### %%%'
+                          when (doc_id % 25) < 10 and doc_id % 10 < 6
+                               then '%%% ### %%% ### %%%'
+                          when (doc_id % 25) < 15 and doc_id % 10 < 3
+                               then '%%% ### %%% ### %%%'
+                          else text end as text
+              from documents),
+            b as (
+              select doc_id id, length(text) n_chars,
+                     len(list_filter(string_split(text,' '), x -> len(x) > 0)) n_tokens,
+                     ({stop_sum}) stop,
+                     length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) alnum
+              from d0),
+            q as (
+              select id,
+                     round(least(n_tokens / 20.0, 1.0) * 0.4
+                           + least(stop::DOUBLE / n_tokens * 10.0, 1.0) * 0.3
+                           + alnum::DOUBLE / n_chars * 0.3, 6) quality
+              from b),
+            h as (
+              select 'h' || cast(id % 25 as varchar) host,
+                     count(*) n_docs,
+                     sum((quality >= 0.5)::int)::BIGINT n_good
+              from q group by 1),
+            p as (select *, (1000000 * n_good) // n_docs good_ppm from h)
+            select host, n_docs, n_good, good_ppm,
+                   8 * (case when good_ppm >= 800000 then 4
+                             when good_ppm >= 500000 then 2
+                             when good_ppm >= 200000 then 1
+                             else 0 end)::BIGINT budget
+            from p
         """,
         "quality_scores": f"""
             with b as (

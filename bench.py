@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     "retry_after",
     "jl_project",
     "priority_aging",
+    "focused_budget",
+    "effective_delay",
 ]
 
 

@@ -944,3 +944,49 @@ def hierarchical_oracle_sql(
                (base + (rn <= leftover)::int)::BIGINT budget
         from l
     """
+
+
+def focused_budget(
+    docs: DataFrame,
+    base_budget: int = 8,
+    tau: float = 0.5,
+    host_col: str = "host",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Focused-crawl budget feedback (Chakrabarti et al. '99 by way of
+    the modern corpus-quality loop): a host's next-epoch fetch budget
+    scales with how much of what it served was WORTH keeping.  Input is
+    one row per parsed document carrying its host and a quality score
+    (``textstats.quality_scores``); per host:
+
+      - ``good_ppm = 10^6 · n_good div n_docs`` (quality ≥ *tau*,
+        exact integer fraction)
+      - ``budget = base_budget × mult`` with mult 4 / 2 / 1 / 0 at
+        good_ppm ≥ 80% / 50% / 20% / below — the drop-to-zero tier is
+        the spam/boilerplate-farm cutoff (these hosts still re-enter
+        via the aging guard if their robots/quality change — budget 0
+        is an epoch decision, not a permanent ban).
+
+    The thresholds compare an exact integer (good_ppm) so the tiering
+    is engine-stable; the per-row ``quality ≥ tau`` boolean rides on
+    quality_scores' deterministic per-row arithmetic.  ONE aggregate,
+    map-side combine; composes with ``budget_apportion`` /
+    ``hierarchical_budget`` downstream.
+    """
+    good = (F.col(quality_col) >= F.lit(tau)).cast("long")
+    agg = docs.groupBy(host_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(good).alias("n_good"),
+    )
+    ppm = F.expr("(1000000 * n_good) div n_docs")
+    mult = (
+        F.when(F.col("good_ppm") >= 800_000, F.lit(4))
+        .when(F.col("good_ppm") >= 500_000, F.lit(2))
+        .when(F.col("good_ppm") >= 200_000, F.lit(1))
+        .otherwise(F.lit(0))
+    ).cast("long")
+    return (
+        agg.withColumn("good_ppm", ppm)
+        .withColumn("budget", F.lit(int(base_budget)) * mult)
+        .select(host_col, "n_docs", "n_good", "good_ppm", "budget")
+    )

@@ -871,3 +871,120 @@ def retry_after_oracle_sql(
                parsed
         FROM c
     """
+
+
+def effective_delay(
+    robots_delays: DataFrame,
+    latency_delays: DataFrame,
+    retry_delays: DataFrame,
+    default_delay_s: int = 1,
+    max_delay_s: int = 3600,
+) -> DataFrame:
+    """Politeness-delay resolver: ONE per-host crawl delay from the
+    three independent signals the stack computes —
+
+      - ``robots``  (host, robots_delay_s): what the site ASKS
+        (Crawl-delay, :mod:`robots`),
+      - ``latency`` (host, latency_delay_s): what its observed
+        responsiveness SUGGESTS (:func:`host_latency_profile`),
+      - ``retry``   (host, retry_delay_s): what the server DEMANDED
+        on its last 429/503 (:func:`retry_after`, rolled up per host).
+
+    The most conservative wins: ``delay_s = clamp(max(signals,
+    default))``, and ``source`` names which signal bound it (ties to
+    the strongest-claim order retry > robots > latency > default — a
+    server demand outranks a static hint).  Hosts present in ANY input
+    appear (full outer composition); missing signals simply don't
+    constrain.
+
+    Host-level tables in, host-level table out: two small outer joins +
+    map-side arithmetic.  At 10^8 hosts these are narrow 2-column
+    relations co-keyed on host — one shuffle each at most, no corpus
+    anywhere.  Exact integer oracle.
+    """
+    r = robots_delays.select("host", F.col("robots_delay_s").cast("long"))
+    l = latency_delays.select(
+        "host", F.col("latency_delay_s").cast("long")
+    )
+    t = retry_delays.select("host", F.col("retry_delay_s").cast("long"))
+    j = (
+        r.join(l, "host", "full_outer")
+        .join(t, "host", "full_outer")
+    )
+    eff = F.greatest(
+        F.coalesce(F.col("robots_delay_s"), F.lit(0).cast("long")),
+        F.coalesce(F.col("latency_delay_s"), F.lit(0).cast("long")),
+        F.coalesce(F.col("retry_delay_s"), F.lit(0).cast("long")),
+        F.lit(int(default_delay_s)).cast("long"),
+    )
+    clamped = F.least(F.lit(int(max_delay_s)).cast("long"), eff)
+    # provenance binds to the PRE-clamp max: a hostile Retry-After that
+    # the clamp cut must still read as 'retry', not 'default'
+    source = (
+        F.when(
+            F.coalesce(F.col("retry_delay_s"), F.lit(-1)) == eff,
+            F.lit("retry"),
+        )
+        .when(
+            F.coalesce(F.col("robots_delay_s"), F.lit(-1)) == eff,
+            F.lit("robots"),
+        )
+        .when(
+            F.coalesce(F.col("latency_delay_s"), F.lit(-1)) == eff,
+            F.lit("latency"),
+        )
+        .otherwise(F.lit("default"))
+    )
+    return j.select(
+        "host",
+        clamped.alias("delay_s"),
+        source.alias("source"),
+        "robots_delay_s",
+        "latency_delay_s",
+        "retry_delay_s",
+    )
+
+
+def effective_delay_oracle_sql(
+    robots_sql: str,
+    latency_sql: str,
+    retry_sql: str,
+    default_delay_s: int = 1,
+    max_delay_s: int = 3600,
+) -> str:
+    """DuckDB replay of :func:`effective_delay` — same outer joins,
+    same clamp, same provenance precedence."""
+    return f"""
+        WITH r AS (SELECT host, robots_delay_s::BIGINT AS robots_delay_s
+                   FROM ({robots_sql})),
+        l AS (SELECT host, latency_delay_s::BIGINT AS latency_delay_s
+              FROM ({latency_sql})),
+        t AS (SELECT host, retry_delay_s::BIGINT AS retry_delay_s
+              FROM ({retry_sql})),
+        j AS (
+            SELECT COALESCE(r.host, l.host, t.host) AS host,
+                   r.robots_delay_s, l.latency_delay_s, t.retry_delay_s
+            FROM r
+            FULL OUTER JOIN l ON r.host = l.host
+            FULL OUTER JOIN t ON COALESCE(r.host, l.host) = t.host
+        ),
+        e AS (
+            SELECT *,
+                   GREATEST(
+                       COALESCE(robots_delay_s, 0),
+                       COALESCE(latency_delay_s, 0),
+                       COALESCE(retry_delay_s, 0),
+                       {int(default_delay_s)}) AS eff
+            FROM j
+        )
+        SELECT host, LEAST({int(max_delay_s)}, eff) AS delay_s,
+               CASE WHEN COALESCE(retry_delay_s, -1) = eff
+                        THEN 'retry'
+                    WHEN COALESCE(robots_delay_s, -1) = eff
+                        THEN 'robots'
+                    WHEN COALESCE(latency_delay_s, -1) = eff
+                        THEN 'latency'
+                    ELSE 'default' END AS source,
+               robots_delay_s, latency_delay_s, retry_delay_s
+        FROM e
+    """

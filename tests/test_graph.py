@@ -596,3 +596,21 @@ def test_hierarchical_oracle_matches(spark):
                  for r in duckdb.sql(osql).fetchall())
     assert [tuple(int(x) if not isinstance(x, str) else x for x in g)
             for g in got] == exp
+
+
+def test_focused_budget_tiers(spark):
+    """Exact ppm boundaries: 100%/60%/40%/10% good hosts land in the
+    4/2/1/0 multiplier tiers; good_ppm is the exact integer fraction."""
+    from pyspark.sql import functions as F
+
+    from podcast_crawler_spark.operators.graph import focused_budget
+
+    rows = []
+    for h, good_of_10 in (("all", 10), ("most", 6), ("some", 4), ("bad", 1)):
+        rows += [(h, 1.0 if i < good_of_10 else 0.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "host string, quality double")
+    out = {r.host: r for r in focused_budget(df, base_budget=8).collect()}
+    assert out["all"].budget == 32 and out["all"].good_ppm == 1_000_000
+    assert out["most"].budget == 16 and out["most"].good_ppm == 600_000
+    assert out["some"].budget == 8 and out["some"].good_ppm == 400_000
+    assert out["bad"].budget == 0 and out["bad"].good_ppm == 100_000

@@ -388,3 +388,28 @@ def test_retry_after_grammars_and_clamps(spark):
     assert not out["junk"].parsed and out["junk"].delay_s == 0
     assert not out["absent"].parsed
     assert out["secs"].not_before_unix == now + 120
+
+
+def test_effective_delay_precedence_and_clamp(spark):
+    """Most conservative signal wins; provenance follows the
+    strongest-claim order retry > robots > latency > default; hostile
+    retry delays clamp; hosts missing everywhere still get the
+    default."""
+    from podcast_crawler_spark.operators.refetch import effective_delay
+
+    mk = lambda rows, col: spark.createDataFrame(
+        rows, f"host string, {col} long"
+    )
+    r = mk([("a", 10), ("b", 2), ("zero", 0)], "robots_delay_s")
+    l = mk([("a", 4), ("c", 7)], "latency_delay_s")
+    t = mk([("b", 2), ("d", 99999)], "retry_delay_s")
+    out = {
+        x.host: x for x in effective_delay(r, l, t).collect()
+    }
+    assert out["a"].delay_s == 10 and out["a"].source == "robots"
+    # tie robots==retry at 2 -> retry outranks
+    assert out["b"].delay_s == 2 and out["b"].source == "retry"
+    assert out["c"].delay_s == 7 and out["c"].source == "latency"
+    # clamp cuts the value but provenance still names the binding signal
+    assert out["d"].delay_s == 3600 and out["d"].source == "retry"
+    assert out["zero"].delay_s == 1 and out["zero"].source == "default"
