@@ -1872,6 +1872,12 @@ from podcast_crawler_spark.operators import similarity as _similarity
 def _similarity_mod():
     return _similarity
 
+from podcast_crawler_spark.operators import traps as _traps
+
+
+def _traps_mod():
+    return _traps
+
 
 _RING_WORKERS = [f"w{i:02d}" for i in range(16)]
 
@@ -2478,6 +2484,73 @@ def _priority_aging(spark, sf_dir):
         .alias("enqueued_unix"),
     )
     return fr.aged_priority(urls, now_unix=_AGE_NOW, max_boost=60)
+
+
+_BB_URLS_SQL = """
+    select 'h' || cast(user_id % 20 as varchar) as host,
+           'https://h' || cast(user_id % 20 as varchar) || '/p/'
+               || cast(event_id as varchar) as url,
+           (user_id % 7)::BIGINT as priority,
+           (1000 + (event_id % 50) * 997)::BIGINT as est_bytes
+    from events
+"""
+
+
+def _byte_budget(spark, sf_dir):
+    # bandwidth-budgeted politeness: per-host inclusive byte prefix sum
+    # in priority order, keep while cum <= 100 KB -- bytes, not URL
+    # counts, are the Common-Crawl courtesy unit.  Exact integer
+    # oracle over the same window.
+    from podcast_crawler_spark.operators import frontier as fr
+
+    ev = _t(spark, sf_dir, "events")
+    urls = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias(
+            "host"
+        ),
+        F.concat(
+            F.lit("https://h"), (F.col("user_id") % 20).cast("string"),
+            F.lit("/p/"), F.col("event_id").cast("string"),
+        ).alias("url"),
+        (F.col("user_id") % 7).cast("long").alias("priority"),
+        (F.lit(1000) + (F.col("event_id") % 50) * 997)
+        .cast("long")
+        .alias("est_bytes"),
+    )
+    return fr.byte_budget_schedule(urls, per_host_bytes=100_000)
+
+
+_S404_PAGES_SQL = """
+    select 'h' || cast(doc_id % 15 as varchar) as host,
+           case when doc_id % 11 = 0 then 404 else 200 end as http_status,
+           case when doc_id % 7 = 0 then 'Page Not Found - error 404'
+                when doc_id % 7 = 1 then text || ' archived: page not found'
+                when doc_id % 7 = 2 then ''
+                else text end as text
+    from documents
+"""
+
+
+def _soft404_stats(spark, sf_dir):
+    # soft-404 detection (200-status error pages): phrase + tiny-body /
+    # headline-position heuristics; late-phrase long pages and honest
+    # 404s are pinned NEGATIVE.  Per-host ppm for trap-review routing.
+    from podcast_crawler_spark.operators import traps as trapsmod
+
+    d = F.col("doc_id")
+    pages = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), (d % 15).cast("string")).alias("host"),
+        F.when(d % 11 == 0, F.lit(404)).otherwise(F.lit(200)).alias(
+            "http_status"
+        ),
+        F.when(d % 7 == 0, F.lit("Page Not Found - error 404"))
+        .when(d % 7 == 1, F.concat(F.col("text"),
+                                   F.lit(" archived: page not found")))
+        .when(d % 7 == 2, F.lit(""))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return trapsmod.soft404_stats(pages)
 
 
 def _frontier_gating(spark, sf_dir):
@@ -3630,6 +3703,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_gating": _frontier_gating,
         "ip_politeness": _ip_politeness,
         "priority_aging": _priority_aging,
+        "byte_budget": _byte_budget,
+        "soft404_stats": _soft404_stats,
         "change_rates": _change_rates,
         "feed_autodiscovery": _feed_autodiscovery,
         "canonical_groups": _canonical_groups,
@@ -4707,6 +4782,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "change_rates": _refetch_mod().change_rate_oracle_sql(
             _CRS_FETCHES_SQL
+        ),
+        "byte_budget": _frontier_mod().byte_budget_oracle_sql(
+            _BB_URLS_SQL, per_host_bytes=100_000
+        ),
+        "soft404_stats": _traps_mod().soft404_oracle_sql(
+            _S404_PAGES_SQL
         ),
         "priority_aging": _frontier_mod().aged_priority_oracle_sql(
             _AGE_URLS_SQL, now_unix=_AGE_NOW, max_boost=60

@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "priority_aging",
     "focused_budget",
     "effective_delay",
+    "byte_budget",
+    "soft404_stats",
 ]
 
 

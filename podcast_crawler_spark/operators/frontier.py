@@ -549,3 +549,63 @@ def aged_priority_oracle_sql(
                          // {int(aging_step_s)}) AS aged_priority
         FROM ({urls_sql})
     """
+
+
+def byte_budget_schedule(
+    urls: DataFrame,
+    per_host_bytes: int,
+    host_col: str = "host",
+    url_col: str = "url",
+    size_col: str = "est_bytes",
+    priority_col: str = "priority",
+) -> DataFrame:
+    """Bandwidth-budgeted per-host selection: take each host's queue in
+    priority order and keep URLs while the RUNNING byte total stays
+    within *per_host_bytes* (Common-Crawl-style crawling budgets BYTES
+    per host per epoch, not URL counts — ten 50 MB media pages are not
+    the same courtesy as ten 10 KB pages).  ``est_bytes`` is the
+    expected transfer size (last observed Content-Length, or a prior).
+
+    Selection rule: a URL is kept iff the cumulative size THROUGH it
+    (inclusive prefix sum in ``(priority, url)`` order) is ≤ budget —
+    first-fit in priority order, deterministic, no bin-packing
+    reshuffle (skipping an oversized head to fit a smaller tail would
+    invert priorities).  A single URL larger than the whole budget is
+    never selected — emit it to an oversize report upstream rather
+    than special-casing it here.
+
+    Output: input columns + ``(cum_bytes, selected)``.  ONE exchange —
+    the per-host window (same key as the politeness queue, so when
+    composed with :func:`schedule_epoch` the partitioning is reused);
+    exact integer oracle.
+    """
+    w = (
+        Window.partitionBy(host_col)
+        .orderBy(priority_col, url_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return urls.withColumn(
+        "cum_bytes", F.sum(F.col(size_col).cast("long")).over(w)
+    ).withColumn(
+        "selected", F.col("cum_bytes") <= F.lit(int(per_host_bytes))
+    )
+
+
+def byte_budget_oracle_sql(
+    urls_sql: str,
+    per_host_bytes: int,
+) -> str:
+    """DuckDB replay of :func:`byte_budget_schedule` over any subquery
+    with (host, url, priority, est_bytes)."""
+    return f"""
+        SELECT *,
+               SUM(est_bytes) OVER (
+                   PARTITION BY host ORDER BY priority, url
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )::BIGINT AS cum_bytes,
+               SUM(est_bytes) OVER (
+                   PARTITION BY host ORDER BY priority, url
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) <= {int(per_host_bytes)} AS selected
+        FROM ({urls_sql})
+    """

@@ -269,3 +269,90 @@ def mirror_oracle_sql(
         join sizes sa on p.host_a = sa.host
         join sizes sb on p.host_b = sb.host
     """
+
+
+def soft404_stats(
+    pages: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url",
+    status_col: str = "http_status",
+    text_col: str = "text",
+    min_chars: int = 120,
+) -> DataFrame:
+    """Soft-404 detection (Bar-Yossef et al. '04, "Sic transit gloria
+    telae"): pages that return **200** while actually being error pages
+    — they poison dedup (thousands of identical "not found" bodies),
+    waste refetch budget, and corrupt link-graph signals.  Per-page
+    heuristic (deterministic, regex + length only):
+
+      - error-phrase probe over the lowered text: "page not found",
+        "404", "does not exist", "no longer available",
+        "been removed" — word-boundary anchored where needed;
+      - tiny-body probe: fewer than *min_chars* characters.
+
+    A 200-page is ``soft404`` if it matches a phrase AND (tiny OR the
+    phrase appears in the first 80 chars — headline position); plain
+    non-200 rows are never soft (they are HONEST errors).  Output: one
+    row per host — ``(host, n_pages, n_ok, n_soft404, soft404_ppm)``;
+    route high-ppm hosts to the deny/trap review queue.
+
+    Map-side probes + one narrow aggregate; exact integer oracle.
+    """
+    t = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    phrase = (
+        t.rlike("page not found")
+        | t.rlike("does not exist")
+        | t.rlike("no longer available")
+        | t.rlike("been removed")
+        | t.rlike("error 404")
+    )
+    tiny = F.length(t) < F.lit(int(min_chars))
+    early = (
+        F.locate("not found", t) > 0
+    ) & (F.locate("not found", t) <= 80)
+    is200 = F.col(status_col) == 200
+    soft = is200 & phrase & (tiny | early)
+    return pages.groupBy(host_col).agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum(is200.cast("long")).alias("n_ok"),
+        F.sum(soft.cast("long")).alias("n_soft404"),
+    ).withColumn(
+        "soft404_ppm",
+        F.expr("case when n_ok > 0 then (1000000 * n_soft404) div n_ok"
+               " else 0 end"),
+    )
+
+
+def soft404_oracle_sql(pages_sql: str, min_chars: int = 120) -> str:
+    """DuckDB replay of :func:`soft404_stats`."""
+    return f"""
+        WITH p AS (SELECT * FROM ({pages_sql})),
+        f AS (
+            SELECT host, http_status,
+                   lower(coalesce(text, '')) AS t
+            FROM p
+        ),
+        m AS (
+            SELECT host,
+                   http_status = 200 AS is200,
+                   (regexp_matches(t, 'page not found')
+                    OR regexp_matches(t, 'does not exist')
+                    OR regexp_matches(t, 'no longer available')
+                    OR regexp_matches(t, 'been removed')
+                    OR regexp_matches(t, 'error 404')) AS phrase,
+                   length(t) < {int(min_chars)} AS tiny,
+                   strpos(t, 'not found') > 0
+                       AND strpos(t, 'not found') <= 80 AS early
+            FROM f
+        )
+        SELECT host, COUNT(*) AS n_pages,
+               SUM(is200::int)::BIGINT AS n_ok,
+               SUM((is200 AND phrase AND (tiny OR early))::int)::BIGINT
+                   AS n_soft404,
+               CASE WHEN SUM(is200::int) > 0
+                    THEN (1000000 * SUM((is200 AND phrase
+                          AND (tiny OR early))::int))
+                         // SUM(is200::int)
+                    ELSE 0 END::BIGINT AS soft404_ppm
+        FROM m GROUP BY host
+    """

@@ -558,3 +558,32 @@ def test_aged_priority_starvation_guard(spark):
     assert out["old-low"].aged_priority > out["fresh-high"].aged_priority
     assert out["capped"].boost == 100  # cap, not 500
     assert out["future"].wait_s == 0 and out["future"].boost == 0
+
+
+def test_byte_budget_first_fit_in_priority_order(spark):
+    """Cumulative bytes gate selection in priority order; an oversized
+    head blocks nothing behind it only via the budget, never by
+    special-casing; hosts are independent."""
+    from podcast_crawler_spark.operators.frontier import (
+        byte_budget_schedule,
+    )
+
+    rows = [
+        ("a", "u1", 0, 40),
+        ("a", "u2", 1, 50),
+        ("a", "u3", 2, 20),   # 110 > 100 -> out
+        ("a", "u4", 3, 5),    # 115 -> out (no skip-ahead refill)
+        ("b", "big", 0, 999), # oversize head
+        ("b", "u5", 1, 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "host string, url string, priority long, est_bytes long"
+    )
+    out = {
+        r.url: r.selected
+        for r in byte_budget_schedule(df, per_host_bytes=100).collect()
+    }
+    assert out == {
+        "u1": True, "u2": True, "u3": False, "u4": False,
+        "big": False, "u5": False,
+    }

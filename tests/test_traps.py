@@ -160,3 +160,25 @@ def test_mirror_oracle_sql_matches(spark):
     )
     exp = sorted(tuple(r) for r in duckdb.sql(osql).fetchall())
     assert got == exp
+
+
+def test_soft404_heuristics(spark):
+    """200 + phrase + (tiny or headline-position) => soft; honest 404s,
+    long late-phrase pages, and tiny clean pages are all negative."""
+    from podcast_crawler_spark.operators.traps import soft404_stats
+
+    filler = "real content " * 30
+    rows = [
+        ("h", "https://h/1", 200, "Page Not Found - error 404"),
+        ("h", "https://h/2", 404, "page not found"),          # honest
+        ("h", "https://h/3", 200, filler + " page not found"),  # late
+        ("h", "https://h/4", 200, "tiny"),                    # clean tiny
+        ("h", "https://h/5", 200, "page not found: " + filler),  # headline
+        ("h", "https://h/6", 200, filler),                    # clean
+    ]
+    df = spark.createDataFrame(
+        rows, "host string, url string, http_status int, text string"
+    )
+    r = soft404_stats(df).collect()[0]
+    assert (r.n_pages, r.n_ok, r.n_soft404) == (6, 5, 2)
+    assert r.soft404_ppm == 400_000
