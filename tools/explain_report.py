@@ -279,6 +279,34 @@ def main() -> None:
         "of any filter.",
     )
 
+    add(
+        "warc_export (distributed WARC sink: planned byte layout)",
+        qs["warc_export"](spark, SF),
+        "Expected: ONE hashpartitioning(bkt) exchange feeding a Window\n"
+        "that computes BOTH running sums (record count + bytes) in one\n"
+        "frame (extra_val_cols); a SinglePartition exchange carrying only\n"
+        "the B bucket totals; a broadcast join for shard byte-starts; and\n"
+        "one hashpartitioning(shard_id) exchange into the\n"
+        "FlatMapGroupsInPandas writer.  Bodies cross exactly those two\n"
+        "corpus exchanges — the manifest math never re-scans.",
+    )
+    add(
+        "ip_politeness (queue-by-IP budget sharing)",
+        qs["ip_politeness"](spark, SF),
+        "Expected: broadcast of the resolver dim (hosts never shuffle to\n"
+        "map onto queues), the salted two-phase rank bounding any one\n"
+        "CDN-address queue, and aggregate-to-aggregate joins for the\n"
+        "accounting — the corpus crosses only the window exchange.",
+    )
+    add(
+        "byte_budget (bandwidth-budgeted politeness)",
+        qs["byte_budget"](spark, SF),
+        "Expected: a single hashpartitioning(host) exchange under the\n"
+        "cumulative-bytes Window — the same key as the politeness queue,\n"
+        "so composition with schedule_epoch reuses the partitioning; all\n"
+        "selection arithmetic map-side above it.",
+    )
+
     md = [
         "# PLANS — physical-plan report for headline operators",
         "",
