@@ -1593,6 +1593,94 @@ def _dust_params(spark, sf_dir):
     return traps.dust_params(urls, min_support=3)
 
 
+_SM_ENTRIES_SQL = """
+    with d as (select doc_id,
+                      'https://h' || (doc_id % 13) || '.example.com'
+                        as host
+               from documents),
+    e as (
+      select host || '/sitemap-' || doc_id || '.xml' sitemap_url,
+             host || '/doc/' || doc_id || '?a=1&b=2' loc,
+             false is_index
+      from d where doc_id % 5 <> 0
+      union all
+      select host || '/sitemap-' || doc_id || '.xml',
+             host || '/alt/' || doc_id, false
+      from d where doc_id % 5 <> 0
+      union all
+      select host || '/sitemap-' || doc_id || '.xml',
+             host || '/sitemap-child-1.xml', true
+      from d where doc_id % 5 = 0)
+    select sitemap_url, loc, is_index from e
+"""
+
+_SM_FETCHED_SQL = """
+    select 'https://h' || (doc_id % 13) || '.example.com/doc/'
+               || doc_id || '?a=1&b=2' as loc
+    from documents where doc_id % 3 <> 0
+    union all
+    select 'https://h' || (doc_id % 13) || '.example.com/alt/'
+               || doc_id as loc
+    from documents where doc_id % 4 = 0
+"""
+
+
+def _sitemap_coverage(spark, sf_dir):
+    # discovery-completeness audit: advertised (scan through the real
+    # XML plumbing) vs actually-fetched; /doc locs fetched for 2/3 of
+    # ids, /alt locs only for id%4==0, index entries excluded -- so
+    # 0%, 50% and 100% coverage sitemaps are all live.
+    from podcast_crawler_spark.operators import sitemap as sm
+
+    d = F.col("doc_id")
+    entries = _sitemap_scan(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat(F.lit("https://h"), (d % 13).cast("string"),
+                    F.lit(".example.com"))
+    fetched = docs.filter(d % 3 != 0).select(
+        F.concat(host, F.lit("/doc/"), d.cast("string"),
+                 F.lit("?a=1&b=2")).alias("loc")
+    ).unionByName(
+        docs.filter(d % 4 == 0).select(
+            F.concat(host, F.lit("/alt/"), d.cast("string")).alias("loc")
+        )
+    )
+    return sm.sitemap_coverage(entries, fetched)
+
+
+_IPROT_HISTORY_SQL = """
+    select 'h' || cast(user_id % 30 as varchar) as host,
+           case when user_id % 30 < 6
+                then '10.1.0.' || cast(event_id % 50 as varchar)
+                else '10.0.0.' || cast(user_id % 30 as varchar) end as ip,
+           1700000000 + event_id as seen_unix
+    from events
+"""
+
+
+def _ip_rotation(spark, sf_dir):
+    # fast-flux / CDN rotation detection over resolver history: 6 of 30
+    # hosts rotate through up to 50 addresses, the rest are stable --
+    # exact integer rotation rate, threshold flag for the politeness
+    # resolver and trap review.
+    from podcast_crawler_spark.operators import traps as trapsmod
+
+    ev = _t(spark, sf_dir, "events")
+    k = F.col("user_id") % 30
+    hist = ev.select(
+        F.concat(F.lit("h"), k.cast("string")).alias("host"),
+        F.when(
+            k < 6,
+            F.concat(F.lit("10.1.0."),
+                     (F.col("event_id") % 50).cast("string")),
+        ).otherwise(
+            F.concat(F.lit("10.0.0."), k.cast("string"))
+        ).alias("ip"),
+        (F.lit(1700000000) + F.col("event_id")).alias("seen_unix"),
+    )
+    return trapsmod.ip_rotation_stats(hist)
+
+
 def _sitemap_refresh(spark, sf_dir):
     # lastmod-driven refetch: sitemap entries (through the REAL
     # mapInPandas XML scan) joined against the stored fetch log —
@@ -1877,6 +1965,12 @@ from podcast_crawler_spark.operators import traps as _traps
 
 def _traps_mod():
     return _traps
+
+from podcast_crawler_spark.operators import sitemap as _sitemap
+
+
+def _sitemap_mod():
+    return _sitemap
 
 
 _RING_WORKERS = [f"w{i:02d}" for i in range(16)]
@@ -3738,6 +3832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_score": _classifier_score,
         "sitemap_scan": _sitemap_scan,
         "sitemap_refresh": _sitemap_refresh,
+        "sitemap_coverage": _sitemap_coverage,
+        "ip_rotation": _ip_rotation,
         "atom_parse": _atom_parse,
         "span_dedup": _span_dedup,
         "trap_stats": _trap_stats,
@@ -4601,6 +4697,12 @@ def oracle_sql() -> dict[str, str]:
                    description
             from rows_
         """,
+        "sitemap_coverage": _sitemap_mod().coverage_oracle_sql(
+            _SM_ENTRIES_SQL, _SM_FETCHED_SQL
+        ),
+        "ip_rotation": _traps_mod().ip_rotation_oracle_sql(
+            _IPROT_HISTORY_SQL
+        ),
         "sitemap_refresh": """
             with scan as (
             with d as (select doc_id,

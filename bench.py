@@ -120,6 +120,8 @@ BENCH_QUERIES = [
     "effective_delay",
     "byte_budget",
     "soft404_stats",
+    "sitemap_coverage",
+    "ip_rotation",
 ]
 
 

@@ -31,6 +31,7 @@ from __future__ import annotations
 from typing import Dict, Iterator, List, Optional
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BooleanType,
     IntegerType,
@@ -142,3 +143,76 @@ def scan_sitemaps(
     return df.select(url_col, xml_col).mapInPandas(
         _run, schema=SITEMAP_SCHEMA
     )
+
+
+def sitemap_coverage(
+    entries: DataFrame,
+    fetched: DataFrame,
+    loc_col: str = "loc",
+) -> DataFrame:
+    """Discovery-completeness audit: how much of what each sitemap
+    ADVERTISES has the crawl actually fetched — the complement of
+    ``sitemap_refresh`` (that asks "is what we fetched stale?", this
+    asks "what did we never fetch at all?").  A persistent gap means
+    the frontier's budget/priority rules are starving a host the site
+    itself asked us to index.
+
+    *entries* is :func:`scan_sitemaps` output; *fetched* any relation
+    with the fetched-URL column (the pages table, the frontier's
+    parsed slice).  Index entries are excluded (they advertise other
+    sitemaps, not content).  Output per sitemap document:
+    ``(sitemap_url, n_advertised, n_fetched, n_missing,
+    coverage_ppm)``.
+
+    Scale shape: distinct advertised (sitemap_url, loc) pairs LEFT-join
+    the distinct fetched set on loc — both sides narrow strings, one
+    shuffle each — then a map-side-combined aggregate per sitemap.
+    Exact integer oracle.
+    """
+    adv = (
+        entries.filter(~F.col("is_index"))
+        .select("sitemap_url", F.col(loc_col).alias("loc"))
+        .distinct()
+    )
+    f = fetched.select(F.col(loc_col).alias("loc")).distinct().withColumn(
+        "_f", F.lit(1).cast("long")
+    )
+    j = adv.join(f, "loc", "left")
+    return (
+        j.groupBy("sitemap_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_advertised"),
+            F.sum(F.coalesce(F.col("_f"), F.lit(0))).alias("n_fetched"),
+        )
+        .select(
+            "sitemap_url",
+            "n_advertised",
+            "n_fetched",
+            (F.col("n_advertised") - F.col("n_fetched")).alias("n_missing"),
+            F.expr(
+                "(1000000 * n_fetched) div n_advertised"
+            ).alias("coverage_ppm"),
+        )
+    )
+
+
+def coverage_oracle_sql(entries_sql: str, fetched_sql: str) -> str:
+    """DuckDB replay of :func:`sitemap_coverage` — *entries_sql* must
+    yield (sitemap_url, loc, is_index), *fetched_sql* a loc column."""
+    return f"""
+        WITH adv AS (
+            SELECT DISTINCT sitemap_url, loc
+            FROM ({entries_sql}) e WHERE NOT is_index
+        ),
+        f AS (SELECT DISTINCT loc FROM ({fetched_sql}) x),
+        j AS (
+            SELECT adv.sitemap_url,
+                   (f.loc IS NOT NULL)::int AS hit
+            FROM adv LEFT JOIN f ON adv.loc = f.loc
+        )
+        SELECT sitemap_url, COUNT(*) AS n_advertised,
+               SUM(hit)::BIGINT AS n_fetched,
+               (COUNT(*) - SUM(hit))::BIGINT AS n_missing,
+               ((1000000 * SUM(hit)) // COUNT(*))::BIGINT AS coverage_ppm
+        FROM j GROUP BY sitemap_url
+    """

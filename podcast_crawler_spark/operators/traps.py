@@ -356,3 +356,67 @@ def soft404_oracle_sql(pages_sql: str, min_chars: int = 120) -> str:
                     ELSE 0 END::BIGINT AS soft404_ppm
         FROM m GROUP BY host
     """
+
+
+def ip_rotation_stats(
+    hostmap_history: DataFrame,
+    rotation_threshold: int = 5,
+    host_col: str = "host",
+    ip_col: str = "ip",
+    ts_col: str = "seen_unix",
+) -> DataFrame:
+    """Fast-flux / IP-rotation detection over the resolver history
+    ``(host, ip, seen_unix)``: a host that answers from many addresses
+    in a short window is CDN-fronted at best and fast-flux abuse at
+    worst — either way the queue-by-IP politeness mapping
+    (:func:`frontier.ip_politeness`) must not treat each new address
+    as a fresh budget.  Per host:
+
+      - ``n_ips`` distinct addresses, ``n_obs`` resolutions,
+        ``span_s`` observation window;
+      - ``ips_per_day_x1000 = (86400·1000·(n_ips−1)) div max(span_s,1)``
+        — exact integer rotation rate (×1000 fixed point);
+      - ``rotating = n_ips ≥ rotation_threshold`` — route to the
+        ip_politeness resolver as a SINGLE shared queue key and to the
+        trap review list.
+
+    ONE aggregate with map-side combine (count-distinct on a narrow
+    string); exact integer oracle.
+    """
+    agg = hostmap_history.groupBy(host_col).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.countDistinct(ip_col).alias("n_ips"),
+        (F.max(ts_col) - F.min(ts_col)).cast("long").alias("span_s"),
+    )
+    rate = F.expr(
+        "(86400 * 1000 * (n_ips - 1)) div greatest(span_s, 1)"
+    )
+    return agg.select(
+        host_col,
+        "n_obs",
+        "n_ips",
+        "span_s",
+        rate.alias("ips_per_day_x1000"),
+        (F.col("n_ips") >= F.lit(int(rotation_threshold))).alias(
+            "rotating"
+        ),
+    )
+
+
+def ip_rotation_oracle_sql(
+    history_sql: str, rotation_threshold: int = 5
+) -> str:
+    """DuckDB replay of :func:`ip_rotation_stats`."""
+    return f"""
+        WITH a AS (
+            SELECT host, COUNT(*) AS n_obs,
+                   COUNT(DISTINCT ip) AS n_ips,
+                   MAX(seen_unix) - MIN(seen_unix) AS span_s
+            FROM ({history_sql}) h GROUP BY host
+        )
+        SELECT host, n_obs, n_ips, span_s,
+               ((86400 * 1000 * (n_ips - 1))
+                   // GREATEST(span_s, 1))::BIGINT AS ips_per_day_x1000,
+               n_ips >= {int(rotation_threshold)} AS rotating
+        FROM a
+    """

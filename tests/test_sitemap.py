@@ -102,3 +102,31 @@ def test_scan_sitemaps_spark(spark):
         "https://example.com/s2.xml",
     ]
     assert all(r.is_index for r in b)
+
+
+def test_sitemap_coverage_gap(spark):
+    """Advertised-but-never-fetched locs are counted per sitemap; index
+    entries never count as content; duplicate advertisements collapse."""
+    from pyspark.sql import functions as F
+
+    from podcast_crawler_spark.operators.sitemap import sitemap_coverage
+
+    entries = spark.createDataFrame(
+        [
+            ("s1", "https://h/a", False),
+            ("s1", "https://h/a", False),  # duplicate advertisement
+            ("s1", "https://h/b", False),
+            ("s1", "https://h/child.xml", True),  # index: excluded
+            ("s2", "https://h/c", False),
+        ],
+        "sitemap_url string, loc string, is_index boolean",
+    )
+    fetched = spark.createDataFrame(
+        [("https://h/a",), ("https://h/x",)], "loc string"
+    )
+    out = {r.sitemap_url: r for r in
+           sitemap_coverage(entries, fetched).collect()}
+    s1 = out["s1"]
+    assert (s1.n_advertised, s1.n_fetched, s1.n_missing) == (2, 1, 1)
+    assert s1.coverage_ppm == 500_000
+    assert out["s2"].coverage_ppm == 0

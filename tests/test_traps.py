@@ -182,3 +182,25 @@ def test_soft404_heuristics(spark):
     r = soft404_stats(df).collect()[0]
     assert (r.n_pages, r.n_ok, r.n_soft404) == (6, 5, 2)
     assert r.soft404_ppm == 400_000
+
+
+def test_ip_rotation_stats(spark):
+    """A host cycling addresses flags as rotating with an exact
+    fixed-point rate; a stable host never flags; a single-observation
+    host divides by the span floor, not zero."""
+    from podcast_crawler_spark.operators.traps import ip_rotation_stats
+
+    rows = (
+        [("flux", f"10.1.0.{i}", 1000 + i * 100) for i in range(10)]
+        + [("stable", "10.0.0.1", 1000 + i * 100) for i in range(10)]
+        + [("once", "10.2.0.1", 5000)]
+    )
+    df = spark.createDataFrame(rows, "host string, ip string, seen_unix long")
+    out = {r.host: r for r in ip_rotation_stats(df).collect()}
+    f = out["flux"]
+    assert f.n_ips == 10 and f.rotating
+    assert f.span_s == 900
+    assert f.ips_per_day_x1000 == (86400 * 1000 * 9) // 900
+    assert out["stable"].n_ips == 1 and not out["stable"].rotating
+    assert out["once"].span_s == 0
+    assert out["once"].ips_per_day_x1000 == 0  # (1-1) numerator
