@@ -2984,6 +2984,54 @@ def _paragraph_lang_mix(spark, sf_dir):
     return textstats.paragraph_lang_mix(docs)
 
 
+_SYN_EPISODES_SQL = """
+    select 'https://feeds.example/f' || cast(user_id % 40 as varchar)
+               || '.xml' as feed_url,
+           case when event_id % 5 = 0
+                then 'https://cdn.example/audio/'
+                     || cast(event_id // 50 as varchar) || '.mp3'
+                when event_id % 7 = 0 then ''
+                else 'https://cdn.example/solo/'
+                     || cast(event_id as varchar) || '.mp3' end
+               as enclosure_url
+    from events
+"""
+
+
+def _episode_syndication(spark, sf_dir):
+    # cross-feed syndication: the reference dedups by guid WITHIN a
+    # feed; the same enclosure republished ACROSS feeds needs the
+    # corpus-level key.  Every 5th event shares a CDN enclosure across
+    # ~40 feeds, empties are dropped, solo enclosures never group.
+    ev = _t(spark, sf_dir, "events")
+    eps = ev.select(
+        F.concat(
+            F.lit("https://feeds.example/f"),
+            (F.col("user_id") % 40).cast("string"), F.lit(".xml"),
+        ).alias("feed_url"),
+        F.when(
+            F.col("event_id") % 5 == 0,
+            F.concat(F.lit("https://cdn.example/audio/"),
+                     F.expr("cast(event_id div 50 as string)"),
+                     F.lit(".mp3")),
+        )
+        .when(F.col("event_id") % 7 == 0, F.lit(""))
+        .otherwise(
+            F.concat(F.lit("https://cdn.example/solo/"),
+                     F.col("event_id").cast("string"), F.lit(".mp3"))
+        )
+        .alias("enclosure_url"),
+    )
+    return dedup.episode_syndication(eps)
+
+
+def _lid_agreement(spark, sf_dir):
+    # LID ensemble audit: stopword-marker vs char-trigram predictions
+    # per doc, accept on non-unk agreement, quarantine otherwise.  The
+    # oracle nests BOTH full scoring chains and replays the routing.
+    return textstats.lid_agreement(_t(spark, sf_dir, "documents"))
+
+
 def _lang_id_ngram(spark, sf_dir):
     # char-trigram language ID (Cavnar-Trenkle profiles as fixed
     # constants): robust to missing spaces and partial words; integer
@@ -3828,6 +3876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _weighted_sample,
         "normalize_text": _normalize_text,
         "lang_id_ngram": _lang_id_ngram,
+        "episode_syndication": _episode_syndication,
+        "lid_agreement": _lid_agreement,
         "paragraph_lang_mix": _paragraph_lang_mix,
         "classifier_score": _classifier_score,
         "sitemap_scan": _sitemap_scan,
@@ -5267,6 +5317,24 @@ def oracle_sql() -> dict[str, str]:
                       order by cos desc, neighbor_id)::INT rank,
                    round(cos, 6) cos
             from s qualify rank <= 5
+        """,
+        "episode_syndication": dedup.syndication_oracle_sql(
+            _SYN_EPISODES_SQL
+        ),
+        "lid_agreement": f"""
+            with stop as (
+              select doc_id id, {pred_case} lang_stop
+              from documents),
+            tri as (
+              select id, lang_pred lang_tri, margin
+              from ({textstats.lang_id_ngram_oracle_sql(
+                  "select doc_id as id, text from documents")}) t)
+            select s.id, s.lang_stop, t.lang_tri, t.margin,
+                   s.lang_stop = t.lang_tri as agree,
+                   case when s.lang_stop = t.lang_tri
+                             and s.lang_stop <> 'unk'
+                        then 'accept' else 'quarantine' end as decision
+            from stop s join tri t using (id)
         """,
         "lang_id": f"""
             select doc_id id, {pred_case} lang_pred, {greatest_all} lang_score

@@ -122,6 +122,8 @@ BENCH_QUERIES = [
     "soft404_stats",
     "sitemap_coverage",
     "ip_rotation",
+    "episode_syndication",
+    "lid_agreement",
 ]
 
 

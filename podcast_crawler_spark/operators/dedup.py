@@ -1073,3 +1073,57 @@ def cdc_oracle_sql(
                 from cid group by 1, 2)
         select * from agg
     """
+
+
+def episode_syndication(
+    episodes: DataFrame,
+    feed_col: str = "feed_url",
+    enclosure_col: str = "enclosure_url",
+) -> DataFrame:
+    """Cross-feed episode syndication: the SAME audio enclosure
+    republished by multiple feeds (network re-feeds, aggregator
+    mirrors, stolen feeds).  The reference dedups episodes by guid
+    WITHIN a feed (`episode_repository.rs` upsert key — guid LWW);
+    across feeds guids differ while the enclosure bytes are the same
+    URL, so corpus-level episode counting / training-data dedup needs
+    this second key.  Per syndicated enclosure:
+
+    ``(enclosure_md5, n_feeds, n_episodes, first_feed)`` — groups with
+    ``n_feeds > 1`` only; ``first_feed`` (min feed URL) is the
+    deterministic canonical-owner pick, the same LWW-style
+    tie-breaking discipline as ``resolve_lww``.
+
+    Scale shape: one groupBy on the 16-byte enclosure digest (the
+    ``exact_dups`` discipline — the URL string itself never shuffles);
+    count-distinct on feed partial-aggregates map-side.  Exact oracle.
+    """
+    e = episodes.filter(
+        F.col(enclosure_col).isNotNull() & (F.col(enclosure_col) != "")
+    )
+    return (
+        e.groupBy(F.md5(F.col(enclosure_col)).alias("enclosure_md5"))
+        .agg(
+            F.countDistinct(feed_col).alias("n_feeds"),
+            F.count(F.lit(1)).alias("n_episodes"),
+            F.min(feed_col).alias("first_feed"),
+        )
+        .filter(F.col("n_feeds") > 1)
+    )
+
+
+def syndication_oracle_sql(episodes_sql: str) -> str:
+    """DuckDB replay of :func:`episode_syndication` over any
+    (feed_url, enclosure_url) subquery."""
+    return f"""
+        WITH e AS (
+            SELECT * FROM ({episodes_sql}) x
+            WHERE enclosure_url IS NOT NULL AND enclosure_url <> ''
+        )
+        SELECT md5(enclosure_url) AS enclosure_md5,
+               COUNT(DISTINCT feed_url) AS n_feeds,
+               COUNT(*) AS n_episodes,
+               MIN(feed_url) AS first_feed
+        FROM e
+        GROUP BY enclosure_url
+        HAVING COUNT(DISTINCT feed_url) > 1
+    """

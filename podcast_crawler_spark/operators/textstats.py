@@ -1204,3 +1204,42 @@ def paragraph_lang_oracle_sql(
                    as mix_ppm
         from a join d on a.id = d.id and d.rn = 1
     """
+
+
+def lid_agreement(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """LID ensemble audit: run BOTH language identifiers — the stopword
+    marker model (:func:`language_id`, needs spaced full words) and the
+    char-trigram profile model (:func:`lang_id_ngram`, robust to
+    unspaced/partial text) — and report where they disagree.  Routing
+    rule of real pipelines: agreement ⇒ accept the label; disagreement
+    or double-unk ⇒ quarantine for the expensive classifier.
+
+    Output per doc: ``(id, lang_stop, lang_tri, margin, agree,
+    decision)`` with decision ∈ accept / quarantine.  Composition of
+    two oracled map-side operators joined on id — the join carries
+    only (id, tag, margin) narrow rows, never text.  At 10^10 docs the
+    fused single-select version (inline both expression sets over one
+    scan) saves the second scan and the join exchange; the composed
+    form is kept here because it reuses the two operators verbatim —
+    inline if this audit ever moves to the hot path.
+    """
+    stop = language_id(df, text_col=text_col, id_col=id_col).select(
+        F.col("id"), F.col("lang_pred").alias("lang_stop")
+    )
+    tri = lang_id_ngram(df, text_col=text_col, id_col=id_col).select(
+        F.col("id"), F.col("lang_pred").alias("lang_tri"), "margin"
+    )
+    j = stop.join(tri, "id")
+    agree = F.col("lang_stop") == F.col("lang_tri")
+    return j.select(
+        "id",
+        "lang_stop",
+        "lang_tri",
+        "margin",
+        agree.alias("agree"),
+        F.when(agree & (F.col("lang_stop") != "unk"), F.lit("accept"))
+        .otherwise(F.lit("quarantine"))
+        .alias("decision"),
+    )

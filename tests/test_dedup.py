@@ -669,3 +669,24 @@ def test_cdc_oracle_sql_matches(spark):
         for a, b, c, d, e in duckdb.sql(osql).fetchall()
     )
     assert got == exp
+
+
+def test_episode_syndication_cross_feed_only(spark):
+    """Groups form only across DISTINCT feeds; within-feed repeats and
+    empty enclosures never group; the canonical owner is the min feed."""
+    from podcast_crawler_spark.operators.dedup import episode_syndication
+
+    rows = [
+        ("feedB", "https://cdn/x.mp3"),
+        ("feedA", "https://cdn/x.mp3"),   # syndicated pair
+        ("feedA", "https://cdn/y.mp3"),
+        ("feedA", "https://cdn/y.mp3"),   # same feed twice: no group
+        ("feedC", ""),
+        ("feedD", None),
+        ("feedC", "https://cdn/z.mp3"),   # solo
+    ]
+    df = spark.createDataFrame(rows, "feed_url string, enclosure_url string")
+    out = episode_syndication(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_feeds, r.n_episodes, r.first_feed) == (2, 2, "feedA")

@@ -856,3 +856,20 @@ def test_paragraph_lang_mix_rollup(spark):
     assert d1.dominant_n == 2 and d1.mix_ppm == 333_333
     d2 = out[2]
     assert (d2.n_langs, d2.dominant_lang, d2.mix_ppm) == (1, "en", 0)
+
+
+def test_lid_agreement_routing(spark):
+    """Non-unk agreement accepts; disagreement or double-unk
+    quarantines."""
+    from podcast_crawler_spark.operators.textstats import lid_agreement
+
+    en = ("the cat and the dog with a thing of the day that is here "
+          "and there was this from")
+    docs = spark.createDataFrame(
+        [(1, en), (2, "zzz qqq xxx 12345")],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in lid_agreement(docs).collect()}
+    assert out[1].lang_stop == "en" and out[1].lang_tri == "en"
+    assert out[1].decision == "accept"
+    assert out[2].decision == "quarantine"
