@@ -2269,6 +2269,54 @@ def _effective_delay(spark, sf_dir):
     return refetch.effective_delay(r, l, t)
 
 
+def _chunk_documents(spark, sf_dir):
+    # sliding-window chunking (RAG/embedding units): 32-token windows,
+    # 8-token overlap, clipped tail kept; digests, not text, cross the
+    # wire.  Exact list-arithmetic oracle.
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    return curation.chunk_documents(
+        docs, chunk_tokens=32, overlap=8, id_col="id"
+    )
+
+
+_DC_FETCH_SQL = """
+    select 'h' || cast(user_id % 25 as varchar) as host,
+           1700000000 + (event_id * 37) % 100000 as fetch_unix
+    from events
+"""
+
+_DC_DECLARED_SQL = """
+    select 'h' || cast(i as varchar) as host,
+           (i % 30)::BIGINT as crawl_delay_s
+    from range(20) t(i)
+"""
+
+
+def _delay_compliance(spark, sf_dir):
+    # politeness ground-truth audit: actual consecutive-fetch gaps per
+    # host vs the declared crawl delay (hosts h20-h24 declare nothing
+    # -> audited against 0, never violated).  Lag window + broadcast
+    # dim + one aggregate; exact integer oracle.
+    from podcast_crawler_spark.operators import refetch
+
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 25).cast("string")).alias(
+            "host"
+        ),
+        (F.lit(1700000000) + (F.col("event_id") * 37) % 100000).alias(
+            "fetch_unix"
+        ),
+    )
+    declared = spark.range(20).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        (F.col("id") % 30).cast("long").alias("crawl_delay_s"),
+    )
+    return refetch.delay_compliance(log, declared)
+
+
 def _cache_ttl(spark, sf_dir):
     # RFC 9111 freshness -> refetch TTL over synthesized Cache-Control
     # headers: plain max-age, s-maxage override, no-store, absent
@@ -3861,6 +3909,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refetch_decision": _refetch_decision,
         "retry_after": _retry_after,
         "effective_delay": _effective_delay,
+        "chunk_documents": _chunk_documents,
+        "delay_compliance": _delay_compliance,
         "jl_project": _jl_project,
         "validator_stats": _validator_stats,
         "containment_pairs": _containment_pairs,
@@ -4914,6 +4964,13 @@ def oracle_sql() -> dict[str, str]:
             _DIRECTIVE_PAGES_SQL
         ),
         "frontier_gating": _frontier_gating_oracle(),
+        "chunk_documents": curation.chunk_oracle_sql(
+            "select doc_id as id, text from documents",
+            chunk_tokens=32, overlap=8,
+        ),
+        "delay_compliance": _refetch_mod().compliance_oracle_sql(
+            _DC_FETCH_SQL, _DC_DECLARED_SQL
+        ),
         "effective_delay": _refetch_mod().effective_delay_oracle_sql(
             _ED_ROBOTS_SQL, _ED_LATENCY_SQL, _ED_RETRY_SQL
         ),

@@ -124,6 +124,8 @@ BENCH_QUERIES = [
     "ip_rotation",
     "episode_syndication",
     "lid_agreement",
+    "chunk_documents",
+    "delay_compliance",
 ]
 
 

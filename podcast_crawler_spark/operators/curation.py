@@ -749,3 +749,99 @@ def split_leakage_oracle_sql(
         GROUP BY content_md5
         HAVING COUNT(DISTINCT split) > 1
     """
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking — the retrieval/embedding unit
+    pass (RAG indexing, long-doc embedding): windows of *chunk_tokens*
+    whitespace tokens advancing by ``chunk_tokens − overlap``, so
+    consecutive chunks share *overlap* tokens and no boundary sentence
+    is lost to a hard cut.  Differs from :func:`pack_shards` (which
+    CONCATENATES docs into training blocks; this SPLITS docs into
+    retrieval units, order-free).
+
+    Output one row per chunk: ``(id, chunk_idx, start_tok,
+    n_tokens_chunk, chunk_md5)`` — the digest, not the text, so the
+    exchange stays narrow; join back on (id, start_tok) when the text
+    is needed.  Empty docs yield no rows; the final window is the
+    clipped tail (never dropped — RefinedWeb-style tail loss is a real
+    recall bug in naive chunkers).
+
+    Map-side only: tokenize → ``sequence`` of window starts →
+    ``transform`` + explode; zero shuffle at any corpus size.  Exact
+    SQL oracle (same token rule, same window arithmetic).
+    """
+    if chunk_tokens <= overlap:
+        raise ValueError(
+            f"chunk_tokens ({chunk_tokens}) must exceed overlap ({overlap})"
+        )
+    step = chunk_tokens - overlap
+    toks = F.filter(
+        F.split(F.col(text_col), " "), lambda t: F.length(t) > 0
+    )
+    staged = df.select(
+        F.col(id_col).alias("id"), toks.alias("toks")
+    ).withColumn("n", F.size("toks")).filter(F.col("n") > 0)
+    starts = F.sequence(
+        F.lit(0), F.col("n") - 1, F.lit(step)
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start_tok"),
+            F.slice(F.col("toks"), s + 1, chunk_tokens).alias("ch"),
+        ),
+    )
+    ex = staged.select(
+        "id", F.explode(chunks).alias("c")
+    ).select(
+        "id",
+        F.col("c.start_tok").cast("long").alias("start_tok"),
+        F.col("c.ch").alias("ch"),
+    )
+    return ex.select(
+        "id",
+        F.expr(f"start_tok div {step}").alias("chunk_idx"),
+        "start_tok",
+        F.size("ch").cast("long").alias("n_tokens_chunk"),
+        F.md5(F.array_join("ch", " ")).alias("chunk_md5"),
+    )
+
+
+def chunk_oracle_sql(
+    docs_sql: str, chunk_tokens: int = 128, overlap: int = 32
+) -> str:
+    """DuckDB replay of :func:`chunk_documents` over (id, text)."""
+    step = chunk_tokens - overlap
+    return f"""
+        WITH t AS (
+            SELECT id,
+                   list_filter(string_split(text, ' '),
+                               x -> len(x) > 0) AS toks
+            FROM ({docs_sql}) d
+        ),
+        n AS (
+            SELECT id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+        ),
+        s AS (
+            SELECT id, toks, n,
+                   unnest(range(0, n, {step})) AS start_tok
+            FROM n
+        ),
+        c AS (
+            SELECT id, start_tok,
+                   toks[start_tok + 1 : start_tok + {chunk_tokens}] AS ch
+            FROM s
+        )
+        SELECT id, (start_tok // {step})::BIGINT AS chunk_idx,
+               start_tok::BIGINT AS start_tok,
+               len(ch)::BIGINT AS n_tokens_chunk,
+               md5(array_to_string(ch, ' ')) AS chunk_md5
+        FROM c
+    """

@@ -988,3 +988,92 @@ def effective_delay_oracle_sql(
                robots_delay_s, latency_delay_s, retry_delay_s
         FROM e
     """
+
+
+def delay_compliance(
+    fetch_log: DataFrame,
+    declared: DataFrame,
+    host_col: str = "host",
+    ts_col: str = "fetch_unix",
+    delay_col: str = "crawl_delay_s",
+) -> DataFrame:
+    """Politeness compliance audit: did the crawler's ACTUAL fetch
+    spacing honor each host's declared crawl delay?  The scheduler
+    plans compliant timestamps (`schedule_epoch`'s planned_fetch_ts);
+    retries, queue drain-order and clock drift can still violate them
+    in production — this measures the ground truth from the fetch log,
+    per host:
+
+      ``(host, n_fetches, n_gaps, min_gap_s, n_violations,
+      violation_ppm, declared_delay_s)``
+
+    where a violation is a consecutive-fetch gap strictly below the
+    declared delay (equal is compliant), and hosts with no declared
+    delay audit against 0 (never violated — nothing was promised).
+
+    Scale shape: one per-host lag window (same key as every politeness
+    op), a broadcast join for the declared-delay dim, one
+    map-side-combined aggregate.  Exact integer oracle.
+    """
+    w = Window.partitionBy(host_col).orderBy(ts_col)
+    gaps = fetch_log.withColumn(
+        "_gap", F.col(ts_col) - F.lag(ts_col).over(w)
+    )
+    d = declared.select(
+        host_col, F.col(delay_col).cast("long").alias("_delay")
+    ).distinct()
+    j = gaps.join(F.broadcast(d), host_col, "left").withColumn(
+        "_delay", F.coalesce(F.col("_delay"), F.lit(0).cast("long"))
+    )
+    return j.groupBy(host_col).agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.sum(F.col("_gap").isNotNull().cast("long")).alias("n_gaps"),
+        F.min("_gap").alias("min_gap_s"),
+        F.sum(
+            (F.col("_gap").isNotNull() & (F.col("_gap") < F.col("_delay")))
+            .cast("long")
+        ).alias("n_violations"),
+        F.max("_delay").alias("declared_delay_s"),
+    ).withColumn(
+        "violation_ppm",
+        F.expr(
+            "case when n_gaps > 0"
+            " then (1000000 * n_violations) div n_gaps else 0 end"
+        ),
+    )
+
+
+def compliance_oracle_sql(
+    fetch_sql: str, declared_sql: str
+) -> str:
+    """DuckDB replay of :func:`delay_compliance`."""
+    return f"""
+        WITH f AS (SELECT * FROM ({fetch_sql})),
+        g AS (
+            SELECT host, fetch_unix,
+                   fetch_unix - LAG(fetch_unix) OVER (
+                       PARTITION BY host ORDER BY fetch_unix
+                   ) AS gap
+            FROM f
+        ),
+        d AS (
+            SELECT DISTINCT host, crawl_delay_s::BIGINT AS delay
+            FROM ({declared_sql})
+        ),
+        j AS (
+            SELECT g.host, g.gap, COALESCE(d.delay, 0) AS delay
+            FROM g LEFT JOIN d ON g.host = d.host
+        )
+        SELECT host, COUNT(*) AS n_fetches,
+               SUM((gap IS NOT NULL)::int)::BIGINT AS n_gaps,
+               MIN(gap) AS min_gap_s,
+               SUM((gap IS NOT NULL AND gap < delay)::int)::BIGINT
+                   AS n_violations,
+               MAX(delay) AS declared_delay_s,
+               CASE WHEN SUM((gap IS NOT NULL)::int) > 0
+                    THEN (1000000 * SUM((gap IS NOT NULL
+                              AND gap < delay)::int))
+                         // SUM((gap IS NOT NULL)::int)
+                    ELSE 0 END::BIGINT AS violation_ppm
+        FROM j GROUP BY host
+    """

@@ -483,3 +483,29 @@ def test_split_leakage_detects_cross_split_twins(spark):
     )
     clean = df.filter(F.col("doc_id") < 200)
     assert split_leakage(clean, "doc_id", val_pct=20, test_pct=20).count() == 0
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    """Window starts advance by chunk−overlap; consecutive chunks share
+    the overlap; the clipped tail survives; empty docs vanish."""
+    import hashlib
+
+    from podcast_crawler_spark.operators.curation import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "a b"), (3, "   ")], "id long, text string"
+    )
+    out = [
+        (r.id, r.chunk_idx, r.start_tok, r.n_tokens_chunk, r.chunk_md5)
+        for r in chunk_documents(docs, chunk_tokens=4, overlap=2, id_col="id")
+        .orderBy("id", "chunk_idx").collect()
+    ]
+    toks = [f"t{i}" for i in range(10)]
+    exp = []
+    for idx, s in enumerate(range(0, 10, 2)):
+        ch = toks[s:s + 4]
+        exp.append((1, idx, s, len(ch),
+                    hashlib.md5(" ".join(ch).encode()).hexdigest()))
+    exp.append((2, 0, 0, 2, hashlib.md5(b"a b").hexdigest()))
+    assert out == exp  # doc 3 absent, tail (t8 t9) kept as 2-token chunk

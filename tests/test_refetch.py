@@ -413,3 +413,24 @@ def test_effective_delay_precedence_and_clamp(spark):
     # clamp cuts the value but provenance still names the binding signal
     assert out["d"].delay_s == 3600 and out["d"].source == "retry"
     assert out["zero"].delay_s == 1 and out["zero"].source == "default"
+
+
+def test_delay_compliance_gaps(spark):
+    """Strict-below gaps violate, equal gaps comply, undeclared hosts
+    never violate; min gap and ppm are exact."""
+    from podcast_crawler_spark.operators.refetch import delay_compliance
+
+    log = spark.createDataFrame(
+        [("a", 0), ("a", 5), ("a", 15), ("a", 16), ("b", 0), ("b", 1)],
+        "host string, fetch_unix long",
+    )
+    declared = spark.createDataFrame(
+        [("a", 5)], "host string, crawl_delay_s long"
+    )
+    out = {r.host: r for r in delay_compliance(log, declared).collect()}
+    a = out["a"]  # gaps 5,10,1 -> one violation (1 < 5); 5 == 5 complies
+    assert (a.n_fetches, a.n_gaps, a.min_gap_s, a.n_violations) == (
+        4, 3, 1, 1
+    )
+    assert a.violation_ppm == 333_333
+    assert out["b"].n_violations == 0 and out["b"].declared_delay_s == 0
