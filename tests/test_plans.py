@@ -624,3 +624,71 @@ def test_mirror_hosts_payload_pruned_at_scan(spark, tmp_path):
     ).write.parquet(path)
     p = plan_of(mirror_hosts(spark.read.parquet(path)))
     assert "blob" not in p, p
+
+
+def test_chunk_documents_zero_exchange(spark):
+    """Chunking is pure map-side: tokenize → window starts → explode —
+    no exchange anywhere; digests are computed before any shuffle
+    could exist."""
+    from podcast_crawler_spark.operators.curation import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f")], "id long, text string"
+    )
+    p = plan_of(chunk_documents(df, chunk_tokens=4, overlap=2,
+                                id_col="id"))
+    assert "Exchange" not in p, p
+
+
+def test_byte_budget_single_host_exchange(spark):
+    """The cumulative-bytes window is the only exchange, keyed by host
+    — the same key as the politeness queue, so composition reuses the
+    partitioning."""
+    from podcast_crawler_spark.operators.frontier import (
+        byte_budget_schedule,
+    )
+
+    df = spark.createDataFrame(
+        [("h", "u", 0, 10)],
+        "host string, url string, priority long, est_bytes long",
+    )
+    p = plan_of(byte_budget_schedule(df, per_host_bytes=100))
+    assert p.count("Exchange") == 1, p
+    assert "hashpartitioning(host" in p, p
+
+
+def test_ip_politeness_broadcast_dim_and_no_corpus_join(spark):
+    """The resolver dim reaches the urls via broadcast (the corpus
+    never shuffles to learn its queue), and accounting joins are
+    aggregate-to-aggregate."""
+    from pyspark.sql import functions as F
+
+    from podcast_crawler_spark.operators.frontier import ip_politeness
+
+    urls = spark.range(200).select(
+        F.concat(F.lit("h"), (F.col("id") % 10).cast("string")).alias(
+            "host"
+        ),
+        F.concat(F.lit("https://x/"), F.col("id")).alias("url"),
+    )
+    hostmap = spark.createDataFrame(
+        [("h1", "10.0.0.1")], "host string, ip string"
+    )
+    out = ip_politeness(urls, hostmap, per_queue_budget=3)
+    out.collect()
+    p = plan_of(out).split("Initial Plan")[0]
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_jl_project_map_side_codegen(spark):
+    """The projection is one WholeStageCodegen select over the scan —
+    no exchange, no Python."""
+    from podcast_crawler_spark.operators.similarity import jl_project
+
+    emb = spark.createDataFrame(
+        [(1, [float(i) for i in range(8)])],
+        "vec_id long, embedding array<float>",
+    )
+    p = plan_of(jl_project(emb, in_dim=8, out_dim=4))
+    assert "Exchange" not in p, p
+    assert "Python" not in p, p
