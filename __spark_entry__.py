@@ -1108,6 +1108,38 @@ def _mm_image_resize(spark, sf_dir):
     )
 
 
+_SEG_DOCS_SQL = """
+    select doc_id as media_id,
+           text || repeat(' ', 64 * (doc_id % 3 + 1))
+                || 'speech speech speech speech speech speech speech'
+                || repeat(' ', 128) as text
+    from documents
+"""
+
+
+def _mm_audio_segments(spark, sf_dir):
+    # VAD-style energy segmentation over the fake-PCM plumbing: every
+    # doc gets silence gaps (space runs, energy 1024 < 5000) between
+    # its own text and an appended speech burst, so multi-segment,
+    # run-length and trailing-silence branches are all live.  The
+    # oracle replays framing, exact integer energies, and the
+    # gaps-and-islands run-length in SQL.
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        d.alias("media_id"),
+        F.concat(
+            F.col("text"),
+            F.expr("repeat(' ', 64 * (doc_id % 3 + 1))"),
+            F.lit("speech speech speech speech speech speech speech"),
+            F.expr("repeat(' ', 128)"),
+        ).alias("text"),
+    )
+    media = docs.select(
+        "media_id", F.encode(F.col("text"), "UTF-8").alias("blob")
+    )
+    return multimodal.segment_audio(media)
+
+
 def _mm_audio_features(spark, sf_dir):
     media = multimodal.docs_as_media(_t(spark, sf_dir, "documents"))
     return multimodal.extract_audio_features(media)
@@ -3997,6 +4029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_video_frames": _mm_video_frames,
         "mm_image_resize": _mm_image_resize,
         "mm_audio_features": _mm_audio_features,
+        "mm_audio_segments": _mm_audio_segments,
         "warc_scan": _warc_scan,
         "warc_export": _warc_export,
         "cdx_index": _cdx_index,
@@ -5923,6 +5956,9 @@ def oracle_sql() -> dict[str, str]:
         # construction, so per-char codepoints ARE the int8 sample values;
         # squares are exact integers in float64 ⇒ the mean/sqrt/round chain
         # is bit-deterministic across engines
+        "mm_audio_segments": multimodal.segments_oracle_sql(
+            _SEG_DOCS_SQL
+        ),
         "mm_audio_features": """
             with c as (
               select doc_id media_id,

@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "lid_agreement",
     "chunk_documents",
     "delay_compliance",
+    "mm_audio_segments",
 ]
 
 

@@ -296,3 +296,141 @@ def sniff_content(
         meta.alias("meta_charset"),
         F.coalesce(bom, meta).alias("charset"),
     )
+
+
+AUDIO_SEGMENTS_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("n_frames", LongType(), False),
+    StructField("n_speech", LongType(), False),
+    StructField("n_segments", LongType(), False),
+    StructField("longest_run", LongType(), False),
+    StructField("first_speech_frame", LongType(), False),
+])
+
+
+def segment_audio(
+    media: DataFrame,
+    frame_samples: int = 64,
+    energy_threshold: int = 5000,
+) -> DataFrame:
+    """Energy-based speech/silence segmentation (the VAD pre-pass every
+    audio training pipeline runs before transcription — podcast audio
+    is the reference's own payload domain).  DETERMINISTIC FAKE kernel
+    like :func:`extract_audio_features`: bytes as int8 PCM, per-frame
+    energy = ``sum(sample²) div len(frame)`` (EXACT integer — the
+    clipped tail frame divides by its real length), speech = energy ≥
+    threshold, segments = maximal speech runs.
+
+    Output per media: ``(media_id, n_frames, n_speech, n_segments,
+    longest_run, first_speech_frame)`` (−1 when all-silence).  All
+    integers, so the DuckDB oracle replays the whole chain — framing,
+    integer energies, run-length — bit-for-bit.
+
+    ``mapInPandas`` map-side only (blobs never shuffle), numpy
+    vectorized per batch; swap the kernel for a real VAD (silero,
+    webrtcvad) in production — the Spark plumbing (schema, batching,
+    zero-shuffle shape) is the part that carries.
+    """
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                b = np.frombuffer(bytes(blob), dtype=np.int8).astype(
+                    np.int64
+                )
+                n = len(b)
+                if n == 0:
+                    rows.append((int(mid), 0, 0, 0, 0, -1))
+                    continue
+                n_frames = (n + frame_samples - 1) // frame_samples
+                speech = []
+                for i in range(n_frames):
+                    f = b[i * frame_samples:(i + 1) * frame_samples]
+                    energy = int((f * f).sum()) // len(f)
+                    speech.append(energy >= energy_threshold)
+                n_speech = sum(speech)
+                n_segments = longest = run = 0
+                first = -1
+                for i, s in enumerate(speech):
+                    if s:
+                        if first < 0:
+                            first = i
+                        run += 1
+                        if run == 1:
+                            n_segments += 1
+                        longest = max(longest, run)
+                    else:
+                        run = 0
+                rows.append((
+                    int(mid), n_frames, int(n_speech), n_segments,
+                    longest, first,
+                ))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_SEGMENTS_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "blob").mapInPandas(
+        _run, schema=AUDIO_SEGMENTS_SCHEMA
+    )
+
+
+def segments_oracle_sql(
+    docs_sql: str,
+    frame_samples: int = 64,
+    energy_threshold: int = 5000,
+) -> str:
+    """DuckDB replay of :func:`segment_audio` over (media_id, text)
+    rows whose utf-8 bytes ARE the PCM (the ASCII corpus makes
+    ``unicode(char) = byte``, the :func:`extract_audio_features`
+    oracle precedent).  Framing, exact integer energies, and the
+    run-length (gaps-and-islands) segmentation are all replayed."""
+    return f"""
+        WITH c AS (
+            SELECT media_id,
+                   list_transform(string_split_regex(text, ''),
+                                  x -> unicode(x)) AS codes
+            FROM ({docs_sql}) d
+        ),
+        s AS (
+            SELECT media_id,
+                   unnest(codes) AS code,
+                   generate_subscripts(codes, 1) - 1 AS i
+            FROM c WHERE len(codes) > 0
+        ),
+        fr AS (
+            SELECT media_id, i // {frame_samples} AS frame,
+                   SUM(code * code) // COUNT(*) >= {energy_threshold}
+                       AS speech
+            FROM s GROUP BY media_id, i // {frame_samples}
+        ),
+        runs AS (
+            SELECT media_id, frame, speech,
+                   frame - ROW_NUMBER() OVER (
+                       PARTITION BY media_id, speech ORDER BY frame
+                   ) AS grp
+            FROM fr
+        ),
+        seg AS (
+            SELECT media_id, grp, COUNT(*) AS run_len
+            FROM runs WHERE speech GROUP BY media_id, grp
+        ),
+        agg AS (
+            SELECT media_id,
+                   COUNT(*) AS n_frames,
+                   SUM(speech::int)::BIGINT AS n_speech,
+                   COALESCE(MIN(CASE WHEN speech THEN frame END), -1)
+                       AS first_speech_frame
+            FROM fr GROUP BY media_id
+        ),
+        sg AS (
+            SELECT media_id, COUNT(*) AS n_segments,
+                   MAX(run_len) AS longest_run
+            FROM seg GROUP BY media_id
+        )
+        SELECT a.media_id, a.n_frames, a.n_speech,
+               COALESCE(sg.n_segments, 0)::BIGINT AS n_segments,
+               COALESCE(sg.longest_run, 0)::BIGINT AS longest_run,
+               a.first_speech_frame::BIGINT AS first_speech_frame
+        FROM agg a LEFT JOIN sg ON a.media_id = sg.media_id
+    """

@@ -139,3 +139,33 @@ def test_sniff_content_map_side_codegen(spark):
     df = spark.createDataFrame([(1, b"x")], "media_id long, payload binary")
     plan = sniff_content(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Exchange" not in plan, plan
+
+
+def test_segment_audio_run_length(spark):
+    """Framing, exact integer energies and run-length segmentation on a
+    pinned byte pattern: loud-silence-loud yields two segments; an
+    all-silent blob yields none with first = -1; the clipped tail frame
+    divides by its real length."""
+    from pyspark.sql import functions as F
+
+    from podcast_crawler_spark.operators.multimodal import segment_audio
+
+    loud = "z" * 64          # 122^2 = 14884 per sample
+    quiet = " " * 64         # 32^2 = 1024
+    rows = [
+        (1, loud + quiet + quiet + loud + loud),  # segs at frames 0, 3-4
+        (2, quiet * 3),
+        (3, loud + "z" * 10),  # tail frame of 10 samples, still loud
+    ]
+    df = spark.createDataFrame(rows, "media_id long, text string").select(
+        "media_id", F.encode("text", "UTF-8").alias("blob")
+    )
+    out = {r.media_id: r for r in segment_audio(df).collect()}
+    a = out[1]
+    assert (a.n_frames, a.n_speech, a.n_segments, a.longest_run) == (
+        5, 3, 2, 2
+    )
+    assert a.first_speech_frame == 0
+    assert out[2].n_segments == 0 and out[2].first_speech_frame == -1
+    assert out[3].n_frames == 2 and out[3].n_speech == 2
+    assert out[3].n_segments == 1 and out[3].longest_run == 2
