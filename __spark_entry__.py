@@ -869,6 +869,38 @@ def _bigram_surprisal(spark, sf_dir):
     )
 
 
+_BURST_EVENTS_SQL = """
+    select 'h' || cast(user_id % 20 as varchar) as host,
+           case when user_id % 20 = 3 and event_id % 4 < 3
+                then 1700000000 + 9 * 3600 + event_id % 1800
+                else 1700000000 + (event_id * 131) % (24 * 3600) end
+               as event_unix
+    from events
+"""
+
+
+def _burst_detection(spark, sf_dir):
+    # publication-burst detection (integer Kleinberg-lite): host h3
+    # gets 3/4 of its events squeezed into one hour while the rest
+    # spread uniformly over a day, so burst and non-burst windows,
+    # the no-history first window, and sparse-gap dilution are all
+    # live.  Cross-multiplied rule -- no division anywhere.
+    from podcast_crawler_spark.operators import temporal
+
+    ev = _t(spark, sf_dir, "events")
+    k = F.col("user_id") % 20
+    rows = ev.select(
+        F.concat(F.lit("h"), k.cast("string")).alias("host"),
+        F.when(
+            (k == 3) & (F.col("event_id") % 4 < 3),
+            F.lit(1700000000 + 9 * 3600) + F.col("event_id") % 1800,
+        ).otherwise(
+            F.lit(1700000000) + (F.col("event_id") * 131) % (24 * 3600)
+        ).alias("event_unix"),
+    )
+    return temporal.burst_detection(rows)
+
+
 def _asof_join_events(spark, sf_dir):
     # AS OF join — the "latest state at or before t" lookup Spark lacks
     # natively (reference anchor: per-host last_crawl_ts scheduling,
@@ -2003,6 +2035,12 @@ from podcast_crawler_spark.operators import sitemap as _sitemap
 
 def _sitemap_mod():
     return _sitemap
+
+from podcast_crawler_spark.operators import temporal as _temporal
+
+
+def _temporal_mod():
+    return _temporal
 
 
 _RING_WORKERS = [f"w{i:02d}" for i in range(16)]
@@ -4002,6 +4040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_limit_slots": _rate_limit_slots,
         "fetch_latency_join": _fetch_latency_join,
         "asof_join_events": _asof_join_events,
+        "burst_detection": _burst_detection,
         "session_stats": _session_stats,
         "range_join_sessions": _range_join_sessions,
         "curation_pipeline": _curation_pipeline,
@@ -5956,6 +5995,9 @@ def oracle_sql() -> dict[str, str]:
         # construction, so per-char codepoints ARE the int8 sample values;
         # squares are exact integers in float64 ⇒ the mean/sqrt/round chain
         # is bit-deterministic across engines
+        "burst_detection": _temporal_mod().burst_oracle_sql(
+            _BURST_EVENTS_SQL
+        ),
         "mm_audio_segments": multimodal.segments_oracle_sql(
             _SEG_DOCS_SQL
         ),

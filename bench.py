@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "chunk_documents",
     "delay_compliance",
     "mm_audio_segments",
+    "burst_detection",
 ]
 
 

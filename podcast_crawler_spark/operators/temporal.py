@@ -226,3 +226,100 @@ def session_stats(
             6,
         ).alias("duration_s"),
     )
+
+
+def burst_detection(
+    events: DataFrame,
+    window_s: int = 3600,
+    trailing: int = 6,
+    factor_x10: int = 30,
+    key_col: str = "host",
+    ts_col: str = "event_unix",
+) -> DataFrame:
+    """Publication-burst detection (Kleinberg-lite, integer form): per
+    key, bucket events into fixed windows and flag a window whose count
+    exceeds ``factor_x10/10 ×`` the mean of the *trailing* previous
+    windows — the podcast-release-surge / breaking-news signal a crawl
+    scheduler uses to temporarily raise a feed's budget (the inverse of
+    :func:`refetch.change_rate_schedule`'s slow adaptation).
+
+    Exact integer rule: ``burst ⟺ 10·trailing·count >
+    factor_x10·trailing_sum`` (cross-multiplied, no division at all) —
+    and the trailing sum only counts windows that EXIST (sparse keys:
+    missing windows are zero activity and DO dilute the mean, so the
+    frame is over the win index, not row order... which a row-frame
+    cannot express; instead the trailing sum is a RANGE frame over the
+    integer window index, giving exactly the zero-filled semantics).
+    Windows with no history (first window per key) never flag.
+
+    Output: ``(key, win, n_events, trailing_sum, burst)`` per active
+    window.  One groupBy (map-side combine) + one per-key range window
+    — two narrow exchanges on the same key.
+    """
+    win = F.expr(f"{ts_col} div {int(window_s)}")
+    counts = events.groupBy(
+        F.col(key_col).alias("key"), win.alias("win")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy("key")
+        .orderBy("win")
+        .rangeBetween(-int(trailing), -1)
+    )
+    t = F.sum("n_events").over(w)
+    first = F.min("win").over(Window.partitionBy("key"))
+    # span = how much history the frame REALLY covers (capped at
+    # trailing, zero-filled inside it): a key's warm-up windows compare
+    # against their short history instead of a zero-diluted full frame
+    # -- otherwise every second window of a new key reads as a burst
+    span = F.least(F.lit(int(trailing)).cast("long"), F.col("win") - first)
+    return counts.select(
+        "key",
+        "win",
+        "n_events",
+        F.coalesce(t, F.lit(0)).cast("long").alias("trailing_sum"),
+        span.alias("span"),
+        (
+            t.isNotNull()
+            & (span > 0)
+            & (
+                F.lit(10) * span * F.col("n_events")
+                > F.lit(int(factor_x10)) * t
+            )
+        ).alias("burst"),
+    )
+
+
+def burst_oracle_sql(
+    events_sql: str,
+    window_s: int = 3600,
+    trailing: int = 6,
+    factor_x10: int = 30,
+) -> str:
+    """DuckDB replay of :func:`burst_detection` over (host,
+    event_unix) rows — same range frame, same cross-multiplied rule."""
+    return f"""
+        WITH c AS (
+            SELECT host AS key, event_unix // {int(window_s)} AS win,
+                   COUNT(*) AS n_events
+            FROM ({events_sql}) e
+            GROUP BY 1, 2
+        ),
+        t AS (
+            SELECT *,
+                   SUM(n_events) OVER (
+                       PARTITION BY key ORDER BY win
+                       RANGE BETWEEN {int(trailing)} PRECEDING
+                             AND 1 PRECEDING
+                   ) AS ts,
+                   LEAST({int(trailing)},
+                         win - MIN(win) OVER (PARTITION BY key)) AS span
+            FROM c
+        )
+        SELECT key, win, n_events,
+               COALESCE(ts, 0)::BIGINT AS trailing_sum,
+               span::BIGINT AS span,
+               (ts IS NOT NULL AND span > 0
+                AND 10 * span * n_events
+                    > {int(factor_x10)} * ts) AS burst
+        FROM t
+    """

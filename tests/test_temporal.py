@@ -242,3 +242,33 @@ def test_range_join_no_nested_loop(events):
     )
     for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
         assert bad not in plan, plan
+
+
+def test_burst_detection_rule(spark):
+    """Cross-multiplied rule on a pinned series: a 10× spike flags, a
+    flat series never does, the first window has no history, and a gap
+    dilutes the trailing mean through the RANGE frame."""
+    from podcast_crawler_spark.operators.temporal import burst_detection
+
+    def ev(host, win, n):
+        return [(host, win * 100 + i) for i in range(n)]
+
+    rows = (
+        ev("a", 0, 2) + ev("a", 1, 2) + ev("a", 2, 20)   # spike at win 2
+        + ev("b", 0, 5) + ev("b", 1, 5) + ev("b", 2, 5)  # flat
+        + ev("c", 0, 2) + ev("c", 6, 2)                  # gap: 5 empty wins
+    )
+    df = spark.createDataFrame(rows, "host string, event_unix long")
+    out = {
+        (r.key, r.win): r
+        for r in burst_detection(
+            df, window_s=100, trailing=6, factor_x10=30
+        ).collect()
+    }
+    assert not out[("a", 0)].burst  # no history (span 0)
+    assert not out[("a", 1)].burst  # span 1: 2 vs 2 -- flat, not burst
+    assert out[("a", 2)].burst      # span 2: 20 vs trailing sum 4
+    assert not any(out[("b", w)].burst for w in range(3))
+    # c: win 6 has full span 6, trailing sum 2 (five empty windows
+    # zero-fill inside the frame) -> 10*6*2=120 > 30*2=60 -> burst
+    assert out[("c", 6)].burst and out[("c", 6)].span == 6
