@@ -1149,6 +1149,40 @@ _SEG_DOCS_SQL = """
 """
 
 
+_AH_DOCS_SQL = """
+    select doc_id as media_id,
+           case when doc_id % 9 = 0 then 'shared thumbnail payload bytes'
+                else text end as text
+    from documents
+"""
+
+
+def _image_ahash_dups(spark, sf_dir):
+    # perceptual image dedup: aHash (tile-downsample -> integer-mean
+    # threshold bits) grouped exactly like exact_dups groups text
+    # digests; every 9th doc shares one payload so a real dup cluster
+    # exists.  The oracle replays every bit and the grouping.
+    d = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        d.alias("media_id"),
+        F.when(d % 9 == 0, F.lit("shared thumbnail payload bytes"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    media = docs.select(
+        "media_id", F.encode(F.col("text"), "UTF-8").alias("blob")
+    )
+    h = multimodal.image_ahash(media)
+    return (
+        h.groupBy("ahash")
+        .agg(
+            F.count(F.lit(1)).alias("n_imgs"),
+            F.min("media_id").alias("first_media"),
+        )
+        .filter(F.col("n_imgs") > 1)
+    )
+
+
 def _mm_audio_segments(spark, sf_dir):
     # VAD-style energy segmentation over the fake-PCM plumbing: every
     # doc gets silence gaps (space runs, energy 1024 < 5000) between
@@ -4069,6 +4103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_resize": _mm_image_resize,
         "mm_audio_features": _mm_audio_features,
         "mm_audio_segments": _mm_audio_segments,
+        "image_ahash_dups": _image_ahash_dups,
         "warc_scan": _warc_scan,
         "warc_export": _warc_export,
         "cdx_index": _cdx_index,
@@ -5998,6 +6033,12 @@ def oracle_sql() -> dict[str, str]:
         "burst_detection": _temporal_mod().burst_oracle_sql(
             _BURST_EVENTS_SQL
         ),
+        "image_ahash_dups": f"""
+            with h as ({{}}
+            )
+            select ahash, count(*) n_imgs, min(media_id) first_media
+            from h group by ahash having count(*) > 1
+        """.format(multimodal.ahash_oracle_sql(_AH_DOCS_SQL)),
         "mm_audio_segments": multimodal.segments_oracle_sql(
             _SEG_DOCS_SQL
         ),

@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "delay_compliance",
     "mm_audio_segments",
     "burst_detection",
+    "image_ahash_dups",
 ]
 
 

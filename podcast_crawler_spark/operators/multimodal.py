@@ -434,3 +434,86 @@ def segments_oracle_sql(
                a.first_speech_frame::BIGINT AS first_speech_frame
         FROM agg a LEFT JOIN sg ON a.media_id = sg.media_id
     """
+
+
+AHASH_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("ahash", StringType(), False),
+    StructField("n_set", LongType(), False),
+])
+
+
+def image_ahash(media: DataFrame, hash_pixels: int = 64) -> DataFrame:
+    """Average-hash (aHash) perceptual image fingerprint: downsample to
+    *hash_pixels* grayscale pixels, threshold each at the integer mean,
+    emit the bit pattern — the cheap perceptual key for exact-group
+    image dedup (identical re-encodes, thumbnails of the same asset).
+    DETERMINISTIC FAKE downsample like :func:`resize_image`
+    (``np.resize`` tiling — swap for PIL in production; the Spark shape
+    is the deliverable): the first *hash_pixels* of the tiled payload.
+
+    Output: ``(media_id, ahash, n_set)`` with ``ahash`` the bit string
+    (msb = pixel 0) — group by it for dup clusters exactly like
+    ``dedup.exact_dups`` groups text digests.  Integer mean
+    (``sum div n``), so the DuckDB oracle replays every bit.
+
+    ``mapInPandas`` map-side only; blobs never shuffle — only the
+    64-char key does.
+    """
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                src = np.frombuffer(bytes(blob), dtype=np.uint8)
+                if len(src) == 0:
+                    continue
+                px = np.resize(src, hash_pixels).astype(np.int64)
+                mean = int(px.sum()) // hash_pixels
+                bits = (px > mean).astype(np.int64)
+                rows.append((
+                    int(mid),
+                    "".join("1" if b else "0" for b in bits),
+                    int(bits.sum()),
+                ))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AHASH_SCHEMA.fields]
+            )
+
+    return media.select("media_id", "blob").mapInPandas(
+        _run, schema=AHASH_SCHEMA
+    )
+
+
+def ahash_oracle_sql(docs_sql: str, hash_pixels: int = 64) -> str:
+    """DuckDB replay of :func:`image_ahash` over (media_id, text) whose
+    utf-8 bytes stand in for the image payload (ASCII corpus ⇒
+    ``unicode(char) = byte``, the audio-oracle precedent); the tiling
+    downsample is ``codes[(i % n) + 1]``."""
+    return f"""
+        WITH c AS (
+            SELECT media_id,
+                   list_transform(string_split_regex(text, ''),
+                                  x -> unicode(x)) AS codes
+            FROM ({docs_sql}) d
+        ),
+        p AS (
+            SELECT media_id,
+                   list_transform(range({hash_pixels}),
+                                  i -> codes[(i % len(codes)) + 1]) AS px
+            FROM c WHERE len(codes) > 0
+        ),
+        m AS (
+            SELECT media_id, px,
+                   list_sum(px) // {hash_pixels} AS mean
+            FROM p
+        )
+        SELECT media_id,
+               array_to_string(
+                   list_transform(px, x -> CASE WHEN x > mean
+                                                THEN '1' ELSE '0' END),
+                   '') AS ahash,
+               list_sum(list_transform(px, x -> (x > mean)::int))::BIGINT
+                   AS n_set
+        FROM m
+    """

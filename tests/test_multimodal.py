@@ -169,3 +169,25 @@ def test_segment_audio_run_length(spark):
     assert out[2].n_segments == 0 and out[2].first_speech_frame == -1
     assert out[3].n_frames == 2 and out[3].n_speech == 2
     assert out[3].n_segments == 1 and out[3].longest_run == 2
+
+
+def test_image_ahash_bits_and_grouping(spark):
+    """Pinned payload: bits are the exact integer-mean thresholds;
+    identical payloads share a hash, distinct ones don't; empty blobs
+    vanish."""
+    from pyspark.sql import functions as F
+
+    from podcast_crawler_spark.operators.multimodal import image_ahash
+
+    rows = [(1, "abab"), (2, "abab"), (3, "zzzz"), (4, "")]
+    df = spark.createDataFrame(rows, "media_id long, text string").select(
+        "media_id", F.encode("text", "UTF-8").alias("blob")
+    )
+    out = {r.media_id: r for r in image_ahash(df, hash_pixels=8).collect()}
+    assert set(out) == {1, 2, 3}
+    # "abab" tiled to 8 = a b a b a b a b; mean = (97+98)//2 = 97
+    # bit = px > 97 -> b's only
+    assert out[1].ahash == "01010101" and out[1].n_set == 4
+    assert out[1].ahash == out[2].ahash
+    # all-equal pixels: nothing exceeds the mean
+    assert out[3].ahash == "00000000" and out[3].n_set == 0
