@@ -100,6 +100,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # relational / scheduling operators over the testdata tables
 # --------------------------------------------------------------------------
 
+def _keyset_page(spark, sf_dir):
+    # cursor pagination: resume after a (non-unique key, tiebreak)
+    # row-value cursor -- O(per_page) at ANY depth (the predicate
+    # pushes into the scan; OFFSET page N ranks N*per_page rows) and
+    # stable under concurrent appends.  Non-unique o_custkey exercises
+    # the tie-resume branch.
+    from podcast_crawler_spark.api.queries import keyset_page
+
+    orders = _t(spark, sf_dir, "orders")
+    return keyset_page(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        key_col="o_custkey",
+        after=500,
+        per_page=25,
+        tiebreak_col="o_orderkey",
+        after_tie=10,
+    )
+
+
 def _paginate_orders(spark, sf_dir):
     # W1 pagination: ORDER BY o_orderkey LIMIT 20 OFFSET 40 (page 3) —
     # scale-safe: TakeOrderedAndProject keeps per-partition top-60, never a
@@ -3958,6 +3977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_priority_queue": _priority_queue,
         "paginate_orders": _paginate_orders,
+        "keyset_page": _keyset_page,
         "orders_page_per_customer": _orders_page_per_customer,
         "search_ilike": _search_ilike,
         "point_lookup": _point_lookup,
@@ -4374,6 +4394,14 @@ def oracle_sql() -> dict[str, str]:
               select event_id, user_id, ts,
                      row_number() over (partition by user_id order by ts, event_id)::INT rank
               from events) where rank <= 5
+        """,
+        "keyset_page": """
+            select o_custkey, o_orderkey, o_totalprice
+            from orders
+            where o_custkey > 500
+               or (o_custkey = 500 and o_orderkey > 10)
+            order by o_custkey, o_orderkey
+            limit 25
         """,
         "paginate_orders": """
             select o_orderkey, o_custkey, o_totalprice from (

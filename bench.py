@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "mm_audio_segments",
     "burst_detection",
     "image_ahash_dups",
+    "keyset_page",
 ]
 
 

@@ -74,6 +74,48 @@ def page_slice(
     )
 
 
+def keyset_page(
+    df: DataFrame,
+    key_col: str,
+    after,
+    per_page: int,
+    tiebreak_col: str = None,
+    after_tie=None,
+) -> DataFrame:
+    """Key-set (cursor) pagination — the production answer
+    :func:`page_slice` points at for deep pages: ``WHERE key > after
+    ORDER BY key LIMIT per_page``.  O(per_page) regardless of depth
+    (the predicate PUSHES INTO THE SCAN — parquet row groups whose max
+    key ≤ after never load; ``page_slice`` at page N reads and ranks
+    N·per_page rows), and the cursor is stable under concurrent
+    appends, where OFFSET pages shift.
+
+    ``after=None`` opens the first page.  A non-unique key needs
+    *tiebreak_col* (+ the previous page's last tie value) so rows equal
+    on the key aren't skipped: the resume predicate is the row-value
+    comparison ``(key, tie) > (after, after_tie)``.
+
+    Plan: Filter → TakeOrderedAndProject — per-partition top-k + a
+    bounded merge; no window, no global sort, no single-task stage.
+    """
+    order = [F.col(key_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    out = df
+    if after is not None:
+        if tiebreak_col is None:
+            out = out.filter(F.col(key_col) > F.lit(after))
+        else:
+            out = out.filter(
+                (F.col(key_col) > F.lit(after))
+                | (
+                    (F.col(key_col) == F.lit(after))
+                    & (F.col(tiebreak_col) > F.lit(after_tie))
+                )
+            )
+    return out.orderBy(*order).limit(per_page)
+
+
 _page = page_slice  # back-compat alias
 
 

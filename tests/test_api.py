@@ -218,3 +218,29 @@ def test_registered_domain_psl_lite(spark):
         con.sql(f"select host, {registered_domain_sql('host')} from t").fetchall()
     )
     assert sql_got == cases
+
+
+def test_keyset_page_walks_whole_table(spark):
+    """Walking pages by cursor visits every row exactly once in order,
+    including ties resumed mid-key; the plan is Filter +
+    TakeOrderedAndProject, never a window."""
+    rows = [(k, t) for k in (1, 2, 2, 2, 3) for t in range(3)]
+    rows = [(k, i, k * 100 + i) for i, (k, _) in enumerate(rows)]
+    df = spark.createDataFrame(rows, "k long, tie long, payload long")
+    from podcast_crawler_spark.api.queries import keyset_page
+
+    seen, after, tie = [], None, None
+    while True:
+        page = keyset_page(
+            df, "k", after, per_page=4, tiebreak_col="tie", after_tie=tie
+        ).collect()
+        if not page:
+            break
+        seen.extend((r.k, r.tie) for r in page)
+        after, tie = page[-1].k, page[-1].tie
+    assert seen == sorted((r[0], r[1]) for r in rows)
+    assert len(seen) == len(rows)
+    p = keyset_page(df, "k", 2, 4, "tie", 1)
+    plan = p._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
