@@ -2117,6 +2117,56 @@ _PLACEMENT_KEYS_SQL = (
 )
 
 
+_ASN_IPS_SQL = """
+    select distinct '10.' || cast(user_id % 60 as varchar) || '.'
+               || cast(event_id % 256 as varchar) || '.1' as ip
+    from events
+"""
+
+_ASN_RANGES_SQL = """
+    select 167772160 + i * 65536 as start_ip,
+           167772160 + i * 65536 + 65535 as end_ip,
+           64500 + i as asn,
+           'AS' || cast(i as varchar) as asn_name
+    from range(50) t(i)
+    union all
+    select 167772160, 184549375, 999, 'SUPERNET'
+"""
+
+
+def _ip_asn(spark, sf_dir):
+    # IP -> ASN longest-prefix lookup: 50 /16 ranges nested inside one
+    # /8 supernet -- addresses in the first 50 second-octets resolve to
+    # their /16 (most specific), the rest fall through to the supernet;
+    # global interval containment made an equi-join by /8 gridding.
+    from podcast_crawler_spark.operators import placement
+
+    ev = _t(spark, sf_dir, "events")
+    ips = ev.select(
+        F.concat(
+            F.lit("10."), (F.col("user_id") % 60).cast("string"),
+            F.lit("."), (F.col("event_id") % 256).cast("string"),
+            F.lit(".1"),
+        ).alias("ip")
+    ).distinct()
+    ranges = spark.range(50).select(
+        (F.lit(167772160) + F.col("id") * 65536).alias("start_ip"),
+        (F.lit(167772160) + F.col("id") * 65536 + 65535).alias("end_ip"),
+        (F.lit(64500) + F.col("id")).alias("asn"),
+        F.concat(F.lit("AS"), F.col("id").cast("string")).alias(
+            "asn_name"
+        ),
+    ).unionByName(
+        spark.range(1).select(
+            F.lit(167772160).cast("long").alias("start_ip"),
+            F.lit(184549375).cast("long").alias("end_ip"),
+            F.lit(999).cast("long").alias("asn"),
+            F.lit("SUPERNET").alias("asn_name"),
+        )
+    )
+    return placement.ip_asn_lookup(ips, ranges)
+
+
 def _consistent_placement(spark, sf_dir):
     # consistent-hash ring placement (Karger '97): md5-derived 60-bit
     # ring, 32 vnodes/worker, bucketized broadcast successor lookup —
@@ -4024,6 +4074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_groups": _canonical_groups,
         "scheme_upgrades": _scheme_upgrades,
         "consistent_placement": _consistent_placement,
+        "ip_asn": _ip_asn,
         "ring_rebalance": _ring_rebalance,
         "aimd_concurrency": _aimd_concurrency,
         "circuit_state": _circuit_state,
@@ -4395,6 +4446,9 @@ def oracle_sql() -> dict[str, str]:
                      row_number() over (partition by user_id order by ts, event_id)::INT rank
               from events) where rank <= 5
         """,
+        "ip_asn": _placement_mod().asn_oracle_sql(
+            _ASN_IPS_SQL, _ASN_RANGES_SQL
+        ),
         "keyset_page": """
             select o_custkey, o_orderkey, o_totalprice
             from orders

@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "burst_detection",
     "image_ahash_dups",
     "keyset_page",
+    "ip_asn",
 ]
 
 

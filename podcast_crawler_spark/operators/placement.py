@@ -229,3 +229,102 @@ def rebalance_oracle_sql(
                  moved_pct
         from a_asn a join b_asn b using (key)
     """
+
+
+def ip_asn_lookup(
+    ips: DataFrame,
+    ranges: DataFrame,
+    ip_col: str = "ip",
+) -> DataFrame:
+    """IP→ASN/network lookup: map each resolved address onto the
+    containing CIDR-style range — politeness-by-network
+    (:func:`frontier.ip_politeness` keys queues by address; hosts
+    spread across ONE provider's range are still one operational
+    neighbor), geo/compliance routing, abuse attribution.
+
+    This is GLOBAL interval containment (no join key at all — the
+    naive plan is a broadcast-nested-loop against every range), made
+    an equi-join by the same gridding as ``temporal.range_join``:
+    ranges replicate once per covered /8 bucket (``sequence(start div
+    2^24, end div 2^24)`` — bounded by range width), addresses map to
+    their single /8, join on the bucket, residual ``start ≤ ip ≤ end``
+    filter.  Overlapping ranges resolve to the MOST SPECIFIC
+    (smallest) one — longest-prefix-match semantics — via a per-ip
+    min-struct aggregate (no window needed: ties break on asn).
+
+    *ranges* carries ``(start_ip, end_ip, asn, asn_name)`` as integer
+    addresses; dotted-quad parsing is exact integer arithmetic in both
+    engines.  Output: ``(ip, ip_long, asn, asn_name, range_size)``;
+    unmatched addresses are absent (left-join variant: union them back
+    upstream).
+    """
+    oct_ = lambda i: F.element_at(F.split(F.col(ip_col), r"\."), i).cast(
+        "long"
+    )
+    ip_long = (
+        oct_(1) * 16777216 + oct_(2) * 65536 + oct_(3) * 256 + oct_(4)
+    )
+    pts = ips.select(
+        F.col(ip_col).alias("ip"), ip_long.alias("ip_long")
+    ).withColumn("bkt", F.expr("ip_long div 16777216"))
+    rng = ranges.select(
+        "start_ip", "end_ip", "asn", "asn_name",
+        F.explode(
+            F.sequence(
+                F.expr("start_ip div 16777216"),
+                F.expr("end_ip div 16777216"),
+            )
+        ).alias("bkt"),
+    )
+    j = pts.join(rng, "bkt").filter(
+        (F.col("ip_long") >= F.col("start_ip"))
+        & (F.col("ip_long") <= F.col("end_ip"))
+    )
+    best = j.groupBy("ip", "ip_long").agg(
+        F.min(
+            F.struct(
+                (F.col("end_ip") - F.col("start_ip")).alias("range_size"),
+                F.col("asn").alias("asn"),
+                F.col("asn_name").alias("asn_name"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        "ip",
+        "ip_long",
+        F.col("m.asn").alias("asn"),
+        F.col("m.asn_name").alias("asn_name"),
+        F.col("m.range_size").alias("range_size"),
+    )
+
+
+def asn_oracle_sql(ips_sql: str, ranges_sql: str) -> str:
+    """DuckDB replay of :func:`ip_asn_lookup` — same integer parse,
+    containment, and most-specific (min struct) resolution."""
+    return f"""
+        WITH p AS (
+            SELECT ip,
+                   CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+                 + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+                 + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+                 + CAST(string_split(ip, '.')[4] AS BIGINT) AS ip_long
+            FROM ({ips_sql}) i
+        ),
+        j AS (
+            SELECT p.ip, p.ip_long,
+                   r.end_ip - r.start_ip AS range_size,
+                   r.asn, r.asn_name
+            FROM p JOIN ({ranges_sql}) r
+              ON p.ip_long >= r.start_ip AND p.ip_long <= r.end_ip
+        ),
+        b AS (
+            SELECT ip, ip_long,
+                   MIN(struct_pack(range_size := range_size,
+                                   asn := asn,
+                                   asn_name := asn_name)) AS m
+            FROM j GROUP BY ip, ip_long
+        )
+        SELECT ip, ip_long, m.asn AS asn, m.asn_name AS asn_name,
+               m.range_size AS range_size
+        FROM b
+    """

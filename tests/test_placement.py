@@ -141,3 +141,26 @@ def test_aimd_oracle_sql_matches(spark):
     )
     exp = sorted((a, int(b)) for a, b in duckdb.sql(osql).fetchall())
     assert got == exp
+
+
+def test_ip_asn_longest_prefix(spark):
+    """Nested ranges resolve to the most specific block; addresses
+    outside every range are absent; dotted-quad parsing is exact."""
+    from podcast_crawler_spark.operators.placement import ip_asn_lookup
+
+    ips = spark.createDataFrame(
+        [("10.0.0.5",), ("10.0.1.5",), ("192.168.1.1",)], "ip string"
+    )
+    #  /8 supernet + one /24 inside it
+    ranges = spark.createDataFrame(
+        [
+            (10 * 16777216, 10 * 16777216 + 16777215, 999, "SUPER"),
+            (10 * 16777216, 10 * 16777216 + 255, 64500, "SPECIFIC"),
+        ],
+        "start_ip long, end_ip long, asn long, asn_name string",
+    )
+    out = {r.ip: r for r in ip_asn_lookup(ips, ranges).collect()}
+    assert out["10.0.0.5"].asn == 64500     # most specific wins
+    assert out["10.0.0.5"].ip_long == 10 * 16777216 + 5
+    assert out["10.0.1.5"].asn == 999       # only the supernet contains
+    assert "192.168.1.1" not in out
