@@ -637,6 +637,17 @@ _BM25_TERMS = ["hash", "join", "stream"]
 _BM25_K = 20
 
 
+def _cluster_purity(spark, sf_dir):
+    # clustering evaluation: per-cluster majority-label purity over the
+    # fully-oracled k-means assignment (the embeddings table carries
+    # ground-truth labels).  A drift anywhere in the distributed
+    # k-means -- init, rounding hand-offs, assignment -- reds this row
+    # through the nested CTE chain.
+    return clustering.cluster_purity(
+        _t(spark, sf_dir, "embeddings"), k=_KM_K, iters=_KM_ITERS
+    )
+
+
 def _kmeans_clusters(spark, sf_dir):
     # distributed spherical k-means, deterministic init (k smallest ids)
     # and fixed iterations — the full assignment is hash-checked against
@@ -4136,6 +4147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ivf_topk": _embed_ivf_topk,
         "embed_neardup": _embed_neardup,
         "kmeans_clusters": _kmeans_clusters,
+        "cluster_purity": _cluster_purity,
         "semantic_dedup": _semantic_dedup,
         "bm25_topk": _bm25_topk,
         "lang_id": _lang_id,
@@ -6153,6 +6165,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_clusters": _kmeans_oracle_cte()
         + "\nselect vec_id, cluster_id from afinal",
+        "cluster_purity": _kmeans_oracle_cte()
+        + """,
+            lab as (
+              select a.cluster_id, e.label::BIGINT as label
+              from afinal a join embeddings e using (vec_id)),
+            per as (
+              select cluster_id, label, count(*) n_l
+              from lab group by 1, 2),
+            agg as (
+              select cluster_id, sum(n_l) n,
+                     max(struct_pack(n_l := n_l, label := label)) m
+              from per group by 1)
+            select cluster_id, n::BIGINT n, m.label majority_label,
+                   m.n_l n_majority,
+                   ((1000000 * m.n_l) // n)::BIGINT purity_ppm
+            from agg""",
         "semantic_dedup": _kmeans_oracle_cte()
         + f""",
             pairs as (

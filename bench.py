@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "image_ahash_dups",
     "keyset_page",
     "ip_asn",
+    "cluster_purity",
 ]
 
 

@@ -248,3 +248,53 @@ def semantic_dedup(
             F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
         )
     )
+
+
+def cluster_purity(
+    corpus: DataFrame,
+    label_col: str = "label",
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Clustering evaluation against ground-truth labels: per k-means
+    cluster, how label-homogeneous is it?  The standard purity metric
+    (majority-label fraction), exact-integer form — the quality gate
+    for SemDeDup-style semantic grouping (a low-purity clustering
+    over-merges unlike documents, and its within-cluster "dups" are
+    false).
+
+    Output per cluster: ``(cluster_id, n, majority_label, n_majority,
+    purity_ppm)`` with the majority tie broken toward the larger label
+    value (``max(struct(n, label))``, same rule as
+    ``textstats.paragraph_lang_mix`` dominance).
+
+    Composition: the fully-oracled :func:`kmeans_clusters` assignment
+    joined back to the labels (narrow id→label join), two map-side
+    aggregates.  The SQL oracle replays the ENTIRE k-means CTE chain
+    plus the purity rollup, so a drift anywhere in the algorithm reds
+    this row too.
+    """
+    assigned = kmeans_clusters(corpus, k, iters, id_col, vec_col)
+    labeled = assigned.join(
+        corpus.select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.col(label_col).cast("long").alias("label"),
+        ),
+        id_col,
+    )
+    per = labeled.groupBy("cluster_id", "label").agg(
+        F.count(F.lit(1)).alias("n_l")
+    )
+    agg = per.groupBy("cluster_id").agg(
+        F.sum("n_l").alias("n"),
+        F.max(F.struct(F.col("n_l"), F.col("label"))).alias("m"),
+    )
+    return agg.select(
+        "cluster_id",
+        "n",
+        F.col("m.label").alias("majority_label"),
+        F.col("m.n_l").alias("n_majority"),
+        F.expr("(1000000 * m.n_l) div n").alias("purity_ppm"),
+    )

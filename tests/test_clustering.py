@@ -184,3 +184,30 @@ def test_semantic_dedup_pair_join_keyed_by_cluster(emb):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cluster_purity_exact(spark):
+    """Purity is the exact majority fraction per cluster with the
+    max-struct tie rule; perfectly separated labels give 10^6 ppm."""
+    import numpy as np
+
+    from podcast_crawler_spark.operators.clustering import cluster_purity
+
+    # two tight orthogonal groups of 6; labels: group A pure, group B
+    # 4-vs-2 mixed
+    # even ids = group A, odd ids = group B, so the deterministic init
+    # (k smallest ids: 0 and 1) seeds one centroid per group
+    rows = []
+    for i in range(6):
+        rows.append((2 * i, [1.0, 0.0, 0.0, float(i) * 1e-3], 7))
+    for i in range(6):
+        rows.append((2 * i + 1, [0.0, 1.0, 0.0, float(i) * 1e-3],
+                     3 if i < 4 else 9))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r.majority_label: r for r in
+           cluster_purity(df, k=2, iters=3).collect()}
+    assert out[7].purity_ppm == 1_000_000 and out[7].n == 6
+    assert out[3].n == 6 and out[3].n_majority == 4
+    assert out[3].purity_ppm == 666_666
