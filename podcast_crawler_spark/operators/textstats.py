@@ -52,9 +52,13 @@ def sum_cols(cols):
 
 
 def language_id(df: DataFrame, text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
+                id_col: str = "doc_id",
+                extra_cols: tuple = ()) -> DataFrame:
     """``(id, lang_pred, lang_score)`` — argmax over marker-token counts;
-    ties resolve alphabetically ('unk' when all scores are 0)."""
+    ties resolve alphabetically ('unk' when all scores are 0).
+    *extra_cols* pass through unchanged (operator fusion — chained
+    selects collapse to one projection, so composing LID stages costs
+    zero extra scans)."""
     scores = lang_scores(F.col(text_col))
     best_score = F.greatest(*scores.values())
     pred = F.lit("unk")
@@ -66,6 +70,7 @@ def language_id(df: DataFrame, text_col: str = "text",
         ).otherwise(pred)
     return df.select(
         F.col(id_col).alias("id"),
+        *[F.col(c) for c in extra_cols],
         pred.alias("lang_pred"),
         best_score.alias("lang_score"),
     )
@@ -1011,7 +1016,8 @@ def _count_substr(padded: Column, needle: str) -> Column:
 
 
 def lang_id_ngram(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """Character-trigram language ID -- the profile-based upgrade of
     :func:`language_id` (whose stopword markers need spaces and full
@@ -1052,6 +1058,7 @@ def lang_id_ngram(
     )
     return df.select(
         F.col(id_col).alias("id"),
+        *[F.col(c) for c in extra_cols],
         pred.alias("lang_pred"),
         best.cast("long").alias("lang_score"),
         (best - second).cast("long").alias("margin"),
@@ -1217,21 +1224,22 @@ def lid_agreement(
     or double-unk ⇒ quarantine for the expensive classifier.
 
     Output per doc: ``(id, lang_stop, lang_tri, margin, agree,
-    decision)`` with decision ∈ accept / quarantine.  Composition of
-    two oracled map-side operators joined on id — the join carries
-    only (id, tag, margin) narrow rows, never text.  At 10^10 docs the
-    fused single-select version (inline both expression sets over one
-    scan) saves the second scan and the join exchange; the composed
-    form is kept here because it reuses the two operators verbatim —
-    inline if this audit ever moves to the hot path.
+    decision)`` with decision ∈ accept / quarantine.  FUSED
+    composition: the trigram stage runs over the stopword stage's
+    output with the text passed through (``extra_cols``), so the two
+    chained selects collapse into ONE projection over one scan — no
+    join, no exchange, plan-tested.
     """
-    stop = language_id(df, text_col=text_col, id_col=id_col).select(
-        F.col("id"), F.col("lang_pred").alias("lang_stop")
+    stop = (
+        language_id(
+            df, text_col=text_col, id_col=id_col, extra_cols=(text_col,)
+        )
+        .withColumnRenamed("lang_pred", "lang_stop")
+        .drop("lang_score")
     )
-    tri = lang_id_ngram(df, text_col=text_col, id_col=id_col).select(
-        F.col("id"), F.col("lang_pred").alias("lang_tri"), "margin"
-    )
-    j = stop.join(tri, "id")
+    j = lang_id_ngram(
+        stop, text_col=text_col, id_col="id", extra_cols=("lang_stop",)
+    ).withColumnRenamed("lang_pred", "lang_tri")
     agree = F.col("lang_stop") == F.col("lang_tri")
     return j.select(
         "id",

@@ -873,3 +873,7 @@ def test_lid_agreement_routing(spark):
     assert out[1].lang_stop == "en" and out[1].lang_tri == "en"
     assert out[1].decision == "accept"
     assert out[2].decision == "quarantine"
+    # fused composition: one projection over one scan, no join
+    q = lid_agreement(docs)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan, plan
