@@ -3833,6 +3833,47 @@ def _surt_keys(spark, sf_dir):
     )
 
 
+def _boilerplate_stats(spark, sf_dir):
+    # per-host boilerplate economics: the SAME page synthesis as
+    # main_content (nav + prose halves + related rail + footer) with a
+    # host key -- per-host kept-chars ppm over the real block-scoring
+    # chain; the oracle re-derives kept/raw sums from the synthesis
+    # components without rerunning extraction.
+    from podcast_crawler_spark.operators import htmltext
+
+    docs = _t(spark, sf_dir, "documents")
+    halves = docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 13).cast("string")).alias(
+            "host"
+        ),
+        F.expr("substring(text, 1, length(text) div 2)").alias("lhalf"),
+        F.expr("substring(text, length(text) div 2 + 1)").alias("rhalf"),
+    )
+    pages = halves.select(
+        "host",
+        F.concat(
+            F.lit(
+                '<div><a href="/">home</a> <a href="/a">about us</a>'
+                ' <a href="/c">contact</a></div><p>'
+            ),
+            F.col("lhalf"),
+            F.lit('</p><div><a href="/x">related '),
+            F.col("doc_id"),
+            F.lit(
+                "</a> read the full story and much more detail here"
+                "</div><p>"
+            ),
+            F.col("rhalf"),
+            F.lit(
+                '</p><div><a href="/p">privacy</a>'
+                ' <a href="/t">terms</a></div><div>c 2024</div>'
+            ),
+        ).alias("html"),
+    )
+    return htmltext.boilerplate_stats(pages)
+
+
 def _main_content(spark, sf_dir):
     # boilerplate-block removal: pages synthesized SQL-reproducibly
     # around each doc's text — a link-dense nav (dropped by density), a
@@ -4205,6 +4246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_counts": _windowed_counts,
         "html_text": _html_text,
         "main_content": _main_content,
+        "boilerplate_stats": _boilerplate_stats,
         "surt_keys": _surt_keys,
         "domain_rollup": _domain_rollup,
     }
@@ -5356,6 +5398,32 @@ def oracle_sql() -> dict[str, str]:
             FROM u
         """,
         # html->text: expected output constructed from components
+        "boilerplate_stats": """
+            with b as (select doc_id, text, length(text) n from documents),
+            h as (select doc_id,
+                    'h' || cast(doc_id % 13 as varchar) as host,
+                    trim(regexp_replace(substring(text, 1, n // 2),
+                         ' +', ' ', 'g')) lt,
+                    trim(regexp_replace(substring(text, n // 2 + 1),
+                         ' +', ' ', 'g')) rt,
+                    'related ' || doc_id ||
+                    ' read the full story and much more detail here' mt
+                  from b),
+            per as (select host,
+                      length(concat_ws(chr(10),
+                        case when length(lt) >= 20 then lt end,
+                        mt,
+                        case when length(rt) >= 20 then rt end)) kept,
+                      40 + length(lt) + length(mt) + length(rt) raw
+                    from h)
+            select host, count(*) n_pages,
+                   sum(raw)::BIGINT sum_text_chars,
+                   sum(kept)::BIGINT sum_kept_chars,
+                   case when sum(raw) > 0
+                        then (1000000 * sum(kept)) // sum(raw)
+                        else 0 end::BIGINT kept_ppm
+            from per group by host
+        """,
         "main_content": """
             with b as (select doc_id, text, length(text) n from documents),
             h as (select doc_id,

@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "keyset_page",
     "ip_asn",
     "cluster_purity",
+    "boilerplate_stats",
 ]
 
 

@@ -272,3 +272,44 @@ def jsonld_oracle_sql(pages_sql: str) -> str:
                end as url
         from f
     """
+
+
+def boilerplate_stats(
+    pages: DataFrame,
+    host_col: str = "host",
+    html_col: str = "html",
+    **mc_kwargs,
+) -> DataFrame:
+    """Per-host boilerplate economics over :func:`main_content`: how
+    much of what a host serves is KEEPABLE prose vs navigation/footer
+    chrome.  The crawl-value signal behind de-prioritizing template
+    farms (a host at 5% kept-chars is mostly chrome — its fetch budget
+    buys almost no training text) and the regression alarm for the
+    extractor itself (a site redesign that halves kept_ppm shows up
+    here first).
+
+    Output per host: ``(host, n_pages, sum_text_chars, sum_kept_chars,
+    kept_ppm)`` — text_chars is the block text the page contained,
+    kept_chars the reassembled main text's length; ppm is the exact
+    integer ratio.
+
+    Scale shape: main_content is one map-side projection; this adds
+    ONE map-side-combined aggregate keyed by host.  Nothing but four
+    longs per host crosses the exchange.
+    """
+    mc = main_content(
+        pages, html_col=html_col, keep_cols=(host_col,), **mc_kwargs
+    )
+    agg = mc.groupBy(host_col).agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum("text_chars").alias("sum_text_chars"),
+        F.sum(F.length("main_text")).alias("sum_kept_chars"),
+    )
+    return agg.withColumn(
+        "kept_ppm",
+        F.expr(
+            "case when sum_text_chars > 0 then"
+            " (1000000 * sum_kept_chars) div sum_text_chars"
+            " else 0 end"
+        ),
+    )

@@ -179,3 +179,33 @@ def test_extract_jsonld_oracle_sql_matches(spark):
     )
     exp = sorted(tuple(r) for r in duckdb.sql(osql).fetchall())
     assert got == exp
+
+
+def test_boilerplate_stats_rollup(spark):
+    """A chrome-heavy host reports a lower kept_ppm than a prose host;
+    sums are exact over the real extraction chain."""
+    from pyspark.sql import functions as F
+
+    from podcast_crawler_spark.operators.htmltext import (
+        boilerplate_stats,
+        main_content,
+    )
+
+    prose = "word " * 40
+    chrome = '<div><a href="/a">a</a> <a href="/b">b</a></div>' * 5
+    pages = spark.createDataFrame(
+        [
+            ("good", f"<p>{prose}</p><p>{prose}</p>"),
+            ("chromey", chrome + f"<p>{prose}</p>" + chrome),
+        ],
+        "host string, html string",
+    )
+    out = {r.host: r for r in boilerplate_stats(pages).collect()}
+    assert out["good"].kept_ppm > out["chromey"].kept_ppm
+    # exact cross-check against main_content itself
+    mc = main_content(pages, keep_cols=("host",)).collect()
+    for r in mc:
+        s = out[r.host]
+        if s.n_pages == 1:
+            assert s.sum_text_chars == r.text_chars
+            assert s.sum_kept_chars == len(r.main_text)
