@@ -175,6 +175,31 @@ def _count_per_group(spark, sf_dir):
     )
 
 
+_HC_URLS_SQL = """
+    select case when event_id % 3 = 0 then 'bighost'
+                else 'h' || cast(user_id % 40 as varchar) end as host,
+           event_id
+    from events
+"""
+
+
+def _host_concentration(spark, sf_dir):
+    # frontier concentration: one host owns ~a third of the queue (the
+    # skew alarm X6 salting exists for); exact integer top-share ppm,
+    # overflow-safe where an HHI sum-of-squares is not.
+    from podcast_crawler_spark.operators import stats as statsmod
+
+    ev = _t(spark, sf_dir, "events")
+    urls = ev.select(
+        F.when(F.col("event_id") % 3 == 0, F.lit("bighost"))
+        .otherwise(
+            F.concat(F.lit("h"), (F.col("user_id") % 40).cast("string"))
+        )
+        .alias("host")
+    )
+    return statsmod.host_concentration(urls)
+
+
 def _batch_stats(spark, sf_dir):
     # A3: batch success/failure stats analog
     return (
@@ -2105,6 +2130,12 @@ from podcast_crawler_spark.operators import temporal as _temporal
 
 def _temporal_mod():
     return _temporal
+
+from podcast_crawler_spark.operators import stats as _statsop
+
+
+def _stats_mod():
+    return _statsop
 
 
 _RING_WORKERS = [f"w{i:02d}" for i in range(16)]
@@ -4085,6 +4116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_lookup": _point_lookup,
         "count_per_group": _count_per_group,
         "batch_stats": _batch_stats,
+        "host_concentration": _host_concentration,
         "error_histogram": _error_histogram,
         "stats_median": _stats_median,
         "retry_backoff": _retry_backoff,
@@ -5398,6 +5430,9 @@ def oracle_sql() -> dict[str, str]:
             FROM u
         """,
         # html->text: expected output constructed from components
+        "host_concentration": _stats_mod().concentration_oracle_sql(
+            _HC_URLS_SQL
+        ),
         "boilerplate_stats": """
             with b as (select doc_id, text, length(text) n from documents),
             h as (select doc_id,

@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "ip_asn",
     "cluster_purity",
     "boilerplate_stats",
+    "host_concentration",
 ]
 
 

@@ -105,3 +105,69 @@ def per_partition_lineage(df: DataFrame) -> List[dict]:
         .collect()
     )
     return [{"partition_id": r.partition_id, "rows": r["count"]} for r in rows]
+
+
+def host_concentration(
+    urls: DataFrame, host_col: str = "host", top_k: int = 10
+) -> DataFrame:
+    """Frontier-health concentration metric: how much of the queue
+    belongs to its biggest hosts.  A frontier at top1 = 40% means the
+    politeness budget serializes on one host and the crawl's effective
+    parallelism collapses — the alarm that triggers budget caps /
+    discovery rebalancing (the operational reading of the X6 hot-host
+    salting threat model).
+
+    ONE summary row: ``(n_urls, n_hosts, max_host_urls, top1_ppm,
+    topk_ppm)``.  Shares are exact integer ppm and overflow-safe at any
+    scale (``10^6 · count ≤ 10^16`` at a 10^10 frontier — unlike an
+    HHI's Σcount², which overflows int64 at exactly the concentrated
+    frontiers it is meant to flag; top-share is the same signal,
+    bounded).
+
+    Scale shape: one map-side-combined groupBy(host); the global
+    aggregate and the ``TakeOrderedAndProject`` top-k both reduce the
+    per-host counts (O(hosts) rows), then two 1-row frames cross-join.
+    """
+    counts = urls.groupBy(host_col).agg(F.count(F.lit(1)).alias("n"))
+    g = counts.agg(
+        F.sum("n").alias("n_urls"),
+        F.count(F.lit(1)).alias("n_hosts"),
+        F.max("n").alias("max_host_urls"),
+    )
+    topk = (
+        counts.orderBy(F.col("n").desc(), F.col(host_col))
+        .limit(int(top_k))
+        .agg(F.sum("n").alias("_topk"))
+    )
+    return g.crossJoin(topk).select(
+        "n_urls",
+        "n_hosts",
+        "max_host_urls",
+        F.expr("(1000000 * max_host_urls) div n_urls").alias("top1_ppm"),
+        F.expr("(1000000 * _topk) div n_urls").alias("topk_ppm"),
+    )
+
+
+def concentration_oracle_sql(
+    urls_sql: str, top_k: int = 10
+) -> str:
+    """DuckDB replay of :func:`host_concentration`."""
+    return f"""
+        WITH c AS (
+            SELECT host, COUNT(*) AS n FROM ({urls_sql}) u GROUP BY host
+        ),
+        g AS (
+            SELECT SUM(n)::BIGINT AS n_urls, COUNT(*) AS n_hosts,
+                   MAX(n)::BIGINT AS max_host_urls
+            FROM c
+        ),
+        t AS (
+            SELECT SUM(n)::BIGINT AS topk FROM (
+                SELECT n FROM c ORDER BY n DESC, host LIMIT {int(top_k)}
+            ) x
+        )
+        SELECT n_urls, n_hosts, max_host_urls,
+               ((1000000 * max_host_urls) // n_urls)::BIGINT AS top1_ppm,
+               ((1000000 * topk) // n_urls)::BIGINT AS topk_ppm
+        FROM g, t
+    """

@@ -144,3 +144,16 @@ def test_hash_partition_placement_balanced(spark):
     ]
     assert len(counts) == P
     assert max(counts) < 1.2 * (8000 / P)  # within 20% of perfectly even
+
+
+def test_host_concentration_shares(spark):
+    """Exact top-share ppm on a pinned skew: one host with half the
+    rows; topk covers the full set when hosts <= k."""
+    from podcast_crawler_spark.operators.stats import host_concentration
+
+    rows = [("big",)] * 10 + [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2
+    df = spark.createDataFrame(rows, "host string")
+    r = host_concentration(df, top_k=2).collect()[0]
+    assert (r.n_urls, r.n_hosts, r.max_host_urls) == (20, 4, 10)
+    assert r.top1_ppm == 500_000
+    assert r.topk_ppm == 750_000  # big(10) + a(5)
