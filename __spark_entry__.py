@@ -2573,6 +2573,88 @@ _CACHE_ROWS_SQL = """
 """
 
 
+_SC_LAT_SQL = """
+    select 'h' || cast(user_id % 20 as varchar) as host,
+           100 + (event_id * 13) % 3000 as latency_ms
+    from events
+"""
+
+_SC_VAL_SQL = """
+    select 'h' || cast(o_orderkey % 20 as varchar) as host,
+           case when o_orderkey % 6 = 3 then 'W/"w' || o_orderkey || '"'
+                when o_orderkey % 3 = 0 then '"t' || o_orderkey || '"'
+           end as etag,
+           case when o_orderkey % 4 = 1
+                then 'Mon, 01 Jan 2024 00:00:00 GMT' end as last_modified
+    from orders
+"""
+
+_SC_FETCH_SQL = """
+    select 'h' || cast(user_id % 20 as varchar) || '/u/'
+               || cast(user_id % 60 as varchar) as url,
+           1700000000 + event_id as fetch_unix,
+           case when user_id % 20 < 4 then 'const'
+                else cast((event_id // 9) % 3 as varchar) end
+               as content_digest
+    from events
+"""
+
+
+def _host_scorecard(spark, sf_dir):
+    # the per-host scheduler scorecard: three independently-oracled
+    # adaptation chains (latency profile, validator capability,
+    # observed change rate rolled to hosts) full-outer composed into
+    # one exact [0,100] score.  The oracle nests ALL THREE chains plus
+    # the rollup, join and scoring -- the largest composition in the
+    # suite.
+    from podcast_crawler_spark.operators import refetch
+
+    ev = _t(spark, sf_dir, "events")
+    k = (F.col("user_id") % 20).cast("string")
+    lat = refetch.host_latency_profile(
+        ev.select(
+            F.concat(F.lit("h"), k).alias("host"),
+            (F.lit(100) + (F.col("event_id") * 13) % 3000).alias(
+                "latency_ms"
+            ),
+        )
+    )
+    o = F.col("o_orderkey")
+    val = refetch.validator_stats(
+        _t(spark, sf_dir, "orders").select(
+            F.concat(F.lit("h"), (o % 20).cast("string")).alias("host"),
+            F.when(
+                o % 6 == 3,
+                F.concat(F.lit('W/"w'), o.cast("string"), F.lit('"')),
+            )
+            .when(
+                o % 3 == 0,
+                F.concat(F.lit('"t'), o.cast("string"), F.lit('"')),
+            )
+            .alias("etag"),
+            F.when(
+                o % 4 == 1, F.lit("Mon, 01 Jan 2024 00:00:00 GMT")
+            ).alias("last_modified"),
+        )
+    )
+    fetches = ev.select(
+        F.concat(
+            F.lit("h"), k, F.lit("/u/"),
+            (F.col("user_id") % 60).cast("string"),
+        ).alias("url"),
+        (F.lit(1700000000) + F.col("event_id")).alias("fetch_unix"),
+        F.when(F.col("user_id") % 20 < 4, F.lit("const"))
+        .otherwise(F.expr("cast((event_id div 9) % 3 as string)"))
+        .alias("content_digest"),
+    )
+    changes = (
+        refetch.change_rate_schedule(fetches)
+        .groupBy(F.expr("split_part(url, '/', 1)").alias("host"))
+        .agg(F.expr("sum(change_ppm) div count(*)").alias("change_ppm"))
+    )
+    return refetch.host_scorecard(lat, val, changes)
+
+
 def _host_latency(spark, sf_dir):
     # latency-adaptive per-host politeness delay: exact grouped p50/p95
     # (percentile ≡ quantile_cont, the stats_median precedent) with an
@@ -4163,6 +4245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aimd_concurrency": _aimd_concurrency,
         "circuit_state": _circuit_state,
         "host_latency": _host_latency,
+        "host_scorecard": _host_scorecard,
         "cache_ttl": _cache_ttl,
         "robots_availability": _robots_availability,
         "refetch_decision": _refetch_decision,
@@ -5430,6 +5513,17 @@ def oracle_sql() -> dict[str, str]:
             FROM u
         """,
         # html->text: expected output constructed from components
+        "host_scorecard": _refetch_mod().scorecard_oracle_sql(
+            _refetch_mod().latency_oracle_sql(_SC_LAT_SQL),
+            _refetch_mod().validator_oracle_sql(_SC_VAL_SQL),
+            f"""
+                select split_part(url, '/', 1) as host,
+                       sum(change_ppm) // count(*) as change_ppm
+                from ({_refetch_mod().change_rate_oracle_sql(
+                    _SC_FETCH_SQL)}) cr
+                group by 1
+            """,
+        ),
         "host_concentration": _stats_mod().concentration_oracle_sql(
             _HC_URLS_SQL
         ),

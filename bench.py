@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "cluster_purity",
     "boilerplate_stats",
     "host_concentration",
+    "host_scorecard",
 ]
 
 

@@ -1077,3 +1077,108 @@ def compliance_oracle_sql(
                     ELSE 0 END::BIGINT AS violation_ppm
         FROM j GROUP BY host
     """
+
+
+def host_scorecard(
+    latency: DataFrame,
+    validators: DataFrame,
+    changes: DataFrame,
+) -> DataFrame:
+    """The per-host operational scorecard — ONE table answering "how
+    should the scheduler treat this host next epoch?", composed from
+    the three independent (and independently oracled) adaptation
+    chains:
+
+      - *latency*   = :func:`host_latency_profile` output
+        (responsiveness → spacing),
+      - *validators* = :func:`validator_stats` output
+        (revalidation capability → refetch cost),
+      - *changes*   = a host-level rollup of
+        :func:`change_rate_schedule` (``(host, change_ppm)`` —
+        freshness value).
+
+    ``score`` ∈ [0,100], exact integers:
+
+      - up to 40 for freshness value (``min(40, change_ppm div
+        25000)`` — a host changing 100% of the time maxes out),
+      - up to 30 for revalidation capability
+        (``revalidation_pct · 30 div 100``),
+      - up to 30 for responsiveness (full marks at p95 ≤ 1000 ms,
+        minus 1 per 300 ms beyond, floored at 0).
+
+    Hosts appear if ANY chain saw them (full-outer composition);
+    absent signals contribute 0 — unknown is never rewarded.  Three
+    host-keyed narrow tables, two outer joins, map-side arithmetic;
+    the oracle nests all three chains and replays the join + score.
+    """
+    l = latency.select("host", "p95_ms")
+    v = validators.select("host", "revalidation_pct")
+    c = changes.select("host", "change_ppm")
+    j = l.join(v, "host", "full_outer").join(c, "host", "full_outer")
+    fresh = F.least(
+        F.lit(40).cast("long"),
+        F.expr("coalesce(change_ppm, 0) div 25000"),
+    )
+    reval = F.expr("(coalesce(revalidation_pct, 0) * 30) div 100")
+    # p95 is a double (exact percentile); floor -> long BEFORE the
+    # integer scoring (floor, not cast: Spark's double->long cast
+    # truncates where DuckDB's rounds -- the host_latency pitfall)
+    resp = F.when(F.col("p95_ms").isNull(), F.lit(0).cast("long")).otherwise(
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.lit(30).cast("long")
+            - F.expr(
+                "greatest(0, cast(floor(p95_ms) as bigint) - 1000)"
+                " div 300"
+            ),
+        )
+    )
+    return j.select(
+        "host",
+        F.col("p95_ms"),
+        F.col("revalidation_pct"),
+        F.col("change_ppm"),
+        fresh.alias("s_fresh"),
+        reval.alias("s_reval"),
+        resp.alias("s_resp"),
+        (fresh + reval + resp).alias("score"),
+    )
+
+
+def scorecard_oracle_sql(
+    latency_sql: str,
+    validators_sql: str,
+    changes_sql: str,
+) -> str:
+    """DuckDB replay of :func:`host_scorecard` over the three chains'
+    SQL (each itself a full oracle of its operator)."""
+    return f"""
+        WITH l AS (SELECT host, p95_ms FROM ({latency_sql}) a),
+        v AS (SELECT host, revalidation_pct FROM ({validators_sql}) b),
+        c AS (SELECT host, change_ppm FROM ({changes_sql}) d),
+        j AS (
+            SELECT COALESCE(l.host, v.host, c.host) AS host,
+                   l.p95_ms, v.revalidation_pct, c.change_ppm
+            FROM l
+            FULL OUTER JOIN v ON l.host = v.host
+            FULL OUTER JOIN c ON COALESCE(l.host, v.host) = c.host
+        ),
+        s AS (
+            SELECT *,
+                   LEAST(40, COALESCE(change_ppm, 0) // 25000)
+                       AS s_fresh,
+                   (COALESCE(revalidation_pct, 0) * 30) // 100
+                       AS s_reval,
+                   CASE WHEN p95_ms IS NULL THEN 0
+                        ELSE GREATEST(0, 30 -
+                            GREATEST(0, floor(p95_ms)::BIGINT - 1000)
+                                // 300) END
+                       AS s_resp
+            FROM j
+        )
+        SELECT host, p95_ms, revalidation_pct, change_ppm,
+               s_fresh::BIGINT AS s_fresh, s_reval::BIGINT AS s_reval,
+               s_resp::BIGINT AS s_resp,
+               (s_fresh + s_reval + s_resp)::BIGINT AS score
+        FROM s
+    """

@@ -434,3 +434,27 @@ def test_delay_compliance_gaps(spark):
     )
     assert a.violation_ppm == 333_333
     assert out["b"].n_violations == 0 and out["b"].declared_delay_s == 0
+
+
+def test_host_scorecard_composition(spark):
+    """Exact score arithmetic across present/absent signals: a fresh,
+    revalidating, fast host maxes the parts; a host seen by no chain
+    but one still appears with the others zeroed."""
+    from podcast_crawler_spark.operators.refetch import host_scorecard
+
+    lat = spark.createDataFrame(
+        [("a", 800.0), ("b", 2500.0)], "host string, p95_ms double"
+    )
+    val = spark.createDataFrame(
+        [("a", 100), ("c", 50)], "host string, revalidation_pct long"
+    )
+    chg = spark.createDataFrame(
+        [("a", 1_000_000), ("b", 100_000)], "host string, change_ppm long"
+    )
+    out = {r.host: r for r in host_scorecard(lat, val, chg).collect()}
+    a = out["a"]  # fresh 40 + reval 30 + resp 30 (800 <= 1000)
+    assert (a.s_fresh, a.s_reval, a.s_resp, a.score) == (40, 30, 30, 100)
+    b = out["b"]  # fresh 4, reval 0, resp 30 - 1500//300 = 25
+    assert (b.s_fresh, b.s_reval, b.s_resp, b.score) == (4, 0, 25, 29)
+    c = out["c"]  # only validators saw it
+    assert (c.s_fresh, c.s_reval, c.s_resp, c.score) == (0, 15, 0, 15)
