@@ -193,6 +193,7 @@ def main() -> None:
     )
 
     t_suite0 = time.time()
+    load_start = round(os.getloadavg()[0], 2)
     results: dict[str, float] = {}
 
     # ---- crawl-epoch throughput ------------------------------------------
@@ -245,38 +246,93 @@ def main() -> None:
     # ---- headline queries -------------------------------------------------
     if not os.environ.get("BENCH_SKIP_QUERIES"):
         qs = entry_mod.queries()
+        setups = getattr(entry_mod, "bench_setup", dict)()
         for name in BENCH_QUERIES:
+            if name in setups:
+                # bootstrap (index build etc.) is one-time, amortized
+                # work — time it as its own row so the query row
+                # measures the steady-state probe
+                t0 = time.time()
+                setups[name](spark, SF_DIR)
+                results[f"{name}_build"] = round(time.time() - t0, 3)
             t0 = time.time()
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             results[name] = round(time.time() - t0, 3)
 
     total = round(time.time() - t_suite0, 3)
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    "crawl-epoch throughput (urls scheduled+parsed/sec) "
-                    "+ headline query wall times"
-                ),
-                "value": total,
-                "unit": "sec",
-                # total grows with COVERAGE (28 queries in r2, 70+ in
-                # r3): compare per-query times or crawl.urls_per_sec
-                # across rounds, never raw totals
-                "n_queries": len(BENCH_QUERIES),
-                "queries": results,
-                "sf": sf,
-                "cpus": CPUS,
-                "crawl": {
-                    "n_feeds": n_feeds,
-                    "scheduled": scheduled,
-                    "parsed": parsed,
-                    "wall_s": round(crawl_wall, 3),
-                    "urls_per_sec": urls_per_sec,
-                },
-            }
-        )
+    # shared-box evidence: 1-min load average sampled at suite start/end
+    # quantifies tenant contention so a slow window can be attributed
+    # rather than asserted
+    load1m = {"start": load_start, "end": round(os.getloadavg()[0], 2)}
+    crawl_block = {
+        "n_feeds": n_feeds,
+        "scheduled": scheduled,
+        "parsed": parsed,
+        "wall_s": round(crawl_wall, 3),
+        "urls_per_sec": urls_per_sec,
+    }
+    detail = {
+        "metric": (
+            "crawl-epoch throughput (urls scheduled+parsed/sec) "
+            "+ headline query wall times"
+        ),
+        "value": total,
+        "unit": "sec",
+        # total grows with COVERAGE (28 queries in r2, 70+ in r3):
+        # compare per-query times or crawl.urls_per_sec across rounds,
+        # never raw totals
+        "n_queries": len(BENCH_QUERIES),
+        "queries": results,
+        "sf": sf,
+        "cpus": CPUS,
+        "crawl": crawl_block,
+        "load1m": load1m,
+    }
+    # The driver captures only the TAIL of stdout (~2 KB) and parses the
+    # last JSON line; the full per-query map outgrew that window in r3
+    # (BENCH_r03.json parsed:null).  Emit the detail FIRST (stdout + a
+    # committed file), then end stdout with a compact (<1 KB) summary so
+    # a tail-window capture always contains one complete JSON object.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass
+    print(json.dumps(detail))
+    qvals = sorted(results[q] for q in results if q != "crawl_epoch")
+    summary = {
+        "metric": detail["metric"],
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(BENCH_QUERIES),
+        "queries": {
+            k: results[k]
+            for k in (
+                "crawl_epoch",
+                "flagship_priority_queue",
+                "dedup_minhash_inc",
+                "kmeans_clusters",
+                "semantic_dedup",
+                "embed_cosine_topk",
+            )
+            if k in results
+        },
+        "query_sec": {
+            "sum": round(sum(qvals), 2),
+            "median": round(qvals[len(qvals) // 2], 3) if qvals else None,
+            "max": max(qvals) if qvals else None,
+        },
+        "sf": sf,
+        "cpus": CPUS,
+        "crawl": crawl_block,
+        "load1m": load1m,
+        "detail_file": "BENCH_DETAIL.json",
+    }
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

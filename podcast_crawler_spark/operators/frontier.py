@@ -476,12 +476,13 @@ def ip_politeness_oracle_sql(
         h AS (
             SELECT queue_key, host,
                    COUNT(*) AS n_urls_host,
-                   SUM(CASE WHEN sel THEN 1 ELSE 0 END) AS n_selected_host
+                   SUM(CASE WHEN sel THEN 1 ELSE 0 END)::BIGINT
+                       AS n_selected_host
             FROM r GROUP BY queue_key, host
         ),
         t AS (
             SELECT queue_key, COUNT(*) AS n_hosts_on_queue,
-                   SUM(n_urls_host) AS n_urls_queue
+                   SUM(n_urls_host)::BIGINT AS n_urls_queue
             FROM h GROUP BY queue_key
         )
         SELECT h.host, h.queue_key, t.n_hosts_on_queue,

@@ -931,7 +931,7 @@ def hierarchical_oracle_sql(
                      sum(w) over (partition by r.domain) dw
               from r join l1 using (domain)),
         q as (select *,
-                     (domain_budget * w) // dw as base,
+                     ((domain_budget * w) // dw)::BIGINT as base,
                      (domain_budget * w) % dw as rem
               from j),
         l as (select *,

@@ -526,9 +526,25 @@ def seen_shards_current(
             "op": "seen_bootstrap",
             "epoch": state.completed_epochs(),
             "expected_keys": expected,
+            # the shard count is PART OF THE INDEX LAYOUT: probes and
+            # folds must use the bootstrap-time count forever — reopening
+            # the crawl with a different cfg.num_partitions would
+            # mis-shard the cogroup and turn bloom false negatives into
+            # duplicate admissions (the invariant is "never a false
+            # negative").  _seen_num_shards reads this back.
+            "num_shards": cfg.num_partitions,
         },
     )
     return state.seen_shards.read(spark)
+
+
+def _seen_num_shards(state: CrawlState, cfg: CrawlConfig) -> int:
+    """The shard count the persisted seen index was BUILT with — the
+    only count that probes/folds may use (see bootstrap metrics note).
+    Falls back to ``cfg.num_partitions`` for pre-existing state dirs
+    whose bootstrap predates the ``num_shards`` manifest field."""
+    man = state.seen_shards.manifest() or {}
+    return (man.get("metrics") or {}).get("num_shards") or cfg.num_partitions
 
 
 def admit_urls(
@@ -585,7 +601,9 @@ def admit_urls(
 
     if use_bloom:
         shards = seen_shards_current(spark, state, cfg)
-        fresh, probed = _unseen_via_shards(frontier, cand, shards, cfg)
+        fresh, probed = _unseen_via_shards(
+            frontier, cand, shards, cfg, num_shards=_seen_num_shards(state, cfg)
+        )
         try:
             snap = _commit_admission(
                 state, frontier, cand, fresh, epoch_ts, cfg, priority
@@ -598,15 +616,22 @@ def admit_urls(
 
 
 def _unseen_via_shards(
-    frontier: DataFrame, cand: DataFrame, shards: DataFrame, cfg: CrawlConfig
+    frontier: DataFrame,
+    cand: DataFrame,
+    shards: DataFrame,
+    cfg: CrawlConfig,
+    num_shards: int | None = None,
 ):
     """The shard-probe + exact-verify lineage (see ``admit_urls``).
     Returns ``(fresh, probed)`` — *probed* is persisted; the caller
-    unpersists it once *fresh* has been consumed."""
+    unpersists it once *fresh* has been consumed.  *num_shards* must be
+    the index's BUILD-time shard count (``_seen_num_shards``); it
+    defaults to ``cfg.num_partitions`` only for direct test callers
+    that built the shards with that same count."""
     from ..operators.seen import bloom_probe_partitioned
 
     probed = bloom_probe_partitioned(
-        cand, shards, "url_hash", cfg.num_partitions
+        cand, shards, "url_hash", num_shards or cfg.num_partitions
     ).persist()
     definite_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybes = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
@@ -660,12 +685,6 @@ def _commit_admission(
         )
         .alias("stages"),
     )
-    snap = state.frontier.commit(
-        frontier.unionByName(rows.select(*frontier.columns)).repartition(
-            cfg.num_partitions, "host_hash"
-        ),
-        metrics={"epoch": state.completed_epochs(), "op": "admit_discovered"},
-    )
     # Fold the admission's keys into the persisted shard index so the next
     # admission probes a complete seen set.  Folding ALL candidate keys
     # (not just the admitted subset) is equivalent and cheaper: a
@@ -674,16 +693,24 @@ def _commit_admission(
     # avoids re-running the probe+verify lineage just to isolate the
     # admitted keys.  Runs whenever the shard table exists (even on the
     # use_bloom=False path) so the index never goes stale.
+    #
+    # ORDER MATTERS: the fold commits BEFORE the frontier commit.  A
+    # crash between the two then leaves bloom bits set for keys that
+    # never landed in the frontier — harmless false positives that the
+    # exact verify resolves.  The reverse order (frontier first) would
+    # leave frontier keys ABSENT from the bloom after a crash: false
+    # negatives that skip the exact verify and re-admit duplicates.
     spark = frontier.sparkSession
     if state.seen_shards.current_snapshot_id() is not None:
         man = state.seen_shards.manifest() or {}
         expected = (man.get("metrics") or {}).get("expected_keys") or 100_000
+        num_shards = _seen_num_shards(state, cfg)
         new_shards = update_bloom_shards(
             state.seen_shards.read(spark),
             cand.select("url_hash"),
             "url_hash",
-            cfg.num_partitions,
-            expected_keys_per_shard=max(1, expected // cfg.num_partitions),
+            num_shards,
+            expected_keys_per_shard=max(1, expected // num_shards),
         )
         state.seen_shards.commit(
             new_shards,
@@ -691,9 +718,15 @@ def _commit_admission(
                 "op": "seen_fold",
                 "epoch": state.completed_epochs(),
                 "expected_keys": expected,
+                "num_shards": num_shards,
             },
         )
-    return snap
+    return state.frontier.commit(
+        frontier.unionByName(rows.select(*frontier.columns)).repartition(
+            cfg.num_partitions, "host_hash"
+        ),
+        metrics={"epoch": state.completed_epochs(), "op": "admit_discovered"},
+    )
 
 
 def discovered_urls(state: CrawlState, spark: SparkSession) -> DataFrame:

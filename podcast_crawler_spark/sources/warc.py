@@ -509,9 +509,9 @@ def warc_export_oracle_sql(
         ),
         o AS (
             SELECT *,
-                   byte_excl - MIN(byte_excl) OVER (
+                   (byte_excl - MIN(byte_excl) OVER (
                        PARTITION BY shard_id
-                   ) AS rec_offset
+                   ))::BIGINT AS rec_offset
             FROM s
         )
         SELECT id, url, shard_id,

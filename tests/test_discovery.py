@@ -175,6 +175,102 @@ def test_admission_definite_new_never_scans_frontier(spark, tmp_path_factory):
         probed.unpersist()
 
 
+def test_admission_shard_count_pinned_across_reopen(spark, tmp_path_factory):
+    """The seen index's shard count is part of its LAYOUT: reopening the
+    crawl with a different cfg.num_partitions must keep probing/folding
+    with the BOOTSTRAP-time count (persisted in the manifest), or the
+    mis-sharded cogroup turns bloom false negatives into duplicate
+    admissions.  Regression for the r3 advice item."""
+    from podcast_crawler_spark.plans.epoch import _seen_num_shards
+
+    root = str(tmp_path_factory.mktemp("pin"))
+    state = run_crawl(
+        spark,
+        root,
+        gen_seeds(spark, 40, partitions=2),
+        gen_pages(spark, 40, partitions=2),
+        gen_robots(spark, 40, partitions=2),
+        epochs=1,
+        epoch0=EPOCH0,
+        cfg=CFG,  # num_partitions=4 at bootstrap
+    )
+    # bootstrap the shard index + one fold under the original config
+    admit_urls(spark, state, _url_batch(spark, 0, 60), EPOCH0, CFG)
+    n_after_first = state.frontier.read(spark).count()
+    boot_meta = state.seen_shards.manifest()["metrics"]
+    assert boot_meta["num_shards"] == 4
+
+    # "reopen" with a different partitioning: re-offer the SAME batch —
+    # a correct probe admits nothing; a mis-sharded probe misses bits
+    # and re-admits duplicates
+    wide = CrawlConfig(per_host_budget=1000, max_retries=1, num_partitions=9)
+    assert _seen_num_shards(state, wide) == 4
+    admit_urls(spark, state, _url_batch(spark, 0, 60), EPOCH0, wide)
+    assert state.frontier.read(spark).count() == n_after_first
+    # and the fold under the new cfg still records the pinned count
+    assert state.seen_shards.manifest()["metrics"]["num_shards"] == 4
+    # new keys still admitted normally under the reopened config
+    admit_urls(spark, state, _url_batch(spark, 200, 230), EPOCH0, wide)
+    f = state.frontier.read(spark)
+    assert f.count() > n_after_first
+    assert f.count() == f.select("canonical_url").distinct().count()
+
+
+def test_fold_commits_before_frontier_commit(spark, tmp_path_factory):
+    """Crash-safety order: the seen-shard fold must be committed BEFORE
+    the frontier admission commit (bloom-extra bits are harmless false
+    positives; missing bits are duplicate-admitting false negatives).
+    Simulated by failing the frontier commit and checking the fold
+    already landed."""
+    root = str(tmp_path_factory.mktemp("order"))
+    state = run_crawl(
+        spark,
+        root,
+        gen_seeds(spark, 30, partitions=2),
+        gen_pages(spark, 30, partitions=2),
+        gen_robots(spark, 30, partitions=2),
+        epochs=1,
+        epoch0=EPOCH0,
+        cfg=CFG,
+    )
+    admit_urls(spark, state, _url_batch(spark, 0, 20), EPOCH0, CFG)
+    n_folds = sum(
+        1
+        for s in state.seen_shards.snapshot_ids()
+        if (state.seen_shards.manifest(s).get("metrics") or {}).get("op")
+        == "seen_fold"
+    )
+    frontier_snap = state.frontier.current_snapshot_id()
+
+    orig = state.frontier.commit
+
+    def exploding_commit(*a, **k):
+        raise RuntimeError("injected crash before frontier commit")
+
+    state.frontier.commit = exploding_commit
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            admit_urls(spark, state, _url_batch(spark, 300, 320), EPOCH0, CFG)
+    finally:
+        state.frontier.commit = orig
+    # the fold landed even though the frontier commit did not …
+    new_folds = sum(
+        1
+        for s in state.seen_shards.snapshot_ids()
+        if (state.seen_shards.manifest(s).get("metrics") or {}).get("op")
+        == "seen_fold"
+    )
+    assert new_folds == n_folds + 1
+    assert state.frontier.current_snapshot_id() == frontier_snap
+    # … and the retry admits the batch exactly once (extra bloom bits are
+    # resolved by the exact verify, no duplicates, nothing lost)
+    before = state.frontier.read(spark).count()
+    admit_urls(spark, state, _url_batch(spark, 300, 320), EPOCH0, CFG)
+    f = state.frontier.read(spark)
+    assert f.count() == before + 20
+    assert f.count() == f.select("canonical_url").distinct().count()
+
+
 def test_admitted_urls_schedule_after_seeds(spark, crawled):
     """Discovered URLs carry low priority: within a host, seeds rank
     before discovered rows in the politeness queue."""

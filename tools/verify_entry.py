@@ -46,6 +46,98 @@ def norm(v):
     return v
 
 
+def _spark_type_class(dt: str) -> str:
+    """Collapse a Spark dtype string to a comparison class. Integer
+    widths map to ('int', width) so HUGEINT leaks (no Spark analogue)
+    and decimal-vs-float divergences are caught before the driver's
+    type-sensitive hash sees them."""
+    d = dt.lower()
+    if d.startswith("decimal"):
+        return "decimal"
+    if d in ("tinyint", "byte"):
+        return "int8"
+    if d in ("smallint", "short"):
+        return "int16"
+    if d in ("int", "integer"):
+        return "int32"
+    if d in ("bigint", "long"):
+        return "int64"
+    if d in ("float", "double"):
+        return "float"
+    if d in ("string", "varchar"):
+        return "str"
+    if d.startswith("timestamp"):
+        return "timestamp"
+    if d == "date":
+        return "date"
+    if d == "boolean":
+        return "bool"
+    if d == "binary":
+        return "binary"
+    if d.startswith("array"):
+        return "array"
+    if d.startswith(("struct", "map")):
+        return "nested"
+    return d
+
+
+def _duck_type_class(dt) -> str:
+    d = str(dt).upper()
+    if d.startswith("DECIMAL"):
+        return "decimal"
+    if d == "HUGEINT":
+        return "hugeint"  # no Spark analogue — always a mismatch
+    if d in ("TINYINT", "INT1"):
+        return "int8"
+    if d in ("SMALLINT", "INT2"):
+        return "int16"
+    if d in ("INTEGER", "INT4", "INT"):
+        return "int32"
+    if d in ("BIGINT", "INT8"):
+        return "int64"
+    if d in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if d in ("VARCHAR", "TEXT", "STRING"):
+        return "str"
+    if d.startswith("TIMESTAMP"):
+        return "timestamp"
+    if d == "DATE":
+        return "date"
+    if d == "BOOLEAN":
+        return "bool"
+    if d in ("BLOB", "BYTEA"):
+        return "binary"
+    if d.endswith("[]") or d.startswith("LIST") or "[]" in d:
+        return "array"
+    if d.startswith(("STRUCT", "MAP")):
+        return "nested"
+    return d.lower()
+
+
+_INT_CLASSES = {"int8", "int16", "int32", "int64"}
+
+
+def type_mismatches(scols, sdtypes, ocols, otypes):
+    """Return (hard, soft) lists of per-column type divergences.
+    hard = class mismatch (HUGEINT/DECIMAL leak, str-vs-int, ...);
+    soft = integer-width-only mismatch (warn — the driver hash has
+    historically tolerated these, but keep them visible)."""
+    sd = {c: _spark_type_class(t) for c, t in zip(scols, sdtypes)}
+    od = {c: _duck_type_class(t) for c, t in zip(ocols, otypes)}
+    hard, soft = [], []
+    for c in sd:
+        if c not in od:
+            continue
+        a, b = sd[c], od[c]
+        if a == b:
+            continue
+        if a in _INT_CLASSES and b in _INT_CLASSES:
+            soft.append(f"{c}: spark={a} duck={b}")
+        else:
+            hard.append(f"{c}: spark={a} duck={b}")
+    return hard, soft
+
+
 def as_multiset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = sorted(
@@ -92,6 +184,7 @@ def main():
         try:
             df = fn(spark, sf_dir)
             scols = df.columns
+            sdtypes = [t for _, t in df.dtypes]
             srows = [tuple(r) for r in df.collect()]
         except Exception as e:
             failures.append((name, f"SPARK ERROR: {e}"))
@@ -111,6 +204,13 @@ def main():
             failures.append((name, f"ORACLE ERROR: {e}"))
             print(f"[FAIL-oracle] {name}: {str(e)[:300]}")
             continue
+        hard, soft = type_mismatches(scols, sdtypes, ocols, rel.types)
+        if hard:
+            failures.append((name, f"TYPE mismatch: {hard}"))
+            print(f"[FAIL-types] {name}: {hard}")
+            continue
+        if soft:
+            print(f"[warn-int-width] {name}: {soft}")
         sc, sm = as_multiset(scols, srows)
         oc, om = as_multiset(ocols, orows)
         if sc != oc:
