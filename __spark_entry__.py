@@ -2196,6 +2196,25 @@ _ASN_RANGES_SQL = """
 """
 
 
+def _eps_greedy_assign(spark, sf_dir):
+    # X3: the reference's dead-code ε-greedy worker selection
+    # (distributor.rs:44-92, call commented out at :101-102) —
+    # derandomized coin flips so every explore AND exploit decision is
+    # replayed by DuckDB.  Tasks = events; workers = the 25 nations
+    # with synthetic queue lengths / similarities.
+    from podcast_crawler_spark.operators import placement
+
+    tasks = _t(spark, sf_dir, "events").select(
+        F.col("event_id").cast("string").alias("task_id")
+    )
+    workers = _t(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("worker_id"),
+        (F.col("n_nationkey") % 4).cast("int").alias("queue_len"),
+        ((F.col("n_regionkey") + 1) / F.lit(5.0)).alias("similarity"),
+    )
+    return placement.epsilon_greedy_assign(tasks, workers)
+
+
 def _ip_asn(spark, sf_dir):
     # IP -> ASN longest-prefix lookup: 50 /16 ranges nested inside one
     # /8 supernet -- addresses in the first 50 second-octets resolve to
@@ -4339,6 +4358,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scheme_upgrades": _scheme_upgrades,
         "consistent_placement": _consistent_placement,
         "ip_asn": _ip_asn,
+        "eps_greedy_assign": _eps_greedy_assign,
         "ring_rebalance": _ring_rebalance,
         "aimd_concurrency": _aimd_concurrency,
         "circuit_state": _circuit_state,
@@ -4713,6 +4733,12 @@ def oracle_sql() -> dict[str, str]:
                      row_number() over (partition by user_id order by ts, event_id)::INT rank
               from events) where rank <= 5
         """,
+        "eps_greedy_assign": _placement_mod().epsilon_greedy_oracle_sql(
+            "select event_id::VARCHAR as task_id from events",
+            "select n_name as worker_id, (n_nationkey % 4)::INT as"
+            " queue_len, ((n_regionkey + 1) / 5.0)::DOUBLE as similarity"
+            " from nation",
+        ),
         "ip_asn": _placement_mod().asn_oracle_sql(
             _ASN_IPS_SQL, _ASN_RANGES_SQL
         ),

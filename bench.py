@@ -296,12 +296,15 @@ def main() -> None:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
-    try:
-        with open(detail_path, "w") as fh:
-            json.dump(detail, fh, indent=1)
-            fh.write("\n")
-    except OSError:
-        pass
+    if not os.environ.get("BENCH_SKIP_QUERIES"):
+        # crawl-only runs (scaling-harness legs) must not clobber the
+        # committed per-query detail of the last full run
+        try:
+            with open(detail_path, "w") as fh:
+                json.dump(detail, fh, indent=1)
+                fh.write("\n")
+        except OSError:
+            pass
     print(json.dumps(detail))
     qvals = sorted(results[q] for q in results if q != "crawl_epoch")
     summary = {

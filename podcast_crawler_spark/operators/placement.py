@@ -328,3 +328,135 @@ def asn_oracle_sql(ips_sql: str, ranges_sql: str) -> str:
                m.range_size AS range_size
         FROM b
     """
+
+
+def epsilon_greedy_assign(
+    tasks: DataFrame,
+    workers: DataFrame,
+    eps_ppm: int = 400_000,
+    seed: str = "s0",
+    task_col: str = "task_id",
+    worker_col: str = "worker_id",
+    queue_col: str = "queue_len",
+    sim_col: str = "similarity",
+) -> DataFrame:
+    """X3: ε-greedy worker selection — the reference's
+    ``find_best_worker`` (``crawler_refactor/distributor.rs:44-92``;
+    its call site is commented out at ``distributor.rs:101-102``, so
+    round-robin ships instead — implemented here anyway to close the
+    inventory).  Per task: with probability ε (default 0.4, the
+    reference's hard-coded ``epsilon``) EXPLORE a uniform-random
+    worker; otherwise EXPLOIT the best worker = shortest queue, tie →
+    highest similarity (the comment's stated intent at
+    ``distributor.rs:73`` — the Rust ``min_by`` actually takes the
+    LOWER similarity on ties, a latent bug we do not reproduce), tie →
+    lowest worker_id.
+
+    Determinism/oracle: both coin flips are md5-derived 32-bit integers
+    (``h32(task#flag#seed)`` for the ε test in ppm, ``h32(task#pick#
+    seed) mod n_workers`` for the explore pick) — the repo-wide
+    derandomization convention (``sampling.key_hash32``), so DuckDB
+    replays every assignment exactly.
+
+    Scale shape: *workers* is cluster metadata (N workers — KBs), so
+    the global best and the rank index are metadata-sized plans
+    broadcast to the task side; tasks are never shuffled (two broadcast
+    hash joins on a uniform hash key).  The per-task work is O(1)
+    regardless of frontier size.
+
+    Output: ``(task_col, assigned_worker, explored, best_worker)``.
+    """
+    from pyspark.sql import Window
+
+    def h32(suffix: str):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(task_col).cast("string"), F.lit(suffix))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    # metadata-sized: rank index for the explore pick + global argmin
+    # for the exploit pick (single-partition window over KBs of cluster
+    # state — the k-means centroid precedent)
+    ranked = workers.select(
+        F.col(worker_col).cast("string").alias("_w"),
+        F.row_number()
+        .over(Window.orderBy(F.col(worker_col).cast("string")))
+        .alias("_rn"),
+    ).withColumn("_rn", F.col("_rn") - 1)
+    n_workers = ranked.count()
+    best = (
+        workers.orderBy(
+            F.col(queue_col).asc(),
+            F.col(sim_col).desc(),
+            F.col(worker_col).cast("string").asc(),
+        )
+        .limit(1)
+        .select(F.col(worker_col).cast("string").alias("best_worker"))
+    )
+
+    flipped = (
+        tasks.select(task_col)
+        .withColumn(
+            "explored",
+            F.pmod(h32(f"#flag#{seed}"), F.lit(1_000_000)) < F.lit(eps_ppm),
+        )
+        .withColumn(
+            "_rn", F.pmod(h32(f"#pick#{seed}"), F.lit(n_workers)).cast("int")
+        )
+    )
+    return (
+        flipped.join(
+            F.broadcast(ranked.withColumnRenamed("_w", "explore_worker")),
+            "_rn",
+        )
+        .crossJoin(F.broadcast(best))
+        .select(
+            task_col,
+            F.when(F.col("explored"), F.col("explore_worker"))
+            .otherwise(F.col("best_worker"))
+            .alias("assigned_worker"),
+            "explored",
+            "best_worker",
+        )
+    )
+
+
+def epsilon_greedy_oracle_sql(
+    tasks_sql: str,
+    workers_sql: str,
+    eps_ppm: int = 400_000,
+    seed: str = "s0",
+) -> str:
+    """DuckDB replay of :func:`epsilon_greedy_assign` — same md5 coin
+    flips, rank index, and exploit ordering."""
+    return f"""
+        WITH t AS (SELECT task_id FROM ({tasks_sql}) tt),
+        w AS (SELECT worker_id::VARCHAR AS worker_id, queue_len,
+                     similarity
+              FROM ({workers_sql}) ww),
+        r AS (SELECT worker_id,
+                     ROW_NUMBER() OVER (ORDER BY worker_id) - 1 AS rn
+              FROM w),
+        b AS (SELECT worker_id AS best_worker FROM w
+              ORDER BY queue_len ASC, similarity DESC, worker_id ASC
+              LIMIT 1),
+        n AS (SELECT COUNT(*) AS n FROM w),
+        x AS (SELECT task_id,
+                     ('0x' || substr(md5(task_id::VARCHAR ||
+                         '#flag#{seed}'), 1, 8))::BIGINT % 1000000
+                         < {int(eps_ppm)} AS explored,
+                     ('0x' || substr(md5(task_id::VARCHAR ||
+                         '#pick#{seed}'), 1, 8))::BIGINT
+                         % (SELECT n FROM n) AS rn
+              FROM t)
+        SELECT x.task_id,
+               CASE WHEN x.explored THEN r.worker_id
+                    ELSE b.best_worker END AS assigned_worker,
+               x.explored, b.best_worker
+        FROM x JOIN r USING (rn) CROSS JOIN b
+    """

@@ -3,6 +3,7 @@
 import hashlib
 
 import pytest
+from pyspark.sql import functions as F
 
 
 def _naive(ring, key):
@@ -164,3 +165,111 @@ def test_ip_asn_longest_prefix(spark):
     assert out["10.0.0.5"].ip_long == 10 * 16777216 + 5
     assert out["10.0.1.5"].asn == 999       # only the supernet contains
     assert "192.168.1.1" not in out
+
+
+def test_epsilon_greedy_deterministic_and_balanced(spark):
+    """X3 ε-greedy: assignments are a pure function of (task, seed);
+    exploit rows all go to the shortest-queue/highest-similarity worker;
+    explore fraction tracks eps_ppm; explore picks hit every worker."""
+    from podcast_crawler_spark.operators.placement import (
+        epsilon_greedy_assign,
+    )
+
+    tasks = spark.createDataFrame(
+        [(f"t{i}",) for i in range(2000)], "task_id string"
+    )
+    workers = spark.createDataFrame(
+        [("w0", 5, 0.9), ("w1", 2, 0.4), ("w2", 2, 0.8), ("w3", 7, 0.99)],
+        "worker_id string, queue_len int, similarity double",
+    )
+    out = epsilon_greedy_assign(tasks, workers, eps_ppm=400_000).collect()
+    assert len(out) == 2000
+    by = {r.task_id: r for r in out}
+    # best = shortest queue (2), tie -> higher similarity => w2
+    assert all(r.best_worker == "w2" for r in out)
+    assert all(
+        (r.assigned_worker == "w2") or r.explored for r in out
+    )
+    # ε=0.4 over 2000 md5 coins: expect ~800, allow wide noise band
+    n_explored = sum(r.explored for r in out)
+    assert 700 < n_explored < 900, n_explored
+    # explore picks cover all workers roughly uniformly
+    from collections import Counter
+
+    picks = Counter(r.assigned_worker for r in out if r.explored)
+    assert set(picks) == {"w0", "w1", "w2", "w3"}
+    assert min(picks.values()) > n_explored / 4 * 0.7
+    # determinism: a second run returns byte-identical assignments
+    again = {
+        r.task_id: r
+        for r in epsilon_greedy_assign(
+            tasks, workers, eps_ppm=400_000
+        ).collect()
+    }
+    assert all(
+        by[t].assigned_worker == again[t].assigned_worker
+        and by[t].explored == again[t].explored
+        for t in by
+    )
+    # different seed reshuffles the coin flips
+    other = epsilon_greedy_assign(
+        tasks, workers, eps_ppm=400_000, seed="s1"
+    ).collect()
+    assert any(
+        by[r.task_id].explored != r.explored for r in other
+    )
+
+
+def test_epsilon_greedy_matches_duckdb_oracle(spark):
+    import duckdb
+
+    from podcast_crawler_spark.operators.placement import (
+        epsilon_greedy_assign,
+        epsilon_greedy_oracle_sql,
+    )
+
+    tasks = spark.createDataFrame(
+        [(f"u{i}",) for i in range(500)], "task_id string"
+    )
+    workers = spark.createDataFrame(
+        [("a", 3, 0.1), ("b", 1, 0.2), ("c", 1, 0.9)],
+        "worker_id string, queue_len int, similarity double",
+    )
+    got = sorted(
+        (r.task_id, r.assigned_worker, r.explored, r.best_worker)
+        for r in epsilon_greedy_assign(tasks, workers).collect()
+    )
+    sql = epsilon_greedy_oracle_sql(
+        "select 'u' || i::varchar as task_id from range(500) t(i)",
+        "select * from (values ('a', 3, 0.1), ('b', 1, 0.2),"
+        " ('c', 1, 0.9)) w(worker_id, queue_len, similarity)",
+    )
+    want = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+    assert got == want
+
+
+def test_epsilon_greedy_no_task_shuffle(spark):
+    """Tasks are never exchanged: both joins broadcast metadata."""
+    from podcast_crawler_spark.operators.placement import (
+        epsilon_greedy_assign,
+    )
+
+    tasks = spark.range(1000).select(
+        F.col("id").cast("string").alias("task_id")
+    )
+    workers = spark.createDataFrame(
+        [("a", 3, 0.1), ("b", 1, 0.2)],
+        "worker_id string, queue_len int, similarity double",
+    )
+    plan = (
+        epsilon_greedy_assign(tasks, workers)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    # the only exchanges allowed are broadcast / single-partition
+    # metadata sorts — never a hash exchange of the task ids
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "task_id" not in line, line
