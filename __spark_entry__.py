@@ -39,6 +39,7 @@ from podcast_crawler_spark.operators import (
     multimodal,
     ranking,
     refetch,
+    seen,
     similarity,
     sketches,
     textstats,
@@ -311,6 +312,37 @@ def _cuckoo_seen_unseen(spark, sf_dir):
     )
 
 
+_BLOOM_AUDIT_SEEN_SQL = (
+    "select o_orderkey k64 from orders where o_orderkey % 2 = 0"
+)
+_BLOOM_AUDIT_PROBE_SQL = (
+    "select o_orderkey k64 from orders where o_orderkey % 2 = 1"
+)
+
+
+def _bloom_fpp_audit(spark, sf_dir):
+    # D3 observability: the seen-bloom's OBSERVED false-positive rate
+    # against a disjoint probe set, through the production numpy bit
+    # path (mapInPandas partial bitmaps, OR-merge, vectorized probe).
+    # The oracle re-derives every bit decision — splitmix64 h2 via
+    # HUGEINT limb multiplication (mod-2^64 wrap that SQL lacks), the
+    # k double-hash indices, set-bit membership — so a drift anywhere
+    # in the hash or bit math reds this row.  Geometry is the integer
+    # audit_geometry (10 bits/key, k=7 ⇒ ~1% fpp) derived from the
+    # seen COUNT, identical in both engines at any sf.
+    from podcast_crawler_spark.operators import seen as seenop
+
+    orders = _t(spark, sf_dir, "orders")
+    seen = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("url_hash")
+    )
+    probe = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.col("o_orderkey").alias("url_hash")
+    )
+    m, k = seenop.audit_geometry(seen.count())
+    return seenop.bloom_fpp_audit(seen, probe, num_bits=m, num_hashes=k)
+
+
 def _dedup_lww(spark, sf_dir):
     # D1/D2: last-write-wins upsert per identity key
     w = Window.partitionBy("user_id", "event_type").orderBy(
@@ -547,6 +579,39 @@ def _dedup_minhash_incremental(spark, sf_dir):
     )
 
 
+_HOST_SIM_SQL = """
+    select 'host' || (doc_id % 23)::varchar h, text from documents
+    union all
+    select 'mirror' || (doc_id % 23)::varchar h, text from documents
+    where doc_id % 2 = 0
+"""
+
+
+def _domain_similarity(spark, sf_dir):
+    # host-granularity near-dup: per-HOST MinHash signatures (min over
+    # the union of the host's doc shingles — one corpus pass, 16
+    # partial mins), LSH-banded candidate pairs, component-match
+    # estimate.  The synthetic layout plants 23 mirror hosts carrying
+    # half of each host's docs, so true mirrors exist; every signature
+    # component, band key, pair and ppm is replayed by the oracle (md5
+    # hashes, no recall floor).
+    docs = _t(spark, sf_dir, "documents")
+    hosts = docs.select(
+        F.concat(F.lit("host"), (F.col("doc_id") % 23).cast("string")).alias(
+            "host"
+        ),
+        "text",
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 2 == 0).select(
+            F.concat(
+                F.lit("mirror"), (F.col("doc_id") % 23).cast("string")
+            ).alias("host"),
+            "text",
+        )
+    )
+    return dedup.host_minhash_similarity(hosts)
+
+
 def _dedup_simhash(spark, sf_dir):
     return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3).select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
@@ -730,6 +795,14 @@ def _quality_scores(spark, sf_dir):
 
 def _token_counts(spark, sf_dir):
     return textstats.token_counts(_t(spark, sf_dir, "documents"))
+
+
+def _tokenizer_fertility(spark, sf_dir):
+    # multilingual tokenizer-efficiency audit (Rust et al. 2021):
+    # pieces-per-word and chars-per-piece by language, exact integer
+    # ppm over the same BPE-ish piece arithmetic token_counts pins.
+    # One lang-keyed aggregation, map-side combined.
+    return textstats.tokenizer_fertility(_t(spark, sf_dir, "documents"))
 
 
 def _doc_fingerprints(spark, sf_dir):
@@ -1345,6 +1418,60 @@ def _warc_export_oracle() -> str:
         where doc_id is not null and text is not null
     """
     return warc_export_oracle_sql(pages_sql, shard_rows=250)
+
+
+def _warc_revisit(spark, sf_dir):
+    # WARC revisit planning (identical-payload-digest dedup, WARC 1.1
+    # §6.7.2): a synthetic refetch history — each feed URL cycles
+    # through 3 payload versions keyed on the fetch id, so repeats are
+    # common — through the real operator; the oracle replays the
+    # first-capture rule (row_number over (url, digest) by (ts, id))
+    # and every bytes_saved value.  Digest and size derive from the
+    # same md5/arithmetic in both engines.
+    from podcast_crawler_spark.sources.warc import revisit_records
+
+    o = _t(spark, sf_dir, "orders")
+    fetches = o.select(
+        F.concat(
+            F.lit("https://feed"),
+            F.col("o_custkey").cast("string"),
+            F.lit(".example/rss"),
+        ).alias("url"),
+        F.col("o_orderdate").alias("warc_ts"),
+        F.col("o_orderkey").alias("fetch_id"),
+        F.md5(
+            F.concat(
+                F.lit("body:"),
+                F.col("o_custkey").cast("string"),
+                F.lit(":"),
+                (F.col("o_orderkey") % 3).cast("string"),
+            )
+        ).alias("payload_digest"),
+        (F.lit(500) + (F.col("o_orderkey") % 3) * 37).alias("n_bytes"),
+    )
+    return revisit_records(fetches)
+
+
+_WARC_REVISIT_ORACLE = """
+    with f as (
+      select 'https://feed' || o_custkey::varchar || '.example/rss' url,
+             o_orderdate ts, o_orderkey fetch_id,
+             md5('body:' || o_custkey::varchar || ':'
+                 || (o_orderkey % 3)::varchar) digest,
+             (500 + (o_orderkey % 3) * 37)::BIGINT n_bytes
+      from orders),
+    r as (
+      select *,
+             row_number() over (partition by url, digest
+                                order by ts, fetch_id) rn,
+             min(ts) over (partition by url, digest) orig_ts
+      from f)
+    select url, fetch_id, ts, digest,
+           case when rn = 1 then 'response' else 'revisit' end rec_type,
+           case when rn = 1 then null else orig_ts end refers_to_ts,
+           (case when rn = 1 then 0 else n_bytes end)::BIGINT bytes_saved
+    from r
+"""
 
 
 def _warc_scan(spark, sf_dir):
@@ -3031,6 +3158,43 @@ def _soft404_stats(spark, sf_dir):
     return trapsmod.soft404_stats(pages)
 
 
+_LINK_FARM_EDGES_SQL = """
+    select 'h' || (l_orderkey % 200)::varchar src_host,
+           l_orderkey page_id,
+           case when l_orderkey % 200 < 20
+                then 'd' || (l_suppkey % 4)::varchar
+                else 'd' || (l_partkey % 1000)::varchar end dst_host
+    from lineitem
+"""
+
+
+def _link_farm_detect(spark, sf_dir):
+    # link-spam countermeasure for frontier priority: hosts emitting
+    # many outlinks to few distinct targets (farms / boilerplate
+    # templates) get flagged so graph-derived priority (host_pagerank,
+    # frontier_scoring) discounts their edges.  Synthetic edge list:
+    # 10% of hosts are farms (4 distinct targets), the rest spread over
+    # 1000.  One host-keyed aggregation; every ppm + flag replayed.
+    from podcast_crawler_spark.operators import links as linksop
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("h"), (F.col("l_orderkey") % 200).cast("string")).alias(
+            "src_host"
+        ),
+        F.col("l_orderkey").alias("page_id"),
+        F.when(
+            F.col("l_orderkey") % 200 < 20,
+            F.concat(F.lit("d"), (F.col("l_suppkey") % 4).cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("d"), (F.col("l_partkey") % 1000).cast("string"))
+        )
+        .alias("dst_host"),
+    )
+    return linksop.link_farm_stats(edges)
+
+
 def _frontier_gating(spark, sf_dir):
     # admission gate integration: the deny-list a discovery crawl
     # applies every epoch — trap hosts (URL-template dominance) and
@@ -3440,6 +3604,19 @@ _BPE_MERGES = [
 ]
 
 
+def _dsir_weights(spark, sf_dir):
+    # DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    # bucket distributions, target = the 'en' slice vs the whole
+    # corpus; per-doc weight is a sum of INTEGER micro-quantized
+    # log-ratios, so the oracle replays every feature hash, both bucket
+    # histograms, the smoothed ratio and every document's weight and
+    # selection flag exactly.
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "is_en", F.col("lang") == "en"
+    )
+    return sampling_mod().dsir_weights(docs, "is_en")
+
+
 def _weighted_sample(spark, sf_dir):
     # weight-proportional bottom-k (integer-rule A-ES cousin): quality-
     # weighted eval draw over documents, weight = n_chars; the exact
@@ -3770,6 +3947,44 @@ def _hits_scores(spark, sf_dir):
         .distinct()
     )
     return graph.hits(edges, iters=3)
+
+
+def _hll_merge_epochs(spark, sf_dir):
+    # sketch ALGEBRA across crawl epochs: per-day register tables
+    # max-merged into the union sketch (registers are a semilattice),
+    # against two exact audits — the union distinct and the SUM of
+    # per-epoch distincts (what naive per-epoch counters would add up
+    # to; the gap is exactly why mergeable state is required).  The
+    # oracle replays every per-epoch register, the merge, the integer
+    # harmonic sum and the correction branch.  At 10^10 keys the
+    # persisted m-row register table per epoch replaces any re-scan.
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "epoch", F.expr("unix_timestamp(ts) div 86400")
+    )
+    regs = sketches.hll_registers(ev, "user_id", ["epoch"])
+    est = sketches.hll_estimate_from_registers(sketches.hll_merge(regs))
+    per_epoch = ev.groupBy("epoch").agg(
+        F.countDistinct("user_id").alias("nd")
+    )
+    audits = per_epoch.agg(
+        F.count(F.lit(1)).cast("long").alias("n_epochs"),
+        F.sum("nd").cast("long").alias("sum_epoch_exact"),
+    ).crossJoin(
+        ev.agg(F.countDistinct("user_id").cast("long").alias("n_exact_union"))
+    )
+    return audits.crossJoin(est).select(
+        "n_epochs",
+        "sum_epoch_exact",
+        "n_exact_union",
+        "n_zero_regs",
+        "harmonic_scaled",
+        "hll_estimate",
+        F.round(
+            F.abs(F.col("hll_estimate") - F.col("n_exact_union"))
+            / F.col("n_exact_union"),
+            4,
+        ).alias("rel_err"),
+    )
 
 
 def _frontier_scoring(spark, sf_dir):
@@ -4129,6 +4344,40 @@ def _pq_codes(spark, sf_dir):
     return similarity.pq_encode(emb, cbs)
 
 
+def _pq_adc_topk(spark, sf_dir):
+    # PQ asymmetric-distance search (Jégou et al. 2011 §IV-A): after
+    # pq_codes proves train+encode, this proves the SEARCH — per query
+    # a ksub×m lookup table of 7-dp sub-distances is baked into the
+    # plan as literals, each corpus row costs m array lookups + a
+    # fixed-order sum over its m-byte code (the vectors never load),
+    # and the top-k is a TakeOrderedAndProject.  Fully oracled: the
+    # DuckDB CTE replays codebooks, codes, LUTs, distances and ranks —
+    # no recall floor.  At 10^10 vectors this is the memory-resident
+    # rerank tier under the IVF cells (embed_ivf_topk).
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = similarity.pq_fit(emb, m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS)
+    enc = similarity.pq_encode(emb, cbs).drop("err_milli")
+    # bounded collect: nq query vectors (the same broadcast contract as
+    # cosine_topk's query side)
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < _PQ_ADC_NQ)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    out = None
+    for r in qrows:
+        top = similarity.pq_adc_topk(
+            enc, cbs, [float(x) for x in r["embedding"]], k=_PQ_ADC_K
+        ).select(
+            F.lit(int(r["vec_id"])).cast("long").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            "adc_dist",
+        )
+        out = top if out is None else out.unionAll(top)
+    return out
+
+
 def _token_divergence(spark, sf_dir):
     # data-mixing diagnostic: top tokens over-represented in the 'en'
     # slice vs the rest — per-token KL terms in whole bits (sum-of-
@@ -4321,6 +4570,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retry_backoff": _retry_backoff,
         "anti_join_unseen": _anti_join_unseen,
         "cuckoo_seen_unseen": _cuckoo_seen_unseen,
+        "bloom_fpp_audit": _bloom_fpp_audit,
         "dedup_lww": _dedup_lww,
         "region_rollup": _region_rollup,
         "q1_pricing_summary": _q1_pricing_summary,
@@ -4331,6 +4581,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_avg": _running_avg,
         "distinct_users": _distinct_users,
         "hll_distinct": _hll_distinct,
+        "hll_merge_epochs": _hll_merge_epochs,
         "cm_heavy_hitters": _cm_heavy_hitters,
         "host_pagerank": _host_pagerank,
         "resolve_redirects": _resolve_redirects,
@@ -4348,6 +4599,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_extract": _jsonld_extract,
         "page_directives": _page_directives,
         "frontier_gating": _frontier_gating,
+        "link_farm_detect": _link_farm_detect,
         "ip_politeness": _ip_politeness,
         "priority_aging": _priority_aging,
         "byte_budget": _byte_budget,
@@ -4384,6 +4636,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_candidates": _bpe_candidates,
         "bpe_encode": _bpe_encode,
         "weighted_sample": _weighted_sample,
+        "dsir_weights": _dsir_weights,
         "normalize_text": _normalize_text,
         "lang_id_ngram": _lang_id_ngram,
         "episode_syndication": _episode_syndication,
@@ -4416,6 +4669,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_minhash_inc": _dedup_minhash_incremental,
         "dedup_simhash": _dedup_simhash,
+        "domain_similarity": _domain_similarity,
         "embed_cosine_topk": _embed_cosine_topk,
         "embed_lsh_topk": _embed_lsh_topk,
         "embed_ivf_topk": _embed_ivf_topk,
@@ -4427,6 +4681,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _lang_id,
         "quality_scores": _quality_scores,
         "token_counts": _token_counts,
+        "tokenizer_fertility": _tokenizer_fertility,
         "doc_fingerprints": _doc_fingerprints,
         "rate_limit_slots": _rate_limit_slots,
         "fetch_latency_join": _fetch_latency_join,
@@ -4463,6 +4718,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_ahash_dups": _image_ahash_dups,
         "warc_scan": _warc_scan,
         "warc_export": _warc_export,
+        "warc_revisit": _warc_revisit,
         "cdx_index": _cdx_index,
         "robots_rules": _robots_rules,
         "crawl_seed_scan": _crawl_seed_scan,
@@ -4476,6 +4732,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_scrub": _url_scrub,
         "token_divergence": _token_divergence,
         "pq_codes": _pq_codes,
+        "pq_adc_topk": _pq_adc_topk,
         "windowed_counts": _windowed_counts,
         "html_text": _html_text,
         "main_content": _main_content,
@@ -4595,6 +4852,7 @@ def _kmeans_oracle_cte(k=_KM_K, iters=_KM_ITERS, d=_KM_DIM) -> str:
 
 
 _PQ_M, _PQ_KSUB, _PQ_ITERS, _PQ_D = 4, 4, 2, 64
+_PQ_ADC_NQ, _PQ_ADC_K = 4, 5
 
 
 def _pq_oracle_cte(m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS, d=_PQ_D) -> str:
@@ -4656,12 +4914,65 @@ def _pq_oracle_cte(m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS, d=_PQ_D) -> str:
     joins = " ".join(f"join af{j} using (vec_id)" for j in range(1, m))
     code_cols = ", ".join(f"af{j}.code code_{j}" for j in range(m))
     err_sum = " + ".join(f"af{j}.dj" for j in range(m))
+    parts.append(
+        f"enc as (select af0.vec_id, {code_cols}, "
+        f"floor(1000 * ({err_sum}) + 0.5)::BIGINT err_milli "
+        f"from af0 {joins})"
+    )
+    return "with " + ",\n".join(parts) + "\nselect * from enc"
+
+
+def _pq_adc_oracle_sql(
+    m=_PQ_M, ksub=_PQ_KSUB, iters=_PQ_ITERS, d=_PQ_D, nq=None, k=None
+) -> str:
+    """DuckDB replay of the FULL pq_adc_topk chain: the pq_codes CTE
+    chain (train + encode) extended with per-query lookup tables —
+    ``lut{j}(qid, code) = round(l2sq(query_sub, codeword), 7)``, exactly
+    the driver-side Python LUT in ``similarity.pq_adc_topk`` (left-fold
+    sum ≡ Python ``sum``, 7-dp rounding) — then the asymmetric distance
+    ``round(0.0 + lut0 + .. + lut{m-1}, 6)`` in fixed j order and a
+    per-query top-k on ``(adc_dist, neighbor_id)``.  Nothing is a recall
+    floor: every distance and every rank is hash-checked."""
+    nq = nq if nq is not None else _PQ_ADC_NQ
+    k = k if k is not None else _PQ_ADC_K
+    dsub = d // m
+    base = _pq_oracle_cte(m, ksub, iters, d)
+    parts_sql = base[len("with ") : base.rindex("\nselect * from enc")]
+    q_subs = ", ".join(
+        f"e[{j * dsub + 1}:{(j + 1) * dsub}] s{j}" for j in range(m)
+    )
+    extra = [
+        f"q as (select vec_id qid, embedding::DOUBLE[] e "
+        f"from embeddings where vec_id < {nq})",
+        f"qsub as (select qid, {q_subs} from q)",
+    ]
+    for j in range(m):
+        extra.append(
+            f"lut{j} as (select b.qid, c.code, "
+            f"round(list_sum(list_transform(range(1, {dsub + 1}), "
+            f"i -> (b.s{j}[i] - c.cv[i]) ^ 2)), 7) v "
+            f"from qsub b cross join cb{j}_{iters} c)"
+        )
+    lut_joins = " ".join(
+        f"join lut{j} l{j} on l{j}.code = e.code_{j} and l{j}.qid = l0.qid"
+        for j in range(1, m)
+    )
+    dist = "0.0 + " + " + ".join(f"l{j}.v" for j in range(m))
+    extra.append(
+        f"scored as (select l0.qid, e.vec_id, round({dist}, 6) adc_dist "
+        f"from enc e join lut0 l0 on l0.code = e.code_0 {lut_joins})"
+    )
     return (
         "with "
-        + ",\n".join(parts)
-        + f"\nselect af0.vec_id, {code_cols}, "
-        f"floor(1000 * ({err_sum}) + 0.5)::BIGINT err_milli "
-        f"from af0 {joins}"
+        + parts_sql
+        + ",\n"
+        + ",\n".join(extra)
+        + f"""
+        select query_id, neighbor_id, adc_dist from (
+          select qid::BIGINT query_id, vec_id neighbor_id, adc_dist,
+                 row_number() over (partition by qid
+                                    order by adc_dist, vec_id) rn
+          from scored) where rn <= {k}"""
     )
 
 
@@ -4808,6 +5119,11 @@ def oracle_sql() -> dict[str, str]:
             select p_partkey unseen_key from part
             where not (p_partkey % 10 < 8 and p_partkey % 5 <> 0)
         """,
+        # bloom FPP audit: full bit-level replay (splitmix64 via HUGEINT
+        # limb arithmetic, k double-hash indices, set-bit membership)
+        "bloom_fpp_audit": seen.bloom_fpp_oracle_sql(
+            _BLOOM_AUDIT_SEEN_SQL, _BLOOM_AUDIT_PROBE_SQL
+        ),
         "dedup_lww": """
             select user_id, event_type, event_id, round(value,6) as "value" from (
               select *, row_number() over (partition by user_id, event_type
@@ -4925,6 +5241,60 @@ def oracle_sql() -> dict[str, str]:
                    round(abs(f.hll_estimate - e.n_exact) / e.n_exact, 4)
                      rel_err
             from fin f join ex e using (event_type)
+        """,
+        # cross-epoch HLL merge: per-day registers max-merged, exact
+        # integer harmonic sum + correction branch replayed; both exact
+        # audits (union distinct, sum of per-epoch distincts) alongside
+        "hll_merge_epochs": f"""
+            with e as (
+              select floor(epoch(ts))::BIGINT // 86400 epoch, user_id
+              from events),
+            regs as (
+              select epoch,
+                     try_cast('0x' || substr(md5(user_id::VARCHAR), 1, 2)
+                              as bigint) bucket,
+                     max(case when try_cast('0x' ||
+                                   substr(md5(user_id::VARCHAR), 3, 15)
+                                   as bigint) = 0 then 61
+                              else 61 - length(printf('%b',
+                                   try_cast('0x' ||
+                                   substr(md5(user_id::VARCHAR), 3, 15)
+                                   as bigint))) end) reg
+              from e group by 1, 2),
+            merged as (select bucket, max(reg) reg from regs group by 1),
+            sk as (
+              select count(*) n_buckets,
+                     sum(case when reg <= 50
+                              then (1::BIGINT << (50 - reg))
+                              else 0 end)::BIGINT harmonic_present
+              from merged),
+            est as (
+              select (256 - n_buckets)::BIGINT n_zero_regs,
+                     (harmonic_present
+                      + (256 - n_buckets) * (1::BIGINT << 50))::BIGINT
+                       harmonic_scaled
+              from sk),
+            fin as (
+              select n_zero_regs, harmonic_scaled,
+                     round(case when n_zero_regs > 0
+                                 and {sketches.HLL_ALPHA_SCALED!r}
+                                     / harmonic_scaled <= 2.5 * 256
+                                then 256.0 * ln(256.0 / n_zero_regs)
+                                else {sketches.HLL_ALPHA_SCALED!r}
+                                     / harmonic_scaled end, 4) hll_estimate
+              from est),
+            aud as (
+              select count(*)::BIGINT n_epochs,
+                     sum(nd)::BIGINT sum_epoch_exact
+              from (select epoch, count(distinct user_id) nd
+                    from e group by 1)),
+            u as (select count(distinct user_id)::BIGINT n_exact_union
+                  from e)
+            select n_epochs, sum_epoch_exact, n_exact_union,
+                   n_zero_regs, harmonic_scaled, hll_estimate,
+                   round(abs(hll_estimate - n_exact_union)
+                         / n_exact_union, 4) rel_err
+            from aud, u, fin
         """,
         # robots Sitemap directives: expected rows re-derived from the
         # synthesis formula (a stray Sitemap line in a fixture body
@@ -5446,6 +5816,10 @@ def oracle_sql() -> dict[str, str]:
             _DIRECTIVE_PAGES_SQL
         ),
         "frontier_gating": _frontier_gating_oracle(),
+        # link farms: host-keyed integer-ppm aggregation replay
+        "link_farm_detect": _links_mod().link_farm_oracle_sql(
+            _LINK_FARM_EDGES_SQL
+        ),
         "chunk_documents": curation.chunk_oracle_sql(
             "select doc_id as id, text from documents",
             chunk_tokens=32, overlap=8,
@@ -5542,6 +5916,8 @@ def oracle_sql() -> dict[str, str]:
             " doc_id as key from documents",
             k=100,
         ),
+        # DSIR: hashed-ngram histograms + integer micro log-ratios
+        "dsir_weights": sampling_mod().dsir_oracle_sql(),
         "bpe_encode": textstats.bpe_encode_oracle_sql(
             "select doc_id as id, text from documents", _BPE_MERGES
         ),
@@ -5721,6 +6097,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # product quantization: generated CTE replays train + encode
         "pq_codes": _pq_oracle_cte(),
+        # PQ ADC search: the same CTE chain extended with per-query
+        # LUTs + distance + rank replay (full oracle, no recall floor)
+        "pq_adc_topk": _pq_adc_oracle_sql(),
         # token divergence: exact integer replay (printf('%b') = bin())
         "token_divergence": """
             with tok as (select unnest(list_filter(string_split(text,' '),
@@ -5886,6 +6265,8 @@ def oracle_sql() -> dict[str, str]:
             from ranked
         """,
         "dedup_simhash": _simhash_oracle(),
+        # host-level minhash: signatures, bands, pairs, ppm all replayed
+        "domain_similarity": dedup.host_minhash_oracle_sql(_HOST_SIM_SQL),
         "embed_cosine_topk": """
             with q as (select vec_id qid, embedding qv from embeddings where vec_id < 8),
             s as (select q.qid query_id, e.vec_id neighbor_id,
@@ -5978,6 +6359,31 @@ def oracle_sql() -> dict[str, str]:
                       x -> ceil(length(regexp_replace(x, '[^a-zA-Z0-9]', '', 'g')) / 4.0)))
                     + length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')))::BIGINT bpe_pieces
             from b
+        """,
+        "tokenizer_fertility": """
+            with b as (
+              select lang,
+                     len(list_filter(string_split(text,' '),
+                                     x -> len(x) > 0))::BIGINT ws,
+                     (list_sum(list_transform(string_split(text,' '),
+                        x -> ceil(length(regexp_replace(x, '[^a-zA-Z0-9]',
+                                                        '', 'g')) / 4.0)))
+                      + length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                     )::BIGINT pieces,
+                     length(text)::BIGINT chars
+              from documents),
+            a as (
+              select lang, count(*)::BIGINT n_docs,
+                     sum(ws)::BIGINT n_ws_tokens,
+                     sum(pieces)::BIGINT n_pieces,
+                     sum(chars)::BIGINT n_chars
+              from b group by lang)
+            select lang, n_docs, n_ws_tokens, n_pieces, n_chars,
+                   (1000000 * n_pieces // greatest(n_ws_tokens, 1))::BIGINT
+                     fertility_ppm,
+                   (1000000 * n_chars // greatest(n_pieces, 1))::BIGINT
+                     chars_per_piece_ppm
+            from a
         """,
         "doc_fingerprints": """
             with toks as (select doc_id id, string_split(text,' ') t from documents),
@@ -6518,6 +6924,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk": _bm25_oracle(),
         "warc_export": _warc_export_oracle(),
+        # WARC revisit: first-capture rule + bytes_saved replay
+        "warc_revisit": _WARC_REVISIT_ORACLE,
         "warc_scan": f"""
             select url, 200 as http_status, n_bytes, body_md5
             from read_parquet('{FIXTURES}/crawl_warc_meta.parquet')

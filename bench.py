@@ -135,6 +135,15 @@ BENCH_QUERIES = [
     "boilerplate_stats",
     "host_concentration",
     "host_scorecard",
+    # round-4 batch 1
+    "pq_adc_topk",
+    "bloom_fpp_audit",
+    "warc_revisit",
+    "dsir_weights",
+    "link_farm_detect",
+    "tokenizer_fertility",
+    "hll_merge_epochs",
+    "domain_similarity",
 ]
 
 

@@ -1127,3 +1127,158 @@ def syndication_oracle_sql(episodes_sql: str) -> str:
         GROUP BY enclosure_url
         HAVING COUNT(DISTINCT feed_url) > 1
     """
+
+
+def _md5h60(prefix: str, col: Column) -> Column:
+    """60-bit positive integer hash from md5 of ``prefix || value`` —
+    engine-independent (the same ``'0x' || substr(md5(·),1,15)`` parse
+    exists in every SQL dialect), unlike xxhash64."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(prefix), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def host_minhash_similarity(
+    df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    band_rows: int = 4,
+) -> DataFrame:
+    """Host-level near-duplication: one MinHash signature per HOST over
+    the union of its documents' shingle sets (min is a semilattice, so
+    the host signature is just ``min`` over doc shingle hashes — no
+    per-host set materialization), LSH-banded so only plausibly-similar
+    host pairs are ever enumerated.  This is the host-granularity twin
+    of ``minhash_lsh_pairs``: it catches mirror sites and template
+    farms whose individual pages dodge doc-level dedup (Cho,
+    Shivakumar & Garcia-Molina, "Finding replicated Web collections",
+    SIGMOD 2000) and feeds the same crawl-economics consumers as
+    ``graph.mirror_hosts`` — skip the copy, keep the original.
+
+    Determinism: hashes are md5-derived 60-bit integers (NOT xxhash64),
+    so a SQL oracle replays every signature component, band key,
+    candidate pair and estimate exactly.
+
+    Scale shape: the corpus-scale work is ONE pass — shingle explode →
+    ``groupBy(host)`` with ``num_hashes`` partial-aggregated mins
+    (map-side combine ⇒ the exchange carries one ``num_hashes``-long
+    row per host per task).  Everything after operates on host-count
+    rows: banding is a projection + explode, the candidate join is
+    keyed on (band, band_key) exactly like doc-LSH, and the estimate
+    join touches only candidate pairs.
+
+    Output: ``(host_a, host_b, sig_matches, est_jaccard_ppm)`` — the
+    estimate is ``1e6 · matching components / num_hashes``.
+    """
+    assert num_hashes % band_rows == 0
+    n_bands = num_hashes // band_rows
+    sh = shingles(
+        df.select(F.col(host_col).alias("doc_id"), F.col(text_col)),
+        id_col="doc_id",
+    )
+    aggs = [
+        F.min(_md5h60(f"{i}:", F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = sh.groupBy(F.col("id").alias("host")).agg(*aggs)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.col(f"h{i}").cast("string")
+                        for i in range(b * band_rows, (b + 1) * band_rows)
+                    ],
+                )
+            ).alias("bk"),
+        )
+        for b in range(n_bands)
+    ]
+    stacked = sigs.select(
+        "host", F.explode(F.array(*band_structs)).alias("s")
+    ).select("host", F.col("s.band").alias("band"), F.col("s.bk").alias("bk"))
+    l = stacked.select(F.col("host").alias("host_a"), "band", "bk")
+    r = stacked.select(F.col("host").alias("host_b"), "band", "bk")
+    pairs = (
+        l.join(r, ["band", "bk"])
+        .filter(F.col("host_a") < F.col("host_b"))
+        .select("host_a", "host_b")
+        .distinct()
+    )
+    a = sigs.select(
+        F.col("host").alias("host_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)],
+    )
+    b_ = sigs.select(
+        F.col("host").alias("host_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
+        pairs.join(a, "host_a")
+        .join(b_, "host_b")
+        .select(
+            "host_a",
+            "host_b",
+            matches.cast("long").alias("sig_matches"),
+            F.expr(
+                f"1000000 * cast({' + '.join(f'(case when a{i} = b{i} then 1 else 0 end)' for i in range(num_hashes))} as bigint)"
+                f" div {num_hashes}"
+            ).alias("est_jaccard_ppm"),
+        )
+    )
+
+
+def host_minhash_oracle_sql(
+    hosts_sql: str, num_hashes: int = 16, band_rows: int = 4
+) -> str:
+    """DuckDB replay of :func:`host_minhash_similarity` over a
+    ``(h, text)`` subquery: same shingles, same md5-derived component
+    hashes, same band keys, same candidate join and estimate."""
+    n_bands = num_hashes // band_rows
+    mins = ", ".join(
+        f"min(('0x' || substr(md5('{i}:' || s), 1, 15))::BIGINT) h{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = " union all ".join(
+        "select h, {b} band, md5({key}) bk from sig".format(
+            b=b,
+            key=" || ':' || ".join(
+                f"h{i}::varchar"
+                for i in range(b * band_rows, (b + 1) * band_rows)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    match_sum = " + ".join(
+        f"(case when a.h{i} = b.h{i} then 1 else 0 end)"
+        for i in range(num_hashes)
+    )
+    return f"""
+        with docs as ({hosts_sql}),
+        toks as (select h, string_split(text, ' ') t from docs),
+        shl as (select h, unnest(list_distinct(
+                  [array_to_string(t[i:i+2], ' ')
+                   for i in range(1, greatest(len(t) - 2, 1) + 1)])) s
+                from toks),
+        shf as (select h, s from shl where len(s) > 0),
+        sig as (select h, {mins} from shf group by h),
+        bands as ({band_selects}),
+        pairs as (
+          select distinct x.h host_a, y.h host_b
+          from bands x join bands y
+            on x.band = y.band and x.bk = y.bk and x.h < y.h)
+        select p.host_a, p.host_b,
+               ({match_sum})::BIGINT sig_matches,
+               (1000000 * ({match_sum}) // {num_hashes})::BIGINT
+                 est_jaccard_ppm
+        from pairs p
+        join sig a on a.h = p.host_a
+        join sig b on b.h = p.host_b
+    """

@@ -377,3 +377,79 @@ def scheme_oracle_sql(urls_sql: str) -> str:
         select * from a
         where http_url is not null and https_url is not null
     """
+
+
+def link_farm_stats(
+    edges: DataFrame,
+    src_host_col: str = "src_host",
+    dst_host_col: str = "dst_host",
+    page_col: str = "page_id",
+    min_links: int = 20,
+    max_diversity_ppm: int = 100_000,
+) -> DataFrame:
+    """Link-farm detection over the crawl's outlink edge list: a host
+    that emits MANY links to FEW distinct targets is a farm/boilerplate
+    template, and its outlinks should not feed frontier priority
+    (Gyöngyi & Garcia-Molina, "Web Spam Taxonomy", AIRWeb 2005 — link
+    spam inflates in-degree signals like ``graph.pagerank`` /
+    ``frontier_scoring``; demoting farm EDGES at the source is the
+    standard countermeasure).
+
+    Per source host: pages crawled, total outlinks, distinct target
+    hosts, ``links_per_page_ppm`` (outlink density) and
+    ``diversity_ppm = 1e6·distinct_targets/links`` — flag
+    ``is_farm`` when the host has at least *min_links* outlinks and
+    diversity at or under *max_diversity_ppm* (default: ≤10% of links
+    point somewhere new).  All ratios are exact integer ppm
+    (``1e6·a div b``), so an ANSI-SQL oracle replays every flag.
+
+    Scale shape: ONE aggregation keyed on the source host —
+    ``count``, two ``count distinct`` handled by Spark's expand +
+    partial aggregation — the exchange carries host-keyed partials
+    only, never edge bodies.  Skewed mega-hosts are exactly the rows
+    this operator exists to surface, and a single host's distinct
+    targets always fit a partition (they are bounded by the web's host
+    count).  Output feeds ``frontier_gating`` as a host-level demotion
+    list (bounded: one row per flagged host).
+    """
+    agg = edges.groupBy(F.col(src_host_col).alias("host")).agg(
+        F.countDistinct(page_col).alias("n_pages"),
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct(dst_host_col).alias("n_targets"),
+    )
+    out = agg.select(
+        "host",
+        F.col("n_pages").cast("long").alias("n_pages"),
+        F.col("n_links").cast("long").alias("n_links"),
+        F.col("n_targets").cast("long").alias("n_targets"),
+        F.expr("1000000 * n_links div n_pages").alias("links_per_page_ppm"),
+        F.expr("1000000 * n_targets div n_links").alias("diversity_ppm"),
+    )
+    return out.withColumn(
+        "is_farm",
+        (F.col("n_links") >= min_links)
+        & (F.col("diversity_ppm") <= max_diversity_ppm),
+    )
+
+
+def link_farm_oracle_sql(
+    edges_sql: str, min_links: int = 20, max_diversity_ppm: int = 100_000
+) -> str:
+    """DuckDB replay of :func:`link_farm_stats` over an edge subquery
+    yielding ``(src_host, dst_host, page_id)``."""
+    return f"""
+        with e as ({edges_sql}),
+        a as (
+          select src_host host,
+                 count(distinct page_id)::BIGINT n_pages,
+                 count(*)::BIGINT n_links,
+                 count(distinct dst_host)::BIGINT n_targets
+          from e group by 1)
+        select host, n_pages, n_links, n_targets,
+               (1000000 * n_links // n_pages)::BIGINT links_per_page_ppm,
+               (1000000 * n_targets // n_links)::BIGINT diversity_ppm,
+               (n_links >= {min_links} and
+                (1000000 * n_targets // n_links) <= {max_diversity_ppm})
+                 is_farm
+        from a
+    """

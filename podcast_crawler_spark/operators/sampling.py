@@ -348,3 +348,160 @@ def temperature_oracle_sql(
         WHERE ('0x' || substr(md5(d.{key_col}::VARCHAR), 1, 8))::BIGINT
               < (r.rate * 4294967296)::BIGINT
     """
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 256,
+) -> DataFrame:
+    """DSIR data-selection weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by how target-like its hashed n-gram distribution is,
+    ``log w(d) = Σ_b c_b(d) · log(p_b / q_b)`` over hashed unigram +
+    bigram buckets, where p is the Laplace-smoothed bucket distribution
+    of the TARGET slice (rows with boolean ``target_col`` true) and q
+    of the WHOLE corpus.
+
+    Determinism discipline: the per-bucket log-ratio is quantized ONCE
+    to integer micro-units (``round(1e6·ln(ratio))`` — ratio is one
+    double division of exact integer products, the same ln-then-round
+    convention as ``ranking.bm25``/``token_divergence``), so the
+    per-document weight is a SUM OF INTEGERS — order-independent across
+    any partitioning, exactly replayable in SQL.  A float sum over
+    unordered feature rows would not be.
+
+    Scale shape: tokenize + n-gram + bucket are pure codegen
+    projections; the bucket table is ≤ ``num_buckets`` rows built by
+    two map-side-combined aggregations and broadcast back; the only
+    corpus-scale exchange is the final ``groupBy(id)`` over
+    pre-combined ``(id, Σ c·lr)`` partials.  The two totals are k-row
+    planning aggregates.  At 100 TB the bucket histogram costs one
+    pass and 2·B longs of driver state.
+
+    Output: ``(id_col, n_feats, dsir_logw_micro, target_like)`` —
+    ``target_like`` (logw > 0) is the selection flag; for a fixed-size
+    draw feed ``dsir_logw_micro`` to ``weighted_bottom_k``.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    bi = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit("_"), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = df.select(
+        F.col(id_col).alias("id"),
+        F.col(target_col).alias("is_tgt"),
+        F.explode(F.concat(toks, bi)).alias("g"),
+    ).select(
+        "id", "is_tgt", (key_hash32(F.col("g")) % num_buckets).alias("b")
+    )
+    # two bounded planning aggregates (a pair of longs each)
+    totals = feats.agg(
+        F.sum(F.col("is_tgt").cast("long")).alias("tt"),
+        F.count(F.lit(1)).alias("ss"),
+    ).first()
+    tt = int(totals["tt"] or 0)
+    ss = int(totals["ss"] or 0)
+    tgt_c = (
+        feats.filter("is_tgt").groupBy("b").agg(F.count(F.lit(1)).alias("tc"))
+    )
+    src_c = feats.groupBy("b").agg(F.count(F.lit(1)).alias("sc"))
+    spark = df.sparkSession
+    lr = (
+        spark.range(num_buckets)
+        .select(F.col("id").cast("long").alias("b"))
+        .join(tgt_c, "b", "left")
+        .join(src_c, "b", "left")
+        .select(
+            "b",
+            F.round(
+                F.lit(1_000_000.0)
+                * F.log(
+                    (
+                        (F.coalesce(F.col("tc"), F.lit(0)) + 1)
+                        * F.lit(ss + num_buckets)
+                    )
+                    / (
+                        (F.coalesce(F.col("sc"), F.lit(0)) + 1)
+                        * F.lit(tt + num_buckets)
+                    )
+                )
+            )
+            .cast("long")
+            .alias("lrm"),
+        )
+    )
+    docw = (
+        feats.join(F.broadcast(lr), "b")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("nf"),
+            F.sum("lrm").alias("w"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(docw, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("nf"), F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce(F.col("w"), F.lit(0))
+            .cast("long")
+            .alias("dsir_logw_micro"),
+            (F.coalesce(F.col("w"), F.lit(0)) > 0).alias("target_like"),
+        )
+    )
+
+
+def dsir_oracle_sql(num_buckets: int = 256) -> str:
+    """DuckDB replay of :func:`dsir_weights` over the ``documents``
+    view with target = ``lang = 'en'``: same tokenizer, same md5-bucket
+    hash, same smoothed integer-product ratio, same micro-quantized
+    log-ratio, same integer sums."""
+    b = num_buckets
+    return f"""
+        with toks as (
+          select doc_id, lang = 'en' is_tgt,
+                 list_filter(string_split(text, ' '), x -> len(x) > 0) t
+          from documents),
+        grams as (
+          select doc_id, is_tgt, unnest(t) g from toks
+          union all
+          select doc_id, is_tgt,
+                 unnest(list_transform(range(1, len(t)),
+                                       i -> t[i] || '_' || t[i + 1])) g
+          from toks),
+        feats as (
+          select doc_id, is_tgt,
+                 ('0x' || substr(md5(g), 1, 8))::BIGINT % {b} b
+          from grams),
+        tot as (select sum(is_tgt::BIGINT) tt, count(*) ss from feats),
+        tc as (select b, count(*) c from feats where is_tgt group by b),
+        sc as (select b, count(*) c from feats group by b),
+        lr as (
+          select g.b,
+                 round(1000000.0 * ln(
+                   ((coalesce(tc.c, 0) + 1) * (tot.ss + {b}))
+                   / ((coalesce(sc.c, 0) + 1) * (tot.tt + {b}))
+                 ))::BIGINT lrm
+          from generate_series(0, {b - 1}) g(b)
+          left join tc on tc.b = g.b
+          left join sc on sc.b = g.b
+          cross join tot),
+        docw as (
+          select f.doc_id, count(*) nf, sum(lr.lrm)::BIGINT w
+          from feats f join lr on lr.b = f.b
+          group by f.doc_id)
+        select d.doc_id,
+               coalesce(nf, 0)::BIGINT n_feats,
+               coalesce(w, 0)::BIGINT dsir_logw_micro,
+               coalesce(w, 0) > 0 target_like
+        from documents d left join docw using (doc_id)
+    """

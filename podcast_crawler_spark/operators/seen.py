@@ -118,13 +118,20 @@ def build_bloom(
     key_col: str = "url_hash",
     expected_keys: Optional[int] = None,
     fpp: float = 0.01,
+    params: Optional[Tuple[int, int]] = None,
 ) -> BloomFilter:
     """Broadcast-mode build: per-partition numpy bit arrays, OR-merged on
     the driver (merge payload = P × m/8 bytes, independent of row count).
-    For seen sets beyond executor memory use ``build_bloom_shards``."""
-    if expected_keys is None:
-        expected_keys = df.count()
-    num_bits, num_hashes = bloom_params(expected_keys, fpp)
+    For seen sets beyond executor memory use ``build_bloom_shards``.
+    ``params`` pins ``(num_bits, num_hashes)`` explicitly (the FPP audit
+    needs an engine-independent geometry); default derives from
+    ``bloom_params``."""
+    if params is not None:
+        num_bits, num_hashes = params
+    else:
+        if expected_keys is None:
+            expected_keys = df.count()
+        num_bits, num_hashes = bloom_params(expected_keys, fpp)
     schema = StructType([StructField("bits", BinaryType())])
 
     def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -585,3 +592,172 @@ def cuckoo_filter_unseen(
         .cogroup(seen_tagged.groupBy("_shard"))
         .applyInPandas(_probe, schema=schema)
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom false-positive-rate audit
+# --------------------------------------------------------------------------
+
+_SPLITMIX_C1 = 0xBF58476D1CE4E5B9
+_SPLITMIX_C2 = 0x94D049BB133111EB
+_TWO64 = "18446744073709551616"
+_TWO32 = "4294967296"
+
+
+def bloom_fpp_audit(
+    seen: DataFrame,
+    probe: DataFrame,
+    num_bits: int,
+    num_hashes: int,
+    key_col: str = "url_hash",
+    target_ppm: int = 10_000,
+) -> DataFrame:
+    """Observability for the D3 seen-set: measure the bloom filter's
+    ACTUAL false-positive rate against a disjoint probe set, through the
+    production bit path (``build_bloom``'s mapInPandas partial bitmaps +
+    driver OR-merge, ``bloom_probe``'s vectorized contains — the same
+    numpy double-hashing that admits URLs in ``plans/epoch``).
+
+    The reference sizes nothing and measures nothing (its seen set is
+    exact rows in Postgres, `url_repository.rs`); at a 10^10-URL
+    frontier the bloom IS the admission fast path and its observed FPP
+    is the operational dial: observed ≫ target means the filter is
+    under-sized for the frontier it actually carries (every false
+    positive costs one exact-verify lookup), so this audit is the
+    alert that triggers a re-size before the exact-verify tier
+    saturates.
+
+    Geometry (``num_bits``, ``num_hashes``) is pinned by the caller —
+    NOT derived via ``bloom_params`` — so an independent engine can
+    replay every bit decision: the whole probe (splitmix64 h2, the k
+    double-hash indices, bit membership) is exact integer arithmetic
+    that :func:`bloom_fpp_oracle_sql` re-derives in DuckDB via HUGEINT
+    limb multiplication (mod-2^64 wraparound that SQL cannot express
+    natively).
+
+    ``probe`` must be disjoint from ``seen`` (caller guarantees — e.g.
+    odd vs even keys), so every positive probe is a false positive.
+
+    Output (one row): ``(n_seen, n_probe, num_bits, num_hashes,
+    n_false_pos, fpp_observed_ppm, fpp_target_ppm, fpp_within_2x)``.
+    All integers/booleans — no float crosses the engine boundary.
+
+    Scale shape: the build is one map-side pass collapsing each
+    partition to an m/8-byte bitmap (merge payload independent of row
+    count); the probe is map-side numpy over the broadcast filter; the
+    final agg is a single global count pair.  For seen sets beyond one
+    executor's memory the same audit runs against
+    ``bloom_probe_partitioned`` — the bit math is identical.
+    """
+    n_seen = seen.count()  # bounded: one count job for the report column
+    bf = build_bloom(seen, key_col=key_col, params=(num_bits, num_hashes))
+    probed = bloom_probe(probe.select(key_col), bf, key_col=key_col)
+    agg = probed.agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.sum(F.col("maybe_seen").cast("long")).alias("n_false_pos"),
+    )
+    # pure-integer rounded ppm (`div`, never `/`) so the value is exact
+    # and the oracle's `//` chain reproduces it bit-for-bit
+    ppm = F.expr(
+        "(1000000 * n_false_pos + n_probe div 2) div n_probe"
+    ).cast("long")
+    return agg.select(
+        F.lit(n_seen).cast("long").alias("n_seen"),
+        F.col("n_probe").cast("long").alias("n_probe"),
+        F.lit(num_bits).cast("long").alias("num_bits"),
+        F.lit(num_hashes).cast("long").alias("num_hashes"),
+        F.col("n_false_pos").cast("long").alias("n_false_pos"),
+        ppm.alias("fpp_observed_ppm"),
+        F.lit(target_ppm).cast("long").alias("fpp_target_ppm"),
+        (ppm <= F.lit(2 * target_ppm)).alias("fpp_within_2x"),
+    )
+
+
+def _splitmix64_sql(key_expr: str) -> str:
+    """DuckDB expression for ``_h1_h2``'s h2: splitmix64 finalize of the
+    key with the final odd-forcing ``| 1``.  Mod-2^64 multiplication is
+    done in 32-bit limbs under HUGEINT (the 128-bit product of two
+    64-bit values would overflow int128; ``a·b mod 2^64 =
+    (a_lo·b + ((a_hi·b) mod 2^32)·2^32) mod 2^64`` keeps every partial
+    under 2^97).  Verified bit-exact against the numpy path across the
+    full uint64 range in ``tests/test_seen.py``."""
+
+    def wrapmul(a: str, c: int) -> str:
+        return (
+            f"((({a}) % {_TWO32}) * {c}::HUGEINT + "
+            f"((({a}) // {_TWO32}) * {c}::HUGEINT % {_TWO32}) * {_TWO32})"
+            f" % {_TWO64}"
+        )
+
+    def xorshift(a: str, s: int) -> str:
+        return f"xor(({a})::UBIGINT, ({a})::UBIGINT >> {s})::HUGEINT"
+
+    z0 = f"((({key_expr})::HUGEINT + {_MIX}::HUGEINT) % {_TWO64})"
+    z2 = f"({wrapmul(xorshift(z0, 30), _SPLITMIX_C1)})"
+    z4 = f"({wrapmul(xorshift(z2, 27), _SPLITMIX_C2)})"
+    return f"(xor(({z4})::UBIGINT, ({z4})::UBIGINT >> 31) | (1::UBIGINT))"
+
+
+def audit_geometry(n_seen: int, bits_per_key: int = 10) -> Tuple[int, int]:
+    """Engine-independent audit geometry: ``m = bits_per_key·n`` rounded
+    up to a word, ``k = 7`` (~1% fpp at 10 bits/key).  Pure integer
+    arithmetic — unlike :func:`bloom_params`'s float log sizing — so a
+    SQL oracle derives the identical m from the same count at ANY
+    scale."""
+    m = max(64, (bits_per_key * max(n_seen, 1) + 63) // 64 * 64)
+    return m, 7
+
+
+def bloom_fpp_oracle_sql(
+    seen_sql: str,
+    probe_sql: str,
+    bits_per_key: int = 10,
+    num_hashes: int = 7,
+    target_ppm: int = 10_000,
+) -> str:
+    """ANSI-SQL replay of :func:`bloom_fpp_audit` under
+    :func:`audit_geometry`: derive m from the seen count in integer
+    arithmetic, derive the seen set's bit positions (h1 + i·h2 mod 2^64
+    mod m for i < k), then a probe key is a false positive iff every one
+    of ITS k positions is in that set.  ``seen_sql`` / ``probe_sql``
+    must yield one non-negative, DISTINCT BIGINT column ``k64``."""
+    h2 = _splitmix64_sql("k64")
+    mbits = "(select mbits from geom)"
+    return f"""
+        with seen_keys as ({seen_sql}),
+        probe_keys as ({probe_sql}),
+        geom as (
+          select (greatest({bits_per_key} * count(*), 1) + 63)
+                   // 64 * 64 mbits
+          from seen_keys),
+        seen_h as (select k64::HUGEINT h1, {h2}::HUGEINT h2 from seen_keys),
+        probe_h as (select k64, k64::HUGEINT h1, {h2}::HUGEINT h2
+                    from probe_keys),
+        seen_bits as (
+          select distinct ((h1 + g.i * h2) % {_TWO64}) % {mbits} idx
+          from seen_h cross join generate_series(0, {num_hashes - 1}) g(i)),
+        probe_bits as (
+          select p.k64, ((h1 + g.i * h2) % {_TWO64}) % {mbits} idx
+          from probe_h p
+          cross join generate_series(0, {num_hashes - 1}) g(i)),
+        hits as (
+          select b.k64,
+                 min((s.idx is not null)::int) all_set
+          from probe_bits b left join seen_bits s using (idx)
+          group by b.k64),
+        agg as (
+          select count(*)::BIGINT n_probe,
+                 sum(all_set)::BIGINT n_false_pos
+          from hits)
+        select (select count(*) from seen_keys)::BIGINT n_seen,
+               n_probe,
+               {mbits}::BIGINT num_bits,
+               {num_hashes}::BIGINT num_hashes,
+               n_false_pos,
+               ((1000000 * n_false_pos + n_probe // 2) // n_probe)::BIGINT
+                 fpp_observed_ppm,
+               {target_ppm}::BIGINT fpp_target_ppm,
+               ((1000000 * n_false_pos + n_probe // 2) // n_probe)
+                 <= {2 * target_ppm} fpp_within_2x
+        from agg
+    """

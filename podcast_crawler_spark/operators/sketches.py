@@ -89,23 +89,27 @@ def hll_registers(
     )
 
 
-def hll_distinct(
-    df: DataFrame, key_col: str, group_cols: Sequence[str] = ()
-) -> DataFrame:
-    """Per-group HyperLogLog distinct estimate with the exact count
-    alongside (the exact side is the audit column; at 10^10 keys a user
-    drops it and keeps only the O(m)-state estimate).
+def hll_merge(regs: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+    """Merge HLL register tables across epochs/batches: registers are a
+    max-semilattice, so the union sketch is ``groupBy(bucket).max(reg)``
+    over the stacked per-epoch states — the property that makes the
+    O(m)-row sketch the 10^10-scale path for cross-epoch distinct
+    counts (persist each crawl epoch's registers in the checkpoint
+    metrics table, merge on read; never re-scan history)."""
+    return regs.groupBy(*group_cols, "bucket").agg(
+        F.max("reg").alias("reg")
+    )
 
-    Output: ``(*group_cols, n_exact, n_zero_regs, harmonic_scaled,
-    hll_estimate, rel_err)``.  ``harmonic_scaled`` is the exact integer
-    ``sum(2^(50-reg))`` over all m registers (absent buckets count as
-    reg=0 -> 2^50), capped at reg=50 (rho>50 needs ~2^50 keys per
-    bucket; the dropped term is below double precision anyway).  The
-    estimate applies the standard small-range linear-counting
-    correction when raw <= 2.5m and zero registers remain.
-    """
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Estimate stage over a register table (from :func:`hll_registers`
+    or :func:`hll_merge`): exact-integer harmonic sum, linear-counting
+    correction, 4-dp rounding — identical math to what the DuckDB
+    oracles replay.  Output: ``(*group_cols, n_zero_regs,
+    harmonic_scaled, hll_estimate)``."""
     group = list(group_cols)
-    regs = hll_registers(df, key_col, group)
     # pyspark's F.shiftleft only takes a literal shift amount — the
     # column-exponent form goes through the SQL function directly
     per_reg_term = F.when(
@@ -129,12 +133,32 @@ def hll_distinct(
         ),
         4,
     )
-    sketch = sketch.select(
+    return sketch.select(
         *group,
         n_zero.alias("n_zero_regs"),
         harmonic.alias("harmonic_scaled"),
         est.alias("hll_estimate"),
     )
+
+
+def hll_distinct(
+    df: DataFrame, key_col: str, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Per-group HyperLogLog distinct estimate with the exact count
+    alongside (the exact side is the audit column; at 10^10 keys a user
+    drops it and keeps only the O(m)-state estimate).
+
+    Output: ``(*group_cols, n_exact, n_zero_regs, harmonic_scaled,
+    hll_estimate, rel_err)``.  ``harmonic_scaled`` is the exact integer
+    ``sum(2^(50-reg))`` over all m registers (absent buckets count as
+    reg=0 -> 2^50), capped at reg=50 (rho>50 needs ~2^50 keys per
+    bucket; the dropped term is below double precision anyway).  The
+    estimate applies the standard small-range linear-counting
+    correction when raw <= 2.5m and zero registers remain.
+    """
+    group = list(group_cols)
+    regs = hll_registers(df, key_col, group)
+    sketch = hll_estimate_from_registers(regs, group)
     exact = df.groupBy(*group).agg(
         F.countDistinct(key_col).alias("n_exact")
     )

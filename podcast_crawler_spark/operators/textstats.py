@@ -114,16 +114,11 @@ def quality_scores(df: DataFrame, text_col: str = "text",
     )
 
 
-def token_counts(df: DataFrame, text_col: str = "text",
-                 id_col: str = "doc_id") -> DataFrame:
-    """``(id, ws_tokens, bpe_pieces)`` — whitespace token count plus a
-    BPE-ish piece estimate: alphanumeric runs contribute ceil(len/4)
-    pieces (the ~4-chars-per-BPE-token heuristic), other non-space chars
-    one piece each.  Pure arithmetic → exact oracle."""
-    text = F.col(text_col)
+def _token_count_cols(text: Column) -> tuple[Column, Column]:
+    """(ws_tokens, bpe_pieces) expressions shared by :func:`token_counts`
+    and :func:`tokenizer_fertility`."""
     toks = F.split(text, " ")
     ws_tokens = F.size(F.filter(toks, lambda t: F.length(t) > 0))
-    alnum_chars = F.length(F.regexp_replace(text, "[^a-zA-Z0-9]", ""))
     other_chars = F.length(F.regexp_replace(text, "[a-zA-Z0-9 ]", ""))
     # per-token ceil(len/4) summed == aggregate over the token array
     bpe = F.aggregate(
@@ -131,10 +126,71 @@ def token_counts(df: DataFrame, text_col: str = "text",
         F.lit(0).cast("long"),
         lambda acc, t: acc + F.ceil(F.length(F.regexp_replace(t, "[^a-zA-Z0-9]", "")) / 4.0).cast("long"),
     ) + other_chars
+    return ws_tokens, bpe
+
+
+def token_counts(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """``(id, ws_tokens, bpe_pieces)`` — whitespace token count plus a
+    BPE-ish piece estimate: alphanumeric runs contribute ceil(len/4)
+    pieces (the ~4-chars-per-BPE-token heuristic), other non-space chars
+    one piece each.  Pure arithmetic → exact oracle."""
+    ws_tokens, bpe = _token_count_cols(F.col(text_col))
     return df.select(
         F.col(id_col).alias("id"),
         ws_tokens.alias("ws_tokens"),
         bpe.alias("bpe_pieces"),
+    )
+
+
+def tokenizer_fertility(
+    df: DataFrame, lang_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Per-language tokenizer fertility: how many BPE-ish pieces the
+    tokenizer spends per whitespace word and how many characters each
+    piece covers — the standard multilingual-tokenizer efficiency audit
+    (Rust et al. 2021, "How Good is Your Tokenizer?"): a language whose
+    fertility is far above the corpus norm is under-served by the vocab
+    and its documents cost disproportionate sequence length in
+    training.  Drives the mixture weighting (``temperature_mixture``)
+    and token-budget accounting (``curation.pack_shards``).
+
+    Per language: ``(lang, n_docs, n_ws_tokens, n_pieces, n_chars,
+    fertility_ppm = 1e6·pieces div ws_tokens, chars_per_piece_ppm =
+    1e6·chars div pieces)`` — exact integer ppm, full SQL replay.
+
+    Scale shape: the per-doc token arithmetic is pure codegen; ONE
+    aggregation keyed on language (a handful of groups ⇒ map-side
+    combine collapses every partition to ~n_langs rows).
+    """
+    ws_tokens, bpe = _token_count_cols(F.col(text_col))
+    agg = (
+        df.select(
+            F.col(lang_col).alias("lang"),
+            ws_tokens.cast("long").alias("ws"),
+            bpe.cast("long").alias("pieces"),
+            F.length(text_col).cast("long").alias("chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("n_ws_tokens"),
+            F.sum("pieces").alias("n_pieces"),
+            F.sum("chars").alias("n_chars"),
+        )
+    )
+    return agg.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+        F.col("n_pieces").cast("long").alias("n_pieces"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.expr(
+            "1000000 * n_pieces div greatest(n_ws_tokens, 1)"
+        ).alias("fertility_ppm"),
+        F.expr(
+            "1000000 * n_chars div greatest(n_pieces, 1)"
+        ).alias("chars_per_piece_ppm"),
     )
 
 

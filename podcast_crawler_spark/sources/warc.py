@@ -534,3 +534,81 @@ def warc_export_oracle_sql(
                ) AS record_md5
         FROM o
     """
+
+
+def revisit_records(
+    fetches: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    digest_col: str = "payload_digest",
+    size_col: str = "n_bytes",
+    fetch_id_col: str = "fetch_id",
+) -> DataFrame:
+    """WARC revisit-record planning: identical-payload-digest dedup of a
+    refetch history (WARC 1.1 §6.7.2, profile
+    ``identical-payload-digest`` — the rule Common Crawl and Heritrix
+    apply so a page refetched unchanged is stored as a ~300-byte
+    ``revisit`` record pointing at the original capture instead of a
+    full ``response`` body).
+
+    Per ``(url, digest)`` group the FIRST capture — ordered by
+    ``(ts, fetch_id)``, so ties are deterministic — becomes the
+    ``response``; every later capture with the same digest becomes a
+    ``revisit`` whose ``refers_to_ts`` is the original capture's
+    timestamp and whose ``bytes_saved`` is the body it did NOT store.
+    A CHANGED payload (new digest) starts its own group, so an
+    alternating page stores each distinct version once.
+
+    Reference anchor: the reference refetches every feed uncon-
+    ditionally and re-parses it (``crawler/rss_fetcher.rs``); at
+    10^10-URL archive scale most refetches are unchanged, and this
+    operator is the storage-side twin of the conditional-GET planner
+    (``refetch.validator_stats``) — conditional GET saves the TRANSFER,
+    revisit records save the ARCHIVE.
+
+    Scale shape: one window over ``(url, digest)`` ordered by
+    ``(ts, fetch_id)`` — the exchange carries only the digest (16
+    bytes), timestamp and size per capture, never bodies; group
+    cardinality is captures-per-page-version (small by construction).
+    Downstream, ``warc_export`` writes the ``response`` rows' bodies
+    and this manifest's ``revisit`` rows as headers-only records.
+
+    Output: ``(url, fetch_id, ts, digest, rec_type, refers_to_ts,
+    bytes_saved)``.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(url_col, digest_col).orderBy(
+        F.col(ts_col), F.col(fetch_id_col)
+    )
+    grp = Window.partitionBy(url_col, digest_col)
+    rn = F.row_number().over(w)
+    orig_ts = F.min(ts_col).over(grp)
+    return fetches.select(
+        F.col(url_col).alias("url"),
+        F.col(fetch_id_col).alias("fetch_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(digest_col).alias("digest"),
+        rn.alias("_rn"),
+        orig_ts.alias("_orig_ts"),
+        F.col(size_col).cast("long").alias("_n_bytes"),
+    ).select(
+        "url",
+        "fetch_id",
+        "ts",
+        "digest",
+        F.when(F.col("_rn") == 1, F.lit("response"))
+        .otherwise(F.lit("revisit"))
+        .alias("rec_type"),
+        F.when(
+            F.col("_rn") == 1,
+            F.lit(None).cast(fetches.schema[ts_col].dataType),
+        )
+        .otherwise(F.col("_orig_ts"))
+        .alias("refers_to_ts"),
+        F.when(F.col("_rn") == 1, F.lit(0))
+        .otherwise(F.col("_n_bytes"))
+        .cast("long")
+        .alias("bytes_saved"),
+    )

@@ -690,3 +690,66 @@ def test_episode_syndication_cross_feed_only(spark):
     assert len(out) == 1
     r = out[0]
     assert (r.n_feeds, r.n_episodes, r.first_feed) == (2, 2, "feedA")
+
+
+def test_host_minhash_similarity_finds_mirror(spark):
+    from podcast_crawler_spark.operators.dedup import host_minhash_similarity
+
+    base = [
+        f"tok{i} tok{i+1} tok{i+2} tok{i+3} tok{i+4} filler{i % 7} "
+        f"word{i} word{i+1} word{i+2} word{i+3}"
+        for i in range(0, 40)
+    ]
+    rows = (
+        [("hostA", t) for t in base]
+        + [("mirrorA", t) for t in base]            # exact mirror
+        + [("hostB", f"zz{i} yy{i} xx{i} ww{i} vv{i}") for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, "host string, text string")
+    out = {
+        (r["host_a"], r["host_b"]): r
+        for r in host_minhash_similarity(df).collect()
+    }
+    assert ("hostA", "mirrorA") in out
+    m = out[("hostA", "mirrorA")]
+    assert m["sig_matches"] == 16 and m["est_jaccard_ppm"] == 1_000_000
+    # the unrelated host must not pair with the mirror pair
+    assert not any("hostB" in k for k in out)
+
+
+def test_host_minhash_matches_oracle(spark):
+    import duckdb
+
+    from podcast_crawler_spark.operators.dedup import (
+        host_minhash_oracle_sql,
+        host_minhash_similarity,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    hosts = docs.selectExpr(
+        "concat('h', cast(doc_id % 5 as string)) host", "text"
+    ).unionByName(
+        # m0 is an EXACT mirror of h0 (guaranteed 16/16 pair); m1..m4
+        # carry half of h1..h4's docs (banding may or may not fire)
+        docs.filter("doc_id % 5 = 0 or doc_id % 2 = 0").selectExpr(
+            "concat('m', cast(doc_id % 5 as string)) host", "text"
+        )
+    )
+    got = sorted(
+        tuple(r) for r in host_minhash_similarity(hosts).collect()
+    )
+    sql = host_minhash_oracle_sql(
+        """
+        select 'h' || (doc_id % 5)::varchar h, text
+        from '/root/testdata/sf0.001/documents.parquet'
+        union all
+        select 'm' || (doc_id % 5)::varchar h, text
+        from '/root/testdata/sf0.001/documents.parquet'
+        where doc_id % 5 = 0 or doc_id % 2 = 0
+        """
+    )
+    exp = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
+    assert got == exp
+    assert ("h0", "m0") in {(a, b) for a, b, *_ in got}

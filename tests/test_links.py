@@ -260,3 +260,23 @@ def test_scheme_upgrades_oracle_matches(spark):
     )
     assert [tuple(int(x) if isinstance(x, int) else x for x in g)
             for g in got] == exp
+
+
+def test_link_farm_stats_flags_low_diversity(spark):
+    from podcast_crawler_spark.operators.links import link_farm_stats
+
+    rows = (
+        # farm host: 3 pages, 24 links, 2 distinct targets
+        [("farm", f"p{i % 3}", f"d{i % 2}") for i in range(24)]
+        # healthy host: 3 pages, 24 links, 20 distinct targets
+        + [("ok", f"p{i % 3}", f"t{i % 20}") for i in range(24)]
+        # tiny host: low diversity but under min_links -> not flagged
+        + [("tiny", "p0", "d0") for _ in range(5)]
+    )
+    df = spark.createDataFrame(rows, "src_host string, page_id string, dst_host string")
+    out = {r["host"]: r for r in link_farm_stats(df).collect()}
+    assert out["farm"]["is_farm"]
+    assert out["farm"]["diversity_ppm"] == 1_000_000 * 2 // 24
+    assert out["farm"]["links_per_page_ppm"] == 1_000_000 * 24 // 3
+    assert not out["ok"]["is_farm"]
+    assert not out["tiny"]["is_farm"]

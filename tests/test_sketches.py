@@ -211,3 +211,29 @@ def test_hll_distinct_ungrouped(events):
     assert len(rows) == 1
     r = rows[0]
     assert r.n_exact > 0 and r.rel_err < 0.20
+
+
+def test_hll_merge_equals_union_sketch(spark):
+    """Registers are a max-semilattice: merging per-epoch register
+    tables must give exactly the registers of the union stream."""
+    from podcast_crawler_spark.operators.sketches import (
+        hll_estimate_from_registers,
+        hll_merge,
+        hll_registers,
+    )
+
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 3).alias("epoch"),
+        (F.col("id") % 700).cast("string").alias("k"),
+    )
+    per_epoch = hll_registers(df, "k", ["epoch"])
+    merged = {
+        (r["bucket"]): r["reg"] for r in hll_merge(per_epoch).collect()
+    }
+    direct = {
+        (r["bucket"]): r["reg"] for r in hll_registers(df, "k").collect()
+    }
+    assert merged == direct
+    est = hll_estimate_from_registers(hll_merge(per_epoch)).collect()[0]
+    # 700 distinct keys; HLL-256 should land within ~15%
+    assert abs(est["hll_estimate"] - 700) / 700 < 0.15

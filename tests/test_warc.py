@@ -188,3 +188,40 @@ def test_warc_export_plan_single_corpus_window(spark, tmp_path):
     # offset fold + writer grouping are the only other exchanges
     assert final.count("Exchange SinglePartition") <= 1, plan
     assert final.count("Exchange hashpartitioning(shard_id") == 1, plan
+
+
+def test_revisit_records_first_capture_rule(spark):
+    from pyspark.sql import functions as F
+
+    from podcast_crawler_spark.sources.warc import revisit_records
+
+    rows = [
+        # url A: digest d1 twice (ts tie broken by fetch_id), then d2,
+        # then d1 again (still refers to the FIRST d1 capture)
+        ("A", "2024-01-01", 2, "d1", 100),
+        ("A", "2024-01-01", 1, "d1", 100),
+        ("A", "2024-01-02", 3, "d2", 120),
+        ("A", "2024-01-03", 4, "d1", 100),
+        # url B: single capture
+        ("B", "2024-01-05", 5, "d9", 50),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, ts string, fetch_id long, digest string, nb long"
+    ).select(
+        "url", F.to_date("ts").alias("warc_ts"), "fetch_id",
+        F.col("digest").alias("payload_digest"),
+        F.col("nb").alias("n_bytes"),
+    )
+    out = {
+        r["fetch_id"]: r
+        for r in revisit_records(df).collect()
+    }
+    assert out[1]["rec_type"] == "response" and out[1]["bytes_saved"] == 0
+    assert out[2]["rec_type"] == "revisit"
+    assert str(out[2]["refers_to_ts"]) == "2024-01-01"
+    assert out[2]["bytes_saved"] == 100
+    assert out[3]["rec_type"] == "response"  # new digest -> new original
+    assert out[4]["rec_type"] == "revisit"
+    assert str(out[4]["refers_to_ts"]) == "2024-01-01"
+    assert out[5]["rec_type"] == "response"
+    assert out[1]["refers_to_ts"] is None
