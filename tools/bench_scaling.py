@@ -201,13 +201,18 @@ def main() -> None:
             "e_norm": p_main["scaling_efficiency_vs_hardware"],
             "tp_4n": p_main["crawl_4n"]["urls_per_sec"],
             "e_low": p_low["scaling_efficiency"],
+            # engine-free host-speed evidence: the parse probe's absolute
+            # 32-core throughput dates each window's hardware era, so an
+            # absolute crawl-throughput drop can be attributed to the box
+            # (probe fell too) vs the engine (probe held)
+            "probe_tp_4n": p_main["hardware_ceiling"]["tp_4n"],
         }
     )
     with open(hist_path, "w") as fh:
         json.dump(history, fh, indent=1)
     hrows = "\n".join(
         f"| {h['window']} | {h['e_main']} | {h['e_hw']} | {h['e_norm']} |"
-        f" {h['tp_4n']:,} | {h['e_low']} |"
+        f" {h['tp_4n']:,} | {h.get('probe_tp_4n', '—')} | {h['e_low']} |"
         for h in history
     )
 
@@ -264,8 +269,15 @@ box's own per-window ceiling (E_hw, engine-free parse probe at the same
 pinned parallelism); the 2→8 pair — where 4N leaves hardware headroom —
 isolates the engine's own N→4N behavior.
 
-| window | 8→32 raw E | 8→32 E_hw (probe) | 8→32 E/E_hw | 8→32 tp@4N (urls/s) | 2→8 raw E |
-|---|---|---|---|---|---|
+Absolute throughput is NOT comparable across windows: the probe column
+(engine-free parse under plain multiprocessing at the same 32 pinned
+cores) dates each window's hardware era — when crawl tp@4N and the
+probe fall together, the box slowed down (shared-guest throttling /
+co-tenancy), not the engine.  Efficiency ratios (raw E and E/E_hw) are
+the cross-window signal.
+
+| window | 8→32 raw E | 8→32 E_hw (probe) | 8→32 E/E_hw | 8→32 tp@4N (urls/s) | probe tp@32 (feeds/s) | 2→8 raw E |
+|---|---|---|---|---|---|---|
 {hrows}
 
 ## Headline query wall times at {sf_dir} (seconds, local[32])
