@@ -222,13 +222,25 @@ def run_epoch(
     # consumers (podcast upsert, episode explode, frontier update) and must
     # never be parsed twice.  Two scratch strategies, both columnar with
     # column pruning on re-read:
-    #   * persist (default): Spark's compressed columnar cache,
-    #     MEMORY_AND_DISK — re-reads prune columns via InMemoryTableScan,
-    #     spills per-executor when the epoch outgrows memory.  No
-    #     write+read round trip through a filesystem.
+    #   * persist (default): Spark's columnar cache at DISK_ONLY, over a
+    #     column subset pruned to exactly what the three consumers read.
+    #     DISK_ONLY (not MEMORY_AND_DISK) is a measured choice: building
+    #     the in-memory cache contends on the unified storage pool under
+    #     32 concurrent tasks (+3.7 s over the bare parse at local[32],
+    #     +0 at local[8] — tools/persist_experiment.py), i.e. the memory
+    #     tier ANTI-SCALES with parallelism, while DISK_ONLY writes
+    #     straight to spark.local.dir with zero pool accounting and
+    #     measured ZERO overhead over the uncached parse.  On a real
+    #     cluster local dirs are node-local SSD/tmpfs and the same
+    #     reasoning holds per-executor.  The pruned select drops
+    #     extracted_text + politeness bookkeeping (heavy, never read
+    #     after the parse) so the scratch bytes are output-sized, not
+    #     parse-sized; pruning below the cache is impossible for a
+    #     mapInPandas stage (Python emits the full schema), so the
+    #     select above it is what keeps those bytes out of the scratch.
     #   * parquet (cfg.scratch_parquet / huge epochs): an explicit lz4
     #     dataset — the natural choice when one epoch is far larger than
-    #     cluster memory and cache-spill churn would thrash.
+    #     cluster local storage and block eviction would thrash.
     from pyspark.sql import Observation
 
     obs = Observation(f"epoch-{epoch_no}")
@@ -251,13 +263,27 @@ def run_epoch(
             for t in ERROR_TYPES
         ],
     )
+    # exactly the columns the three consumers below read — everything
+    # else (extracted_text, host/priority/host_seq politeness bookkeeping)
+    # is parse/schedule working state that must not hit the scratch
+    scratch_cols = [
+        "url",
+        "url_hash",
+        "fetch_ok",
+        "podcast",
+        "episodes",
+        "parse_error_kind",
+        "parse_error_message",
+    ]
     if cfg.scratch_parquet:
-        observed.write.mode("overwrite").option("compression", "lz4").parquet(
-            scratch_dir
-        )
+        observed.select(*scratch_cols).write.mode("overwrite").option(
+            "compression", "lz4"
+        ).parquet(scratch_dir)
         parsed = spark.read.parquet(scratch_dir)
     else:
-        parsed = observed.persist()
+        from pyspark import StorageLevel
+
+        parsed = observed.select(*scratch_cols).persist(StorageLevel.DISK_ONLY)
         # materialize now so the Observation is complete and every consumer
         # below hits the cache instead of re-running the parse
         parsed.write.format("noop").mode("overwrite").save()
