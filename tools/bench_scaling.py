@@ -196,6 +196,7 @@ def main() -> None:
                 "BENCH_WINDOW_LABEL",
                 f"run @ {datetime.now(timezone.utc).strftime('%Y-%m-%d %H:%MZ')}",
             ),
+            "n_feeds": n_feeds,
             "e_main": p_main["scaling_efficiency"],
             "e_hw": p_main["hardware_ceiling"]["ceiling"],
             "e_norm": p_main["scaling_efficiency_vs_hardware"],
@@ -211,7 +212,8 @@ def main() -> None:
     with open(hist_path, "w") as fh:
         json.dump(history, fh, indent=1)
     hrows = "\n".join(
-        f"| {h['window']} | {h['e_main']} | {h['e_hw']} | {h['e_norm']} |"
+        f"| {h['window']} | {h.get('n_feeds', 200_000):,} | {h['e_main']} |"
+        f" {h['e_hw']} | {h['e_norm']} |"
         f" {h['tp_4n']:,} | {h.get('probe_tp_4n', '—')} | {h['e_low']} |"
         for h in history
     )
@@ -276,8 +278,8 @@ probe fall together, the box slowed down (shared-guest throttling /
 co-tenancy), not the engine.  Efficiency ratios (raw E and E/E_hw) are
 the cross-window signal.
 
-| window | 8→32 raw E | 8→32 E_hw (probe) | 8→32 E/E_hw | 8→32 tp@4N (urls/s) | probe tp@32 (feeds/s) | 2→8 raw E |
-|---|---|---|---|---|---|---|
+| window | feeds | 8→32 raw E | 8→32 E_hw (probe) | 8→32 E/E_hw | 8→32 tp@4N (urls/s) | probe tp@32 (feeds/s) | 2→8 raw E |
+|---|---|---|---|---|---|---|---|
 {hrows}
 
 ## Headline query wall times at {sf_dir} (seconds, local[32])
