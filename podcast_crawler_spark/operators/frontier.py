@@ -73,9 +73,10 @@ class CrawlConfig:
     # view) once a table accumulates this many delta segments — bounds
     # read amplification while keeping steady-state epochs O(delta)
     compact_segments: int = 8
-    # epoch scratch strategy: False (default) = compressed columnar persist
-    # (MEMORY_AND_DISK, spills per executor); True = explicit lz4 parquet
-    # dataset for epochs far larger than cluster memory
+    # epoch scratch strategy: False (default) = pruned columnar persist at
+    # DISK_ONLY (spark.local.dir; the memory tier anti-scales under high
+    # task parallelism — see plans/epoch.py scratch notes); True = explicit
+    # lz4 parquet dataset for epochs far larger than cluster local storage
     scratch_parquet: bool = False
     # persisted seen-shard index (D3): bloom bits are sized ONCE at
     # bootstrap for the crawl's target key count — set this to the
