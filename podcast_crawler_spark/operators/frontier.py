@@ -95,6 +95,16 @@ class CrawlConfig:
     # epoch slice is orders of magnitude smaller than the pages table and
     # the pages side isn't bucketed by url.
     broadcast_fetch_max_rows: int = 0
+    # name of a url-bucketed pages table in the session catalog
+    # (sources/bucketed.py): when set, the fetch join reads html IN PLACE
+    # from the bucket files (build-left SHJ; only the narrow scheduled
+    # side shuffles) — the production layout at 10^10 pages, where the
+    # html column must never cross the network.  None = plain shuffled
+    # join against the `pages` DataFrame argument (same local wall time —
+    # tools/parse_stage_experiment.py measured 45.5 vs 45.1 s at 1.2M
+    # feeds/local[32], tmpfs shuffle being nearly free — but the shuffle
+    # becomes the bottleneck once an exchange means real network).
+    pages_bucketed_table: Optional[str] = None
 
 
 def seed_scan(seeds: DataFrame) -> DataFrame:

@@ -202,6 +202,10 @@ def run_epoch(
     # bound on the scheduled slice.
     if fetcher is not None:
         fetched = fetcher(scheduled)
+    elif cfg.pages_bucketed_table:
+        from ..sources.bucketed import fetch_join_bucketed
+
+        fetched = fetch_join_bucketed(scheduled, spark, cfg.pages_bucketed_table)
     else:
         man = state.frontier.manifest()
         frontier_rows = (man or {}).get("row_count") or 0

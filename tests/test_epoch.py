@@ -198,3 +198,55 @@ def test_crash_between_prepare_and_publish_is_invisible(spark, tmp_path):
     a = _table_digest(clean.frontier.read(spark), fr_cols, "url")
     b = _table_digest(resumed.frontier.read(spark), fr_cols, "url")
     assert a == b
+
+
+def test_bucketed_pages_epoch_identical(spark, tmp_path):
+    """J3 production layout: a crawl run with ``cfg.pages_bucketed_table``
+    (url-bucketed pages read in place, build-left SHJ — sources/bucketed)
+    produces byte-identical frontier/podcasts/episodes tables to the
+    plain shuffled fetch join."""
+    from podcast_crawler_spark.sources.bucketed import write_bucketed_pages
+
+    n = 90
+    seeds = gen_seeds(spark, n, partitions=4)
+    pages = gen_pages(spark, n, partitions=4)
+    robots = gen_robots(spark, n)
+    cfg = CrawlConfig(per_host_budget=50, max_retries=1, num_partitions=8)
+
+    plain = run_crawl(
+        spark, str(tmp_path / "plain"), seeds, pages, robots, 2, EPOCH0, cfg=cfg
+    )
+
+    write_bucketed_pages(
+        pages, "pages_bucketed_epoch_t", buckets=8, one_file_per_bucket=True
+    )
+    try:
+        bcfg = CrawlConfig(
+            per_host_budget=50,
+            max_retries=1,
+            num_partitions=8,
+            pages_bucketed_table="pages_bucketed_epoch_t",
+        )
+        bucketed = run_crawl(
+            spark,
+            str(tmp_path / "bucketed"),
+            seeds,
+            pages,  # ignored by the fetch join when the table is set
+            robots,
+            2,
+            EPOCH0,
+            cfg=bcfg,
+        )
+        fr_cols = ["url", "state", "retries", "next_fetch_ts", "error_kind"]
+        assert _table_digest(
+            plain.frontier.read(spark), fr_cols, "url"
+        ) == _table_digest(bucketed.frontier.read(spark), fr_cols, "url")
+        for table, cols, key in (
+            ("podcasts", ["rss_feed_url", "title", "author"], "rss_feed_url"),
+            ("episodes", ["guid", "title", "enclosure_url"], "guid"),
+        ):
+            a = _table_digest(getattr(plain, table).read(spark), cols, key)
+            b = _table_digest(getattr(bucketed, table).read(spark), cols, key)
+            assert a == b, table
+    finally:
+        spark.sql("drop table if exists pages_bucketed_epoch_t")

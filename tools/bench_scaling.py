@@ -63,19 +63,31 @@ def run_bench(
     return json.loads(line)
 
 
-def hardware_ceiling(n: int = 8, four_n: int = 32) -> dict:
+def hardware_ceiling(corpus_pages: str, n: int = 8, four_n: int = 32) -> dict:
     """Calibrate what N→4N scaling this *machine* can deliver for the
-    epoch's dominant workload: ``tools/parse_scaling_probe.py`` runs the
-    actual feed parser under plain multiprocessing (no Spark, no I/O) at
-    N and 4N processes.  On a shared/virtualized box, per-core memory
-    bandwidth and host-side contention shrink as occupancy grows — no
-    engine can scale better than this probe, so BENCH.md reports engine
-    efficiency both raw and normalized by this ceiling."""
+    epoch's dominant workload: ``tools/parse_kernel_probe.py`` runs the
+    actual feed parser under plain multiprocessing (no Spark, no I/O)
+    at N and 4N processes, each leg affinity-pinned to exactly that many
+    cores (matching the taskset-pinned bench legs).  On a
+    shared/virtualized box, per-core memory bandwidth and host-side
+    contention shrink as occupancy grows — no engine can scale better
+    than this probe, so BENCH.md reports engine efficiency both raw and
+    normalized by this ceiling.
+
+    Probe v2 (round 4): the earlier ``parse_scaling_probe.py`` spawned
+    fresh interpreters that each parsed only a few hundred feeds, so its
+    measured time was dominated by process spawn + imports — which
+    scale near-perfectly with processes — and the reported ceiling was
+    therefore OVERSTATED (w23: 0.944 vs the true kernel's 0.676),
+    making the engine look like it had an 8→32 defect it does not have.
+    ``parse_kernel_probe.py`` forks AFTER imports, parses real corpus
+    htmls from memory under a time floor, and measures the kernel
+    alone; windows before w24 carry the old probe's inflated E_hw."""
     out = subprocess.run(
         [
             sys.executable,
-            os.path.join(REPO, "tools", "parse_scaling_probe.py"),
-            "300",
+            os.path.join(REPO, "tools", "parse_kernel_probe.py"),
+            corpus_pages,
             str(n),
             str(four_n),
         ],
@@ -83,7 +95,21 @@ def hardware_ceiling(n: int = 8, four_n: int = 32) -> dict:
         text=True,
         check=True,
     )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    probe = json.loads(out.stdout.strip().splitlines()[-1])
+    tp_n = probe["total_fps"][str(n)]
+    tp_4n = probe["total_fps"][str(four_n)]
+    return {
+        "workload": "feedparse.parse_feed_result kernel "
+        "(fork-after-import, real corpus htmls, affinity-pinned)",
+        "probe": "parse_kernel_probe-v2",
+        "sample_feeds": probe["sample"],
+        "min_seconds": probe["min_seconds"],
+        "n_procs": n,
+        "four_n_procs": four_n,
+        "tp_n": tp_n,
+        "tp_4n": tp_4n,
+        "ceiling": round(tp_4n / (4 * tp_n), 3),
+    }
 
 
 def best_crawl(results: list) -> dict:
@@ -114,8 +140,8 @@ def measure_pair(
             runs_4n.append(run_bench(four_n, n_feeds, corpus, sf_dir, queries=q))
             if q:
                 queries = runs_4n[-1]["queries"]
+        hw = hardware_ceiling(f"{corpus}/pages-{n_feeds}", n, four_n)
     c_n, c_4n = best_crawl(runs_n), best_crawl(runs_4n)
-    hw = hardware_ceiling(n, four_n)
     tp_n, tp_4n = c_n["urls_per_sec"], c_4n["urls_per_sec"]
     eff = round(tp_4n / (4 * tp_n), 3)
     eff_norm = round(eff / hw["ceiling"], 3) if hw["ceiling"] else None
@@ -241,16 +267,24 @@ specific cores** (`taskset`) so local[N] is an honest N-core machine
 instead of N threads floating across 32 vCPUs' cache and turbo headroom;
 the two legs alternate across rounds so both sample the same
 tenant-noise regimes (best run per side kept); and
-`tools/parse_scaling_probe.py` calibrates each pair's **machine ceiling
+`tools/parse_kernel_probe.py` calibrates each pair's **machine ceiling
 E_hw** — the actual feed parser under plain `multiprocessing` (no Spark,
-no shuffle, no I/O) at the same pinned parallelism.  This sandbox is a
-shared/virtualized 32-vCPU guest whose per-core memory bandwidth shrinks
-as occupancy grows, so even that engine-free workload does not scale 4×
-when 4N = all 32 vCPUs; no engine can beat the hardware under it, which
-makes E_hw the right denominator.  On a real N→4N *executor* scale-out
-(separate machines — BASELINE.md: cores stand in for executors) per-core
-resources are constant, so E_hw ≈ 1 there and E/E_hw is the number that
-predicts cluster behavior.
+no shuffle, no I/O; workers forked *after* imports, parsing real corpus
+htmls from memory, each leg affinity-pinned to exactly N cores).  This
+box's memory bandwidth saturates the parse kernel near ~31k feeds/s: the
+kernel itself scales 8→32 at only E_hw ≈ 0.68 (per-proc throughput falls
+1,450 → 980 f/s as occupancy grows), so no engine can scale a
+parse-dominated epoch past that here.  **Probe correction (w24+):**
+windows ≤ w23 used `parse_scaling_probe.py`, whose fresh-interpreter
+processes each parsed only a few hundred feeds — import/spawn time
+(which scales ~perfectly) dominated, OVERSTATING E_hw (0.944 in w23 vs
+the true kernel 0.676) and therefore understating E/E_hw; the
+"engine-side 8→32 gap" that implied does not exist —
+`tools/parse_stage_experiment.py` shows the engine's scan→Arrow→parse
+path within 2–5% of the bare kernel at BOTH 8 and 32 cores.  On a real
+N→4N *executor* scale-out (separate machines — BASELINE.md: cores stand
+in for executors) per-core resources are constant, so E_hw ≈ 1 there and
+E/E_hw is the number that predicts cluster behavior.
 
 {pair_md(p_main)}
 
@@ -306,8 +340,9 @@ the cross-window signal.
   Candidate hits are verified by exact left_anti join so bloom FP rate
   only costs extra join rows, never correctness. (A broadcast OR-merge
   mode remains as the documented small-scale path.)
-- **Parse stage**: pure-Python cost ~1.7 ms/feed ⇒ ~60 core-days per
-  10^9 feeds per epoch — embarrassingly parallel; the fetch join's
+- **Parse stage**: pure-Python kernel cost ~0.6 ms/feed (1,705 f/s/core
+  uncontended, `parse_kernel_probe`) ⇒ ~7 core-days per 10^9 feeds per
+  epoch — embarrassingly parallel; the fetch join's
   hash(url) exchange already spreads hot podcast-network hosts uniformly
   (url hashes are uniform even when hosts are not), and `salted()` (X6)
   remains available for host-keyed stages that inherit a skewed layout.

@@ -16,6 +16,15 @@ it lives in registers/L1, scales ~linearly, and overstates the ceiling.)
 
 Usage: python tools/parse_scaling_probe.py [n_feeds_per_proc] [N] [4N]
 Prints one JSON line {"tp_n":..., "tp_4n":..., "ceiling":...}.
+
+SUPERSEDED (round 4) by ``parse_kernel_probe.py``: this probe spawns a
+fresh interpreter per worker and parses only a few hundred feeds per
+process, so process spawn + imports (~1.5 s, scales ~perfectly with
+procs) dominate the measured time and the reported ceiling is inflated
+(0.94 here vs the true kernel's 0.68 at 8→32).  The v2 probe forks
+AFTER imports, parses real corpus htmls from memory under a time floor,
+and affinity-pins each leg.  Kept for the historical record of windows
+≤ w23, which used it.
 """
 
 from __future__ import annotations
