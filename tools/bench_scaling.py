@@ -131,6 +131,12 @@ def measure_pair(
     with tempfile.TemporaryDirectory(dir=fast_tmp) as corpus:
         # pre-generate the shared corpus at full parallelism (untimed setup)
         run_bench(32, n_feeds, corpus, sf_dir, queries=False, gen_only=True)
+        # probe the machine ceiling BEFORE and AFTER the legs and keep
+        # the per-leg max: the probe samples one minute of a shared box,
+        # and w24 showed a single end-of-pair sample can be depressed on
+        # one leg (post-suite JVM teardown) and inflated on the other
+        # (quiet minute), yielding a nonsense ceiling > 1
+        hw_pre = hardware_ceiling(f"{corpus}/pages-{n_feeds}", n, four_n)
         # alternate the two legs across rounds so both sample the same
         # tenant-noise regimes of this shared box; keep the best per side
         runs_n, runs_4n = [], []
@@ -141,6 +147,13 @@ def measure_pair(
             if q:
                 queries = runs_4n[-1]["queries"]
         hw = hardware_ceiling(f"{corpus}/pages-{n_feeds}", n, four_n)
+        hw["tp_n"] = max(hw["tp_n"], hw_pre["tp_n"])
+        hw["tp_4n"] = max(hw["tp_4n"], hw_pre["tp_4n"])
+        # steady-state hardware cannot beat perfect 4x; a ratio above 1
+        # is residual sampling noise, and clamping keeps the normalized
+        # efficiency conservative (never inflated by a noisy denominator)
+        hw["ceiling"] = min(1.0, round(hw["tp_4n"] / (4 * hw["tp_n"]), 3))
+        hw["samples"] = "max over pre+post probes, 2 alternating passes each"
     c_n, c_4n = best_crawl(runs_n), best_crawl(runs_4n)
     tp_n, tp_4n = c_n["urls_per_sec"], c_4n["urls_per_sec"]
     eff = round(tp_4n / (4 * tp_n), 3)

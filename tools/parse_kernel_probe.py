@@ -90,9 +90,16 @@ def main():
     # any lazy module state) before forking
     for i in range(min(200, len(urls))):
         parse_feed_result(htmls[i], urls[i])
+    # two alternating passes per K, keep the max: a ceiling wants the
+    # best the hardware showed, and alternation means a transient noisy
+    # minute cannot depress one K's both samples while inflating the
+    # other's (the failure mode of a single end-of-window probe)
     out = {}
-    for k in ks:
-        out[str(k)] = run_k(k, urls, htmls)
+    for _ in range(2):
+        for k in ks:
+            v = run_k(k, urls, htmls)
+            if v > out.get(str(k), 0):
+                out[str(k)] = v
     per_proc = {k: round(v / int(k), 1) for k, v in out.items()}
     print(
         json.dumps(
