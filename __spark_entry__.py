@@ -46,7 +46,9 @@ from podcast_crawler_spark.operators import (
     traps,
 )
 from podcast_crawler_spark.functions import urlfns
+from podcast_crawler_spark.operators import frontier
 from podcast_crawler_spark.operators.frontier import CrawlConfig, schedule_epoch, seed_scan
+from podcast_crawler_spark.sources import bucketed as _bucketed
 from podcast_crawler_spark.plans.epoch import init_crawl, run_crawl
 
 EPOCH0 = datetime(2025, 1, 1, tzinfo=timezone.utc)
@@ -4119,6 +4121,55 @@ def _budget_apportion(spark, sf_dir):
     return graph.apportion_budget(_host_pagerank(spark, sf_dir), 100000)
 
 
+_FAIR_DEMANDS_SQL = (
+    "select 'h' || (user_id % 1201)::varchar as host,"
+    " count(*)::BIGINT as demand from events group by 1"
+)
+
+
+def _fair_share(spark, sf_dir):
+    # max-min fair (water-filling) split of a global fetch budget over
+    # per-host demand — rank-proportional apportionment (budget_apportion)
+    # rewards hubs; this is its politeness-side dual: no host starves
+    # below the water level while heavy hosts are clamped to it.  Exact
+    # integer closed form with NO global window over hosts: the sorted
+    # prefix structure lives on DISTINCT demand values and the remainder
+    # ranks decompose into (broadcast offset + per-demand row_number) —
+    # operators/frontier.fair_share.  Σalloc = min(capacity, Σdemand)
+    # exactly; the oracle replays every allocation.
+    ev = _t(spark, sf_dir, "events")
+    demands = ev.groupBy(
+        F.concat(F.lit("h"), (F.col("user_id") % 1201).cast("string")).alias(
+            "host"
+        )
+    ).agg(F.count(F.lit(1)).alias("demand"))
+    return frontier.fair_share(demands, 50_000)
+
+
+_COMPACT_FILES_SQL = (
+    "select 'f' || (doc_id % 797)::varchar as file_id,"
+    " sum(length(text))::BIGINT as bytes from documents group by 1"
+)
+
+
+def _rewrite_bins(spark, sf_dir):
+    # Iceberg-maintenance bin packing: group the snapshot's small files
+    # into ~target_bytes rewrite bins (largest-first next-fit over file
+    # metadata — deterministic cut points, O(files) narrow rows).  The
+    # partition-local sibling is `compaction_plan`
+    # (plans/checkpoint.py — packs WITHIN a table partition in file
+    # order); this is the table-wide maintenance pass that also leaves
+    # already-full files alone.  File sizes synthesized from the
+    # documents table so both engines derive the same manifest.
+    docs = _t(spark, sf_dir, "documents")
+    files = docs.groupBy(
+        F.concat(F.lit("f"), (F.col("doc_id") % 797).cast("string")).alias(
+            "file_id"
+        )
+    ).agg(F.sum(F.length("text")).alias("bytes"))
+    return _bucketed.rewrite_bins(files, 64_000)
+
+
 def _hll_distinct(spark, sf_dir):
     # HyperLogLog distinct-count with materialized registers: the
     # estimate's WHOLE derivation (md5-slice bucket/rho, integer-scaled
@@ -4535,8 +4586,11 @@ _DRIVER_WINDOW = [
     "decontaminate",
     "pii_scrub",
     "split_leakage",
-    "tfidf_pairs",
-    "bm25_topk",
+    # round-4 additions — brand-new code earns the hard signal first;
+    # tfidf_pairs / bm25_topk (never-checked, locally green) rotate to
+    # the top of round 5's window
+    "fair_share",
+    "rewrite_bins",
 ]
 
 
@@ -4587,6 +4641,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_redirects": _resolve_redirects,
         "crawl_host_rank": _crawl_host_rank,
         "budget_apportion": _budget_apportion,
+        "fair_share": _fair_share,
+        "rewrite_bins": _rewrite_bins,
         "hierarchical_budget": _hierarchical_budget,
         "focused_budget": _focused_budget,
         "hits_scores": _hits_scores,
@@ -6180,6 +6236,15 @@ def oracle_sql() -> dict[str, str]:
         # rank-proportional budgets: apportionment over the pagerank CTE
         "budget_apportion": graph.apportion_oracle_sql(
             graph.pagerank_oracle_sql(_PR_EDGES_SQL, iters=5), 100000
+        ),
+        # max-min fair water level: distinct-demand prefix structure,
+        # integer level/remainder, per-demand tie ranks — full replay
+        "fair_share": frontier.fair_share_oracle_sql(
+            _FAIR_DEMANDS_SQL, 50_000
+        ),
+        # rewrite bin packing: sorted next-fit cut points + rollups
+        "rewrite_bins": _bucketed.rewrite_bins_oracle_sql(
+            _COMPACT_FILES_SQL, 64_000
         ),
         # count-min: integer counter cells + min-over-rows probe — every
         # number is integer arithmetic over the shared md5-slice hash.

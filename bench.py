@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "bpe_encode",
     "page_directives",
     "hierarchical_budget",
+    "fair_share",
+    "rewrite_bins",
     "lang_id_ngram",
     "normalize_text",
     "robots_rfc_match",

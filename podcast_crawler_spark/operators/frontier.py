@@ -621,3 +621,159 @@ def byte_budget_oracle_sql(
                ) <= {int(per_host_bytes)} AS selected
         FROM ({urls_sql})
     """
+
+
+def fair_share(
+    demands: DataFrame,
+    capacity: int,
+    host_col: str = "host",
+    demand_col: str = "demand",
+) -> DataFrame:
+    """Max-min fair (water-filling) allocation of a global fetch budget
+    across hosts — the allocation the reference's single token bucket
+    (``rate_limiter.rs:34-41``, one global 2 req/s governor) degenerates
+    to when every worker competes for one clock: each host receives
+    ``min(demand, level)`` where the water level is the largest value
+    whose total cost fits ``capacity``; no host can gain except by
+    taking from a host that already has less (the max-min property —
+    Bertsekas & Gallager's classic progressive-filling result, here in
+    closed form).
+
+    Exact integer construction, no global window over hosts:
+
+    1. group by DISTINCT demand value — the sorted-prefix structure
+       (exclusive host counts / demand sums in demand order) lives on a
+       table of distinct integer demands, orders of magnitude smaller
+       than the host table (a bounded ~|distinct demands|-row window,
+       like the sketch registers elsewhere in this package);
+    2. a demand value ``v`` is fully satisfiable iff
+       ``prefix_sum(v) + v * (n - prefix_cnt(v)) <= capacity``
+       (affording everyone from ``v`` up at least ``v``) — satisfied
+       hosts get their demand;
+    3. the unsatisfied share ``capacity - S`` splits as
+       ``level = (capacity - S) div m`` with the ``rem`` leftover units
+       going one each to the ``rem`` first unsatisfied hosts in
+       (demand, host) order.  That global rank is computed WITHOUT a
+       global sort: rank = (unsatisfied hosts with smaller demand — a
+       broadcast from the distinct-demand table) + row_number within my
+       demand value (one hash exchange on the demand key; ties within
+       one value are the only skew and the rule's only window).
+
+    Output: ``(host, demand, sat, alloc)`` with Σalloc = min(capacity,
+    Σdemand) exactly.  Allocations are reproducible at any partitioning
+    and replayed column-for-column by :func:`fair_share_oracle_sql`.
+    """
+    d = demands.select(
+        F.col(host_col).alias("host"),
+        F.col(demand_col).cast("long").alias("demand"),
+    )
+    cap = F.lit(int(capacity))
+
+    g = d.groupBy("demand").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("demand").alias("dsum"),
+    )
+    # tiny window: one row per DISTINCT demand value
+    wv = Window.orderBy("demand").rowsBetween(Window.unboundedPreceding, -1)
+    g = (
+        g.withColumn("pcnt", F.coalesce(F.sum("cnt").over(wv), F.lit(0)))
+        .withColumn("psum", F.coalesce(F.sum("dsum").over(wv), F.lit(0)))
+        .withColumn("n_total", F.sum("cnt").over(Window.partitionBy()))
+        .withColumn(
+            "sat",
+            F.col("psum")
+            + F.col("demand") * (F.col("n_total") - F.col("pcnt"))
+            <= cap,
+        )
+    )
+    # exclusive count of UNSATISFIED hosts with strictly smaller demand:
+    # global unsat rank = this offset + within-value row_number
+    wu = Window.orderBy("demand").rowsBetween(Window.unboundedPreceding, -1)
+    g = g.withColumn(
+        "unsat_before",
+        F.coalesce(
+            F.sum(F.when(~F.col("sat"), F.col("cnt"))).over(wu), F.lit(0)
+        ),
+    )
+    levels = g.agg(
+        F.coalesce(F.sum(F.when(F.col("sat"), F.col("dsum"))), F.lit(0)).alias(
+            "s_sat"
+        ),
+        F.coalesce(F.sum(F.when(~F.col("sat"), F.col("cnt"))), F.lit(0)).alias(
+            "m_unsat"
+        ),
+    ).select(
+        "m_unsat",
+        F.when(F.col("m_unsat") > 0, (cap - F.col("s_sat")))
+        .otherwise(F.lit(0))
+        .alias("pool"),
+    )
+
+    wd = Window.partitionBy("demand").orderBy("host")
+    out = (
+        d.join(F.broadcast(g.select("demand", "sat", "unsat_before")), "demand")
+        .crossJoin(F.broadcast(levels))
+        .withColumn("rn", F.row_number().over(wd))
+        .select(
+            "host",
+            "demand",
+            "sat",
+            F.when(F.col("sat"), F.col("demand"))
+            .otherwise(
+                (F.col("pool") / F.col("m_unsat")).cast("long")
+                + (
+                    F.col("unsat_before") + F.col("rn")
+                    <= F.pmod(F.col("pool"), F.col("m_unsat"))
+                ).cast("long")
+            )
+            .alias("alloc"),
+        )
+    )
+    return out
+
+
+def fair_share_oracle_sql(demands_sql: str, capacity: int) -> str:
+    """DuckDB recomputation of :func:`fair_share` over any subquery with
+    ``(host, demand)`` — the same distinct-demand prefix structure,
+    water level, and deterministic remainder ranks."""
+    c = int(capacity)
+    return f"""
+        WITH d AS (SELECT host, demand::BIGINT AS demand
+                   FROM ({demands_sql}) t),
+        g AS (SELECT demand, COUNT(*)::BIGINT cnt, SUM(demand)::BIGINT dsum
+              FROM d GROUP BY demand),
+        p AS (SELECT *,
+                     COALESCE(SUM(cnt) OVER (ORDER BY demand
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)::BIGINT pcnt,
+                     COALESCE(SUM(dsum) OVER (ORDER BY demand
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)::BIGINT psum,
+                     SUM(cnt) OVER ()::BIGINT n_total
+              FROM g),
+        s AS (SELECT *,
+                     psum + demand * (n_total - pcnt) <= {c} AS sat
+              FROM p),
+        u AS (SELECT *,
+                     COALESCE(SUM(CASE WHEN NOT sat THEN cnt END)
+                       OVER (ORDER BY demand
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)::BIGINT unsat_before
+              FROM s),
+        lv AS (SELECT COALESCE(SUM(CASE WHEN NOT sat THEN cnt END), 0)::BIGINT
+                        m_unsat,
+                      CASE WHEN COALESCE(SUM(CASE WHEN NOT sat THEN cnt END),
+                                         0) > 0
+                           THEN {c} - COALESCE(
+                               SUM(CASE WHEN sat THEN dsum END), 0)
+                           ELSE 0 END::BIGINT pool
+               FROM u)
+        SELECT d.host, d.demand, u.sat,
+               CASE WHEN u.sat THEN d.demand
+                    ELSE (lv.pool // lv.m_unsat)::BIGINT
+                         + (u.unsat_before + ROW_NUMBER() OVER (
+                              PARTITION BY d.demand ORDER BY d.host)
+                            <= lv.pool % lv.m_unsat)::BIGINT
+               END::BIGINT AS alloc
+        FROM d JOIN u USING (demand) CROSS JOIN lv
+    """

@@ -19,7 +19,7 @@ scheduled side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -129,3 +129,101 @@ def z_order_key_sql(a: str, b: str, bits: int = 16) -> str:
             f"((({b}::BIGINT >> {i}) % 2) << {2 * i + 1})"
         )
     return "(" + " + ".join(terms) + ")"
+
+
+def rewrite_bins(
+    files: DataFrame,
+    target_bytes: int,
+    file_col: str = "file_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Table-wide small-file rewrite planner — the Iceberg
+    ``rewrite_data_files`` bin-packing decision re-expressed
+    declaratively: given the snapshot's file manifest, group under-sized
+    files into rewrite bins of ~``target_bytes`` each.  Merge-on-read
+    delta commits (``plans/checkpoint.py``) accumulate O(epochs) small
+    segments; this planner is what a maintenance job runs to decide WHAT
+    to rewrite, without scanning a byte of data.  The partition-local
+    sibling is ``plans/checkpoint.compaction_plan`` (packs within a
+    table partition in file order, one hash exchange); this pass is the
+    table-wide variant that also leaves already-full files alone.
+
+    Deterministic sorted next-fit: files under ``target_bytes`` are laid
+    out largest-first (first-fit-decreasing flavor — large items first
+    minimizes bin overshoot) in ``(bytes DESC, file_id)`` order and cut
+    into bins at running-volume boundaries: ``bin = exclusive_cumsum div
+    target``.  Every bin lands in ``(target - max_file, target +
+    max_file)`` bytes except the last.  Files already at or above target
+    are emitted with ``bin = NULL`` (left alone, like Iceberg's
+    ``min-input-files`` guard).  Single-bin outputs (n_files = 1) are
+    kept in the plan: a lone small file still wants rewriting once more
+    epochs add siblings, and the caller's ``min_files_per_bin`` policy
+    belongs above this operator.
+
+    Scale note: the input is FILE METADATA, not data — a 100 TB table at
+    the 512 MB target is ~2×10^5 manifest rows, so the global order
+    window here is bounded by construction (the same O(files) driver
+    budget the snapshot manifests themselves already cost); the plan is
+    O(files) narrow rows end to end.
+
+    Output: ``(file_id, bytes, bin, bin_files, bin_bytes)`` — bin id (or
+    NULL), and per-bin rollups for the maintenance scheduler.
+    """
+    t = int(target_bytes)
+    f = files.select(
+        F.col(file_col).alias("file_id"),
+        F.col(bytes_col).cast("long").alias("bytes"),
+    )
+    w = Window.orderBy(F.desc("bytes"), F.asc("file_id")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    small = (
+        f.filter(F.col("bytes") < t)
+        .withColumn("prior", F.coalesce(F.sum("bytes").over(w), F.lit(0)))
+        .withColumn("bin", (F.col("prior") / t).cast("long"))
+        .drop("prior")
+    )
+    wb = Window.partitionBy("bin")
+    small = small.withColumn(
+        "bin_files", F.count(F.lit(1)).over(wb)
+    ).withColumn("bin_bytes", F.sum("bytes").over(wb))
+    big = f.filter(F.col("bytes") >= t).select(
+        "file_id",
+        "bytes",
+        F.lit(None).cast("long").alias("bin"),
+        F.lit(None).cast("long").alias("bin_files"),
+        F.lit(None).cast("long").alias("bin_bytes"),
+    )
+    return small.unionByName(big)
+
+
+def rewrite_bins_oracle_sql(files_sql: str, target_bytes: int) -> str:
+    """DuckDB recomputation of :func:`rewrite_bins` over any subquery
+    with ``(file_id, bytes)`` — same order, cut points, and rollups."""
+    t = int(target_bytes)
+    return f"""
+        WITH f AS (SELECT file_id, bytes::BIGINT AS bytes
+                   FROM ({files_sql}) x),
+        small AS (
+            SELECT *,
+                   COALESCE(SUM(bytes) OVER (
+                       ORDER BY bytes DESC, file_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS prior
+            FROM f WHERE bytes < {t}
+        ),
+        binned AS (
+            SELECT file_id, bytes, (prior // {t})::BIGINT AS bin
+            FROM small
+        ),
+        rolled AS (
+            SELECT *,
+                   COUNT(*) OVER (PARTITION BY bin)::BIGINT AS bin_files,
+                   SUM(bytes) OVER (PARTITION BY bin)::BIGINT AS bin_bytes
+            FROM binned
+        )
+        SELECT * FROM rolled
+        UNION ALL
+        SELECT file_id, bytes, NULL::BIGINT, NULL::BIGINT, NULL::BIGINT
+        FROM f WHERE bytes >= {t}
+    """

@@ -587,3 +587,92 @@ def test_byte_budget_first_fit_in_priority_order(spark):
         "u1": True, "u2": True, "u3": False, "u4": False,
         "big": False, "u5": False,
     }
+
+
+def _waterfill_ref(demands: dict[str, int], cap: int) -> dict[str, int]:
+    # progressive-filling reference (Bertsekas & Gallager): satisfy
+    # ascending demands while everyone remaining can still be afforded
+    # that much; split what's left as level + one extra unit to the
+    # first `rem` unsatisfied hosts in (demand, host) order
+    items = sorted(demands.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(items)
+    alloc: dict[str, int] = {}
+    remaining = cap
+    for i, (h, d) in enumerate(items):
+        if d * (n - i) <= remaining:
+            alloc[h] = d
+            remaining -= d
+        else:
+            level, rem = divmod(remaining, n - i)
+            for j, (h2, _) in enumerate(items[i:]):
+                alloc[h2] = level + (1 if j < rem else 0)
+            remaining = 0
+            break
+    return alloc
+
+
+def test_fair_share_matches_progressive_filling(spark):
+    """fair_share's closed form (distinct-demand prefix structure +
+    decomposed remainder ranks) equals the classic progressive-filling
+    algorithm host-for-host, and Σalloc = capacity exactly when demand
+    exceeds it."""
+    from podcast_crawler_spark.operators.frontier import fair_share
+
+    demands = {f"h{i:03d}": (i * 37) % 90 + 1 for i in range(120)}
+    cap = 3000
+    assert sum(demands.values()) > cap
+    df = spark.createDataFrame(
+        list(demands.items()), "host string, demand long"
+    ).repartition(7)
+    out = {r.host: r.alloc for r in fair_share(df, cap).collect()}
+    assert out == _waterfill_ref(demands, cap)
+    assert sum(out.values()) == cap
+
+
+def test_fair_share_maxmin_and_surplus(spark):
+    """Max-min shape: alloc <= demand everywhere; unsatisfied hosts all
+    sit at level or level+1 (no one can gain without taking from a
+    poorer host).  With surplus capacity every host gets its demand."""
+    from podcast_crawler_spark.operators.frontier import fair_share
+
+    demands = {"a": 5, "b": 100, "c": 100, "d": 7, "e": 41}
+    df = spark.createDataFrame(
+        list(demands.items()), "host string, demand long"
+    )
+    rows = fair_share(df, 60).collect()
+    alloc = {r.host: r.alloc for r in rows}
+    assert all(alloc[h] <= demands[h] for h in demands)
+    unsat = [r.alloc for r in rows if not r.sat]
+    assert unsat and max(unsat) - min(unsat) <= 1
+    assert sum(alloc.values()) == 60
+    # surplus: capacity >= total demand -> everyone satisfied in full
+    full = {r.host: r.alloc for r in fair_share(df, 10_000).collect()}
+    assert full == demands
+
+
+def test_fair_share_oracle_replays(spark):
+    """The DuckDB oracle reproduces every allocation column-for-column."""
+    import duckdb
+
+    from podcast_crawler_spark.operators.frontier import (
+        fair_share,
+        fair_share_oracle_sql,
+    )
+
+    demands = [(f"h{i:02d}", (i * 13) % 40 + 1) for i in range(50)]
+    df = spark.createDataFrame(demands, "host string, demand long")
+    got = sorted(
+        tuple(r) for r in fair_share(df, 400).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "create table dem(host varchar, demand bigint)"
+    )
+    con.executemany("insert into dem values (?, ?)", demands)
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            fair_share_oracle_sql("select * from dem", 400)
+        ).fetchall()
+    )
+    assert got == want

@@ -692,3 +692,68 @@ def test_jl_project_map_side_codegen(spark):
     p = plan_of(jl_project(emb, in_dim=8, out_dim=4))
     assert "Exchange" not in p, p
     assert "Python" not in p, p
+
+
+def test_rewrite_bins_invariants(spark):
+    """Table-wide rewrite planner: big files pass through unbinned;
+    small files cut largest-first at running-volume boundaries; per-bin
+    rollups match a python replay of the same rule."""
+    from podcast_crawler_spark.sources.bucketed import rewrite_bins
+
+    target = 10_000
+    sizes = [12_000, 9_500, 9_000, 4_000, 3_500, 3_000, 800, 700, 50,
+             10_000, 6_000]
+    files = [(f"f{i:02d}", s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(files, "file_id string, bytes long")
+    rows = {r.file_id: r for r in rewrite_bins(df, target).collect()}
+
+    # python replay: exclusive cumsum over (bytes desc, file_id) div target
+    small = sorted(
+        (f for f in files if f[1] < target), key=lambda t: (-t[1], t[0])
+    )
+    run, want_bin = 0, {}
+    for fid, sz in small:
+        want_bin[fid] = run // target
+        run += sz
+    for fid, sz in files:
+        r = rows[fid]
+        assert r.bytes == sz
+        if sz >= target:
+            assert r.bin is None and r.bin_files is None
+        else:
+            assert r.bin == want_bin[fid], fid
+    # rollups: bin_bytes/bin_files consistent within each bin
+    agg = {}
+    for fid, b in want_bin.items():
+        n, s = agg.get(b, (0, 0))
+        agg[b] = (n + 1, s + dict(files)[fid])
+    for fid, b in want_bin.items():
+        assert (rows[fid].bin_files, rows[fid].bin_bytes) == agg[b]
+    # every bin except the last holds >= target - max_small_file bytes
+    last = max(agg)
+    for b, (_, s) in agg.items():
+        if b != last:
+            assert s >= target - max(sz for _, sz in small)
+
+
+def test_rewrite_bins_oracle_replays(spark):
+    import duckdb
+
+    from podcast_crawler_spark.sources.bucketed import (
+        rewrite_bins,
+        rewrite_bins_oracle_sql,
+    )
+
+    files = [(f"f{i:02d}", (i * 797) % 3000 + 100) for i in range(40)]
+    df = spark.createDataFrame(files, "file_id string, bytes long")
+    got = sorted(tuple(r) for r in rewrite_bins(df, 2_000).collect())
+    con = duckdb.connect()
+    con.execute("create table fl(file_id varchar, bytes bigint)")
+    con.executemany("insert into fl values (?, ?)", files)
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            rewrite_bins_oracle_sql("select * from fl", 2_000)
+        ).fetchall()
+    )
+    assert got == want
