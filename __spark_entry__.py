@@ -4170,6 +4170,56 @@ def _rewrite_bins(spark, sf_dir):
     return _bucketed.rewrite_bins(files, 64_000)
 
 
+def _graph_edges(spark, sf_dir):
+    # the shared 97-node host graph (same derivation as _PR_EDGES_SQL)
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            (F.col("user_id") % 97).alias("src"),
+            ((F.col("user_id") * 31 + F.col("event_id")) % 97).alias("dst"),
+        )
+        .filter("src <> dst")
+        .distinct()
+    )
+
+
+_TRUST_SEEDS_SQL = (
+    f"select distinct src as node from ({_PR_EDGES_SQL}) e"
+    " where src % 10 = 0"
+)
+
+
+def _opic_importance(spark, sf_dir):
+    # OPIC (Abiteboul et al. WWW'03): crawl-time page importance from
+    # cash/history bookkeeping — the importance-aware upgrade of the
+    # reference's seed-order distributor.  Exact integer cash flow
+    # (div/mod shares, pooled dangling cash), so DuckDB replays every
+    # epoch — operators/graph.opic.
+    return graph.opic(_graph_edges(spark, sf_dir), iters=5)
+
+
+def _trustrank(spark, sf_dir):
+    # TrustRank (Gyöngyi et al. VLDB'04): teleport restricted to a
+    # trusted seed set so spam that can't buy trusted inlinks decays to
+    # ~0 — the demotion signal behind frontier_gating's allow-lists.
+    edges = _graph_edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .filter(F.col("node") % 10 == 0)
+        .distinct()
+    )
+    return graph.trustrank(edges, seeds, iters=5)
+
+
+def _hyperball_nf(spark, sf_dir):
+    # HyperBall (Boldi & Vigna): per-node t-hop ball sizes via HLL
+    # registers max-merged along out-edges — every node's reachability
+    # centrality in t rounds of O(edges·m) traffic, where exact per-node
+    # BFS is O(n·edges).  md5-slice registers + integer harmonic sums
+    # make the whole run a deterministic function of the graph.
+    return graph.hyperball(_graph_edges(spark, sf_dir), iters=3)
+
+
 def _hll_distinct(spark, sf_dir):
     # HyperLogLog distinct-count with materialized registers: the
     # estimate's WHOLE derivation (md5-slice bucket/rho, integer-scaled
@@ -4583,14 +4633,14 @@ _DRIVER_WINDOW = [
     "sniff_content",
     "pack_shards",
     "global_shuffle",
-    "decontaminate",
-    "pii_scrub",
-    "split_leakage",
     # round-4 additions — brand-new code earns the hard signal first;
-    # tfidf_pairs / bm25_topk (never-checked, locally green) rotate to
-    # the top of round 5's window
+    # decontaminate / pii_scrub / split_leakage / tfidf_pairs /
+    # bm25_topk (locally green) rotate to the top of round 5's window
     "fair_share",
     "rewrite_bins",
+    "opic_importance",
+    "trustrank",
+    "hyperball_nf",
 ]
 
 
@@ -4643,6 +4693,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_apportion": _budget_apportion,
         "fair_share": _fair_share,
         "rewrite_bins": _rewrite_bins,
+        "opic_importance": _opic_importance,
+        "trustrank": _trustrank,
+        "hyperball_nf": _hyperball_nf,
         "hierarchical_budget": _hierarchical_budget,
         "focused_budget": _focused_budget,
         "hits_scores": _hits_scores,
@@ -6246,6 +6299,16 @@ def oracle_sql() -> dict[str, str]:
         "rewrite_bins": _bucketed.rewrite_bins_oracle_sql(
             _COMPACT_FILES_SQL, 64_000
         ),
+        # OPIC cash/history epochs: integer shares, kept remainders,
+        # pooled dangling cash — every epoch unrolled and replayed
+        "opic_importance": graph.opic_oracle_sql(_PR_EDGES_SQL, iters=5),
+        # TrustRank: seed-restricted teleport, dangling mass to seeds
+        "trustrank": graph.trustrank_oracle_sql(
+            _PR_EDGES_SQL, _TRUST_SEEDS_SQL, iters=5
+        ),
+        # HyperBall: md5 registers max-merged along out-edges, integer
+        # harmonic estimate — the full sketch state replayed per node
+        "hyperball_nf": graph.hyperball_oracle_sql(_PR_EDGES_SQL, iters=3),
         # count-min: integer counter cells + min-over-rows probe — every
         # number is integer arithmetic over the shared md5-slice hash.
         "cm_heavy_hitters": """

@@ -101,6 +101,9 @@ BENCH_QUERIES = [
     "hierarchical_budget",
     "fair_share",
     "rewrite_bins",
+    "opic_importance",
+    "trustrank",
+    "hyperball_nf",
     "lang_id_ngram",
     "normalize_text",
     "robots_rfc_match",

@@ -990,3 +990,436 @@ def focused_budget(
         .withColumn("budget", F.lit(int(base_budget)) * mult)
         .select(host_col, "n_docs", "n_good", "good_ppm", "budget")
     )
+
+
+OPIC_SCALE = 10 ** 12
+
+
+def opic(
+    edges: DataFrame,
+    iters: int = 5,
+    scale: int = OPIC_SCALE,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Batch-synchronous OPIC — On-line Page Importance Computation
+    (Abiteboul, Preda & Cobéna, WWW '03): the crawl-ordering algorithm
+    that estimates page importance DURING the crawl, without waiting
+    for a pagerank convergence pass.  Every node carries ``cash`` (to
+    be distributed) and ``history`` (cash it has already held); each
+    epoch a crawled node banks its cash into history and hands it to
+    its outlinks in equal shares; importance is the node's share of all
+    banked history.  The reference's distributor hands out tasks in
+    seed order (``distributor.rs:33-41``) — OPIC is the
+    importance-aware upgrade that needs no extra fetches, only this
+    bookkeeping over links already parsed.
+
+    Exact-integer epoch rule, mirrored by :func:`opic_oracle_sql`::
+
+        hist'(v) = hist(v) + cash(v)
+        q(u)     = cash(u) div outdeg(u)      -- per-edge share
+        keep(u)  = cash(u) mod outdeg(u)      -- indivisible remainder
+        pool     = sum of cash(u) over outdeg-0 nodes
+        cash'(v) = inflow(v) + keep(v) + pool div n
+
+    (``pool mod n`` is dropped, the same convention as pagerank's
+    dangling term — bounded by n units of 10^-12 cash per epoch.)
+
+    Scale shape (10^8 hosts, 10^10 edges): per epoch ONE O(edges)
+    shuffle for the inflow groupBy (map-side partial sums), an
+    O(nodes) join, and a broadcast 1-row dangling pool — identical to
+    the pagerank iteration; state is two BIGINTs per node and
+    checkpoints with the frontier.  Output: ``(node, cash_scaled,
+    hist_scaled, importance)`` with importance = hist / Σhist at 9 dp.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
+        nodes = nodes.localCheckpoint(eager=True)
+        outdeg = outdeg.localCheckpoint(eager=True)
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("opic: empty graph")
+    init = scale // n
+    state = nodes.select(
+        "node",
+        F.lit(init).cast("long").alias("cash"),
+        F.lit(0).cast("long").alias("hist"),
+    )
+    for _ in range(iters):
+        st = state.join(outdeg, state["node"] == outdeg["src"], "left")
+        quot = st.filter(F.col("d").isNotNull()).select(
+            F.col("node").alias("qsrc"),
+            F.expr("cash div d").alias("q"),
+        )
+        inflow = (
+            quot.join(e, quot["qsrc"] == e["src"])
+            .groupBy("dst")
+            .agg(F.sum("q").alias("inflow"))
+        )
+        pool = st.filter(F.col("d").isNull()).agg(
+            F.coalesce(F.sum("cash"), F.lit(0)).cast("long").alias("pool")
+        )
+        state = (
+            st.select(
+                "node",
+                "cash",
+                "hist",
+                F.when(
+                    F.col("d").isNotNull(), F.expr("cash % d")
+                ).otherwise(F.lit(0)).cast("long").alias("keep"),
+            )
+            .crossJoin(F.broadcast(pool))
+            .join(
+                inflow,
+                F.col("node") == inflow["dst"],
+                "left",
+            )
+            .select(
+                "node",
+                (
+                    F.coalesce(F.col("inflow"), F.lit(0))
+                    + F.col("keep")
+                    + F.expr(f"pool div {n}")
+                ).cast("long").alias("cash"),
+                (F.col("hist") + F.col("cash")).cast("long").alias("hist"),
+            )
+        )
+        if checkpoint:
+            state = state.localCheckpoint(eager=True)
+    # Σhist as a broadcast 1-row aggregate, not a global window (which
+    # would collapse the node table to one partition)
+    total = state.agg(F.sum("hist").cast("long").alias("hist_total"))
+    return state.crossJoin(F.broadcast(total)).select(
+        "node",
+        F.col("cash").alias("cash_scaled"),
+        F.col("hist").alias("hist_scaled"),
+        F.round(F.col("hist") / F.col("hist_total"), 9).alias("importance"),
+    )
+
+
+def opic_oracle_sql(
+    edges_sql: str, iters: int = 5, scale: int = OPIC_SCALE
+) -> str:
+    """DuckDB CTE chain recomputing :func:`opic` exactly — iterations
+    unrolled, integer ``//`` and ``%`` everywhere."""
+    parts = [
+        f"with edges as ({edges_sql})",
+        "nodes as (select src as node from edges"
+        " union select dst from edges)",
+        "outdeg as (select src, count(*)::BIGINT d from edges group by 1)",
+        "params as (select count(*)::BIGINT n from nodes)",
+        f"s0 as (select node, ({scale} // p.n)::BIGINT cash,"
+        " 0::BIGINT hist from nodes cross join params p)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"q{i} as (select e.dst, (c.cash // o.d)::BIGINT q"
+            f" from s{i} c join outdeg o on c.node = o.src"
+            " join edges e on c.node = e.src)"
+        )
+        parts.append(
+            f"pl{i} as (select coalesce(sum(c.cash), 0)::BIGINT pool"
+            f" from s{i} c left join outdeg o on c.node = o.src"
+            " where o.src is null)"
+        )
+        parts.append(
+            f"s{i + 1} as (select c.node,"
+            " (coalesce(x.inflow, 0)"
+            " + case when o.src is not null then c.cash % o.d"
+            "        else 0 end"
+            " + pl.pool // p.n)::BIGINT cash,"
+            " (c.hist + c.cash)::BIGINT hist"
+            f" from s{i} c cross join params p cross join pl{i} pl"
+            " left join outdeg o on c.node = o.src"
+            f" left join (select dst, sum(q)::BIGINT inflow from q{i}"
+            " group by 1) x on c.node = x.dst)"
+        )
+    parts_sql = ",\n".join(parts)
+    return (
+        f"{parts_sql}\n"
+        f"select node, cash as cash_scaled, hist as hist_scaled,"
+        f" round(hist / (sum(hist) over ())::DOUBLE, 9) as importance"
+        f" from s{iters}"
+    )
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 5,
+    scale: int = PR_SCALE,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB '04):
+    pagerank with the teleport vector restricted to a hand-audited
+    trusted seed set, so trust decays with link distance from the
+    seeds and link-farmed spam (which cannot buy inlinks FROM trusted
+    hosts) scores ~0 — the demotion signal feeding ``frontier_gating``
+    / ``link_farm_detect``'s allow-lists.  Same exact-integer
+    discipline as :func:`pagerank`; dangling mass also teleports to
+    the seeds.
+
+    Epoch rule (s = |seeds|), mirrored by :func:`trustrank_oracle_sql`::
+
+        r0(v)  = scale div s         if v in seeds else 0
+        q, inflow, dang as in pagerank
+        r'(v)  = [v in seeds] * ((15 * (scale div s)) div 100
+                                 + (85 * (dang div s)) div 100)
+                 + (85 * inflow(v)) div 100
+
+    Scale shape identical to pagerank (one O(edges) shuffle per
+    iteration); the seed membership flag rides a broadcast join.
+    Output: ``(node, trust_scaled, trust)``.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    sd = seeds.select(F.col(seed_col).alias("node")).distinct()
+    nodes = nodes.join(
+        F.broadcast(sd.withColumn("is_seed", F.lit(True))), "node", "left"
+    ).select("node", F.coalesce("is_seed", F.lit(False)).alias("is_seed"))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
+        nodes = nodes.localCheckpoint(eager=True)
+        outdeg = outdeg.localCheckpoint(eager=True)
+    s = nodes.filter("is_seed").count()
+    if s == 0:
+        raise ValueError("trustrank: empty seed set")
+    init = scale // s
+    base = (15 * init) // 100
+    ranks = nodes.select(
+        "node",
+        "is_seed",
+        F.when(F.col("is_seed"), F.lit(init))
+        .otherwise(F.lit(0)).cast("long").alias("r"),
+    )
+    for _ in range(iters):
+        quot = ranks.join(
+            outdeg, ranks["node"] == outdeg["src"], "inner"
+        ).select(F.col("node").alias("qsrc"), F.expr("r div d").alias("q"))
+        inflow = (
+            quot.join(e, quot["qsrc"] == e["src"])
+            .groupBy("dst")
+            .agg(F.sum("q").alias("inflow"))
+        )
+        dangling = ranks.join(
+            outdeg, ranks["node"] == outdeg["src"], "left_anti"
+        ).agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("ds"))
+        ranks = (
+            nodes.crossJoin(F.broadcast(dangling))
+            .join(inflow, nodes["node"] == inflow["dst"], "left")
+            .select(
+                "node",
+                "is_seed",
+                (
+                    F.when(
+                        F.col("is_seed"),
+                        F.lit(base).cast("long")
+                        + F.expr(f"({DAMP_NUM} * (ds div {s}))"
+                                 f" div {DAMP_DEN}"),
+                    ).otherwise(F.lit(0))
+                    + F.expr(
+                        f"({DAMP_NUM} * coalesce(inflow, 0L))"
+                        f" div {DAMP_DEN}"
+                    )
+                ).cast("long").alias("r"),
+            )
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(
+        "node",
+        F.col("r").alias("trust_scaled"),
+        F.round(F.col("r") / F.lit(float(scale)), 9).alias("trust"),
+    )
+
+
+def trustrank_oracle_sql(
+    edges_sql: str, seeds_sql: str, iters: int = 5, scale: int = PR_SCALE
+) -> str:
+    """DuckDB CTE chain recomputing :func:`trustrank` exactly.
+    *seeds_sql* selects a single ``node`` column."""
+    parts = [
+        f"with edges as ({edges_sql})",
+        "nodes as (select src as node from edges"
+        " union select dst from edges)",
+        f"sds as (select distinct node from ({seeds_sql}) z)",
+        "nd as (select n.node, (s.node is not null) is_seed"
+        " from nodes n left join sds s on n.node = s.node)",
+        "outdeg as (select src, count(*)::BIGINT d from edges group by 1)",
+        "params as (select count(*)::BIGINT s from sds"
+        " where node in (select node from nodes))",
+        f"t0 as (select node, is_seed, case when is_seed"
+        f" then ({scale} // p.s) else 0 end::BIGINT r"
+        " from nd cross join params p)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"x{i} as (select e.dst, (c.r // o.d)::BIGINT q"
+            f" from t{i} c join outdeg o on c.node = o.src"
+            " join edges e on c.node = e.src)"
+        )
+        parts.append(
+            f"dg{i} as (select coalesce(sum(c.r), 0)::BIGINT ds"
+            f" from t{i} c left join outdeg o on c.node = o.src"
+            " where o.src is null)"
+        )
+        parts.append(
+            f"t{i + 1} as (select c.node, c.is_seed,"
+            " (case when c.is_seed then"
+            f" (15 * ({scale} // p.s)) // 100"
+            f" + (85 * (d.ds // p.s)) // 100 else 0 end"
+            " + (85 * coalesce(x.inflow, 0)) // 100)::BIGINT r"
+            f" from t{i} c cross join params p cross join dg{i} d"
+            f" left join (select dst, sum(q)::BIGINT inflow from x{i}"
+            " group by 1) x on c.node = x.dst)"
+        )
+    parts_sql = ",\n".join(parts)
+    return (
+        f"{parts_sql}\n"
+        f"select node, r as trust_scaled,"
+        f" round(r / {float(scale)!r}, 9) as trust from t{iters}"
+    )
+
+
+def hyperball(
+    edges: DataFrame,
+    iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna — HyperANF WWW '11 / "In-core
+    computation of geometric centralities" '13): the per-node
+    neighborhood function at web scale.  Exact per-node ball sizes need
+    one BFS per node — O(n·edges), unattainable at 10^8 hosts — but an
+    HLL counter per node, max-merged along out-edges each round, gives
+    |B(v, t)| (nodes within t out-hops of v) for EVERY node
+    simultaneously in t rounds of O(edges · m) register traffic.  The
+    crawl uses it as reachability centrality: a host whose t-ball is
+    large reaches much of the web quickly — a discovery-priority signal
+    complementing pagerank (prestige) and hop_distance (seed
+    proximity).
+
+    Registers are the ``sketches`` module's md5-slice derivation
+    ((bucket, rho) per node key), so the whole run is a deterministic
+    function of the graph: round t is ``reg'(v,b) = max(reg(v,b),
+    max over out-edges (v,w) of reg(w,b))`` — a max-semilattice fold
+    the oracle replays with unrolled CTEs, then the exact-integer
+    harmonic estimate of :func:`sketches.hll_estimate_from_registers`.
+
+    Scale shape: state is at most ``n · min(ball, m)`` register rows;
+    each round is one O(edges·m_touched) join + groupBy-max with
+    map-side partial max (registers merge before the exchange), plus
+    ``localCheckpoint`` lineage truncation — the Pregel pattern.
+    Output: ``(node, n_zero_regs, harmonic_scaled, hll_estimate)`` —
+    the estimated ball size |B(v, iters)| including v itself.
+    """
+    from podcast_crawler_spark.operators import sketches
+
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
+        nodes = nodes.localCheckpoint(eager=True)
+    regs = sketches.hll_registers(
+        nodes.select("node", F.col("node").alias("k")), "k", ["node"]
+    )
+    for _ in range(iters):
+        pulled = (
+            e.join(regs, regs["node"] == e["dst"])
+            .select(e["src"].alias("node"), "bucket", "reg")
+        )
+        regs = (
+            regs.unionByName(pulled)
+            .groupBy("node", "bucket")
+            .agg(F.max("reg").alias("reg"))
+        )
+        if checkpoint:
+            regs = regs.localCheckpoint(eager=True)
+    return sketches.hll_estimate_from_registers(regs, ["node"]).select(
+        "node", "n_zero_regs", "harmonic_scaled", "hll_estimate"
+    )
+
+
+def _hll_reg_sql(key_expr: str) -> tuple[str, str]:
+    """(bucket_sql, rho_sql) — the md5-slice register derivation in
+    DuckDB, identical to ``sketches._hll_register_cols``."""
+    h = f"md5({key_expr}::VARCHAR)"
+    bucket = f"try_cast('0x' || substr({h}, 1, 2) as bigint)"
+    v = f"try_cast('0x' || substr({h}, 3, 15) as bigint)"
+    rho = (
+        f"case when {v} = 0 then 61"
+        f" else 61 - length(printf('%b', {v})) end"
+    )
+    return bucket, rho
+
+
+def hyperball_oracle_sql(edges_sql: str, iters: int = 3) -> str:
+    """DuckDB recomputation of :func:`hyperball`: same register
+    derivation, unrolled max-merge rounds, exact-integer harmonic
+    estimate with the linear-counting branch."""
+    from podcast_crawler_spark.operators.sketches import HLL_ALPHA_SCALED
+
+    bucket, rho = _hll_reg_sql("node")
+    parts = [
+        f"with edges as ({edges_sql})",
+        "nodes as (select src as node from edges"
+        " union select dst from edges)",
+        f"r0 as (select node, {bucket} bucket, max({rho}) reg"
+        " from nodes group by 1, 2)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"r{i + 1} as (select node, bucket, max(reg) reg from ("
+            f"select * from r{i}"
+            " union all "
+            f"select e.src node, r.bucket, r.reg from edges e"
+            f" join r{i} r on r.node = e.dst) u group by 1, 2)"
+        )
+    parts.append(
+        f"sk as (select node, count(*) n_buckets,"
+        " sum(case when reg <= 50 then (1::BIGINT << (50 - reg))"
+        " else 0 end)::BIGINT harmonic_present"
+        f" from r{iters} group by 1)"
+    )
+    parts.append(
+        "est as (select node, (256 - n_buckets)::BIGINT n_zero_regs,"
+        " (harmonic_present + (256 - n_buckets) * (1::BIGINT << 50))"
+        "::BIGINT harmonic_scaled from sk)"
+    )
+    parts_sql = ",\n".join(parts)
+    return (
+        f"{parts_sql}\n"
+        "select node, n_zero_regs, harmonic_scaled,"
+        " round(case when n_zero_regs > 0"
+        f" and {HLL_ALPHA_SCALED!r} / harmonic_scaled <= 2.5 * 256"
+        " then 256.0 * ln(256.0 / n_zero_regs)"
+        f" else {HLL_ALPHA_SCALED!r} / harmonic_scaled end, 4)"
+        " hll_estimate from est"
+    )

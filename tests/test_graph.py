@@ -614,3 +614,236 @@ def test_focused_budget_tiers(spark):
     assert out["most"].budget == 16 and out["most"].good_ppm == 600_000
     assert out["some"].budget == 8 and out["some"].good_ppm == 400_000
     assert out["bad"].budget == 0 and out["bad"].good_ppm == 100_000
+
+
+def _py_opic(edges, iters, scale=SCALE):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    cash = {v: scale // n for v in nodes}
+    hist = {v: 0 for v in nodes}
+    for _ in range(iters):
+        inflow = {v: 0 for v in nodes}
+        for s, d in edges:
+            inflow[d] += cash[s] // outdeg[s]
+        pool = sum(cash[v] for v in nodes if v not in outdeg)
+        new = {}
+        for v in nodes:
+            keep = cash[v] % outdeg[v] if v in outdeg else 0
+            new[v] = inflow[v] + keep + pool // n
+        hist = {v: hist[v] + cash[v] for v in nodes}
+        cash = new
+    return cash, hist
+
+
+def test_opic_matches_python_oracle(chain_graph):
+    from podcast_crawler_spark.operators.graph import opic
+
+    edges, df = chain_graph
+    rows = opic(df, iters=6).collect()
+    cash, hist = _py_opic(edges, iters=6)
+    assert {r.node: r.cash_scaled for r in rows} == cash
+    assert {r.node: r.hist_scaled for r in rows} == hist
+    tot = sum(hist.values())
+    for r in rows:
+        assert abs(r.importance - hist[r.node] / tot) < 1e-9
+
+
+def test_opic_hub_outranks_leaf(spark):
+    """A node every page links to accumulates more history than a
+    page nothing links to — OPIC's whole point as a frontier signal."""
+    from podcast_crawler_spark.operators.graph import opic
+
+    edges = [(i, 0) for i in range(1, 8)] + [(0, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    imp = {r.node: r.hist_scaled for r in opic(df, iters=4).collect()}
+    assert imp[0] > imp[7] and imp[0] == max(imp.values())
+
+
+def test_opic_oracle_sql_matches(chain_graph):
+    import duckdb
+
+    from podcast_crawler_spark.operators.graph import opic, opic_oracle_sql
+
+    edges, df = chain_graph
+    got = sorted(tuple(r) for r in opic(df, iters=4).collect())
+    con = duckdb.connect()
+    con.execute("create table eg(src bigint, dst bigint)")
+    con.executemany("insert into eg values (?, ?)", edges)
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            opic_oracle_sql("select src, dst from eg", iters=4)
+        ).fetchall()
+    )
+    assert got == want
+
+
+def _py_trustrank(edges, seeds, iters, scale=SCALE):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    seeds = sorted(set(seeds) & set(nodes))
+    s = len(seeds)
+    outdeg = {}
+    for a, _ in edges:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    init = scale // s
+    base = (15 * init) // 100
+    r = {v: (init if v in seeds else 0) for v in nodes}
+    for _ in range(iters):
+        inflow = {v: 0 for v in nodes}
+        for a, b in edges:
+            inflow[b] += r[a] // outdeg[a]
+        dang = sum(r[v] for v in nodes if v not in outdeg)
+        r = {
+            v: (
+                (base + (85 * (dang // s)) // 100) if v in seeds else 0
+            )
+            + (85 * inflow[v]) // 100
+            for v in nodes
+        }
+    return r
+
+
+def test_trustrank_matches_python_and_demotes_spam(spark):
+    """Trust flows only out of the seed set: a spam clique with no
+    inlink from the trusted component scores exactly 0, while every
+    host the seeds reach scores > 0."""
+    from podcast_crawler_spark.operators.graph import trustrank
+
+    # trusted component: 0 -> 1 -> 2; spam clique 10 <-> 11 linking UP
+    # to the trusted side (spam can't buy a trusted inlink)
+    edges = [(0, 1), (1, 2), (10, 11), (11, 10), (10, 0), (11, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r.node: r.trust_scaled
+        for r in trustrank(df, seeds, iters=5).collect()
+    }
+    assert got == _py_trustrank(edges, [0], iters=5)
+    assert got[10] == 0 and got[11] == 0
+    assert got[0] > 0 and got[1] > 0 and got[2] > 0
+
+
+def test_trustrank_dangling_teleports_to_seeds(spark):
+    """Dangling mass re-enters at the seeds, not spread over all
+    nodes: total trust stays concentrated in the trusted component."""
+    from podcast_crawler_spark.operators.graph import trustrank
+
+    edges = [(0, 1), (1, 2)]  # 2 dangles
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r.node: r.trust_scaled
+        for r in trustrank(df, seeds, iters=3).collect()
+    }
+    assert got == _py_trustrank(edges, [0], iters=3)
+
+
+def test_trustrank_empty_seeds_raises(spark):
+    from podcast_crawler_spark.operators.graph import trustrank
+
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    seeds = spark.createDataFrame([], "node long")
+    with pytest.raises(ValueError):
+        trustrank(df, seeds, iters=1)
+
+
+def test_trustrank_oracle_sql_matches(spark):
+    import duckdb
+
+    from podcast_crawler_spark.operators.graph import (
+        trustrank,
+        trustrank_oracle_sql,
+    )
+
+    edges = [(i, (i * 7 + 3) % 23) for i in range(40)]
+    edges = sorted({(s, d) for s, d in edges if s != d})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (7,), (14,)], "node long")
+    got = sorted(tuple(r) for r in trustrank(df, seeds, iters=4).collect())
+    con = duckdb.connect()
+    con.execute("create table eg(src bigint, dst bigint)")
+    con.executemany("insert into eg values (?, ?)", edges)
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            trustrank_oracle_sql(
+                "select src, dst from eg",
+                "select * from (values (0), (7), (14)) s(node)",
+                iters=4,
+            )
+        ).fetchall()
+    )
+    assert got == want
+
+
+def _py_ball_sizes(edges, iters):
+    # exact |B(v, t)|: nodes within t OUT-hops of v, including v
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, set()).add(d)
+    sizes = {}
+    for v in nodes:
+        ball = {v}
+        frontier = {v}
+        for _ in range(iters):
+            frontier = {w for u in frontier for w in out.get(u, ())} - ball
+            ball |= frontier
+        sizes[v] = len(ball)
+    return sizes
+
+
+def test_hyperball_tracks_exact_ball_sizes(spark):
+    """HLL ball estimates track the exact python BFS ball sizes within
+    the sketch's error envelope (m=256 -> small balls hit the
+    linear-counting branch and are near-exact)."""
+    from podcast_crawler_spark.operators.graph import hyperball
+
+    edges = sorted(
+        {(i % 41, (i * 13 + 5) % 41) for i in range(160)} - {(i, i) for i in range(41)}
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.hll_estimate for r in hyperball(df, iters=3).collect()}
+    exact = _py_ball_sizes(edges, iters=3)
+    assert set(got) == set(exact)
+    for v, est in got.items():
+        assert abs(est - exact[v]) / exact[v] < 0.20, (v, est, exact[v])
+
+
+def test_hyperball_semilattice_converges(spark):
+    """On a graph of diameter d, rounds beyond d are idempotent: the
+    register table is a max-semilattice fixed point."""
+    from podcast_crawler_spark.operators.graph import hyperball
+
+    edges = [(0, 1), (1, 2), (2, 3)]  # diameter 3
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = sorted(tuple(r) for r in hyperball(df, iters=3).collect())
+    b = sorted(tuple(r) for r in hyperball(df, iters=5).collect())
+    assert a == b
+
+
+def test_hyperball_oracle_sql_matches(spark):
+    import duckdb
+
+    from podcast_crawler_spark.operators.graph import (
+        hyperball,
+        hyperball_oracle_sql,
+    )
+
+    edges = sorted({(i % 19, (i * 5 + 2) % 19) for i in range(60)})
+    edges = [(s, d) for s, d in edges if s != d]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted(tuple(r) for r in hyperball(df, iters=3).collect())
+    con = duckdb.connect()
+    con.execute("create table eg(src bigint, dst bigint)")
+    con.executemany("insert into eg values (?, ?)", edges)
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            hyperball_oracle_sql("select src, dst from eg", iters=3)
+        ).fetchall()
+    )
+    assert got == want
