@@ -533,6 +533,21 @@ def _dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
 
 
+def _minhash_recall_audit(spark, sf_dir):
+    # Self-audit of the LSH approximation: observed candidate recall /
+    # precision vs the exact-Jaccard ground truth for the audited
+    # (bands x rows) geometry — the number the S-curve only predicts.
+    # md5-derived signature components so the oracle replays every
+    # component, band key, candidate pair and ppm.  At 10^10 docs this
+    # runs on a stratified sample; it is a measurement, not a pass.
+    return dedup.minhash_recall_audit(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=16,
+        band_rows=4,
+        threshold=0.5,
+    )
+
+
 _MHIDX_CACHE: dict[str, str] = {}
 
 
@@ -2342,6 +2357,41 @@ def _eps_greedy_assign(spark, sf_dir):
         ((F.col("n_regionkey") + 1) / F.lit(5.0)).alias("similarity"),
     )
     return placement.epsilon_greedy_assign(tasks, workers)
+
+
+_UCB_REWARDS_SQL = (
+    "select 'h' || (user_id % 16)::varchar host,"
+    " (event_id % 8)::BIGINT epoch,"
+    " (1000000 * sum(case when event_type in ('click','purchase')"
+    " then 1 else 0 end) // count(*))::BIGINT reward_micro"
+    " from events group by 1, 2"
+)
+
+
+def _ucb_host_select(spark, sf_dir):
+    # UCB1 host scheduling (Auer et al. ML'02): the principled bandit
+    # the reference's dead ε-greedy gestures at — exploration decays as
+    # arms accumulate evidence instead of burning a flat ε forever.
+    # Rewards = per-(host, epoch) useful-fetch ppm from events;
+    # integer means + Python-folded ln literals + correctly-rounded
+    # sqrt make every pull DuckDB-replayable (no coin to derandomize:
+    # UCB1 is deterministic by construction).
+    from podcast_crawler_spark.operators import placement
+
+    ev = _t(spark, sf_dir, "events")
+    rewards = ev.groupBy(
+        F.concat(
+            F.lit("h"), (F.col("user_id") % 16).cast("string")
+        ).alias("host"),
+        (F.col("event_id") % 8).cast("long").alias("epoch"),
+    ).agg(
+        F.expr(
+            "cast(1000000 * sum(case when event_type in"
+            " ('click','purchase') then 1 else 0 end)"
+            " div count(*) as long)"
+        ).alias("reward_micro")
+    )
+    return placement.ucb_host_select(rewards, epochs=8, m=4)
 
 
 def _ip_asn(spark, sf_dir):
@@ -4198,6 +4248,31 @@ def _opic_importance(spark, sf_dir):
     return graph.opic(_graph_edges(spark, sf_dir), iters=5)
 
 
+def _cocitation_pairs(spark, sf_dir):
+    # Co-citation host similarity (Dean & Henzinger WWW'99 "related
+    # pages"): hosts linking to the same targets — the seed-expansion
+    # signal that scores hosts BEFORE they are crawled (trustrank needs
+    # trusted inlinks; co-citation only needs shared outlink targets).
+    # Pair blowup bounded by the indeg cap (mega-hub targets carry no
+    # similarity signal and are dropped pre-join, same discipline as
+    # ngram_jaccard's max_shingle_freq); integer Jaccard over the kept
+    # set so the oracle replays every ppm.  Sparser 4999-node synth
+    # graph (the 97-node one is near-complete at sf>=0.01 — every dst
+    # would hit the cap, which is the degenerate no-signal regime).
+    ev = _t(spark, sf_dir, "events")
+    edges = (
+        ev.select(
+            (F.col("user_id") % 4999).alias("src"),
+            ((F.col("user_id") * 31 + F.col("event_id")) % 4999).alias(
+                "dst"
+            ),
+        )
+        .filter("src <> dst")
+        .distinct()
+    )
+    return graph.cocitation(edges, max_indeg=30, min_shared=2)
+
+
 def _trustrank(spark, sf_dir):
     # TrustRank (Gyöngyi et al. VLDB'04): teleport restricted to a
     # trusted seed set so spam that can't buy trusted inlinks decays to
@@ -4229,6 +4304,21 @@ def _hll_distinct(spark, sf_dir):
     return sketches.hll_distinct(
         _t(spark, sf_dir, "events"), "user_id", ["event_type"]
     )
+
+
+def _kmv_set_ops(spark, sf_dir):
+    # KMV bottom-k sketch set ALGEBRA across two crawl epochs' URL-key
+    # sets: union estimate, Jaccard and INTERSECTION estimate from O(k)
+    # state per epoch — the question HLL registers cannot answer
+    # (union-only semilattice).  "How many of last epoch's URLs did we
+    # see again?" at 10^10-frontier scale is this over the persisted
+    # per-epoch sketches; exact audits alongside at test scale.  All
+    # integer arithmetic (48-bit md5 hashes, floored-div estimators),
+    # so the oracle replays every rank and estimate bit-for-bit.
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0).select("user_id")
+    b = ev.filter(F.col("event_id") % 2 == 1).select("user_id")
+    return sketches.kmv_set_ops(a, b, "user_id", k=256)
 
 
 def _cm_heavy_hitters(spark, sf_dir):
@@ -4686,6 +4776,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users": _distinct_users,
         "hll_distinct": _hll_distinct,
         "hll_merge_epochs": _hll_merge_epochs,
+        "kmv_set_ops": _kmv_set_ops,
         "cm_heavy_hitters": _cm_heavy_hitters,
         "host_pagerank": _host_pagerank,
         "resolve_redirects": _resolve_redirects,
@@ -4695,6 +4786,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rewrite_bins": _rewrite_bins,
         "opic_importance": _opic_importance,
         "trustrank": _trustrank,
+        "cocitation_pairs": _cocitation_pairs,
         "hyperball_nf": _hyperball_nf,
         "hierarchical_budget": _hierarchical_budget,
         "focused_budget": _focused_budget,
@@ -4720,6 +4812,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consistent_placement": _consistent_placement,
         "ip_asn": _ip_asn,
         "eps_greedy_assign": _eps_greedy_assign,
+        "ucb_host_select": _ucb_host_select,
         "ring_rebalance": _ring_rebalance,
         "aimd_concurrency": _aimd_concurrency,
         "circuit_state": _circuit_state,
@@ -4776,6 +4869,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_representatives": _dedup_representatives,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "minhash_recall_audit": _minhash_recall_audit,
         "dedup_minhash_inc": _dedup_minhash_incremental,
         "dedup_simhash": _dedup_simhash,
         "domain_similarity": _domain_similarity,
@@ -5153,6 +5247,11 @@ def oracle_sql() -> dict[str, str]:
                      row_number() over (partition by user_id order by ts, event_id)::INT rank
               from events) where rank <= 5
         """,
+        # UCB1: every pull replayed — integer means, ln literals,
+        # correctly-rounded sqrt bonus, (score desc, host) top-m ranks
+        "ucb_host_select": _placement_mod().ucb_oracle_sql(
+            _UCB_REWARDS_SQL, epochs=8, m=4
+        ),
         "eps_greedy_assign": _placement_mod().epsilon_greedy_oracle_sql(
             "select event_id::VARCHAR as task_id from events",
             "select n_name as worker_id, (n_nationkey % 4)::INT as"
@@ -5405,6 +5504,15 @@ def oracle_sql() -> dict[str, str]:
                          / n_exact_union, 4) rel_err
             from aud, u, fin
         """,
+        # KMV bottom-k set algebra: every rank, membership and integer
+        # estimator replayed (union / Jaccard / intersection), exact
+        # audits recomputed from the raw epoch sets
+        "kmv_set_ops": sketches.kmv_oracle_sql(
+            "select user_id from events where event_id % 2 = 0",
+            "select user_id from events where event_id % 2 = 1",
+            "user_id",
+            k=256,
+        ),
         # robots Sitemap directives: expected rows re-derived from the
         # synthesis formula (a stray Sitemap line in a fixture body
         # would surface as a mismatch — tripwire by construction)
@@ -6302,6 +6410,14 @@ def oracle_sql() -> dict[str, str]:
         # OPIC cash/history epochs: integer shares, kept remainders,
         # pooled dangling cash — every epoch unrolled and replayed
         "opic_importance": graph.opic_oracle_sql(_PR_EDGES_SQL, iters=5),
+        # co-citation: same indeg cap, kept-set outdegrees, integer ppm
+        "cocitation_pairs": graph.cocitation_oracle_sql(
+            "select distinct user_id % 4999 as src,"
+            " (user_id * 31 + event_id) % 4999 as dst from events"
+            " where user_id % 4999 <> (user_id * 31 + event_id) % 4999",
+            max_indeg=30,
+            min_shared=2,
+        ),
         # TrustRank: seed-restricted teleport, dangling mass to seeds
         "trustrank": graph.trustrank_oracle_sql(
             _PR_EDGES_SQL, _TRUST_SEEDS_SQL, iters=5
@@ -6352,6 +6468,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": _JACCARD_CTE.format(thr=0.5, src="documents"),
         "dedup_minhash_lsh": _JACCARD_CTE.format(thr=0.8, src="documents"),
+        # LSH recall/precision audit: exact pairs, md5 signatures, band
+        # collisions and integer ppms all replayed
+        "minhash_recall_audit": dedup.recall_audit_oracle_sql(
+            "select doc_id as id, text from documents",
+            num_hashes=16,
+            band_rows=4,
+            threshold=0.5,
+        ),
         "dedup_minhash_inc": _JACCARD_CTE.format(thr=0.8, src="documents")
         + " and (id_a % 5 = 0 or id_b % 5 = 0)",
         "dedup_clusters": f"""

@@ -149,6 +149,13 @@ BENCH_QUERIES = [
     "tokenizer_fertility",
     "hll_merge_epochs",
     "domain_similarity",
+    # round-4 batch 3 (minhash_recall_audit intentionally absent: its
+    # exact-Jaccard ground-truth leg is the uncapped O(shingle-df²)
+    # join BY CONSTRUCTION — it audits the LSH approximation against
+    # exact truth, so benching it times the thing LSH exists to avoid)
+    "ucb_host_select",
+    "cocitation_pairs",
+    "kmv_set_ops",
 ]
 
 

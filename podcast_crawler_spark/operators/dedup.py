@@ -1282,3 +1282,180 @@ def host_minhash_oracle_sql(
         join sig a on a.h = p.host_a
         join sig b on b.h = p.host_b
     """
+
+
+def minhash_recall_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_rows: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Self-audit of the MinHash-LSH approximation: measure candidate
+    RECALL and PRECISION against the exact n-gram Jaccard ground truth
+    on the same corpus — the number the S-curve ``1-(1-s^r)^b`` only
+    predicts.  Production dedup picks (bands, rows) from that formula;
+    this operator closes the loop by observing what the chosen geometry
+    actually catches (the same estimator-audit discipline as
+    ``bloom_fpp_audit`` and the ``n_exact`` columns of the ANN family).
+
+    One summary row::
+
+        (n_exact, n_candidates, n_hits,
+         recall_ppm    = 10^6·n_hits div n_exact,
+         precision_ppm = 10^6·n_hits div n_candidates)
+
+    where exact pairs have true Jaccard >= *threshold* (uncapped
+    shingle-set join) and candidates are the distinct band-collision
+    pairs of an md5-derived MinHash (NOT xxhash64 — md5 is what a SQL
+    oracle can replay component-for-component; the production
+    ``minhash_lsh_pairs`` keeps xxhash64 for speed, the geometry under
+    audit is the same).
+
+    Scale: run the audit on a stratified sample (``sampling.*``), not
+    the full corpus — it is a measurement, and its exact-pairs leg is
+    the O(shingle-df²) join the LSH path exists to avoid.  All
+    arithmetic lands in integer ppm, so the oracle matches exactly.
+    """
+    assert num_hashes % band_rows == 0
+    n_bands = num_hashes // band_rows
+    sh = shingles(df, text_col, id_col).cache()
+
+    # exact ground truth: true-Jaccard >= threshold pairs (uncapped)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    exact = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+        .join(
+            sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")),
+            "id_b",
+        )
+        .filter(
+            F.col("common")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+            >= threshold
+        )
+        .select("id_a", "id_b")
+    )
+
+    # md5-minhash candidates with the audited (bands x rows) geometry
+    aggs = [
+        F.min(_md5h60(f"{i}:", F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = sh.groupBy("id").agg(*aggs)
+    band_structs = [
+        F.struct(
+            F.lit(bd).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.col(f"h{i}").cast("string")
+                        for i in range(bd * band_rows, (bd + 1) * band_rows)
+                    ],
+                )
+            ).alias("bk"),
+        )
+        for bd in range(n_bands)
+    ]
+    stacked = sigs.select(
+        "id", F.explode(F.array(*band_structs)).alias("s")
+    ).select("id", F.col("s.band").alias("band"), F.col("s.bk").alias("bk"))
+    l = stacked.select(F.col("id").alias("id_a"), "band", "bk")
+    r = stacked.select(F.col("id").alias("id_b"), "band", "bk")
+    cands = (
+        l.join(r, ["band", "bk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    hits = cands.join(exact, ["id_a", "id_b"], "semi")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_cands = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_hits = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        n_exact.crossJoin(F.broadcast(n_cands))
+        .crossJoin(F.broadcast(n_hits))
+        .select(
+            "n_exact",
+            "n_candidates",
+            "n_hits",
+            F.expr("1000000 * n_hits div n_exact")
+            .cast("long")
+            .alias("recall_ppm"),
+            F.expr("1000000 * n_hits div n_candidates")
+            .cast("long")
+            .alias("precision_ppm"),
+        )
+    )
+
+
+def recall_audit_oracle_sql(
+    docs_sql: str,
+    num_hashes: int = 16,
+    band_rows: int = 4,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB replay of :func:`minhash_recall_audit` over a
+    ``(id, text)`` subquery: same shingles, exact-pair ground truth,
+    md5 signature components, band keys and integer ppms."""
+    n_bands = num_hashes // band_rows
+    mins = ", ".join(
+        f"min(('0x' || substr(md5('{i}:' || s), 1, 15))::BIGINT) h{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = " union all ".join(
+        "select id, {b} band, md5({key}) bk from sig".format(
+            b=bd,
+            key=" || ':' || ".join(
+                f"h{i}::varchar"
+                for i in range(bd * band_rows, (bd + 1) * band_rows)
+            ),
+        )
+        for bd in range(n_bands)
+    )
+    return f"""
+with docs as ({docs_sql}),
+toks as (select id, string_split(text, ' ') t from docs),
+shl as (select id, unnest(list_distinct(
+          [array_to_string(t[i:i+2], ' ')
+           for i in range(1, greatest(len(t) - 2, 1) + 1)])) s
+        from toks),
+shf as (select id, s from shl where len(s) > 0),
+sz as (select id, count(*)::BIGINT sz from shf group by 1),
+exact as (
+  select c.id_a, c.id_b
+  from (select x.id id_a, y.id id_b, count(*)::BIGINT common
+        from shf x join shf y on x.s = y.s and x.id < y.id
+        group by 1, 2) c
+  join sz a on c.id_a = a.id
+  join sz b on c.id_b = b.id
+  where c.common / (a.sz + b.sz - c.common) >= {threshold}),
+sig as (select id, {mins} from shf group by id),
+bands as ({band_selects}),
+cands as (
+  select distinct x.id id_a, y.id id_b
+  from bands x join bands y
+    on x.band = y.band and x.bk = y.bk and x.id < y.id),
+hits as (select c.id_a, c.id_b from cands c
+         join exact e on c.id_a = e.id_a and c.id_b = e.id_b),
+agg as (select
+  (select count(*) from exact)::BIGINT n_exact,
+  (select count(*) from cands)::BIGINT n_candidates,
+  (select count(*) from hits)::BIGINT n_hits)
+select n_exact, n_candidates, n_hits,
+       (1000000 * n_hits // n_exact)::BIGINT recall_ppm,
+       (1000000 * n_hits // n_candidates)::BIGINT precision_ppm
+from agg
+"""

@@ -460,3 +460,168 @@ def epsilon_greedy_oracle_sql(
                x.explored, b.best_worker
         FROM x JOIN r USING (rn) CROSS JOIN b
     """
+
+
+UCB_INF_MICRO = 10**12  # unplayed-arm sentinel: > any mean+bonus (<= ~4e6)
+
+
+def ucb_host_select(
+    rewards: DataFrame,
+    epochs: int = 8,
+    m: int = 4,
+    host_col: str = "host",
+    epoch_col: str = "epoch",
+    reward_col: str = "reward_micro",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """UCB1 host scheduling (Auer, Cesa-Bianchi & Fischer, ML '02) —
+    the principled version of the bandit the reference's ε-greedy
+    ``find_best_worker`` gestures at (``distributor.rs:44-92``): each
+    epoch pull the *m* hosts maximizing ``mean + sqrt(2·ln T / n)``,
+    so exploration decays as arms accumulate evidence instead of
+    wasting a flat ε of fetch budget forever.  The crawl reading: arms
+    are hosts, a pull is an epoch's fetch allocation, reward is the
+    host's observed yield that epoch (useful-fetch ppm) — the frontier
+    learns WHICH hosts pay without a separate modeling pass.
+
+    Fully deterministic (UCB1 has no coin), hence fully oracle-able:
+    means are integer micro-units (``s div n``); the bonus is
+    ``floor(sqrt(2 · ln(T)µ · 10^6 div n))`` where ``ln(T)µ`` is a
+    Python-folded integer literal per epoch — the sqrt input is an
+    exact integer < 2^53 and IEEE sqrt is correctly rounded, so Spark
+    and DuckDB agree bit-for-bit.  Unplayed arms score a sentinel
+    (played-once-first, ties → host asc).
+
+    *rewards* is ``(host, epoch, reward_micro)`` — what each arm WOULD
+    pay that epoch, observed only when pulled (hosts absent from an
+    epoch pay 0).  Returns the full selection log ``(epoch [1-based],
+    host, n_before, score_micro, reward_micro)`` — m rows per epoch.
+
+    Scale shape: state is two BIGINTs per host; per epoch the top-m is
+    ``orderBy(score).limit(m)`` = TakeOrderedAndProject (map-side
+    partial top-m, O(m) per task — never a global window over 10^6+
+    hosts), the reward lookup joins m rows against the epoch's yield
+    table, and the state update is one broadcast join of the m-row
+    selection.  localCheckpoint per epoch truncates the loop lineage,
+    as in ``graph.opic``.
+    """
+    import math
+
+    arms = rewards.select(F.col(host_col).alias("host")).distinct()
+    if checkpoint:
+        arms = arms.localCheckpoint(eager=True)
+    state = arms.select(
+        "host",
+        F.lit(0).cast("long").alias("n"),
+        F.lit(0).cast("long").alias("s"),
+    )
+    logs = []
+    for t in range(1, epochs + 1):
+        big_t = max(1, m * (t - 1))
+        # 2 · ln(T)µ · 10^6 folded in Python: one exact BIGINT literal
+        # per epoch (an inline 32-bit literal product would overflow)
+        bonus_num = 2 * round(math.log(big_t) * 1_000_000) * 1_000_000
+        scored = state.select(
+            "host",
+            "n",
+            "s",
+            F.when(F.col("n") == 0, F.lit(UCB_INF_MICRO))
+            .otherwise(
+                F.expr("s div n")
+                + F.floor(F.sqrt(F.expr(f"{bonus_num}L div n")))
+            )
+            .cast("long")
+            .alias("score_micro"),
+        )
+        sel = scored.orderBy(F.desc("score_micro"), F.asc("host")).limit(m)
+        epoch_rewards = rewards.filter(
+            F.col(epoch_col) == t - 1
+        ).select("host", F.col(reward_col).alias("_r"))
+        pulled = sel.join(epoch_rewards, "host", "left").select(
+            "host",
+            F.col("n").alias("n_before"),
+            "score_micro",
+            F.coalesce(F.col("_r"), F.lit(0)).cast("long").alias("_pay"),
+        )
+        logs.append(
+            pulled.select(
+                F.lit(t).cast("long").alias("epoch"),
+                "host",
+                "n_before",
+                "score_micro",
+                F.col("_pay").alias("reward_micro"),
+            )
+        )
+        state = (
+            state.join(
+                F.broadcast(pulled.select("host", "_pay")), "host", "left"
+            )
+            .select(
+                "host",
+                (
+                    F.col("n")
+                    + F.when(F.col("_pay").isNotNull(), 1).otherwise(0)
+                ).cast("long").alias("n"),
+                (F.col("s") + F.coalesce(F.col("_pay"), F.lit(0)))
+                .cast("long")
+                .alias("s"),
+            )
+        )
+        if checkpoint:
+            state = state.localCheckpoint(eager=True)
+    out = logs[0]
+    for lg in logs[1:]:
+        out = out.unionByName(lg)
+    return out
+
+
+def ucb_oracle_sql(
+    rewards_sql: str, epochs: int = 8, m: int = 4
+) -> str:
+    """DuckDB replay of :func:`ucb_host_select`: epochs unrolled, the
+    same integer means, ln-literals, correctly-rounded sqrt bonus and
+    (score desc, host asc) top-m ranks."""
+    import math
+
+    parts = [
+        f"with rewards as ({rewards_sql})",
+        "arms as (select distinct host from rewards)",
+        "s0 as (select host, 0::BIGINT n, 0::BIGINT s from arms)",
+    ]
+    for t in range(1, epochs + 1):
+        big_t = max(1, m * (t - 1))
+        bonus_num = 2 * round(math.log(big_t) * 1_000_000) * 1_000_000
+        parts.append(
+            f"sc{t} as (select host, n, s,"
+            f" (case when n = 0 then {UCB_INF_MICRO}"
+            f"       else s // n + floor(sqrt("
+            f"            ({bonus_num} // n)::DOUBLE"
+            f"            ))::BIGINT end)::BIGINT score_micro"
+            f" from s{t - 1})"
+        )
+        parts.append(
+            f"rk{t} as (select host, n, score_micro, row_number() over"
+            f" (order by score_micro desc, host) rn from sc{t})"
+        )
+        parts.append(
+            f"log{t} as (select {t}::BIGINT epoch, k.host,"
+            f" k.n::BIGINT n_before, k.score_micro,"
+            f" coalesce(r.reward_micro, 0)::BIGINT reward_micro"
+            f" from rk{t} k left join"
+            f" (select host, reward_micro from rewards"
+            f"  where epoch = {t - 1}) r using (host)"
+            f" where k.rn <= {m})"
+        )
+        parts.append(
+            f"s{t} as (select p.host,"
+            f" (p.n + case when l.host is not null then 1 else 0 end)"
+            f"::BIGINT n,"
+            f" (p.s + coalesce(l.reward_micro, 0))::BIGINT s"
+            f" from s{t - 1} p left join log{t} l using (host))"
+        )
+    sel = " union all ".join(
+        f"select epoch, host, n_before, score_micro, reward_micro"
+        f" from log{t}"
+        for t in range(1, epochs + 1)
+    )
+    return ",\n".join(parts) + "\n" + sel

@@ -387,3 +387,194 @@ def histogram_quantiles(
         )
         out = hit if out is None else out.unionByName(hit)
     return out
+
+
+# --------------------------------------------------------------------------
+# KMV (bottom-k / K-Minimum-Values) distinct sketch with set operations
+# --------------------------------------------------------------------------
+
+KMV_HASH_HEX = 12                 # 12 hex chars -> 48-bit hash
+KMV_HASH_SPACE = 1 << (4 * KMV_HASH_HEX)
+
+
+def _kmv_hash(key: Column) -> Column:
+    """48-bit uniform hash: first 12 hex chars of md5, base-16 parsed.
+    48 bits fit a BIGINT exactly in both Spark and DuckDB (the DuckDB
+    replay is ``('0x' || substr(md5(k),1,12))::BIGINT``), so every
+    estimate below is integer arithmetic — no float in the sketch."""
+    return F.conv(
+        F.substring(F.md5(key.cast("string")), 1, KMV_HASH_HEX), 16, 10
+    ).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame, key_col: str, k: int = 256,
+    set_col: Optional[str] = None,
+) -> DataFrame:
+    """The sketch STATE: the *k* smallest distinct 48-bit key hashes
+    (``(set_id?, h)``, <= k rows per set) — Beyer et al., SIGMOD '07.
+
+    HLL (above) merges under UNION only; KMV additionally supports
+    INTERSECTION (and difference, by inclusion-exclusion) because the
+    sketch keeps the hash VALUES: for any x in the union's bottom-k,
+    x ∈ A  ⇔  x ∈ sketch(A) — if x ∈ A were missing from sketch(A),
+    then k smaller hashes of A would precede x in the union, so x
+    could not be in the union's bottom-k.  Membership is therefore an
+    exact equi-join between tiny sketch tables.
+
+    Scale shape: the distinct() collapses to 16-byte digests with a
+    map-side partial (digest-only exchange); the bottom-k per set is a
+    ``row_number <= k`` rank filter, which Spark 3.5+ executes as a
+    WindowGroupLimit *Partial* below the exchange — every map task
+    emits at most k rows per set, so the final sort sees O(k ·
+    partitions) rows no matter the input size.  With no *set_col* the
+    same bound comes from TakeOrderedAndProject.  Sketches persist as
+    plain rows in the checkpoint metrics table and merge across epochs
+    by re-ranking the unioned rows (a semilattice, like HLL's max).
+    """
+    h = _kmv_hash(F.col(key_col)).alias("h")
+    if set_col is None:
+        return df.select(h).distinct().orderBy("h").limit(k)
+    from pyspark.sql import Window
+
+    hashes = df.select(F.col(set_col).alias("set_id"), h).distinct()
+    w = Window.partitionBy("set_id").orderBy("h")
+    return (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("set_id", "h")
+    )
+
+
+def kmv_union_estimate(sketch: DataFrame, k: int) -> DataFrame:
+    """Distinct-count estimate from a bottom-k sketch: with h_k the
+    k-th smallest hash in a space of size M, est = (k-1)·M // h_k
+    (the unbiased KMV estimator, floored to BIGINT so the oracle's
+    integer division replays it exactly).  One row: ``(k_used, h_k,
+    est)``; when the set has fewer than k distinct keys the sketch IS
+    the set and est = k_used (exact)."""
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("k_used"), F.max("h").alias("h_k")
+    )
+    exact = F.col("k_used") < F.lit(k)
+    return agg.select(
+        "k_used",
+        "h_k",
+        F.when(exact, F.col("k_used"))
+        .otherwise(
+            F.expr(f"(k_used - 1) * {KMV_HASH_SPACE}L div h_k")
+        )
+        .cast("long")
+        .alias("est"),
+    )
+
+
+def kmv_set_ops(
+    a: DataFrame, b: DataFrame, key_col: str, k: int = 256,
+    audit: bool = True,
+) -> DataFrame:
+    """Cross-epoch set algebra from two bottom-k sketches: estimate
+    ``|A ∪ B|``, the Jaccard resemblance and ``|A ∩ B|`` of two crawl
+    epochs' URL sets from O(k) state per epoch — the question HLL
+    registers cannot answer (union-only semilattice; see
+    :func:`hll_merge`).  "How many of last epoch's URLs did we see
+    again?" at 10^10-frontier scale is this operator over the persisted
+    per-epoch sketches.
+
+    One summary row, all BIGINT: ``(k_used, h_k, union_est, matches,
+    jaccard_ppm, inter_est[, n_exact_union, n_exact_inter])``::
+
+        union sketch = bottom-k of sketch(A) ∪ sketch(B)   (re-rank)
+        union_est    = (k_used-1)·2^48 div h_k             (exact if <k)
+        matches      = |{x ∈ union-k : x ∈ sketch(A) ∧ x ∈ sketch(B)}|
+        jaccard_ppm  = 10^6·matches div k_used
+        inter_est    = matches·union_est div k_used
+
+    The membership test against the per-set sketches is exact (see
+    :func:`kmv_sketch`).  *audit=True* appends exact distinct counts
+    computed from the raw inputs — an O(distinct keys) digest shuffle
+    that verifies the estimator at test scale; disable it at 10^10
+    (the sketch path alone is three joins over <= 3k rows).
+    """
+    ska = kmv_sketch(a, key_col, k)
+    skb = kmv_sketch(b, key_col, k)
+    sku = ska.unionByName(skb).distinct().orderBy("h").limit(k)
+    agg = sku.agg(
+        F.count(F.lit(1)).alias("k_used"), F.max("h").alias("h_k")
+    )
+    matches = (
+        sku.join(ska, "h", "semi").join(skb, "h", "semi")
+        .agg(F.count(F.lit(1)).alias("matches"))
+    )
+    est = (
+        agg.crossJoin(F.broadcast(matches))
+        .select(
+            "k_used",
+            "h_k",
+            F.when(F.col("k_used") < F.lit(k), F.col("k_used"))
+            .otherwise(
+                F.expr(f"(k_used - 1) * {KMV_HASH_SPACE}L div h_k")
+            )
+            .cast("long")
+            .alias("union_est"),
+            "matches",
+        )
+        .select(
+            "k_used",
+            "h_k",
+            "union_est",
+            "matches",
+            F.expr("1000000 * matches div k_used")
+            .cast("long")
+            .alias("jaccard_ppm"),
+            F.expr("matches * union_est div k_used")
+            .cast("long")
+            .alias("inter_est"),
+        )
+    )
+    if not audit:
+        return est
+    ka, kb = F.col(key_col).cast("string"), F.col(key_col).cast("string")
+    da = a.select(ka.alias("x")).distinct()
+    db = b.select(kb.alias("x")).distinct()
+    exu = da.unionByName(db).distinct().agg(
+        F.count(F.lit(1)).alias("n_exact_union")
+    )
+    exi = da.join(db, "x", "semi").agg(
+        F.count(F.lit(1)).alias("n_exact_inter")
+    )
+    return est.crossJoin(F.broadcast(exu)).crossJoin(F.broadcast(exi))
+
+
+def kmv_oracle_sql(
+    a_sql: str, b_sql: str, key_expr: str, k: int = 256
+) -> str:
+    """DuckDB replay of :func:`kmv_set_ops` (audit=True): same 48-bit
+    md5 slice, same bottom-k ranks, same integer estimator."""
+    h = f"('0x' || substr(md5(({key_expr})::varchar), 1, 12))::BIGINT"
+    return f"""
+with a as ({a_sql}), b as ({b_sql}),
+ska as (select distinct {h} h from a order by h limit {k}),
+skb as (select distinct {h} h from b order by h limit {k}),
+sku as (select h from (select h from ska union select h from skb)
+        order by h limit {k}),
+agg as (select count(*)::BIGINT k_used, max(h)::BIGINT h_k from sku),
+m as (select count(*)::BIGINT matches from sku
+      where h in (select h from ska) and h in (select h from skb)),
+est as (select k_used, h_k,
+        (case when k_used < {k} then k_used
+              else (k_used - 1) * {KMV_HASH_SPACE} // h_k
+         end)::BIGINT union_est, matches
+        from agg cross join m),
+exu as (select count(*)::BIGINT n_exact_union from
+        (select distinct ({key_expr})::varchar x from a
+         union select distinct ({key_expr})::varchar from b)),
+exi as (select count(*)::BIGINT n_exact_inter from
+        (select distinct ({key_expr})::varchar x from a) ia
+        where x in (select distinct ({key_expr})::varchar from b))
+select k_used, h_k, union_est, matches,
+       (1000000 * matches // k_used)::BIGINT jaccard_ppm,
+       (matches * union_est // k_used)::BIGINT inter_est,
+       n_exact_union, n_exact_inter
+from est cross join exu cross join exi
+"""

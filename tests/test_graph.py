@@ -847,3 +847,54 @@ def test_hyperball_oracle_sql_matches(spark):
         ).fetchall()
     )
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# Co-citation similarity
+# --------------------------------------------------------------------------
+
+
+def test_cocitation_python_oracle(spark):
+    """Hand graph: a and b co-cite {x,y}; c cites x only; hub target z
+    is cited by everyone and must be dropped by the cap."""
+    from podcast_crawler_spark.operators.graph import cocitation
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "x"), ("a", "y"), ("a", "z"),
+            ("b", "x"), ("b", "y"), ("b", "z"),
+            ("c", "x"), ("c", "z"),
+            ("d", "z"),
+        ],
+        "src string, dst string",
+    )
+    rows = {
+        (r.host_a, r.host_b): r
+        for r in cocitation(edges, max_indeg=3, min_shared=1).collect()
+    }
+    # z has indeg 4 > 3 -> dropped (d vanishes: z was its only edge);
+    # kept outdegs: a=2 (x,y), b=2, c=1 (x)
+    assert set(rows) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = rows[("a", "b")]
+    assert ab.shared == 2 and ab.outdeg_a == 2 and ab.outdeg_b == 2
+    assert ab.jaccard_ppm == 1_000_000 * 2 // (2 + 2 - 2)
+    ac = rows[("a", "c")]
+    assert ac.shared == 1 and ac.jaccard_ppm == 1_000_000 * 1 // 2
+    bc = rows[("b", "c")]
+    assert bc.shared == 1 and bc.jaccard_ppm == 500_000
+
+
+def test_cocitation_cap_bounds_pairs(spark):
+    """A mega-hub dst (indeg 100) must not generate its ~5000 pairs:
+    with the cap at 10 the only surviving pairs come from the sparse
+    targets."""
+    from podcast_crawler_spark.operators.graph import cocitation
+
+    hub = [(f"s{i}", "hub") for i in range(100)]
+    sparse = [(f"s{i}", f"t{i % 5}") for i in range(10)]
+    edges = spark.createDataFrame(
+        hub + sparse, "src string, dst string"
+    )
+    out = cocitation(edges, max_indeg=10, min_shared=1)
+    assert out.count() == 5  # 5 targets x C(2,2) pairs each
+    assert out.filter(F.col("shared") > 1).count() == 0

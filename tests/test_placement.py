@@ -273,3 +273,107 @@ def test_epsilon_greedy_no_task_shuffle(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "task_id" not in line, line
+
+
+# --------------------------------------------------------------------------
+# UCB1 host selection
+# --------------------------------------------------------------------------
+
+
+def _py_ucb(rewards: dict, epochs: int, m: int):
+    """Straight-line UCB1 simulator mirroring ucb_host_select: integer
+    micro means, folded ln literals, floor(sqrt) bonus."""
+    import math
+
+    from podcast_crawler_spark.operators.placement import UCB_INF_MICRO
+
+    hosts = sorted({h for h, _ in rewards})
+    n = {h: 0 for h in hosts}
+    s = {h: 0 for h in hosts}
+    log = []
+    for t in range(1, epochs + 1):
+        big_t = max(1, m * (t - 1))
+        bonus_num = 2 * round(math.log(big_t) * 1_000_000) * 1_000_000
+        scored = []
+        for h in hosts:
+            if n[h] == 0:
+                sc = UCB_INF_MICRO
+            else:
+                sc = s[h] // n[h] + int(
+                    math.floor(math.sqrt(bonus_num // n[h]))
+                )
+            scored.append((h, sc))
+        scored.sort(key=lambda p: (-p[1], p[0]))
+        for h, sc in scored[:m]:
+            pay = rewards.get((h, t - 1), 0)
+            log.append((t, h, n[h], sc, pay))
+            n[h] += 1
+            s[h] += pay
+    return log
+
+
+def test_ucb_python_simulator_equality(spark):
+    from podcast_crawler_spark.operators.placement import ucb_host_select
+
+    rows = [
+        (f"h{i}", e, ((i * 37 + e * 11) % 9) * 100_000)
+        for i in range(6)
+        for e in range(8)
+    ]
+    rewards = spark.createDataFrame(
+        rows, "host string, epoch long, reward_micro long"
+    )
+    got = sorted(
+        tuple(r)
+        for r in ucb_host_select(rewards, epochs=8, m=2).collect()
+    )
+    want = sorted(_py_ucb({(h, e): r for h, e, r in rows}, 8, 2))
+    assert got == want
+
+
+def test_ucb_explores_then_exploits(spark):
+    """4 arms, m=1: the first 4 epochs pull each arm once (host-asc
+    sentinel ties), after which the clearly-best arm dominates."""
+    from podcast_crawler_spark.operators.placement import ucb_host_select
+
+    rows = [
+        ("a", e, 100_000) for e in range(12)
+    ] + [
+        ("b", e, 900_000) for e in range(12)
+    ] + [
+        ("c", e, 150_000) for e in range(12)
+    ] + [
+        ("d", e, 120_000) for e in range(12)
+    ]
+    rewards = spark.createDataFrame(
+        rows, "host string, epoch long, reward_micro long"
+    )
+    log = ucb_host_select(rewards, epochs=12, m=1).collect()
+    by_epoch = {r.epoch: r.host for r in log}
+    assert [by_epoch[t] for t in (1, 2, 3, 4)] == ["a", "b", "c", "d"]
+    exploit = [by_epoch[t] for t in range(5, 13)]
+    # the 9x-reward arm takes a plurality of exploit pulls (5 of 8 —
+    # the sqrt bonus still forces revisits of the weak arms, which is
+    # exactly UCB1's logarithmic-regret exploration)
+    assert exploit.count("b") == 5
+    assert exploit.count("b") > max(
+        exploit.count(h) for h in ("a", "c", "d")
+    )
+
+
+def test_ucb_topm_is_take_ordered(spark):
+    """The per-epoch selection must be TakeOrderedAndProject (map-side
+    partial top-m), never a global single-task window over the arms."""
+    from podcast_crawler_spark.operators.placement import ucb_host_select
+
+    rewards = spark.range(200).select(
+        F.concat(F.lit("h"), (F.col("id") % 50).cast("string")).alias(
+            "host"
+        ),
+        (F.col("id") % 4).cast("long").alias("epoch"),
+        (F.col("id") * 1000 % 1000000).cast("long").alias("reward_micro"),
+    )
+    out = ucb_host_select(rewards, epochs=2, m=3, checkpoint=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan

@@ -237,3 +237,83 @@ def test_hll_merge_equals_union_sketch(spark):
     est = hll_estimate_from_registers(hll_merge(per_epoch)).collect()[0]
     # 700 distinct keys; HLL-256 should land within ~15%
     assert abs(est["hll_estimate"] - 700) / 700 < 0.15
+
+
+# --------------------------------------------------------------------------
+# KMV bottom-k set operations
+# --------------------------------------------------------------------------
+
+
+def _py_kmv_hash(key: str) -> int:
+    return int(hashlib.md5(key.encode()).hexdigest()[:12], 16)
+
+
+def test_kmv_set_ops_python_oracle(spark):
+    """Full python replay of the estimator on two overlapping key sets:
+    ranks, membership, integer estimators and exact audits."""
+    from podcast_crawler_spark.operators.sketches import (
+        KMV_HASH_SPACE, kmv_set_ops,
+    )
+
+    k = 64
+    A = [str(i) for i in range(0, 900)]
+    B = [str(i) for i in range(600, 1500)]   # overlap 600..899
+    a = spark.createDataFrame([(x,) for x in A], "k string")
+    b = spark.createDataFrame([(x,) for x in B], "k string")
+    row = kmv_set_ops(a, b, "k", k=k).collect()[0]
+
+    ska = sorted(_py_kmv_hash(x) for x in set(A))[:k]
+    skb = sorted(_py_kmv_hash(x) for x in set(B))[:k]
+    sku = sorted(set(ska) | set(skb))[:k]
+    k_used, h_k = len(sku), max(sku)
+    union_est = (
+        k_used if k_used < k else (k_used - 1) * KMV_HASH_SPACE // h_k
+    )
+    matches = sum(1 for h in sku if h in set(ska) and h in set(skb))
+    assert row.k_used == k_used and row.h_k == h_k
+    assert row.union_est == union_est
+    assert row.matches == matches
+    assert row.jaccard_ppm == 1_000_000 * matches // k_used
+    assert row.inter_est == matches * union_est // k_used
+    assert row.n_exact_union == 1500 and row.n_exact_inter == 300
+
+
+def test_kmv_estimates_are_accurate(spark):
+    """k=256 on 5000 ∪ 5000 keys with 2000 shared: union and
+    intersection estimates within 15% (KMV std err ~1/sqrt(k)=6%)."""
+    from podcast_crawler_spark.operators.sketches import kmv_set_ops
+
+    A = [f"u{i}" for i in range(0, 5000)]
+    B = [f"u{i}" for i in range(3000, 8000)]
+    a = spark.createDataFrame([(x,) for x in A], "k string")
+    b = spark.createDataFrame([(x,) for x in B], "k string")
+    row = kmv_set_ops(a, b, "k", k=256).collect()[0]
+    assert abs(row.union_est - 8000) / 8000 < 0.15
+    assert abs(row.inter_est - 2000) / 2000 < 0.15
+
+
+def test_kmv_small_set_is_exact(spark):
+    """Fewer distinct keys than k: the sketch IS the set — estimates
+    equal the exact counts."""
+    from podcast_crawler_spark.operators.sketches import kmv_set_ops
+
+    A = [str(i) for i in range(30)]
+    B = [str(i) for i in range(20, 50)]
+    a = spark.createDataFrame([(x,) for x in A * 3], "k string")  # dups
+    b = spark.createDataFrame([(x,) for x in B], "k string")
+    row = kmv_set_ops(a, b, "k", k=256).collect()[0]
+    assert row.union_est == 50 == row.n_exact_union
+    assert row.inter_est == 10 == row.n_exact_inter
+    assert row.jaccard_ppm == 1_000_000 * 10 // 50
+
+
+def test_kmv_grouped_sketch_partial_window_limit(spark, events):
+    """The per-set bottom-k must keep <= k rows per map task BEFORE the
+    exchange (WindowGroupLimit Partial) — the O(k·partitions) scale
+    contract."""
+    from podcast_crawler_spark.operators.sketches import kmv_sketch
+
+    ev = events.withColumn("set_id", F.col("event_id") % 2)
+    sk = kmv_sketch(ev, "user_id", k=16, set_col="set_id")
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan
