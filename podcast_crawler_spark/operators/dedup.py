@@ -452,18 +452,34 @@ def incremental_minhash_lsh(
                 F.greatest("cid", "bid").alias("id_b"),
             )
         )
-        candidates = internal.unionByName(cross).distinct()
+        # O(matched pairs) rows, consumed by cand_ids (broadcast — the
+        # two identical exchanges dedupe via ReuseExchange) AND the
+        # common-shingle join: cache so the bucket-probe join — the
+        # dominant probe cost — runs once, not once per consumer
+        candidates = internal.unionByName(cross).distinct().cache()
         cand_ids = (
             candidates.select(F.col("id_a").alias("id"))
             .unionByName(candidates.select(F.col("id_b").alias("id")))
             .distinct()
         )
-        # three consumers below (sizes + both sides of the common-
-        # shingle join) — cache so the corpus-shingle semi-join and the
-        # distinct shuffle run once, not three times
-        all_sh = batch_sh.unionByName(
-            corpus_shingles.join(cand_ids, "id", "left_semi")
-        ).distinct().cache()
+        # Verification reads shingles for CANDIDATE ids only, on both
+        # sides: the batch leg too (a batch doc with no collisions
+        # contributes nothing to sizes/common), and the corpus leg via
+        # a BROADCAST semi-join — cand_ids is O(matched candidates),
+        # bounded by the bucket caps, while corpus_shingles is the
+        # corpus-scale table; a shuffle semi-join here would exchange
+        # every corpus shingle row to filter out all but a few hundred
+        # ids.  No distinct() on the union: shingles() rows are unique
+        # per (id, shingle) by construction and the two legs' id sets
+        # are disjoint (batch vs already-indexed corpus), so a distinct
+        # would be a full shuffle of every shingle string for nothing.
+        all_sh = (
+            batch_sh.join(F.broadcast(cand_ids), "id", "left_semi")
+            .unionByName(
+                corpus_shingles.join(F.broadcast(cand_ids), "id", "left_semi")
+            )
+            .cache()
+        )
     sizes = all_sh.groupBy("id").agg(F.count("*").alias("sz"))
     common = (
         candidates.join(all_sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")

@@ -402,23 +402,34 @@ def dsir_weights(
     ).select(
         "id", "is_tgt", (key_hash32(F.col("g")) % num_buckets).alias("b")
     )
-    # two bounded planning aggregates (a pair of longs each)
-    totals = feats.agg(
-        F.sum(F.col("is_tgt").cast("long")).alias("tt"),
-        F.count(F.lit(1)).alias("ss"),
-    ).first()
-    tt = int(totals["tt"] or 0)
-    ss = int(totals["ss"] or 0)
-    tgt_c = (
-        feats.filter("is_tgt").groupBy("b").agg(F.count(F.lit(1)).alias("tc"))
-    )
-    src_c = feats.groupBy("b").agg(F.count(F.lit(1)).alias("sc"))
+    # ONE corpus pass builds both histograms (map-side combined to
+    # ≤ num_buckets rows per task) and is collected once — ≤ B rows of
+    # driver state.  Totals and the log-ratio table derive from that
+    # local copy (the ratio expression stays SPARK-side over the
+    # literal rows so its double/rounding semantics are byte-identical
+    # to the oracle's replay).  The tokenize+explode projection is the
+    # expensive part of this operator, so it runs exactly twice
+    # (histogram pass + scoring pass), never three or four times.
+    bucket_rows = {
+        int(r["b"]): (int(r["tc"] or 0), int(r["sc"]))
+        for r in feats.groupBy("b")
+        .agg(
+            F.sum(F.col("is_tgt").cast("long")).alias("tc"),
+            F.count(F.lit(1)).alias("sc"),
+        )
+        .collect()
+    }
+    tt = sum(t for t, _ in bucket_rows.values())
+    ss = sum(s for _, s in bucket_rows.values())
     spark = df.sparkSession
     lr = (
-        spark.range(num_buckets)
-        .select(F.col("id").cast("long").alias("b"))
-        .join(tgt_c, "b", "left")
-        .join(src_c, "b", "left")
+        spark.createDataFrame(
+            [
+                (b, *bucket_rows.get(b, (0, 0)))
+                for b in range(num_buckets)
+            ],
+            "b long, tc long, sc long",
+        )
         .select(
             "b",
             F.round(
