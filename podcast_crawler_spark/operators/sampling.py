@@ -23,6 +23,7 @@ from typing import Dict
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 _HASH_SPACE = 1 << 32
 
@@ -401,15 +402,18 @@ def dsir_weights(
         F.explode(F.concat(toks, bi)).alias("g"),
     ).select(
         "id", "is_tgt", (key_hash32(F.col("g")) % num_buckets).alias("b")
-    )
-    # ONE corpus pass builds both histograms (map-side combined to
+    ).persist(StorageLevel.DISK_ONLY)
+    # The tokenize+explode+hash projection — the expensive part of this
+    # operator — runs ONCE: its narrow (id, is_tgt, bucket) rows are
+    # persisted DISK_ONLY (repo-wide scratch discipline; the rows are
+    # three fixed-width columns, far smaller than the text they came
+    # from) and re-read by the scoring join below.  ONE corpus pass
+    # over it builds both histograms (map-side combined to
     # ≤ num_buckets rows per task) and is collected once — ≤ B rows of
     # driver state.  Totals and the log-ratio table derive from that
     # local copy (the ratio expression stays SPARK-side over the
     # literal rows so its double/rounding semantics are byte-identical
-    # to the oracle's replay).  The tokenize+explode projection is the
-    # expensive part of this operator, so it runs exactly twice
-    # (histogram pass + scoring pass), never three or four times.
+    # to the oracle's replay).
     bucket_rows = {
         int(r["b"]): (int(r["tc"] or 0), int(r["sc"]))
         for r in feats.groupBy("b")
