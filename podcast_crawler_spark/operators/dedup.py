@@ -422,12 +422,22 @@ def incremental_minhash_lsh(
     batch_stacked, batch_sh = minhash_index(
         new_docs, text_col, id_col, n, num_perm, bands
     )
-    batch_sh = batch_sh.cache()
-    batch_stacked = batch_stacked.cache()
+    # EAGER lineage truncation, not lazy cache: the final action compiles
+    # a plan whose broadcast exchanges run as CONCURRENT subquery jobs,
+    # and every such job that still contains the batch-signing scan in
+    # its subtree recomputes it — a lazy cache misses for all of them at
+    # once (measured: ~12 simultaneous ~8 s signing jobs, 185 s of job
+    # time for a 21 s wall).  batch_stacked is O(batch × bands) rows;
+    # materializing it once up front makes every downstream consumer
+    # (internal pairs, probe keys, cross join, broadcast futures) read
+    # the checkpoint instead of re-signing the batch.
+    batch_stacked = batch_stacked.localCheckpoint(eager=True)
     internal = _lsh_candidates(batch_stacked, max_bucket_size)
     if corpus_bands is None:
         candidates = internal
-        all_sh = batch_sh
+        # three consumers (sizes + both common legs) — truncate so the
+        # shingle pass runs once, as in the probe branch below
+        all_sh = batch_sh.localCheckpoint(eager=True)
     else:
         batch_keys = batch_stacked.select("band", "bh").distinct()
         hits = corpus_bands.join(batch_keys, ["band", "bh"])
@@ -453,11 +463,13 @@ def incremental_minhash_lsh(
                 F.greatest("cid", "bid").alias("id_b"),
             )
         )
-        # O(matched pairs) rows, consumed by cand_ids (broadcast — the
-        # two identical exchanges dedupe via ReuseExchange) AND the
-        # common-shingle join: cache so the bucket-probe join — the
-        # dominant probe cost — runs once, not once per consumer
-        candidates = internal.unionByName(cross).distinct().cache()
+        # O(matched pairs) rows, consumed by cand_ids (broadcast — a
+        # concurrent subquery job) AND the common-shingle join: eager
+        # checkpoint so the bucket-probe join — the dominant probe cost
+        # — runs once, not once per concurrent consumer
+        candidates = (
+            internal.unionByName(cross).distinct().localCheckpoint(eager=True)
+        )
         cand_ids = (
             candidates.select(F.col("id_a").alias("id"))
             .unionByName(candidates.select(F.col("id_b").alias("id")))
@@ -474,12 +486,16 @@ def incremental_minhash_lsh(
         # per (id, shingle) by construction and the two legs' id sets
         # are disjoint (batch vs already-indexed corpus), so a distinct
         # would be a full shuffle of every shingle string for nothing.
+        # eager checkpoint for the same reason as `candidates`: three
+        # downstream consumers (sizes + both legs of the common join),
+        # some of which the optimizer turns into concurrent broadcast
+        # jobs — O(matched ids × shingles/doc) rows, bounded by the caps
         all_sh = (
             batch_sh.join(F.broadcast(cand_ids), "id", "left_semi")
             .unionByName(
                 corpus_shingles.join(F.broadcast(cand_ids), "id", "left_semi")
             )
-            .cache()
+            .localCheckpoint(eager=True)
         )
     sizes = all_sh.groupBy("id").agg(F.count("*").alias("sz"))
     common = (
@@ -824,8 +840,11 @@ def span_dedup(
     ).select("id", "gr.p", "gr.g")
     # two consumers (the dup count and the doc_starts semi-join) — the
     # gram pass (an md5 per k-token slice, the dominant map cost) must
-    # run once; DISK_ONLY per the repo-wide scratch discipline
+    # run once; DISK_ONLY per the repo-wide scratch discipline, filled
+    # eagerly so concurrent broadcast-subquery consumers can't stampede
+    # a cold persist into two gram passes
     grams = grams.persist(StorageLevel.DISK_ONLY)
+    grams.count()
     dup = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -902,6 +921,11 @@ def containment_pairs(
         .distinct()
         .persist(StorageLevel.DISK_ONLY)
     )
+    # materialize BEFORE the final plan compiles: its broadcast
+    # exchanges run as concurrent subquery jobs and a cold lazy persist
+    # misses for all of them at once, re-running the winnowing pass per
+    # consumer; one cheap count() fills the persist sequentially
+    fps.count()
     sizes = fps.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
     cold = fps.join(
@@ -1211,9 +1235,15 @@ def host_minhash_similarity(
         for i in range(num_hashes)
     ]
     # O(hosts) rows but derived from the ONE corpus-scale pass — three
-    # consumers below (banding + both sides of the estimate join), so
-    # cache or the shingle explode + 16 md5 mins run three times over
-    sigs = sh.groupBy(F.col("id").alias("host")).agg(*aggs).cache()
+    # consumers below (banding + both broadcast sides of the estimate
+    # join).  EAGER checkpoint, not lazy cache: the two broadcast legs
+    # execute as concurrent subquery jobs and a lazy cache misses for
+    # both at once, re-running the shingle explode + 16 md5 mins per leg
+    sigs = (
+        sh.groupBy(F.col("id").alias("host"))
+        .agg(*aggs)
+        .localCheckpoint(eager=True)
+    )
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),

@@ -507,6 +507,14 @@ def ucb_host_select(
     """
     import math
 
+    if checkpoint:
+        # the loop slices `rewards` once per epoch and the final log
+        # union replays every epoch's slice — if rewards is a live
+        # aggregation plan (it usually is: a groupBy over the events
+        # table), that's epochs× recomputes of the corpus pass, some of
+        # them as concurrent broadcast-subquery jobs.  One eager
+        # truncation up front: O(hosts × epochs) narrow rows.
+        rewards = rewards.localCheckpoint(eager=True)
     arms = rewards.select(F.col(host_col).alias("host")).distinct()
     if checkpoint:
         arms = arms.localCheckpoint(eager=True)
@@ -543,6 +551,11 @@ def ucb_host_select(
             "score_micro",
             F.coalesce(F.col("_r"), F.lit(0)).cast("long").alias("_pay"),
         )
+        if checkpoint:
+            # m rows; consumed by the log union AND the broadcast state
+            # update — truncate so epoch t's top-m selection job runs
+            # once, not once per consumer of every later epoch's lineage
+            pulled = pulled.localCheckpoint(eager=True)
         logs.append(
             pulled.select(
                 F.lit(t).cast("long").alias("epoch"),
