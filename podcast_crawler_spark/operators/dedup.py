@@ -551,11 +551,22 @@ def minhash_lsh_pairs(
     one degenerate boilerplate bucket can never go quadratic — the skew
     test pins 1000 identical docs at O(n) candidates.
     """
-    # shingles feed signature computation, set sizes AND exact verification
-    # — cache so the explode+distinct runs once, not three times
-    sh = shingles(df, text_col, id_col, n).cache()
+    # shingles feed signature computation, set sizes AND exact
+    # verification — four leaf stages that AQE materializes
+    # CONCURRENTLY, so a lazy cache misses for all of them at once and
+    # the explode+distinct runs per stage.  Eager truncation instead:
+    # one shingle pass, every stage reads the checkpoint (A/B at sf0.1:
+    # eager 4.4 s vs lazy-cache 5.5–8.4 s end-to-end; the checkpoint
+    # tier spills to local disk when the corpus outgrows executor
+    # memory, same scratch budget as the DISK_ONLY discipline)
+    sh = shingles(df, text_col, id_col, n).localCheckpoint(eager=True)
     stacked = _stack_bands(minhash_signatures(sh, num_perm), num_perm, bands)
-    candidates = _lsh_candidates(stacked, max_bucket_size)
+    # O(candidate pairs); truncated so the signature chain (the 64-min
+    # groupBy — the expensive job) can't be re-run by the verification
+    # stages that join against it
+    candidates = _lsh_candidates(stacked, max_bucket_size).localCheckpoint(
+        eager=True
+    )
     # exact verification: true Jaccard over the full shingle sets
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a_full = sh.select(F.col("id").alias("id_a"), "shingle")
