@@ -4667,6 +4667,69 @@ def _refetch_schedule(spark, sf_dir):
     )
 
 
+def _drain_plan(spark, sf_dir):
+    # per-host queue-drain capacity planning (operators/frontier.
+    # drain_feasibility): given each host's backlog, politeness delay and
+    # arrival rate, will its queue EVER drain, and in how many epochs?
+    # Closed-form BIGINT math, zero exchanges past the rollup — the
+    # capacity alarm the reference's blind token bucket cannot raise.
+    # Synthetic per-host rollup: 61 hosts from events, delay laddered
+    # 250..2000 ms by host, arrivals = the host's view events div 8.
+    ev = _t(spark, sf_dir, "events")
+    rollup = (
+        ev.groupBy((F.col("user_id") % 61).alias("hn"))
+        .agg(
+            F.count(F.lit(1)).alias("backlog"),
+            F.sum((F.col("event_type") == "view").cast("long")).alias("nv"),
+        )
+        .select(
+            F.concat(F.lit("h"), F.col("hn").cast("string")).alias("host"),
+            "backlog",
+            (250 * (1 + F.col("hn") % 8)).cast("long").alias("delay_ms"),
+            F.expr("nv div 8").alias("arrivals"),
+        )
+    )
+    return frontier.drain_feasibility(
+        rollup, epoch_ms=60_000, per_host_budget=150
+    )
+
+
+def _benchmark_overlap(spark, sf_dir):
+    # reverse-direction leakage audit (operators/curation.
+    # benchmark_overlap): per BENCHMARK item, the ppm of its distinct
+    # 8-grams found anywhere in the training corpus — the per-eval-item
+    # contamination report (GPT-3 appendix C style), vs `decontaminate`
+    # which flags training docs.  Bench items are synthesized as
+    # truncated copies of every 97th doc plus a unique marker tail, so
+    # the leading grams leak (they exist verbatim in the corpus) while
+    # the marker-crossing tail does not — ppms land strictly between 0
+    # and 10^6 and the oracle replays every count.
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select(
+        "doc_id",
+        F.concat(
+            F.array_join(F.slice(toks, 1, 40), " "),
+            F.lit(" evalitem marker "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return curation.benchmark_overlap(docs, bench)
+
+
+def _hot_ngrams(spark, sf_dir):
+    # exact top-k most-duplicated word 3-grams with document frequency
+    # (operators/dedup.hot_shingles) — the memorization audit: the spans
+    # a model regurgitates are the ones thousands of docs share, and
+    # this exact list is what the ngram-jaccard / span-dedup frequency
+    # caps act on.  cm_heavy_hitters is the approximate token-level
+    # sibling; this is exact at n-gram granularity via one map-side-
+    # combined count + TakeOrderedAndProject.
+    return dedup.hot_shingles(
+        _t(spark, sf_dir, "documents"), n=3, min_docs=2, k=50
+    )
+
+
 # The correctness driver checks only the FIRST 50 entries of queries()
 # (CORRECTNESS_r03 window).  Rotate this list each round so every query
 # re-earns a hard driver hash-green at most every ~3 rounds: stalest
@@ -4942,6 +5005,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_stats": _boilerplate_stats,
         "surt_keys": _surt_keys,
         "domain_rollup": _domain_rollup,
+        "drain_plan": _drain_plan,
+        "benchmark_overlap": _benchmark_overlap,
+        "hot_ngrams": _hot_ngrams,
     }
 
 
@@ -6407,6 +6473,61 @@ def oracle_sql() -> dict[str, str]:
         "rewrite_bins": _bucketed.rewrite_bins_oracle_sql(
             _COMPACT_FILES_SQL, 64_000
         ),
+        # queue-drain feasibility: closed-form integer capacity math
+        # (slots, binding constraint, ceil epochs, net drain) replayed
+        # per host
+        "drain_plan": frontier.drain_oracle_sql(
+            """select 'h' || hn::VARCHAR host, backlog,
+                      (250 * (1 + hn % 8))::BIGINT delay_ms,
+                      (nv // 8)::BIGINT arrivals
+               from (select user_id % 61 hn, count(*)::BIGINT backlog,
+                            sum(case when event_type = 'view'
+                                then 1 else 0 end)::BIGINT nv
+                     from events group by 1) t""",
+            epoch_ms=60_000,
+            per_host_budget=150,
+        ),
+        # exact top-k duplicated 3-grams: same shingle construction as
+        # _JACCARD_CTE, deterministic (n_docs desc, shingle) order
+        "hot_ngrams": dedup.hot_shingles_oracle_sql(
+            "select doc_id id, text from documents", n=3, min_docs=2, k=50
+        ),
+        # reverse leakage audit: bench items = 40-token truncations of
+        # every 97th doc + a unique marker tail; every distinct-gram
+        # count, integer ppm and leak flag replayed
+        "benchmark_overlap": """
+            with toks as (
+              select doc_id id,
+                     list_filter(string_split(text,' '), x -> len(x)>0) t0
+              from documents),
+            g as (select id, list_distinct(
+                    [md5(array_to_string(t[i:i+7],' '))
+                     for i in range(1, greatest(len(t)-8,0)+2)]) gr
+                  from (select id, t0[1:256] t from toks)),
+            btext as (select id,
+                        array_to_string(t0[1:40],' ') || ' evalitem marker '
+                          || id::VARCHAR bt
+                      from toks where id % 97 = 0),
+            bg as (select id bid, unnest(list_distinct(
+                     [md5(array_to_string(t[i:i+7],' '))
+                      for i in range(1, greatest(len(t)-8,0)+2)])) g
+                   from (select id,
+                           list_filter(string_split(bt,' '),
+                                       x -> len(x)>0)[1:256] t
+                         from btext)),
+            cg as (select distinct unnest(gr) g from g),
+            matched as (select distinct bg.g from bg join cg using (g)),
+            totals as (select bid, count(*)::BIGINT n_grams
+                       from bg group by 1),
+            founds as (select bid, count(*)::BIGINT n_found
+                       from bg join matched using (g) group by 1)
+            select t.bid, t.n_grams,
+                   coalesce(f.n_found, 0)::BIGINT n_found,
+                   ((1000000 * coalesce(f.n_found, 0))
+                     // t.n_grams)::BIGINT found_ppm,
+                   coalesce(f.n_found, 0) > 0 leaked
+            from totals t left join founds f using (bid)
+        """,
         # OPIC cash/history epochs: integer shares, kept remainders,
         # pooled dangling cash — every epoch unrolled and replayed
         "opic_importance": graph.opic_oracle_sql(_PR_EDGES_SQL, iters=5),

@@ -156,6 +156,10 @@ BENCH_QUERIES = [
     "ucb_host_select",
     "cocitation_pairs",
     "kmv_set_ops",
+    # round-4 batch 4
+    "drain_plan",
+    "benchmark_overlap",
+    "hot_ngrams",
 ]
 
 

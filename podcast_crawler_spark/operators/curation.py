@@ -843,3 +843,90 @@ def chunk_oracle_sql(
                md5(array_to_string(ch, ' ')) AS chunk_md5
         FROM c
     """
+
+
+def benchmark_overlap(
+    df: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    max_tokens: int = 256,
+) -> DataFrame:
+    """Leakage audit in the REVERSE direction of :func:`contamination`:
+    for each BENCHMARK document, what fraction (ppm) of its distinct
+    token *n*-grams appears anywhere in the training corpus?
+    ``contamination`` answers "which training docs must I drop";
+    this answers "how compromised is each eval item if I drop nothing"
+    — the per-benchmark-item overlap report of the GPT-3 appendix-C /
+    PaLM-style contamination studies, and the number a leaderboard
+    needs per task before trusting a score.
+
+    Output: ``(bid, n_grams, n_found, found_ppm, leaked)`` with
+    ``found_ppm = 10^6 · n_found div n_grams`` (integer) and one row
+    per benchmark doc (docs shorter than *n* tokens audit their single
+    whole-doc gram).
+
+    Scale shape — the corpus never shuffles: benchmark grams (the small
+    side by definition) broadcast into a semi-join that restricts the
+    corpus gram stream BEFORE any exchange, so the only shuffled rows
+    are corpus grams that ALREADY match a benchmark gram (bounded by
+    |bench grams| distinct values); those collapse to one row per
+    distinct matched gram (map-side combined).  The matched set — at
+    most the benchmark gram count — is then eagerly truncated and
+    broadcast back into the per-benchmark-doc count, so the corpus
+    pass runs exactly once.  Grams travel as md5 digests.
+    """
+    bg = bench.select(
+        F.col(id_col).alias("bid"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    _grams(_tokens(F.col(text_col), max_tokens), n), F.md5
+                )
+            )
+        ).alias("g"),
+    )
+    # distinct benchmark grams: bounded by the benchmark corpus size
+    bench_gram_set = bg.select("g").distinct()
+    corpus_grams = df.select(
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    _grams(_tokens(F.col(text_col), max_tokens), n), F.md5
+                )
+            )
+        ).alias("g")
+    )
+    # one corpus pass: broadcast-restrict, then collapse to distinct
+    # matched grams.  Eager truncation (the matched set is consumed by
+    # a broadcast below — a concurrent subquery job would otherwise
+    # re-run the corpus scan).
+    matched = (
+        corpus_grams.join(F.broadcast(bench_gram_set), "g", "left_semi")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    totals = bg.groupBy("bid").agg(F.count(F.lit(1)).alias("n_grams"))
+    founds = (
+        bg.join(F.broadcast(matched), "g", "left_semi")
+        .groupBy("bid")
+        .agg(F.count(F.lit(1)).alias("n_found"))
+    )
+    return (
+        totals.join(founds, "bid", "left")
+        .select(
+            "bid",
+            "n_grams",
+            F.coalesce(F.col("n_found"), F.lit(0)).cast("long").alias(
+                "n_found"
+            ),
+        )
+        .select(
+            "bid",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            "n_found",
+            F.expr("(1000000 * n_found) div n_grams").alias("found_ppm"),
+            (F.col("n_found") > 0).alias("leaked"),
+        )
+    )

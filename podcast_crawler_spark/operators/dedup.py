@@ -1532,3 +1532,62 @@ select n_exact, n_candidates, n_hits,
        (1000000 * n_hits // n_candidates)::BIGINT precision_ppm
 from agg
 """
+
+
+def hot_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_docs: int = 2,
+    k: int = 50,
+) -> DataFrame:
+    """The corpus's most-duplicated word *n*-grams: ``(shingle, n_docs)``
+    for the top-*k* shingles by document frequency — the EXACT
+    n-gram-granularity counterpart of :func:`sketches.cm_heavy_hitters`
+    (token granularity, approximate) and the audit behind the
+    "memorized spans" analyses of training-data dedup (the spans a
+    model will regurgitate are precisely the ones thousands of
+    documents share — boilerplate, licenses, templates).  The same
+    list, fed back as a stop-shingle set, is what
+    ``ngram_jaccard_pairs``'s ``max_shingle_freq`` cap and
+    ``span_dedup`` act on.
+
+    Scale shape: distinct per-doc shingles (array_distinct before the
+    explode — no post-explode shuffle), one map-side-combined count per
+    shingle, ``filter(n_docs >= min_docs)`` BEFORE the top-k so the
+    ordering input is only the duplicated tail, and the top-k itself is
+    ``orderBy(...).limit(k)`` = TakeOrderedAndProject — O(k) per task,
+    never a global sort.  Deterministic order: (n_docs desc, shingle
+    asc).
+    """
+    counts = (
+        shingles(df, text_col, id_col, n)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= int(min_docs))
+    )
+    return counts.orderBy(F.desc("n_docs"), F.asc("shingle")).limit(int(k))
+
+
+def hot_shingles_oracle_sql(
+    docs_sql: str, n: int = 3, min_docs: int = 2, k: int = 50
+) -> str:
+    """DuckDB recomputation of :func:`hot_shingles` over any subquery
+    with ``(id, text)`` — same shingle construction as
+    ``_JACCARD_CTE``, same deterministic top-k."""
+    return f"""
+        WITH toks AS (SELECT id, string_split(text, ' ') t
+                      FROM ({docs_sql}) src),
+        sh AS (SELECT id, unnest(list_distinct(
+                   [array_to_string(t[i:i+{n - 1}], ' ')
+                    for i in range(1, greatest(len(t) - {n}, 0) + 2)]
+               )) shingle FROM toks),
+        c AS (SELECT shingle, COUNT(*)::BIGINT n_docs FROM sh
+              WHERE len(shingle) > 0
+              GROUP BY shingle
+              HAVING COUNT(*) >= {int(min_docs)})
+        SELECT shingle, n_docs FROM c
+        ORDER BY n_docs DESC, shingle ASC
+        LIMIT {int(k)}
+    """

@@ -777,3 +777,109 @@ def fair_share_oracle_sql(demands_sql: str, capacity: int) -> str:
                END::BIGINT AS alloc
         FROM d JOIN u USING (demand) CROSS JOIN lv
     """
+
+
+def drain_feasibility(
+    queue: DataFrame,
+    epoch_ms: int,
+    per_host_budget: int,
+    host_col: str = "host",
+    backlog_col: str = "backlog",
+    delay_col: str = "delay_ms",
+    arrivals_col: str = "arrivals",
+) -> DataFrame:
+    """Per-host queue-drain capacity planning: will this host's frontier
+    backlog EVER drain under its politeness delay, and in how many
+    epochs?  The reference schedules blindly — its token bucket
+    (``rate_limiter.rs:34-41``) paces requests but nothing reports
+    which hosts are falling behind; at 10^10-frontier scale a handful
+    of deep hosts (large podcast networks behind a long crawl-delay)
+    accumulate unbounded backlog unless the planner sees it.
+
+    Closed-form integer math per host — no iteration, no windows:
+
+    - ``slots = epoch_ms div delay_ms`` — fetches one politeness lane
+      can issue per epoch (0 when the delay exceeds the epoch);
+    - ``effective = least(slots, per_host_budget)`` — the binding
+      constraint, politeness vs budget;
+    - ``epochs_to_drain = ceil(backlog / effective)`` ignoring new
+      arrivals (NULL when ``effective = 0``: the host can never be
+      fetched under this epoch length);
+    - ``net = effective - arrivals`` and
+      ``epochs_to_drain_net = ceil(backlog / net)`` when ``net > 0``,
+      NULL otherwise — NULL + ``drains = false`` is the actionable
+      alarm: the queue grows without bound and the host needs a larger
+      budget, a shorter delay negotiation, or admission throttling.
+
+    Scale shape: input is the per-host rollup (one row per host, built
+    by the caller with a map-side-combined groupBy); every output
+    column is a pure projection — zero exchanges in this operator, so
+    it composes with any upstream partitioning.  All arithmetic is
+    BIGINT (``div``, ceil via ``(a + b - 1) div b``) and replayed
+    column-for-column by :func:`drain_oracle_sql`.
+    """
+    q = queue.select(
+        F.col(host_col).alias("host"),
+        F.col(backlog_col).cast("long").alias("backlog"),
+        F.col(delay_col).cast("long").alias("delay_ms"),
+        F.col(arrivals_col).cast("long").alias("arrivals"),
+    )
+    slots = F.expr(f"{int(epoch_ms)}L div delay_ms")
+    eff = F.least(slots, F.lit(int(per_host_budget)).cast("long"))
+    c = q.select(
+        "host",
+        "backlog",
+        "delay_ms",
+        "arrivals",
+        slots.alias("slots"),
+        eff.alias("effective"),
+    )
+    return c.select(
+        "*",
+        F.when(
+            F.col("effective") > 0,
+            F.expr("(backlog + effective - 1) div effective"),
+        )
+        .cast("long")
+        .alias("epochs_to_drain"),
+        (F.col("effective") - F.col("arrivals")).alias("net"),
+        (F.col("effective") - F.col("arrivals") > 0).alias("drains"),
+        F.when(
+            F.col("effective") - F.col("arrivals") > 0,
+            F.expr(
+                "(backlog + effective - arrivals - 1)"
+                " div (effective - arrivals)"
+            ),
+        )
+        .cast("long")
+        .alias("epochs_to_drain_net"),
+    )
+
+
+def drain_oracle_sql(
+    queue_sql: str, epoch_ms: int, per_host_budget: int
+) -> str:
+    """DuckDB recomputation of :func:`drain_feasibility` over any
+    subquery yielding ``(host, backlog, delay_ms, arrivals)``."""
+    e, b = int(epoch_ms), int(per_host_budget)
+    return f"""
+        WITH q AS (SELECT host, backlog::BIGINT backlog,
+                          delay_ms::BIGINT delay_ms,
+                          arrivals::BIGINT arrivals
+                   FROM ({queue_sql}) t),
+        c AS (SELECT *,
+                     ({e} // delay_ms)::BIGINT slots,
+                     LEAST({e} // delay_ms, {b})::BIGINT effective
+              FROM q)
+        SELECT host, backlog, delay_ms, arrivals, slots, effective,
+               CASE WHEN effective > 0
+                    THEN (backlog + effective - 1) // effective END::BIGINT
+                 AS epochs_to_drain,
+               (effective - arrivals)::BIGINT AS net,
+               effective - arrivals > 0 AS drains,
+               CASE WHEN effective - arrivals > 0
+                    THEN (backlog + effective - arrivals - 1)
+                         // (effective - arrivals) END::BIGINT
+                 AS epochs_to_drain_net
+        FROM c
+    """

@@ -509,3 +509,42 @@ def test_chunk_documents_windows_and_tail(spark):
                     hashlib.md5(" ".join(ch).encode()).hexdigest()))
     exp.append((2, 0, 0, 2, hashlib.md5(b"a b").hexdigest()))
     assert out == exp  # doc 3 absent, tail (t8 t9) kept as 2-token chunk
+
+
+def test_benchmark_overlap_python_oracle(spark, docs):
+    """Per-bench-item leakage vs a straight-line python recomputation:
+    distinct 8-gram sets, corpus membership, integer ppm."""
+    from podcast_crawler_spark.operators.curation import benchmark_overlap
+
+    rows = [(r["doc_id"], r["text"]) for r in docs.limit(60).collect()]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    # bench: truncations of every 10th doc plus an out-of-corpus marker
+    brows = [
+        (i, " ".join(t.split(" ")[:20]) + f" zz_marker {i}")
+        for i, t in rows
+        if i % 10 == 0
+    ]
+    bench = spark.createDataFrame(brows, "doc_id long, text string")
+
+    def grams(text, n=8, mt=256):
+        toks = [t for t in text.split(" ") if t][:mt]
+        return {
+            " ".join(toks[i : i + n])
+            for i in range(max(len(toks) - n, 0) + 1)
+        }
+
+    corpus_grams = set().union(*(grams(t) for _, t in rows))
+    expect = {}
+    for bid, bt in brows:
+        g = grams(bt)
+        found = len(g & corpus_grams)
+        expect[bid] = (len(g), found, (1_000_000 * found) // len(g), found > 0)
+
+    got = {
+        r["bid"]: (r["n_grams"], r["n_found"], r["found_ppm"], r["leaked"])
+        for r in benchmark_overlap(corpus, bench).collect()
+    }
+    assert got == expect
+    # truncation heads must leak, marker tails must not: strictly
+    # partial overlap everywhere
+    assert all(0 < p < 1_000_000 for (_, _, p, _) in got.values())

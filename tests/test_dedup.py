@@ -753,3 +753,52 @@ def test_host_minhash_matches_oracle(spark):
     exp = sorted(tuple(r) for r in duckdb.sql(sql).fetchall())
     assert got == exp
     assert ("h0", "m0") in {(a, b) for a, b, *_ in got}
+
+
+def test_hot_shingles_python_oracle(spark):
+    """Exact top-k duplicated 3-grams vs a Counter recomputation,
+    including the deterministic (n_docs desc, shingle asc) tie order
+    and the min_docs pre-filter."""
+    from collections import Counter
+
+    from podcast_crawler_spark.operators.dedup import hot_shingles
+
+    rows = [
+        (1, "the quick brown fox jumps"),
+        (2, "the quick brown cat sits"),
+        (3, "the quick brown cat sits"),  # exact dup of 2
+        (4, "lazy dog sleeps all day"),
+        (5, "the quick brown fox naps"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    c = Counter()
+    for _, t in rows:
+        toks = t.split(" ")
+        sh = {
+            " ".join(toks[i : i + 3])
+            for i in range(max(len(toks) - 3, 0) + 1)
+        }
+        c.update(sh)
+    expect = sorted(
+        ((g, n) for g, n in c.items() if n >= 2),
+        key=lambda gn: (-gn[1], gn[0]),
+    )[:10]
+
+    got = [
+        (r["shingle"], r["n_docs"])
+        for r in hot_shingles(df, min_docs=2, k=10).collect()
+    ]
+    assert got == expect
+
+
+def test_hot_shingles_plan_is_take_ordered(spark):
+    """The top-k must be TakeOrderedAndProject (O(k) per task), never a
+    global sort of the shingle counts."""
+    from podcast_crawler_spark.operators.dedup import hot_shingles
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        hot_shingles(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan

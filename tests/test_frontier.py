@@ -676,3 +676,42 @@ def test_fair_share_oracle_replays(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_drain_feasibility_cases(spark):
+    """Closed-form drain math over handcrafted hosts covering every
+    branch: budget-bound, politeness-bound, zero-slot (delay > epoch),
+    growing queue (net <= 0), and exact-multiple backlogs."""
+    from podcast_crawler_spark.operators.frontier import drain_feasibility
+
+    rows = [
+        # host, backlog, delay_ms, arrivals
+        ("budget", 1000, 100, 10),    # slots 600 > budget 150 -> eff 150
+        ("polite", 1000, 1000, 10),   # slots 60 -> eff 60
+        ("frozen", 50, 120_000, 0),   # delay > epoch -> slots 0, NULLs
+        ("growing", 500, 1000, 60),   # net = 0 -> never drains
+        ("exact", 300, 1000, 0),      # 300 / 60 = exactly 5 epochs
+    ]
+    df = spark.createDataFrame(
+        rows, "host string, backlog long, delay_ms long, arrivals long"
+    )
+    got = {
+        r["host"]: r.asDict()
+        for r in drain_feasibility(
+            df, epoch_ms=60_000, per_host_budget=150
+        ).collect()
+    }
+    assert got["budget"]["slots"] == 600
+    assert got["budget"]["effective"] == 150
+    assert got["budget"]["epochs_to_drain"] == 7      # ceil(1000/150)
+    assert got["budget"]["epochs_to_drain_net"] == 8  # ceil(1000/140)
+    assert got["polite"]["effective"] == 60
+    assert got["polite"]["epochs_to_drain"] == 17     # ceil(1000/60)
+    assert got["frozen"]["slots"] == 0
+    assert got["frozen"]["epochs_to_drain"] is None
+    assert got["frozen"]["drains"] is False
+    assert got["growing"]["net"] == 0
+    assert got["growing"]["drains"] is False
+    assert got["growing"]["epochs_to_drain_net"] is None
+    assert got["exact"]["epochs_to_drain"] == 5
+    assert got["exact"]["drains"] is True
