@@ -4717,6 +4717,114 @@ def _benchmark_overlap(spark, sf_dir):
     return curation.benchmark_overlap(docs, bench)
 
 
+def _sitemap_tree(spark, sf_dir):
+    # recursive sitemap-index expansion (operators/sitemap.
+    # expand_sitemaps): BFS from per-host roots through two index
+    # levels to leaf urlsets, through the REAL tolerant-XML parse at
+    # every level.  The synthetic tree plants the three hazards the
+    # operator defends against: host h0's child index lists the ROOT
+    # again (a cycle — its entry is reported, its re-expansion is
+    # suppressed by the seen anti-join), idx-b advertises a child with
+    # no fetched page (dangling — entry only, nothing below), and the
+    # leaf fan-out is data-derived so every host/slice urlset is
+    # replayed row-for-row (pos = within-document entry index).
+    from podcast_crawler_spark.operators import sitemap as sm
+
+    docs = _t(spark, sf_dir, "documents")
+    hosts = docs.select((F.col("doc_id") % 13).alias("h")).distinct()
+    host = F.concat(
+        F.lit("https://h"), F.col("h").cast("string"), F.lit(".example.com")
+    )
+    root = hosts.select(
+        F.concat(host, F.lit("/sitemap.xml")).alias("url"),
+        F.concat(
+            F.lit(
+                '<?xml version="1.0" encoding="UTF-8"?>'
+                "<sitemapindex><sitemap><loc>"
+            ),
+            host,
+            F.lit(
+                "/sitemap-idx-a.xml</loc><lastmod>2025-02-01</lastmod>"
+                "</sitemap><sitemap><loc>"
+            ),
+            host,
+            F.lit("/sitemap-idx-b.xml</loc></sitemap></sitemapindex>"),
+        ).alias("xml"),
+    )
+    idx_a = hosts.select(
+        F.concat(host, F.lit("/sitemap-idx-a.xml")).alias("url"),
+        F.concat(
+            F.lit("<sitemapindex><sitemap><loc>"),
+            host,
+            F.lit("/sitemap-urls-1.xml</loc></sitemap><sitemap><loc>"),
+            host,
+            F.lit("/sitemap-urls-2.xml</loc></sitemap>"),
+            F.when(
+                F.col("h") == 0,
+                F.concat(
+                    F.lit("<sitemap><loc>"),
+                    host,
+                    F.lit("/sitemap.xml</loc></sitemap>"),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("</sitemapindex>"),
+        ).alias("xml"),
+    )
+    idx_b = hosts.select(
+        F.concat(host, F.lit("/sitemap-idx-b.xml")).alias("url"),
+        F.concat(
+            F.lit("<sitemapindex><sitemap><loc>"),
+            host,
+            F.lit("/sitemap-urls-3.xml</loc></sitemap><sitemap><loc>"),
+            host,
+            F.lit("/sitemap-missing.xml</loc></sitemap></sitemapindex>"),
+        ).alias("xml"),
+    )
+    d = F.col("doc_id")
+    hostd = F.concat(
+        F.lit("https://h"), (d % 13).cast("string"), F.lit(".example.com")
+    )
+    leaf = docs.select(
+        (d % 13).alias("h"),
+        ((d % 3) + 1).alias("k"),
+        d.alias("doc_id"),
+        F.concat(
+            F.lit("<url><loc>"),
+            hostd,
+            F.lit("/doc/"),
+            d.cast("string"),
+            F.lit("</loc></url>"),
+        ).alias("frag"),
+    )
+    urlsets = (
+        leaf.groupBy("h", "k")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "frag"))),
+                    lambda s: s["frag"],
+                ),
+                "",
+            ).alias("body")
+        )
+        .select(
+            F.concat(
+                host,
+                F.lit("/sitemap-urls-"),
+                F.col("k").cast("string"),
+                F.lit(".xml"),
+            ).alias("url"),
+            F.concat(F.lit("<urlset>"), F.col("body"), F.lit("</urlset>"))
+            .alias("xml"),
+        )
+    )
+    pages = (
+        root.unionByName(idx_a).unionByName(idx_b).unionByName(urlsets)
+    )
+    seeds = hosts.select(F.concat(host, F.lit("/sitemap.xml")).alias("url"))
+    return sm.expand_sitemaps(pages, seeds, max_depth=5)
+
+
 def _hot_ngrams(spark, sf_dir):
     # exact top-k most-duplicated word 3-grams with document frequency
     # (operators/dedup.hot_shingles) — the memorization audit: the spans
@@ -5008,6 +5116,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drain_plan": _drain_plan,
         "benchmark_overlap": _benchmark_overlap,
         "hot_ngrams": _hot_ngrams,
+        "sitemap_tree": _sitemap_tree,
     }
 
 
@@ -6492,6 +6601,72 @@ def oracle_sql() -> dict[str, str]:
         "hot_ngrams": dedup.hot_shingles_oracle_sql(
             "select doc_id id, text from documents", n=3, min_docs=2, k=50
         ),
+        # recursive sitemap-index BFS: the whole reachable tree replayed
+        # level by level — root entries, both child indexes (incl. the
+        # h0 cycle entry whose re-expansion the seen-guard suppresses
+        # and the dangling child that contributes nothing below), and
+        # every data-derived leaf row with its within-document pos
+        "sitemap_tree": """
+            with hosts as (
+              select distinct (doc_id % 13)::BIGINT h from documents),
+            hs as (select h,
+                          'https://h' || h::VARCHAR || '.example.com' host
+                   from hosts),
+            d0 as (
+              select 0 depth, host || '/sitemap.xml' sitemap_url, 0 pos,
+                     host || '/sitemap-idx-a.xml' loc,
+                     '2025-02-01' lastmod, NULL::VARCHAR changefreq,
+                     NULL::VARCHAR priority, true is_index
+              from hs
+              union all
+              select 0, host || '/sitemap.xml', 1,
+                     host || '/sitemap-idx-b.xml',
+                     NULL::VARCHAR, NULL::VARCHAR, NULL::VARCHAR, true
+              from hs),
+            d1 as (
+              select 1 depth, host || '/sitemap-idx-a.xml' sitemap_url,
+                     0 pos, host || '/sitemap-urls-1.xml' loc,
+                     NULL::VARCHAR lastmod, NULL::VARCHAR changefreq,
+                     NULL::VARCHAR priority, true is_index
+              from hs
+              union all
+              select 1, host || '/sitemap-idx-a.xml', 1,
+                     host || '/sitemap-urls-2.xml',
+                     NULL::VARCHAR, NULL::VARCHAR, NULL::VARCHAR, true
+              from hs
+              union all
+              select 1, host || '/sitemap-idx-a.xml', 2,
+                     host || '/sitemap.xml',
+                     NULL::VARCHAR, NULL::VARCHAR, NULL::VARCHAR, true
+              from hs where h = 0
+              union all
+              select 1, host || '/sitemap-idx-b.xml', 0,
+                     host || '/sitemap-urls-3.xml',
+                     NULL::VARCHAR, NULL::VARCHAR, NULL::VARCHAR, true
+              from hs
+              union all
+              select 1, host || '/sitemap-idx-b.xml', 1,
+                     host || '/sitemap-missing.xml',
+                     NULL::VARCHAR, NULL::VARCHAR, NULL::VARCHAR, true
+              from hs),
+            lv as (select doc_id, (doc_id % 13)::BIGINT h,
+                          (doc_id % 3 + 1)::BIGINT k
+                   from documents),
+            d2 as (
+              select 2 depth,
+                     hs.host || '/sitemap-urls-' || k::VARCHAR || '.xml'
+                       sitemap_url,
+                     (row_number() over (partition by hs.h, k
+                        order by doc_id) - 1) pos,
+                     hs.host || '/doc/' || doc_id::VARCHAR loc,
+                     NULL::VARCHAR lastmod, NULL::VARCHAR changefreq,
+                     NULL::VARCHAR priority, false is_index
+              from lv join hs using (h))
+            select depth::INT depth, sitemap_url, pos::INT pos, loc,
+                   lastmod, changefreq, priority, is_index
+            from (select * from d0 union all select * from d1
+                  union all select * from d2) u
+        """,
         # reverse leakage audit: bench items = 40-token truncations of
         # every 97th doc + a unique marker tail; every distinct-gram
         # count, integer ppm and leak flag replayed

@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "drain_plan",
     "benchmark_overlap",
     "hot_ngrams",
+    "sitemap_tree",
 ]
 
 

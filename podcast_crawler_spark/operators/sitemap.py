@@ -216,3 +216,96 @@ def coverage_oracle_sql(entries_sql: str, fetched_sql: str) -> str:
                ((1000000 * SUM(hit)) // COUNT(*))::BIGINT AS coverage_ppm
         FROM j GROUP BY sitemap_url
     """
+
+
+def expand_sitemaps(
+    pages: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 5,
+    url_col: str = "url",
+    xml_col: str = "xml",
+) -> DataFrame:
+    """Recursive sitemap-index expansion: BFS the ``<sitemapindex>``
+    tree from the robots-advertised roots down to the leaf ``<urlset>``
+    entries, one fetch round per level — the discovery walk the
+    protocol requires (an index's children are themselves sitemaps to
+    fetch) and the reference never implements (its only admission
+    channel is the seed list, `rss_fetcher.rs`).
+
+    Returns every entry of every REACHED sitemap:
+    ``(depth, sitemap_url, pos, loc, lastmod, changefreq, priority,
+    is_index)`` — depth 0 = the seed documents' own entries.  Three
+    real-world defenses are structural:
+
+    - **cycle guard**: child locs already visited are never re-fetched
+      (the anti-join against the seen set), so a malicious or broken
+      index that lists an ancestor — a crawler trap — terminates the
+      walk instead of looping; the cyclic ENTRY itself is still
+      reported (is_index=true), only its re-expansion is suppressed;
+    - **dangling children**: an advertised child with no fetched page
+      contributes its entry and nothing below it (inner join against
+      *pages* — absence, not poison);
+    - **depth cap**: ``max_depth`` bounds adversarially deep nesting
+      (the spec itself allows one level; real trees use 2-3).
+
+    Scale shape: the frontier is sitemap URLs — bounded by the sitemap
+    TREE (~10^6 rows for a 10^10-page crawl), orders of magnitude under
+    the page corpus — so every per-level join is a small-side join
+    against *pages* (bucketed/partitioned by url in the production
+    layout, the same access path as the fetch join); parsing is the
+    map-side ``scan_sitemaps`` Arrow pass; per-level eager checkpoints
+    follow the loop discipline of PLANS.md (each level's entries feed
+    BOTH the output union and the next frontier).
+    """
+    from functools import reduce
+
+    p = pages.select(
+        F.col(url_col).alias("url"), F.col(xml_col).alias("xml")
+    )
+    frontier = (
+        seeds.select(F.col(url_col).alias("url"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seen = frontier
+    levels = []
+    for depth in range(int(max_depth)):
+        if not frontier.take(1):
+            break
+        entries = (
+            scan_sitemaps(frontier.join(p, "url"))
+            .withColumn("depth", F.lit(depth).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        levels.append(entries)
+        frontier = (
+            entries.filter(F.col("is_index") & F.col("loc").isNotNull())
+            .select(F.col("loc").alias("url"))
+            .distinct()
+            .join(seen, "url", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        seen = seen.unionByName(frontier).localCheckpoint(eager=True)
+    if not levels:
+        empty = F.lit(None).cast("string")
+        return seeds.select(
+            F.lit(0).cast("int").alias("depth"),
+            empty.alias("sitemap_url"),
+            F.lit(None).cast("int").alias("pos"),
+            empty.alias("loc"),
+            empty.alias("lastmod"),
+            empty.alias("changefreq"),
+            empty.alias("priority"),
+            F.lit(None).cast("boolean").alias("is_index"),
+        ).limit(0)
+    out = reduce(lambda a, b: a.unionByName(b), levels)
+    return out.select(
+        "depth",
+        "sitemap_url",
+        "pos",
+        "loc",
+        "lastmod",
+        "changefreq",
+        "priority",
+        "is_index",
+    )

@@ -130,3 +130,67 @@ def test_sitemap_coverage_gap(spark):
     assert (s1.n_advertised, s1.n_fetched, s1.n_missing) == (2, 1, 1)
     assert s1.coverage_ppm == 500_000
     assert out["s2"].coverage_ppm == 0
+
+
+def test_expand_sitemaps_tree_walk(spark):
+    """BFS over a hand-built 3-level tree: depth labels, the cycle
+    guard (an index listing its ancestor is reported but never
+    re-fetched), a dangling child (entry only, nothing below), and the
+    depth cap."""
+    from podcast_crawler_spark.operators.sitemap import expand_sitemaps
+
+    idx = '<sitemapindex><sitemap><loc>{}</loc></sitemap>{}</sitemapindex>'
+    pages = spark.createDataFrame(
+        [
+            # root -> child index + a leaf urlset
+            ("https://h/root.xml",
+             idx.format("https://h/mid.xml",
+                        "<sitemap><loc>https://h/set1.xml</loc></sitemap>")),
+            # mid lists a leaf AND the root again (cycle), AND a
+            # dangling child never present in pages
+            ("https://h/mid.xml",
+             idx.format("https://h/set2.xml",
+                        "<sitemap><loc>https://h/root.xml</loc></sitemap>"
+                        "<sitemap><loc>https://h/gone.xml</loc></sitemap>")),
+            ("https://h/set1.xml",
+             "<urlset><url><loc>https://h/p1</loc></url></urlset>"),
+            ("https://h/set2.xml",
+             "<urlset><url><loc>https://h/p2</loc></url>"
+             "<url><loc>https://h/p3</loc></url></urlset>"),
+        ],
+        "url string, xml string",
+    )
+    seeds = spark.createDataFrame([("https://h/root.xml",)], "url string")
+    rows = expand_sitemaps(pages, seeds).collect()
+    got = {(r.depth, r.sitemap_url, r.pos): (r.loc, r.is_index) for r in rows}
+    assert got == {
+        (0, "https://h/root.xml", 0): ("https://h/mid.xml", True),
+        (0, "https://h/root.xml", 1): ("https://h/set1.xml", True),
+        (1, "https://h/mid.xml", 0): ("https://h/set2.xml", True),
+        # the cycle entry IS reported...
+        (1, "https://h/mid.xml", 1): ("https://h/root.xml", True),
+        (1, "https://h/mid.xml", 2): ("https://h/gone.xml", True),
+        (1, "https://h/set1.xml", 0): ("https://h/p1", False),
+        (2, "https://h/set2.xml", 0): ("https://h/p2", False),
+        (2, "https://h/set2.xml", 1): ("https://h/p3", False),
+    }
+    # ...but the root was fetched exactly once (depth 0 only), and the
+    # dangling child contributed no rows
+    assert not any(r.sitemap_url == "https://h/root.xml" and r.depth > 0
+                   for r in rows)
+    assert not any(r.sitemap_url == "https://h/gone.xml" for r in rows)
+
+
+def test_expand_sitemaps_depth_cap(spark):
+    from podcast_crawler_spark.operators.sitemap import expand_sitemaps
+
+    pages = spark.createDataFrame(
+        [(f"https://h/l{i}.xml",
+          f"<sitemapindex><sitemap><loc>https://h/l{i+1}.xml</loc>"
+          "</sitemap></sitemapindex>") for i in range(10)],
+        "url string, xml string",
+    )
+    seeds = spark.createDataFrame([("https://h/l0.xml",)], "url string")
+    rows = expand_sitemaps(pages, seeds, max_depth=3).collect()
+    assert {r.depth for r in rows} == {0, 1, 2}
+    assert len(rows) == 3
