@@ -4717,6 +4717,76 @@ def _benchmark_overlap(spark, sf_dir):
     return curation.benchmark_overlap(docs, bench)
 
 
+def _c4_clean(spark, sf_dir):
+    # the C4 cleaning pass (Raffel et al. 2020 §2.2) over documents
+    # given a synthesized line structure (the corpus is single-line):
+    # 12-token lines, every 4th line missing its terminal period (line
+    # rule), plus three APPENDED hazard lines — a "javascript" line for
+    # every 7th doc (line-dropped, page kept), "lorem ipsum" for every
+    # 31st and a curly-brace line for every 17th (page-dropped, in C4's
+    # published rule order).  kept/reason/clean_md5 are all replayed,
+    # so the transform itself — not just the boolean — is checked.
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
+    nline = F.greatest(
+        F.expr("(size(filter(split(text, ' '), t -> length(t) > 0)) + 11)"
+               " div 12"),
+        F.lit(1),
+    )
+    lines = F.transform(
+        F.sequence(F.lit(0), (nline - 1).cast("int")),
+        lambda i: F.concat(
+            F.array_join(F.slice(toks, i * 12 + 1, 12), " "),
+            F.when(i % 4 == 3, F.lit("")).otherwise(F.lit(".")),
+        ),
+    )
+    empty = F.array().cast("array<string>")
+    extra = F.concat(
+        F.when(
+            d % 7 == 0,
+            F.array(F.lit("enable javascript to view this page.")),
+        ).otherwise(empty),
+        F.when(
+            d % 31 == 0,
+            F.array(F.lit("lorem ipsum dolor sit amet paragraph.")),
+        ).otherwise(empty),
+        F.when(
+            d % 17 == 0,
+            F.array(F.lit("window config { render } done.")),
+        ).otherwise(empty),
+    )
+    staged = docs.select(
+        "doc_id",
+        F.array_join(F.concat(lines, extra), "\n").alias("text"),
+    )
+    return curation.c4_clean(staged)
+
+
+# NOTE: `text` is a DuckDB type keyword — a bare `expr text` alias is a
+# parser error; it must be written `AS text`
+_C4_DOCS_SQL = """
+    select id, array_to_string(all_lines, chr(10)) as text
+    from (
+      select doc_id id,
+             [array_to_string(t[(i-1)*12+1:(i-1)*12+12], ' ')
+                || case when (i-1) % 4 = 3 then '' else '.' end
+              for i in range(1, greatest((len(t)+11)//12, 1) + 1)]
+             || case when doc_id % 7 = 0
+                then ['enable javascript to view this page.']
+                else []::VARCHAR[] end
+             || case when doc_id % 31 = 0
+                then ['lorem ipsum dolor sit amet paragraph.']
+                else []::VARCHAR[] end
+             || case when doc_id % 17 = 0
+                then ['window config { render } done.']
+                else []::VARCHAR[] end as all_lines
+      from (select doc_id,
+                   list_filter(string_split(text, ' '), x -> len(x) > 0) t
+            from documents) s) z
+"""
+
+
 def _sitemap_tree(spark, sf_dir):
     # recursive sitemap-index expansion (operators/sitemap.
     # expand_sitemaps): BFS from per-host roots through two index
@@ -5117,6 +5187,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_overlap": _benchmark_overlap,
         "hot_ngrams": _hot_ngrams,
         "sitemap_tree": _sitemap_tree,
+        "c4_clean": _c4_clean,
     }
 
 
@@ -6601,6 +6672,10 @@ def oracle_sql() -> dict[str, str]:
         "hot_ngrams": dedup.hot_shingles_oracle_sql(
             "select doc_id id, text from documents", n=3, min_docs=2, k=50
         ),
+        # C4 cleaning: same line predicate, page rules in published
+        # order, md5 of the identical kept-line join — over the same
+        # synthesized line structure
+        "c4_clean": curation.c4_oracle_sql(_C4_DOCS_SQL),
         # recursive sitemap-index BFS: the whole reachable tree replayed
         # level by level — root entries, both child indexes (incl. the
         # h0 cycle entry whose re-expansion the seen-guard suppresses

@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "benchmark_overlap",
     "hot_ngrams",
     "sitemap_tree",
+    "c4_clean",
 ]
 
 

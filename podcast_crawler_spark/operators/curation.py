@@ -930,3 +930,104 @@ def benchmark_overlap(
             (F.col("n_found") > 0).alias("leaked"),
         )
     )
+
+
+# C4 line-level cleaning (Raffel et al. 2020, §2.2): the canonical
+# web-text cleaning pass.  Terminal punctuation marks accepted at line
+# end; the page-level poison strings; the minimum kept-line count.
+C4_TERMINALS = (".", "!", "?", '"')
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """The C4 cleaning pass as one codegen projection: per-LINE rules
+    (keep only lines ending in terminal punctuation, with at least
+    ``min_words_per_line`` words, and not mentioning "javascript"),
+    then per-PAGE rules (drop any page containing "lorem ipsum" or a
+    curly brace, or retaining fewer than ``min_kept_lines`` lines).
+
+    Output per document: ``(id, n_lines, n_kept, kept, reason,
+    clean_md5)`` — ``reason`` is the FIRST matching drop rule in C4's
+    published order (``lorem_ipsum``, ``brace``, ``too_few_lines``) or
+    NULL for kept pages, and ``clean_md5`` hashes the newline-joined
+    kept lines (NULL when dropped), so the transform itself — not just
+    the decision — is oracle-checked.
+
+    Scale shape: pure per-row expressions (split, filter lambda,
+    array_join, md5) — zero exchanges, whole-stage codegen, linear in
+    bytes scanned; composes with any partitioning.  Case-insensitive
+    matching via one ``lower()`` per line/page, exactly as the C4
+    reference implementation.
+    """
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+    is_kept = (
+        lambda ln: F.length(ln).isNotNull()
+        & F.substring(ln, -1, 1).isin(*C4_TERMINALS)
+        & (
+            F.size(F.filter(F.split(ln, " "), lambda t: F.length(t) > 0))
+            >= int(min_words_per_line)
+        )
+        & ~F.lower(ln).contains("javascript")
+    )
+    kept_lines = F.filter(lines, is_kept)
+    n_lines = F.size(lines)
+    n_kept = F.size(kept_lines)
+    low = F.lower(text)
+    reason = (
+        F.when(low.contains("lorem ipsum"), F.lit("lorem_ipsum"))
+        .when(low.contains("{"), F.lit("brace"))
+        .when(n_kept < int(min_kept_lines), F.lit("too_few_lines"))
+    )
+    kept = reason.isNull()
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_lines.cast("int").alias("n_lines"),
+        n_kept.cast("int").alias("n_kept"),
+        kept.alias("kept"),
+        reason.alias("reason"),
+        F.when(kept, F.md5(F.array_join(kept_lines, "\n"))).alias(
+            "clean_md5"
+        ),
+    )
+
+
+def c4_oracle_sql(
+    docs_sql: str, min_words_per_line: int = 5, min_kept_lines: int = 3
+) -> str:
+    """DuckDB recomputation of :func:`c4_clean` over any subquery with
+    ``(id, text)`` — the same line predicate, page rules in the same
+    order, and the md5 of the identical kept-line join."""
+    w, m = int(min_words_per_line), int(min_kept_lines)
+    terms = ", ".join(f"'{t}'" for t in C4_TERMINALS)
+    return f"""
+        WITH d AS (SELECT id, text, string_split(text, chr(10)) ls
+                   FROM ({docs_sql}) t),
+        k AS (SELECT id, text, len(ls)::INT n_lines,
+                     list_filter(ls, ln ->
+                       right(ln, 1) IN ({terms})
+                       AND len(list_filter(string_split(ln, ' '),
+                                           x -> len(x) > 0)) >= {w}
+                       AND NOT contains(lower(ln), 'javascript')) kl
+              FROM d)
+        SELECT id, n_lines, len(kl)::INT n_kept,
+               CASE WHEN contains(lower(text), 'lorem ipsum') THEN false
+                    WHEN contains(lower(text), '{{') THEN false
+                    WHEN len(kl) < {m} THEN false
+                    ELSE true END kept,
+               CASE WHEN contains(lower(text), 'lorem ipsum')
+                      THEN 'lorem_ipsum'
+                    WHEN contains(lower(text), '{{') THEN 'brace'
+                    WHEN len(kl) < {m} THEN 'too_few_lines'
+               END reason,
+               CASE WHEN NOT contains(lower(text), 'lorem ipsum')
+                     AND NOT contains(lower(text), '{{')
+                     AND len(kl) >= {m}
+                    THEN md5(array_to_string(kl, chr(10))) END clean_md5
+        FROM k
+    """

@@ -548,3 +548,41 @@ def test_benchmark_overlap_python_oracle(spark, docs):
     # truncation heads must leak, marker tails must not: strictly
     # partial overlap everywhere
     assert all(0 < p < 1_000_000 for (_, _, p, _) in got.values())
+
+
+def test_c4_clean_handcrafted(spark):
+    """Each C4 rule on a handcrafted doc set: terminal punctuation,
+    min words per line, the javascript line drop, both page poisons
+    (in published precedence order), the kept-line floor, and the
+    cleaned-text md5."""
+    import hashlib
+
+    from podcast_crawler_spark.operators.curation import c4_clean
+
+    good = "one two three four five."
+    rows = [
+        (1, "\n".join([good, good, good])),                  # kept, 3/3
+        (2, "\n".join([good, "no terminal punct here", good, good])),
+        (3, "\n".join([good, "short line.", good, good])),   # <5 words
+        (4, "\n".join([good, "Enable JavaScript to view.", good, good])),
+        (5, "\n".join([good, good, good, "has lorem ipsum inside."])),
+        (6, "\n".join([good, good, good, "brace { here } now."])),
+        # lorem beats brace in C4's order
+        (7, "\n".join([good, good, good, "lorem ipsum { both }."])),
+        (8, "\n".join([good, good])),                        # 2 < 3 kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r.asDict() for r in c4_clean(df).collect()}
+
+    assert got[1]["kept"] and got[1]["n_kept"] == 3
+    assert got[1]["clean_md5"] == hashlib.md5(
+        "\n".join([good, good, good]).encode()
+    ).hexdigest()
+    for i in (2, 3, 4):  # one bad line dropped, page survives
+        assert got[i]["kept"] and (got[i]["n_lines"], got[i]["n_kept"]) == (4, 3)
+    assert got[2]["clean_md5"] == got[1]["clean_md5"]
+    assert (got[5]["kept"], got[5]["reason"]) == (False, "lorem_ipsum")
+    assert (got[6]["kept"], got[6]["reason"]) == (False, "brace")
+    assert (got[7]["kept"], got[7]["reason"]) == (False, "lorem_ipsum")
+    assert (got[8]["kept"], got[8]["reason"]) == (False, "too_few_lines")
+    assert all(got[i]["clean_md5"] is None for i in (5, 6, 7, 8))
