@@ -4787,6 +4787,155 @@ _C4_DOCS_SQL = """
 """
 
 
+def _robots_policy_diff(spark, sf_dir):
+    # robots policy churn between two epochs over the same URL set and
+    # rule grammar as robots_rfc_match: the new policy drops the
+    # '/*.pdf$' ban on hosts h0-h4 (their pdf URLs flip "opened") and
+    # adds a '/open/' ban on every 3rd host (those flip "revoked" — the
+    # purge-from-frontier case robots cache expiry exists for); both
+    # eras' longest-match argmaxes run in ONE pass over the URL set.
+    from podcast_crawler_spark.operators import robots as robotsmod
+
+    d = F.col("o_orderkey")
+    paths = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("h"), (d % 11).cast("string")).alias("host"),
+        F.when(d % 6 == 0,
+               F.concat(F.lit("/private/p"), (d % 40).cast("string")))
+        .when(d % 6 == 1,
+              F.concat(F.lit("/private/ok/p"), (d % 40).cast("string")))
+        .when(d % 6 == 2,
+              F.concat(F.lit("/files/f"), (d % 40).cast("string"),
+                       F.lit(".pdf")))
+        .when(d % 6 == 3,
+              F.concat(F.lit("/files/f"), (d % 40).cast("string"),
+                       F.lit(".pdf.html")))
+        .when(d % 6 == 4,
+              F.concat(F.lit("/tmp/t"), (d % 40).cast("string")))
+        .otherwise(
+            F.concat(F.lit("/open/o"), (d % 40).cast("string"))
+        ).alias("path"),
+    )
+    hosts = spark.range(0, 11).select(
+        F.col("id").alias("hn"),
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+    )
+
+    def _rules(structs):
+        return hosts.select(
+            "hn", "host", F.explode(F.array(*structs)).alias("r")
+        ).select(
+            "hn", "host",
+            F.col("r.rule").alias("rule"),
+            F.col("r.pattern").alias("pattern"),
+        )
+
+    def _s(rule, pattern):
+        return F.struct(
+            F.lit(rule).alias("rule"), F.lit(pattern).alias("pattern")
+        )
+
+    old = _rules(
+        [_s("disallow", "/private/"), _s("allow", "/private/ok/"),
+         _s("disallow", "/*.pdf$"), _s("disallow", "/tmp*")]
+    ).drop("hn")
+    new = (
+        _rules(
+            [_s("disallow", "/private/"), _s("allow", "/private/ok/"),
+             _s("disallow", "/*.pdf$"), _s("disallow", "/tmp*"),
+             _s("disallow", "/open/")]
+        )
+        .filter(
+            ~((F.col("pattern") == "/*.pdf$") & (F.col("hn") <= 4))
+            & ~((F.col("pattern") == "/open/") & (F.col("hn") % 3 != 0))
+        )
+        .drop("hn")
+    )
+    return robotsmod.robots_policy_diff(paths, old, new)
+
+
+def _gopher_filter(spark, sf_dir):
+    # the Gopher quality rules (Rae et al. 2021 A1.1) over a
+    # deterministic line/hazard construction: 10-token lines; every
+    # 17th line bullet-led and every 11th ellipsis-ended (both under
+    # threshold — pass), with fixed doc slices pushed OVER a threshold
+    # each: %19 → every 3rd line bulleted (bullet_lines), %29 → every
+    # 2nd line ellipsis-ended (ellipsis_lines), %23 → a '#' line sized
+    # n/9+2 (symbol_ratio), %41 → a numeric flood n/3+1 (alpha_words),
+    # %13 → NO stopword line appended (stopwords; everyone else gets
+    # one), and naturally short docs fail word_count.  Every rule is
+    # integer cross-multiplied and replayed in the paper's order.
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    _n = "size(filter(split(text, ' '), t -> length(t) > 0))"
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
+    nline = F.greatest(F.expr(f"({_n} + 9) div 10"), F.lit(1))
+    bstep = F.when(d % 19 == 0, F.lit(3)).otherwise(F.lit(17))
+    estep = F.when(d % 29 == 0, F.lit(2)).otherwise(F.lit(11))
+    lines = F.transform(
+        F.sequence(F.lit(0), (nline - 1).cast("int")),
+        # hazard index = step-1: a baseline doc only gets a bullet /
+        # ellipsis line once it has >= step lines, so the 17/11 baseline
+        # steps can never trip the 10%/30% ratios on SHORT docs (one
+        # bullet in a 3-line doc is 33%); the 3/2 hazard steps still do
+        lambda i: F.concat(
+            F.when(i % bstep == bstep - 1, F.lit("- ")).otherwise(F.lit("")),
+            F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+            F.when(i % estep == estep - 1, F.lit("...")).otherwise(F.lit(".")),
+        ),
+    )
+    empty = F.array().cast("array<string>")
+    stop_line = F.when(
+        d % 13 != 0,
+        F.array(F.lit("the cat and that dog have fun with them today.")),
+    ).otherwise(empty)
+    hash_line = F.when(
+        d % 23 == 0,
+        F.array(F.expr(f"rtrim(repeat('# ', {_n} div 9 + 2))")),
+    ).otherwise(empty)
+    num_line = F.when(
+        d % 41 == 0,
+        F.array(F.expr(f"rtrim(repeat('12345 ', {_n} div 3 + 1))")),
+    ).otherwise(empty)
+    staged = docs.select(
+        "doc_id",
+        F.array_join(
+            F.concat(lines, stop_line, hash_line, num_line), "\n"
+        ).alias("text"),
+    )
+    return curation.gopher_rules(staged)
+
+
+_GOPHER_DOCS_SQL = """
+    select id, array_to_string(all_lines, chr(10)) as text
+    from (
+      select doc_id id,
+             [case when (i-1) % (case when doc_id % 19 = 0
+                                 then 3 else 17 end)
+                        = (case when doc_id % 19 = 0
+                                then 3 else 17 end) - 1
+                   then '- ' else '' end
+                || array_to_string(t[(i-1)*10+1:(i-1)*10+10], ' ')
+                || case when (i-1) % (case when doc_id % 29 = 0
+                                      then 2 else 11 end)
+                        = (case when doc_id % 29 = 0
+                                then 2 else 11 end) - 1
+                   then '...' else '.' end
+              for i in range(1, greatest((len(t)+9)//10, 1) + 1)]
+             || case when doc_id % 13 <> 0
+                then ['the cat and that dog have fun with them today.']
+                else []::VARCHAR[] end
+             || case when doc_id % 23 = 0
+                then [rtrim(repeat('# ', len(t)//9 + 2))]
+                else []::VARCHAR[] end
+             || case when doc_id % 41 = 0
+                then [rtrim(repeat('12345 ', len(t)//3 + 1))]
+                else []::VARCHAR[] end as all_lines
+      from (select doc_id,
+                   list_filter(string_split(text, ' '), x -> len(x) > 0) t
+            from documents) s) z
+"""
+
+
 def _sitemap_tree(spark, sf_dir):
     # recursive sitemap-index expansion (operators/sitemap.
     # expand_sitemaps): BFS from per-host roots through two index
@@ -5188,6 +5337,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hot_ngrams": _hot_ngrams,
         "sitemap_tree": _sitemap_tree,
         "c4_clean": _c4_clean,
+        "gopher_filter": _gopher_filter,
+        "robots_policy_diff": _robots_policy_diff,
     }
 
 
@@ -6676,6 +6827,48 @@ def oracle_sql() -> dict[str, str]:
         # order, md5 of the identical kept-line join — over the same
         # synthesized line structure
         "c4_clean": curation.c4_oracle_sql(_C4_DOCS_SQL),
+        # robots policy churn: both eras' longest-match argmaxes and
+        # every transition label replayed over the same URL set
+        "robots_policy_diff": _robots_mod().policy_diff_oracle_sql(
+            """
+    select 'h' || (o_orderkey % 11)::varchar as host,
+           case when o_orderkey % 6 = 0 then
+                  '/private/p' || (o_orderkey % 40)::varchar
+                when o_orderkey % 6 = 1 then
+                  '/private/ok/p' || (o_orderkey % 40)::varchar
+                when o_orderkey % 6 = 2 then
+                  '/files/f' || (o_orderkey % 40)::varchar || '.pdf'
+                when o_orderkey % 6 = 3 then
+                  '/files/f' || (o_orderkey % 40)::varchar || '.pdf.html'
+                when o_orderkey % 6 = 4 then
+                  '/tmp/t' || (o_orderkey % 40)::varchar
+                else '/open/o' || (o_orderkey % 40)::varchar
+           end as path
+    from orders
+""",
+            """
+    select 'h' || r.i::varchar as host, x.rule, x.pattern
+    from (select unnest(range(11)) i) r
+    cross join (values ('disallow', '/private/'),
+                       ('allow', '/private/ok/'),
+                       ('disallow', '/*.pdf$'),
+                       ('disallow', '/tmp*')) x(rule, pattern)
+""",
+            """
+    select 'h' || r.i::varchar as host, x.rule, x.pattern
+    from (select unnest(range(11)) i) r
+    cross join (values ('disallow', '/private/'),
+                       ('allow', '/private/ok/'),
+                       ('disallow', '/*.pdf$'),
+                       ('disallow', '/tmp*'),
+                       ('disallow', '/open/')) x(rule, pattern)
+    where not (x.pattern = '/*.pdf$' and r.i <= 4)
+      and not (x.pattern = '/open/' and r.i % 3 <> 0)
+""",
+        ),
+        # Gopher rules: identical integer cross-multiplied thresholds
+        # in the paper's order, over the same hazard construction
+        "gopher_filter": curation.gopher_oracle_sql(_GOPHER_DOCS_SQL),
         # recursive sitemap-index BFS: the whole reachable tree replayed
         # level by level — root entries, both child indexes (incl. the
         # h0 cycle entry whose re-expansion the seen-guard suppresses

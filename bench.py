@@ -162,6 +162,8 @@ BENCH_QUERIES = [
     "hot_ngrams",
     "sitemap_tree",
     "c4_clean",
+    "gopher_filter",
+    "robots_policy_diff",
 ]
 
 

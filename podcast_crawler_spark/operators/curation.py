@@ -1031,3 +1031,130 @@ def c4_oracle_sql(
                     THEN md5(array_to_string(kl, chr(10))) END clean_md5
         FROM k
     """
+
+
+# Gopher quality rules (Rae et al. 2021, appendix A1.1) — the other
+# canonical web-text filter besides C4.  Thresholds are kept in the
+# exact cross-multiplied integer form so both engines decide every rule
+# identically (no float ratios anywhere).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The Gopher quality filter as one codegen projection: word count
+    in ``[min_words, max_words]``, mean word length in [3, 10], hash /
+    ellipsis symbol-to-word ratio ≤ 0.1, ≤ 10% of lines bullet-led,
+    < 30% of lines ellipsis-ended, ≥ 80% of words containing an
+    alphabetic character, and ≥ 2 of the 8 Gopher stopwords present.
+
+    Output: ``(id, n_words, n_lines, kept, reason)`` with ``reason``
+    the FIRST failing rule in the paper's order (``word_count``,
+    ``mean_word_len``, ``symbol_ratio``, ``bullet_lines``,
+    ``ellipsis_lines``, ``alpha_words``, ``stopwords``) or NULL.
+
+    Every ratio threshold is evaluated in cross-multiplied integer
+    arithmetic (e.g. ellipsis < 30% of lines ⇔ ``10·n_ellipsis <
+    3·n_lines``), so the decision — not a rounded approximation of it —
+    is what the DuckDB oracle replays.  Zero exchanges; linear in bytes
+    scanned.
+    """
+    text = F.col(text_col)
+    words = F.filter(F.split(text, "[ \n]"), lambda t: F.length(t) > 0)
+    lines = F.split(text, "\n")
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    sum_word_chars = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    n_ell = (
+        F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", ""))
+    ) / F.lit(3)
+    n_ell = n_ell.cast("long")
+    n_bullet = F.size(F.filter(lines, lambda ln: ln.startswith("- ")))
+    n_ell_lines = F.size(F.filter(lines, lambda ln: ln.endswith("...")))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    n_stop = sum(
+        F.array_contains(words, w).cast("int") for w in GOPHER_STOPWORDS
+    )
+    reason = (
+        F.when(
+            (n_words < int(min_words)) | (n_words > int(max_words)),
+            F.lit("word_count"),
+        )
+        .when(
+            (sum_word_chars < 3 * n_words) | (sum_word_chars > 10 * n_words),
+            F.lit("mean_word_len"),
+        )
+        .when(10 * (n_hash + n_ell) > n_words, F.lit("symbol_ratio"))
+        .when(10 * n_bullet > n_lines, F.lit("bullet_lines"))
+        .when(10 * n_ell_lines >= 3 * n_lines, F.lit("ellipsis_lines"))
+        .when(5 * n_alpha < 4 * n_words, F.lit("alpha_words"))
+        .when(n_stop < 2, F.lit("stopwords"))
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_words.cast("long").alias("n_words"),
+        n_lines.cast("long").alias("n_lines"),
+        reason.isNull().alias("kept"),
+        reason.alias("reason"),
+    )
+
+
+def gopher_oracle_sql(
+    docs_sql: str, min_words: int = 50, max_words: int = 100_000
+) -> str:
+    """DuckDB recomputation of :func:`gopher_rules` over any subquery
+    with ``(id, text)`` — identical integer cross-multiplied rules in
+    the identical order."""
+    stop_sum = " + ".join(
+        f"list_contains(w, '{s}')::INT" for s in GOPHER_STOPWORDS
+    )
+    return f"""
+        WITH d AS (
+          SELECT id, text,
+                 list_filter(string_split_regex(text, '[ \n]'),
+                             x -> len(x) > 0) w,
+                 string_split(text, chr(10)) ls
+          FROM ({docs_sql}) t),
+        m AS (
+          SELECT id,
+                 len(w)::BIGINT n_words,
+                 len(ls)::BIGINT n_lines,
+                 list_sum(list_transform(w, x -> len(x)))::BIGINT swc,
+                 (len(text) - len(replace(text, '#', '')))::BIGINT n_hash,
+                 ((len(text) - len(replace(text, '...', ''))) // 3)::BIGINT
+                   n_ell,
+                 len(list_filter(ls, ln -> starts_with(ln, '- ')))::BIGINT
+                   n_bullet,
+                 len(list_filter(ls, ln -> ends_with(ln, '...')))::BIGINT
+                   n_ell_lines,
+                 len(list_filter(w,
+                     x -> regexp_matches(x, '[A-Za-z]')))::BIGINT n_alpha,
+                 ({stop_sum})::BIGINT n_stop
+          FROM d)
+        SELECT id, n_words, n_lines,
+               reason IS NULL AS kept, reason
+        FROM (
+          SELECT *,
+                 CASE
+                   WHEN n_words < {int(min_words)}
+                     OR n_words > {int(max_words)} THEN 'word_count'
+                   WHEN swc < 3 * n_words OR swc > 10 * n_words
+                     THEN 'mean_word_len'
+                   WHEN 10 * (n_hash + n_ell) > n_words
+                     THEN 'symbol_ratio'
+                   WHEN 10 * n_bullet > n_lines THEN 'bullet_lines'
+                   WHEN 10 * n_ell_lines >= 3 * n_lines
+                     THEN 'ellipsis_lines'
+                   WHEN 5 * n_alpha < 4 * n_words THEN 'alpha_words'
+                   WHEN n_stop < 2 THEN 'stopwords'
+                 END reason
+          FROM m) r
+    """

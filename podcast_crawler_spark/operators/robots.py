@@ -392,3 +392,175 @@ def availability_oracle_sql(
                stale
         FROM s
     """
+
+
+def robots_policy_diff(
+    paths: DataFrame,
+    rules_old: DataFrame,
+    rules_new: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Robots policy-churn audit: the frontier impact of a robots.txt
+    refetch.  Given the URL set and the rules tables of two epochs,
+    classify every ``(host, path)``:
+
+    - ``revoked``  — allowed under the old policy, disallowed now: the
+      URL must be purged from the frontier / not refetched (the case
+      RFC 9309 §2.4 cache expiry exists for);
+    - ``opened``   — disallowed before, allowed now: an admission
+      candidate the seed scan will never resurface on its own;
+    - ``unchanged_allowed`` / ``unchanged_disallowed``.
+
+    Output also carries both eras' matched patterns, so a transition is
+    attributable to the specific rule that caused it.
+
+    Scale shape: ONE pass over the URL set — both eras' rules are
+    tagged and broadcast together, the longest-match argmax
+    (:func:`match_rfc9309` semantics: length, allow-wins ties,
+    lexicographic) runs as two conditional ``min(struct(...))``
+    aggregates in a single groupBy, so the corpus-sized side is joined
+    and shuffled once, not once per era.
+    """
+    tagged = rules_old.select(
+        F.lit("old").alias("era"), host_col, "rule", "pattern"
+    ).unionByName(
+        rules_new.select(
+            F.lit("new").alias("era"), host_col, "rule", "pattern"
+        )
+    )
+    r = tagged.select(
+        "era",
+        F.col(host_col).alias("r_host"),
+        "rule",
+        "pattern",
+    ).withColumn(
+        "_like_tmp",
+        F.replace(
+            F.replace(
+                F.replace(
+                    F.replace(F.col("pattern"), F.lit("\\"), F.lit("\\\\")),
+                    F.lit("%"),
+                    F.lit("\\%"),
+                ),
+                F.lit("_"),
+                F.lit("\\_"),
+            ),
+            F.lit("*"),
+            F.lit("%"),
+        ),
+    )
+    r = r.withColumn(
+        "_like",
+        F.when(
+            F.col("pattern").endswith("$"),
+            F.expr("substring(_like_tmp, 1, length(_like_tmp) - 1)"),
+        ).otherwise(F.concat(F.col("_like_tmp"), F.lit("%"))),
+    ).withColumn(
+        "_plen",
+        F.when(
+            F.col("pattern").endswith("$"), F.length("pattern") - 1
+        ).otherwise(F.length("pattern")),
+    )
+    p = paths.select(
+        F.col(host_col).alias("host"), F.col(path_col).alias("path")
+    ).distinct()
+    joined = p.join(
+        F.broadcast(r),
+        (p["host"] == r["r_host"])
+        & F.expr("path like _like escape '\\\\'"),
+        "left",
+    )
+
+    def _best(era: str):
+        return F.min(
+            F.when(
+                F.col("pattern").isNotNull() & (F.col("era") == era),
+                F.struct(
+                    (-F.col("_plen")).alias("nl"),
+                    F.when(F.col("rule") == "allow", F.lit(0))
+                    .otherwise(F.lit(1))
+                    .alias("ra"),
+                    F.col("pattern").alias("pat"),
+                    F.col("rule").alias("rl"),
+                ),
+            )
+        )
+
+    pick = joined.groupBy("host", "path").agg(
+        _best("old").alias("bo"), _best("new").alias("bn")
+    )
+    old_ok = F.coalesce(F.col("bo.rl") != "disallow", F.lit(True))
+    new_ok = F.coalesce(F.col("bn.rl") != "disallow", F.lit(True))
+    return pick.select(
+        "host",
+        "path",
+        old_ok.alias("old_allowed"),
+        new_ok.alias("new_allowed"),
+        F.col("bo.pat").alias("old_pattern"),
+        F.col("bn.pat").alias("new_pattern"),
+        F.when(old_ok & ~new_ok, F.lit("revoked"))
+        .when(~old_ok & new_ok, F.lit("opened"))
+        .when(new_ok, F.lit("unchanged_allowed"))
+        .otherwise(F.lit("unchanged_disallowed"))
+        .alias("transition"),
+    )
+
+
+def policy_diff_oracle_sql(
+    paths_sql: str, old_rules_sql: str, new_rules_sql: str
+) -> str:
+    """DuckDB recomputation of :func:`robots_policy_diff` — the same
+    LIKE compilation, the same two conditional longest-match argmaxes,
+    the same transition labels."""
+    return f"""
+        with p as (select distinct host, path from ({paths_sql}) a),
+        r0 as (select 'old' era, host r_host, rule, pattern
+               from ({old_rules_sql}) b
+               union all
+               select 'new' era, host r_host, rule, pattern
+               from ({new_rules_sql}) c),
+        r as (select *,
+                replace(replace(replace(replace(pattern,
+                  '\\', '\\\\'), '%', '\\%'), '_', '\\_'), '*', '%')
+                  lt
+              from r0),
+        r2 as (select era, r_host, rule, pattern,
+                      case when pattern like '%$'
+                           then substring(lt, 1, length(lt) - 1)
+                           else lt || '%' end lk,
+                      case when pattern like '%$'
+                           then length(pattern) - 1
+                           else length(pattern) end plen
+               from r),
+        j as (select p.host, p.path, r2.era, r2.rule, r2.pattern, r2.plen
+              from p left join r2 on p.host = r2.r_host
+               and p.path like r2.lk escape '\\'),
+        pick as (select host, path,
+                        min(case when pattern is not null and era = 'old'
+                          then struct_pack(nl := -plen,
+                                           ra := (rule <> 'allow')::int,
+                                           pat := pattern, rl := rule)
+                        end) bo,
+                        min(case when pattern is not null and era = 'new'
+                          then struct_pack(nl := -plen,
+                                           ra := (rule <> 'allow')::int,
+                                           pat := pattern, rl := rule)
+                        end) bn
+                 from j group by 1, 2)
+        select host, path,
+               coalesce(bo.rl <> 'disallow', true) old_allowed,
+               coalesce(bn.rl <> 'disallow', true) new_allowed,
+               bo.pat old_pattern,
+               bn.pat new_pattern,
+               case when coalesce(bo.rl <> 'disallow', true)
+                     and not coalesce(bn.rl <> 'disallow', true)
+                    then 'revoked'
+                    when not coalesce(bo.rl <> 'disallow', true)
+                     and coalesce(bn.rl <> 'disallow', true)
+                    then 'opened'
+                    when coalesce(bn.rl <> 'disallow', true)
+                    then 'unchanged_allowed'
+                    else 'unchanged_disallowed' end transition
+        from pick
+    """

@@ -586,3 +586,36 @@ def test_c4_clean_handcrafted(spark):
     assert (got[7]["kept"], got[7]["reason"]) == (False, "lorem_ipsum")
     assert (got[8]["kept"], got[8]["reason"]) == (False, "too_few_lines")
     assert all(got[i]["clean_md5"] is None for i in (5, 6, 7, 8))
+
+
+def test_gopher_rules_handcrafted(spark):
+    """Each Gopher rule isolated on a handcrafted doc, in the paper's
+    precedence order, plus a clean pass-through doc."""
+    from podcast_crawler_spark.operators.curation import gopher_rules
+
+    base = ("the cat and that dog have fun with them "
+            "running around every single day outside")  # 14 words, alpha
+    good = " ".join([base] * 5)  # 70 words, stopwords present
+    rows = [
+        (1, good),                                        # kept
+        (2, "too short with the and"),                    # word_count
+        (3, " ".join(["a"] * 60) + " the and"),           # mean len < 3
+        (4, good + " " + " ".join(["#"] * 20)),           # symbol_ratio
+        (5, good + "\n" + "\n".join(["- b c d"] * 9)),    # bullet 9/10
+        (6, good + "\n" + "\n".join(["x y z w v..."] * 4)),  # 4/5 ellipsis
+        (7, good + " " + " ".join(["123"] * 30)),         # alpha_words
+        (8, " ".join(["alpha beta gamma delta"] * 20)),   # stopwords < 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: (r["kept"], r["reason"]) for r in gopher_rules(df).collect()}
+    assert got[1] == (True, None)
+    assert got[2] == (False, "word_count")
+    assert got[3] == (False, "mean_word_len")
+    assert got[4] == (False, "symbol_ratio")
+    assert got[5] == (False, "bullet_lines")
+    # doc 6: 4 of 5 lines end '...' (>= 30%) while the 4 ellipsis
+    # SYMBOLS stay under the symbol-ratio bar (40 <= 90 words), so the
+    # line rule — not the symbol rule — is what fires
+    assert got[6] == (False, "ellipsis_lines")
+    assert got[7] == (False, "alpha_words")
+    assert got[8] == (False, "stopwords")

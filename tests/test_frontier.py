@@ -715,3 +715,43 @@ def test_drain_feasibility_cases(spark):
     assert got["growing"]["epochs_to_drain_net"] is None
     assert got["exact"]["epochs_to_drain"] == 5
     assert got["exact"]["drains"] is True
+
+
+def test_robots_policy_diff_transitions(spark):
+    """All four transitions over a hand-built two-epoch policy,
+    including longest-match precedence flips and the no-rule default."""
+    from podcast_crawler_spark.operators.robots import robots_policy_diff
+
+    paths = spark.createDataFrame(
+        [
+            ("h", "/keep/x"),      # never matched: unchanged_allowed
+            ("h", "/old/x"),       # banned both eras: unchanged_disallowed
+            ("h", "/gone/x"),      # banned old, ban lifted: opened
+            ("h", "/fresh/x"),     # unmatched old, banned new: revoked
+            ("h", "/ok/sub/x"),    # allow outranks disallow in new era
+        ],
+        "host string, path string",
+    )
+    old = spark.createDataFrame(
+        [("h", "disallow", "/old/"), ("h", "disallow", "/gone/")],
+        "host string, rule string, pattern string",
+    )
+    new = spark.createDataFrame(
+        [
+            ("h", "disallow", "/old/"),
+            ("h", "disallow", "/fresh/"),
+            ("h", "disallow", "/ok/"),
+            ("h", "allow", "/ok/sub/"),
+        ],
+        "host string, rule string, pattern string",
+    )
+    got = {
+        r["path"]: (r["old_allowed"], r["new_allowed"], r["transition"])
+        for r in robots_policy_diff(paths, old, new).collect()
+    }
+    assert got["/keep/x"] == (True, True, "unchanged_allowed")
+    assert got["/old/x"] == (False, False, "unchanged_disallowed")
+    assert got["/gone/x"] == (False, True, "opened")
+    assert got["/fresh/x"] == (True, False, "revoked")
+    # /ok/sub/ (allow, len 8) outranks /ok/ (disallow, len 4)
+    assert got["/ok/sub/x"] == (True, True, "unchanged_allowed")
