@@ -300,7 +300,12 @@ def _bucketed_prefix_sum(
     local = df.withColumn("local_cum", F.sum(val_col).over(local_w))
     for v in extra_val_cols:
         local = local.withColumn(f"local_cum__{v}", F.sum(v).over(local_w))
+    # EAGER fill (PLANS.md eager-truncation discipline): offsets ride a
+    # broadcast, and a broadcast subtree executes as a concurrent job —
+    # with a cold lazy cache both it and the final join's probe side
+    # would run the corpus window pass independently
     local = local.cache()
+    local.count()
     offsets_w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
     aggs = [F.max("local_cum").alias("bkt_total")] + [
         F.max(f"local_cum__{v}").alias(f"bkt_total__{v}")

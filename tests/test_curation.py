@@ -619,3 +619,17 @@ def test_gopher_rules_handcrafted(spark):
     assert got[6] == (False, "ellipsis_lines")
     assert got[7] == (False, "alpha_words")
     assert got[8] == (False, "stopwords")
+
+
+def test_c4_and_gopher_zero_exchange_plans(spark):
+    """Both cleaning passes must be pure codegen projections — zero
+    exchanges, so they compose with any upstream partitioning."""
+    from podcast_crawler_spark.operators.curation import c4_clean, gopher_rules
+
+    df = spark.createDataFrame(
+        [(1, "the cat and that dog have fun with them today.")],
+        "doc_id long, text string",
+    )
+    for op in (c4_clean, gopher_rules):
+        plan = op(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, (op.__name__, plan)

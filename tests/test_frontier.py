@@ -755,3 +755,48 @@ def test_robots_policy_diff_transitions(spark):
     assert got["/fresh/x"] == (True, False, "revoked")
     # /ok/sub/ (allow, len 8) outranks /ok/ (disallow, len 4)
     assert got["/ok/sub/x"] == (True, True, "unchanged_allowed")
+
+
+def test_robots_policy_diff_single_pass_plan(spark):
+    """The one-pass claim, pinned: the URL set is scanned and shuffled
+    ONCE (a single hash exchange for the (host, path) argmax groupBy);
+    the era-tagged rules ride a broadcast — there is no second join or
+    exchange for the second era."""
+    from podcast_crawler_spark.operators.robots import robots_policy_diff
+
+    paths = spark.createDataFrame(
+        [("h", f"/p/{i}") for i in range(50)], "host string, path string"
+    )
+    old = spark.createDataFrame(
+        [("h", "disallow", "/p/1")], "host string, rule string, pattern string"
+    )
+    new = spark.createDataFrame(
+        [("h", "disallow", "/p/2")], "host string, rule string, pattern string"
+    )
+    plan = (
+        robots_policy_diff(paths, old, new)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" in plan
+    n_shuffles = plan.count("Exchange hashpartitioning")
+    assert n_shuffles <= 2, plan  # distinct + argmax groupBy, nothing per-era
+
+
+def test_drain_feasibility_no_exchange_plan(spark):
+    """Pure projection past the rollup: zero exchanges inside the
+    operator itself."""
+    from podcast_crawler_spark.operators.frontier import drain_feasibility
+
+    q = spark.createDataFrame(
+        [("h", 10, 100, 1)],
+        "host string, backlog long, delay_ms long, arrivals long",
+    )
+    plan = (
+        drain_feasibility(q, 60_000, 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
