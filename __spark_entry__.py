@@ -5124,6 +5124,124 @@ _DRIVER_WINDOW = [
 ]
 
 
+def _host_template_lines(spark, sf_dir):
+    # per-host template-line removal (the cross-page boilerplate signal
+    # paragraph_dedup's global count cannot express): hosts are
+    # doc_id % 23; docs are split into 8-token lines (unique prose) and
+    # three synthetic chrome lines are appended — a per-host newsletter
+    # footer on EVERY doc (always template), a cookie banner on even
+    # doc_ids (~50%, riding the exact 50% threshold each host resolves
+    # by its own integer counts), and a promo line on every 5th doc
+    # (~20%, kept).  clean_md5 replays the transform, not the boolean.
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 23).cast("string"))
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
+    nline = F.greatest(
+        F.expr(
+            "(size(filter(split(text, ' '), t -> length(t) > 0)) + 7)"
+            " div 8"
+        ),
+        F.lit(1),
+    )
+    lines = F.transform(
+        F.sequence(F.lit(0), (nline - 1).cast("int")),
+        lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+    )
+    empty = F.array().cast("array<string>")
+    extra = F.concat(
+        F.array(F.concat(F.lit("subscribe to newsletter of "), host,
+                         F.lit("."))),
+        F.when(
+            d % 2 == 0,
+            F.array(F.concat(F.lit("cookie banner "), host, F.lit("."))),
+        ).otherwise(empty),
+        F.when(
+            d % 5 == 0,
+            F.array(F.concat(F.lit("promo day "), host, F.lit("."))),
+        ).otherwise(empty),
+    )
+    staged = docs.select(
+        "doc_id",
+        host.alias("host"),
+        F.array_join(F.concat(lines, extra), "\n").alias("text"),
+    )
+    return curation.host_template_lines(staged)
+
+
+_TEMPLATE_DOCS_SQL = """
+    select id, host, array_to_string(all_lines, chr(10)) as text
+    from (
+      select doc_id id, 'h' || cast(doc_id % 23 as varchar) as host,
+             [array_to_string(t[(i-1)*8+1:(i-1)*8+8], ' ')
+              for i in range(1, greatest((len(t)+7)//8, 1) + 1)]
+             || ['subscribe to newsletter of h'
+                 || cast(doc_id % 23 as varchar) || '.']
+             || case when doc_id % 2 = 0
+                then ['cookie banner h' || cast(doc_id % 23 as varchar)
+                      || '.']
+                else []::VARCHAR[] end
+             || case when doc_id % 5 = 0
+                then ['promo day h' || cast(doc_id % 23 as varchar) || '.']
+                else []::VARCHAR[] end as all_lines
+      from (select doc_id,
+                   list_filter(string_split(text, ' '), x -> len(x) > 0) t
+            from documents) s) z
+"""
+
+
+def _ccnet_buckets(spark, sf_dir):
+    # CCNet per-language perplexity terciles over the corpus-trained
+    # unigram LM (vocab 16, same cap as lm_surprisal so OOV is live):
+    # integer micro-bits score, distributed two-phase rank (no
+    # per-language global window), exact-thirds head/middle/tail.
+    return textstats.ccnet_buckets(
+        _t(spark, sf_dir, "documents"), vocab_size=16
+    )
+
+
+def _wet_export(spark, sf_dir):
+    # distributed WET sink (Common Crawl's text-extract archive — the
+    # LLM-pipeline hand-off format): same declaratively-planned layout
+    # as warc_export (closed-form record lengths, two-phase prefix
+    # sums) with conversion records and a deterministic Refers-To
+    # digest; the oracle rebuilds every record's md5 from field values.
+    from podcast_crawler_spark.sources.warc import wet_export
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    staged = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://archive.example.org/text/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.expr(
+            "timestamp '2024-01-01 00:00:00'"
+            " + make_dt_interval(0, 0, 0, doc_id)"
+        ).alias("warc_ts"),
+        "text",
+    )
+    return wet_export(staged, _scratch_dir("wetexp"), shard_rows=250)
+
+
+def _wet_export_oracle() -> str:
+    from podcast_crawler_spark.sources.warc import wet_export_oracle_sql
+
+    docs_sql = """
+        select doc_id as id,
+               'https://archive.example.org/text/'
+                   || cast(doc_id as varchar) as url,
+               TIMESTAMP '2024-01-01 00:00:00'
+                   + doc_id * INTERVAL 1 SECOND as ts,
+               text as body
+        from documents
+        where doc_id is not null and text is not null
+    """
+    return wet_export_oracle_sql(docs_sql, shard_rows=250)
+
+
 # Per-query bootstrap steps the bench times separately (as
 # "<name>_build" rows) so steady-state query rows measure steady-state
 # cost: in production these run once and amortize across crawl batches.
@@ -5339,6 +5457,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": _c4_clean,
         "gopher_filter": _gopher_filter,
         "robots_policy_diff": _robots_policy_diff,
+        "host_template_lines": _host_template_lines,
+        "ccnet_buckets": _ccnet_buckets,
+        "wet_export": _wet_export,
     }
 
 
@@ -7927,4 +8048,20 @@ def oracle_sql() -> dict[str, str]:
             from parsed_ok
             join read_parquet('{FIXTURES}/crawl_episodes.parquet') e using (url)
         """,
+        # per-host template lines: distinct-doc frequency, the
+        # cross-multiplied threshold rule, and the cleaned-text md5
+        # all replayed over the same synthesized line structure
+        "host_template_lines": curation.host_template_oracle_sql(
+            _TEMPLATE_DOCS_SQL
+        ),
+        # CCNet terciles: lm train+score chain, integer micro-bits
+        # score, naive per-language window rank vs the engine's
+        # two-phase distributed prefix-sum rank, exact-thirds buckets
+        "ccnet_buckets": textstats.ccnet_oracle_sql(
+            "select doc_id id, lang, text from documents", vocab_size=16
+        ),
+        # WET sink: closed-form record lengths, shard/byte layout, and
+        # every record's md5 (incl. the deterministic Refers-To digest)
+        # rebuilt from field values
+        "wet_export": _wet_export_oracle(),
     }

@@ -164,6 +164,9 @@ BENCH_QUERIES = [
     "c4_clean",
     "gopher_filter",
     "robots_policy_diff",
+    "host_template_lines",
+    "ccnet_buckets",
+    "wet_export",
 ]
 
 

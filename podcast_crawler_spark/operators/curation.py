@@ -1163,3 +1163,136 @@ def gopher_oracle_sql(
                  END reason
           FROM m) r
     """
+
+
+def host_template_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    host_col: str = "host",
+    min_frac_ppm: int = 500_000,
+    min_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Per-host template-line removal — the boilerplate stage
+    :func:`paragraph_dedup` cannot express: a line is chrome because it
+    repeats across the pages of ITS host (nav bars, cookie banners,
+    footer legalese appear on 90%+ of a site's pages), not because it
+    is globally frequent.  A host's "subscribe" footer on 48 of its 50
+    pages is template even if no other site shares the string; a
+    globally common sentence quoted once on a 10k-page site is not.
+    This is the site-template heuristic behind production web-text
+    extractors (the cross-page frequency signal in boilerplate removal
+    à la Gibson/Punera/Tomkins '05 template detection), applied at line
+    granularity.  Reference anchor: the Rust parser strips per-feed
+    constant chrome inline (parser/mod.rs sanitize path); a corpus
+    engine must learn it per host instead.
+
+    Rule (integer, replayable): line L is template on host h iff
+    ``docs_containing(h, L) >= min_docs`` AND
+    ``docs_containing(h, L) * 1_000_000 >= min_frac_ppm * n_docs(h)``.
+    Containment is per DISTINCT doc, so a line repeated inside one page
+    doesn't vote twice.  Output per doc:
+    ``(id, host, n_lines, n_template, template_ppm, clean_md5)`` where
+    ``clean_md5`` hashes the surviving lines rejoined with *sep* in
+    original order — the transform itself is what the oracle checks.
+
+    Scale shape: same two-text-exchange discipline as
+    :func:`paragraph_dedup` — ``posexplode`` is narrow; the per-host
+    doc-frequency table groups 16-byte digests keyed ``(host, digest)``
+    (map-side combine after a distinct over ``(host, digest, id)``);
+    the template set is the tiny high-frequency tail of that table (a
+    host has ~dozens of template lines), joined back digest-keyed (line
+    text crosses the exchange once) before the ``groupBy(doc)``
+    reassembly (text crosses once more).  Host-size skew dilutes into
+    line rows; ``n_docs`` per host is an O(hosts) broadcast.
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "line"),
+    ).withColumn("digest", F.md5("line"))
+    host_docs = df.groupBy(F.col(host_col).alias("host")).agg(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    dfh = (
+        lines.select("host", "digest", "id")
+        .distinct()
+        .groupBy("host", "digest")
+        .agg(F.count("*").alias("dfh"))
+    )
+    tmpl = (
+        dfh.join(F.broadcast(host_docs), "host")
+        .filter(
+            (F.col("dfh") >= int(min_docs))
+            & (F.col("dfh") * 1_000_000 >= int(min_frac_ppm) * F.col("n_docs"))
+        )
+        .select("host", "digest", F.lit(True).alias("is_tmpl"))
+    )
+    flagged = lines.join(tmpl, ["host", "digest"], "left").withColumn(
+        "is_tmpl", F.coalesce(F.col("is_tmpl"), F.lit(False))
+    )
+    parts = F.sort_array(F.collect_list(F.struct("idx", "line", "is_tmpl")))
+    keep = F.filter(parts, lambda p: ~p["is_tmpl"])
+    n_lines = F.count("*")
+    n_template = F.sum(F.col("is_tmpl").cast("long"))
+    return flagged.groupBy("id", "host").agg(
+        n_lines.alias("n_lines"),
+        n_template.alias("n_template"),
+        F.expr("1000000 * sum(cast(is_tmpl as long)) div count(*)").alias(
+            "template_ppm"
+        ),
+        F.md5(
+            F.array_join(F.transform(keep, lambda p: p["line"]), sep)
+        ).alias("clean_md5"),
+    )
+
+
+def host_template_oracle_sql(
+    docs_sql: str,
+    min_frac_ppm: int = 500_000,
+    min_docs: int = 2,
+) -> str:
+    """DuckDB replay of :func:`host_template_lines` (sep = newline):
+    parallel ``unnest`` zips line and position, the per-host distinct
+    doc-frequency and the cross-multiplied template rule are literal,
+    and ``clean_md5`` is rebuilt via an ordered ``string_agg`` over the
+    surviving lines (NULL-skipping = the filter; coalesce keeps the
+    all-template doc at ``md5('')`` like Spark's empty array_join).
+    *docs_sql* must yield (id, host, text)."""
+    return f"""
+        WITH base AS ({docs_sql}),
+        lines AS (
+          SELECT id, host,
+                 unnest(range(1, len(ln) + 1)) - 1 AS idx,
+                 unnest(ln) AS line
+          FROM (SELECT id, host, string_split(text, chr(10)) ln
+                FROM base) s
+        ),
+        l AS (SELECT *, md5(line) digest FROM lines),
+        hd AS (SELECT host, count(DISTINCT id)::BIGINT n_docs
+               FROM base GROUP BY host),
+        dfh AS (SELECT host, digest, count(DISTINCT id)::BIGINT dfh
+                FROM l GROUP BY host, digest),
+        tmpl AS (
+          SELECT host, digest FROM dfh JOIN hd USING (host)
+          WHERE dfh >= {int(min_docs)}
+            AND dfh * 1000000 >= {int(min_frac_ppm)} * n_docs
+        ),
+        fl AS (
+          SELECT l.id, l.host, l.idx, l.line,
+                 (t.digest IS NOT NULL) AS is_tmpl
+          FROM l LEFT JOIN tmpl t
+            ON l.host = t.host AND l.digest = t.digest
+        )
+        SELECT id, host,
+               count(*)::BIGINT AS n_lines,
+               sum(CASE WHEN is_tmpl THEN 1 ELSE 0 END)::BIGINT
+                   AS n_template,
+               (1000000 * sum(CASE WHEN is_tmpl THEN 1 ELSE 0 END)
+                   // count(*))::BIGINT AS template_ppm,
+               md5(coalesce(
+                   string_agg(CASE WHEN NOT is_tmpl THEN line END,
+                              chr(10) ORDER BY idx), '')) AS clean_md5
+        FROM fl GROUP BY id, host
+    """

@@ -1307,3 +1307,146 @@ def lid_agreement(
         .otherwise(F.lit("quarantine"))
         .alias("decision"),
     )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    vocab_size: int = 4096,
+    bins_per_lang: int = 1024,
+    bin_width_ppm: int = 250_000,
+) -> DataFrame:
+    """CCNet-style per-language perplexity terciles (Wenzek et al.
+    2020 §4.3): score every document with the corpus-trained LM, rank
+    it WITHIN ITS LANGUAGE, and cut each language's distribution into
+    ``head`` / ``middle`` / ``tail`` thirds — the bucketing CCNet ships
+    as its quality signal (head = lowest perplexity ≈ Wikipedia-like).
+    Built on :func:`lm_surprisal`'s exact integer bits; the ranking key
+    is ``score_ppm = (1_000_000 * sum_bits) div n_tokens`` — an integer
+    micro-bits mean, so ordering never touches a float and every rank
+    replays cross-engine (ties broken by id, a total order).
+
+    Bucket rule (exact thirds, first buckets no smaller): doc at
+    1-based rank r of n_lang docs lands in bucket index
+    ``((r - 1) * 3) div n_lang`` → 0=head, 1=middle, 2=tail — the
+    integer form of NTILE(3) without relying on either engine's NTILE
+    edge semantics.
+
+    Scale shape: a global per-language sort is what a naive
+    ``row_number() over (partition by lang)`` would do — one task per
+    language, and English IS the corpus.  Instead the rank is a
+    two-phase distributed prefix sum over score-range buckets
+    (``curation._bucketed_prefix_sum``): ``bkt = lidx * bins_per_lang +
+    min(score_ppm div bin_width_ppm, bins_per_lang - 1)`` is monotone
+    in the global (lang, score, id) order, so each task window-sorts
+    only its score slice and the fold is B rows.  Per-language rank =
+    global prefix − the language's cumulative start (an O(langs)
+    broadcast).  Nothing wider than (id, lang, score) shuffles.
+
+    Output: ``(id, lang, score_ppm, rk, bucket)``.
+    """
+    from .curation import _bucketed_prefix_sum
+
+    scored = lm_surprisal(
+        df, text_col=text_col, id_col=id_col, vocab_size=vocab_size
+    ).select(
+        "id",
+        F.expr("1000000 * sum_bits div n_tokens").alias("score_ppm"),
+    )
+    langs = df.select(
+        F.col(id_col).alias("id"), F.col(lang_col).alias("lang")
+    )
+    rows = scored.join(langs, "id")
+
+    lang_idx = (
+        rows.groupBy("lang")
+        .agg(F.count("*").alias("n_lang"))
+        .orderBy("lang")
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.orderBy("lang").rowsBetween(_W.unboundedPreceding, -1)
+    lang_idx = lang_idx.select(
+        "lang",
+        "n_lang",
+        (F.row_number().over(_W.orderBy("lang")) - 1).alias("lidx"),
+        F.coalesce(F.sum("n_lang").over(w), F.lit(0)).alias("lang_before"),
+    )
+
+    staged = rows.join(F.broadcast(lang_idx), "lang").select(
+        "id",
+        "lang",
+        "score_ppm",
+        "n_lang",
+        "lang_before",
+        (
+            F.col("lidx") * int(bins_per_lang)
+            + F.least(
+                F.expr(f"score_ppm div {int(bin_width_ppm)}"),
+                F.lit(int(bins_per_lang) - 1),
+            )
+        ).alias("bkt"),
+        F.lit(1).cast("long").alias("one"),
+    )
+    pr = _bucketed_prefix_sum(staged, "one", ["lang", "score_ppm", "id"])
+    ranked = pr.select(
+        "id",
+        "lang",
+        "score_ppm",
+        (F.col("bkt_offset") + F.col("local_cum") - F.col("lang_before"))
+        .alias("rk"),
+        "n_lang",
+    )
+    return ranked.select(
+        "id",
+        "lang",
+        "score_ppm",
+        "rk",
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+            (F.expr("(rk - 1) * 3 div n_lang") + 1).cast("int"),
+        ).alias("bucket"),
+    )
+
+
+def ccnet_oracle_sql(docs_sql: str, vocab_size: int = 4096) -> str:
+    """DuckDB replay of :func:`ccnet_buckets`: the lm_surprisal train +
+    score chain (same bit-length quantization), integer micro-bits
+    score, naive per-language window rank ordered by (score_ppm, id),
+    and the exact-thirds bucket rule.  *docs_sql* must yield
+    (id, lang, text)."""
+    return f"""
+        WITH base AS ({docs_sql}),
+        tok AS (SELECT id,
+                       unnest(list_filter(string_split(text, ' '),
+                                          x -> len(x) > 0)) token
+                FROM base),
+        c AS (SELECT token, count(*) c FROM tok GROUP BY 1),
+        n AS (SELECT sum(c)::BIGINT n FROM c),
+        v AS (SELECT token, c FROM c
+              ORDER BY c DESC, token LIMIT {int(vocab_size)}),
+        s AS (SELECT tok.id,
+                     (length(printf('%b', (SELECT n FROM n)))
+                      - length(printf('%b', coalesce(v.c, 0) + 1)))::BIGINT
+                         bits
+              FROM tok LEFT JOIN v USING (token)),
+        d AS (SELECT id, count(*)::BIGINT n_tokens,
+                     sum(bits)::BIGINT sum_bits
+              FROM s GROUP BY id),
+        sc AS (SELECT d.id, base.lang,
+                      (1000000 * d.sum_bits // d.n_tokens)::BIGINT score_ppm
+               FROM d JOIN base ON d.id = base.id),
+        r AS (SELECT *,
+                     row_number() OVER (
+                         PARTITION BY lang ORDER BY score_ppm, id
+                     )::BIGINT rk,
+                     count(*) OVER (PARTITION BY lang)::BIGINT n_lang
+              FROM sc)
+        SELECT id, lang, score_ppm, rk,
+               CASE ((rk - 1) * 3 // n_lang)
+                    WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM r
+    """

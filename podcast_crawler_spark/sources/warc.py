@@ -76,6 +76,7 @@ def _parse_http_payload(block: bytes) -> Tuple[Optional[int], bytes]:
 
 def parse_warc_records(
     data: bytes,
+    record_types: Tuple[bytes, ...] = (b"response",),
 ) -> List[Tuple[str, Optional[datetime], Optional[int], bytes, int, int]]:
     """Parse one WARC file's bytes → [(url, ts, http_status, body,
     offset, rec_length)].  Tolerates a truncated final record (dropped).
@@ -84,7 +85,13 @@ def parse_warc_records(
     trailing CRLF pair — in the UNCOMPRESSED stream (for per-member-gz
     archives à la Common Crawl, member boundaries coincide with record
     boundaries, so the same walk over member offsets yields the
-    compressed variant)."""
+    compressed variant).
+
+    *record_types* selects which WARC-Type values yield rows:
+    ``response`` records carry an HTTP message (status parsed, body =
+    HTTP payload); ``conversion`` records (WET text extracts) carry
+    the block verbatim (status None) — the read side of
+    :func:`wet_export`."""
     if data[:2] == b"\x1f\x8b":  # gzip magic: member-per-record or whole-file
         data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
     out = []
@@ -113,10 +120,8 @@ def parse_warc_records(
         pos = block_end
         while pos < n and data[pos:pos + 2] == b"\r\n":
             pos += 2
-        if (
-            headers.get(b"warc-type") == b"response"
-            and b"warc-target-uri" in headers
-        ):
+        rtype = headers.get(b"warc-type")
+        if rtype in record_types and b"warc-target-uri" in headers:
             url = headers[b"warc-target-uri"].decode("utf-8", "replace")
             ts = None
             if b"warc-date" in headers:
@@ -126,7 +131,12 @@ def parse_warc_records(
                     ).replace(tzinfo=timezone.utc)
                 except ValueError:
                     ts = None
-            status, body = _parse_http_payload(data[block_start:block_end])
+            if rtype == b"response":
+                status, body = _parse_http_payload(
+                    data[block_start:block_end]
+                )
+            else:
+                status, body = None, data[block_start:block_end]
             out.append((url, ts, status, body, rec_start, pos - rec_start))
     return out
 
@@ -612,3 +622,253 @@ def revisit_records(
         .cast("long")
         .alias("bytes_saved"),
     )
+
+
+def _format_wet_record(url: str, ts: datetime, text_bytes: bytes) -> bytes:
+    """One WET ``conversion`` record's exact bytes (ISO 28500 WARC-Type
+    conversion — the Common Crawl WET text-extract sibling of
+    :func:`_format_record`).  ``WARC-Refers-To`` is derived
+    deterministically from (url, date) — the sandbox equivalent of
+    pointing at the response record's ID, chosen so the DuckDB oracle
+    can rebuild the byte-exact record from field values alone."""
+    import hashlib
+
+    date = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+    refers = hashlib.md5(f"{url}|{date}".encode()).hexdigest()
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"WARC-Refers-To: <urn:md5:{refers}>\r\n"
+        "Content-Type: text/plain\r\n"
+        f"Content-Length: {len(text_bytes)}\r\n\r\n"
+    ).encode()
+    return head + text_bytes + b"\r\n\r\n"
+
+
+# fixed byte overhead of a WET record: everything except the url bytes,
+# the Content-Length digit width, and the payload itself (the date is
+# always 20 bytes, the refers-md5 always 32) — derived from the
+# formatter so the constant can never drift from the writer.
+_WET_FIXED = len(
+    _format_wet_record("", datetime(2000, 1, 1, 0, 0, 0), b"")
+) - 1
+
+
+def wet_record_length_expr(url_col: str, text_col: str):
+    """Spark column: the exact byte length :func:`_format_wet_record`
+    will produce — ``_WET_FIXED`` + url bytes + the digit width of the
+    payload length + the payload bytes (``octet_length``: bytes, not
+    chars, so multi-byte text plans correctly)."""
+    from pyspark.sql import functions as F
+
+    body_b = F.octet_length(F.col(text_col)).cast("long")
+    return (
+        F.lit(int(_WET_FIXED)).cast("long")
+        + F.octet_length(F.col(url_col)).cast("long")
+        + F.length(body_b.cast("string")).cast("long")
+        + body_b
+    )
+
+
+def wet_export(
+    docs: DataFrame,
+    out_dir: str,
+    shard_rows: int = 1000,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Distributed WET sink — the text-extract archive layout Common
+    Crawl publishes beside its WARCs (``*.warc.wet``: one
+    ``conversion`` record per page, payload = extracted text).  The
+    write-side completion of the archive family: :func:`read_warc`
+    (WARC in) / :func:`warc_export` (WARC out) / :func:`cdx_index`
+    (serving index) / this (the LLM-pipeline hand-off — WET is what
+    text-corpus consumers actually download).
+
+    Identical planning discipline to :func:`warc_export`: record
+    lengths are the closed form :func:`wet_record_length_expr`, global
+    position + byte prefix come from ONE two-phase bucketed prefix-sum
+    pass, the writer only CONFIRMS the plan (fail-loud on drift) and
+    emits manifest rows ``(id, url, shard_id, file_name, rec_offset,
+    rec_length, record_md5)`` with the md5 of the real written bytes —
+    which the oracle rebuilds from field values, checking writer and
+    prefix-sum fold in one gate.  Scale notes as in
+    :func:`warc_export` (text rides two exchanges; the write
+    dominates at archive scale).
+    """
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..operators.curation import _bucketed_prefix_sum
+
+    if shard_rows <= 0:
+        raise ValueError(f"shard_rows must be positive, got {shard_rows}")
+    staged = docs.filter(F.col(id_col).isNotNull()).select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("ts"),
+        F.col(text_col).alias("body"),
+    ).withColumn(
+        "rec_length", wet_record_length_expr("url", "body")
+    ).withColumn("one", F.lit(1).cast("long"))
+    if num_partitions is None:
+        num_partitions = int(
+            docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    lo, hi = staged.agg(F.min("id"), F.max("id")).first()
+    if lo is None:
+        lo, width = 0, 1
+    else:
+        width = max((hi - lo) // num_partitions + 1, 1)
+    bucketed = staged.withColumn(
+        "bkt",
+        F.coalesce(
+            ((F.col("id") - F.lit(lo)) / F.lit(width)).cast("long"), F.lit(0)
+        ),
+    )
+    pr = _bucketed_prefix_sum(
+        bucketed, "one", ["id"], extra_val_cols=("rec_length",)
+    )
+    rows = pr.select(
+        "id", "url", "ts", "body", "rec_length",
+        (F.col("bkt_offset") + F.col("local_cum") - 1).alias("pos"),
+        (
+            F.col("bkt_offset__rec_length")
+            + F.col("local_cum__rec_length")
+            - F.col("rec_length")
+        ).alias("byte_excl"),
+    ).withColumn("shard_id", F.expr(f"pos div {int(shard_rows)}"))
+    starts = rows.groupBy("shard_id").agg(
+        F.min("byte_excl").alias("shard_start")
+    )
+    rows = rows.join(F.broadcast(starts), "shard_id").withColumn(
+        "rec_offset", F.col("byte_excl") - F.col("shard_start")
+    )
+
+    def _write(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("pos").reset_index(drop=True)
+        sid = int(pdf["shard_id"].iloc[0])
+        fname = f"part-{sid:05d}.warc.wet"
+        buf = io.BytesIO()
+        out = []
+        for r in pdf.itertuples(index=False):
+            if buf.tell() != int(r.rec_offset):
+                raise ValueError(
+                    f"planned offset {r.rec_offset} != actual {buf.tell()}"
+                    f" for {r.url} in shard {sid}"
+                )
+            rec = _format_wet_record(r.url, r.ts, str(r.body).encode())
+            if len(rec) != int(r.rec_length):
+                raise ValueError(
+                    f"planned length {r.rec_length} != actual {len(rec)}"
+                    f" for {r.url} (wet_record_length_expr drift)"
+                )
+            buf.write(rec)
+            out.append((
+                int(r.id), r.url, sid, fname, int(r.rec_offset),
+                int(r.rec_length), hashlib.md5(rec).hexdigest(),
+            ))
+        os.makedirs(out_dir, exist_ok=True)  # concurrent-safe on local FS
+        with open(os.path.join(out_dir, fname), "wb") as fh:
+            fh.write(buf.getvalue())
+        return pd.DataFrame(
+            out, columns=[f.name for f in EXPORT_MANIFEST_SCHEMA.fields]
+        )
+
+    return rows.groupBy("shard_id").applyInPandas(
+        _write, schema=EXPORT_MANIFEST_SCHEMA
+    )
+
+
+def wet_export_oracle_sql(docs_sql: str, shard_rows: int = 1000) -> str:
+    """DuckDB recomputation of the ENTIRE :func:`wet_export` layout —
+    closed-form record lengths, naive-window global order, shard
+    assignment, per-shard byte offsets, and each record's md5 rebuilt
+    from the literal header strings (including the deterministic
+    Refers-To digest).  *docs_sql* must yield
+    (id, url, ts TIMESTAMP, body VARCHAR-utf8)."""
+    crlf = "chr(13) || chr(10)"
+    return f"""
+        WITH p AS (SELECT * FROM ({docs_sql})),
+        l AS (
+            SELECT id, url, ts, body,
+                   {int(_WET_FIXED)} + strlen(url)
+                       + length(CAST(strlen(body) AS VARCHAR))
+                       + strlen(body) AS rec_length,
+                   ROW_NUMBER() OVER (ORDER BY id) - 1 AS pos
+            FROM p
+        ),
+        s AS (
+            SELECT *, pos // {int(shard_rows)} AS shard_id,
+                   COALESCE(SUM(rec_length) OVER (
+                       ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS byte_excl
+            FROM l
+        ),
+        o AS (
+            SELECT *,
+                   (byte_excl - MIN(byte_excl) OVER (
+                       PARTITION BY shard_id
+                   ))::BIGINT AS rec_offset
+            FROM s
+        )
+        SELECT id, url, shard_id,
+               printf('part-%05d.warc.wet', shard_id) AS file_name,
+               rec_offset, rec_length::BIGINT AS rec_length,
+               md5('WARC/1.0' || {crlf}
+                   || 'WARC-Type: conversion' || {crlf}
+                   || 'WARC-Target-URI: ' || url || {crlf}
+                   || 'WARC-Date: '
+                       || strftime(ts, '%Y-%m-%dT%H:%M:%SZ') || {crlf}
+                   || 'WARC-Refers-To: <urn:md5:'
+                       || md5(url || '|'
+                              || strftime(ts, '%Y-%m-%dT%H:%M:%SZ'))
+                       || '>' || {crlf}
+                   || 'Content-Type: text/plain' || {crlf}
+                   || 'Content-Length: '
+                       || CAST(strlen(body) AS VARCHAR)
+                       || {crlf} || {crlf}
+                   || body || {crlf} || {crlf}
+               ) AS record_md5
+        FROM o
+    """
+
+
+WET_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("warc_ts", TimestampType(), True),
+    StructField("text", StringType(), True),
+])
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """WET file(s) → DataFrame(url, warc_ts, text) — the round-trip
+    reader for :func:`wet_export` (conversion records, payload decoded
+    utf-8).  Same one-task-per-file contract as :func:`read_warc`."""
+    files = spark.read.format("binaryFile").load(path)
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                for url, ts, _status, body, _o, _l in parse_warc_records(
+                    bytes(content), record_types=(b"conversion",)
+                ):
+                    rows.append((
+                        url,
+                        ts.replace(tzinfo=None) if ts else None,
+                        body.decode("utf-8", "replace"),
+                    ))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WET_SCHEMA.fields]
+            )
+
+    return files.select("content").mapInPandas(_run, schema=WET_SCHEMA)

@@ -633,3 +633,70 @@ def test_c4_and_gopher_zero_exchange_plans(spark):
     for op in (c4_clean, gopher_rules):
         plan = op(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, (op.__name__, plan)
+
+
+def test_host_template_lines_rules_and_clean_md5(spark):
+    """Per-host template rule: distinct-doc frequency vs the host's doc
+    count (cross-multiplied), min_docs floor for tiny hosts, in-doc
+    repeats vote once but drop together, and clean_md5 hashes the
+    surviving lines in original order."""
+    import hashlib
+
+    from podcast_crawler_spark.operators.curation import (
+        host_template_lines,
+    )
+
+    foot = "subscribe now."
+    half = "cookie banner."
+    rows = [
+        # host A: 4 docs; foot on 4/4 (template), half on 2/4 (exactly
+        # 50% = threshold → template), uniq lines kept
+        (0, "A", f"alpha zero\n{foot}\n{half}"),
+        (1, "A", f"alpha one\n{foot}"),
+        # doc 2 repeats `half` twice: one df vote, both occurrences drop
+        (2, "A", f"{half}\nalpha two\n{half}\n{foot}"),
+        (3, "A", f"alpha three\n{foot}"),
+        # host B: single doc — min_docs=2 keeps even its repeated foot
+        (4, "B", f"beta zero\n{foot}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    out = {
+        r.id: r
+        for r in host_template_lines(df, min_frac_ppm=500_000).collect()
+    }
+    assert len(out) == 5
+    # host A: foot + half are template
+    assert out[0].n_template == 2 and out[0].n_lines == 3
+    assert out[1].n_template == 1
+    assert out[2].n_template == 3 and out[2].n_lines == 4  # half ×2 + foot
+    assert out[3].n_template == 1
+    # host B: nothing is template (min_docs floor)
+    assert out[4].n_template == 0
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert out[0].clean_md5 == md5("alpha zero")
+    assert out[2].clean_md5 == md5("alpha two")
+    assert out[4].clean_md5 == md5(f"beta zero\n{foot}")
+    # all-template doc hashes the empty string, not NULL
+    df2 = spark.createDataFrame(
+        [(0, "C", foot), (1, "C", foot)], "doc_id long, host string, text string"
+    )
+    out2 = {r.id: r for r in host_template_lines(df2).collect()}
+    assert out2[0].clean_md5 == md5("") and out2[0].template_ppm == 1_000_000
+
+
+def test_host_template_min_frac_threshold(spark):
+    """A line at 2/5 docs (400k ppm) is kept at the 50% threshold and
+    template at a 40% threshold — the cross-multiplied rule is exact at
+    the boundary."""
+    from podcast_crawler_spark.operators.curation import (
+        host_template_lines,
+    )
+
+    ln = "maybe template."
+    rows = [(i, "H", (f"{ln}\n" if i < 2 else "") + f"uniq {i}")
+            for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    at50 = host_template_lines(df, min_frac_ppm=500_000).collect()
+    assert sum(r.n_template for r in at50) == 0
+    at40 = host_template_lines(df, min_frac_ppm=400_000).collect()
+    assert sum(r.n_template for r in at40) == 2

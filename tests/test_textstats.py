@@ -944,3 +944,67 @@ def test_dsir_weights_singleton_and_empty_docs(spark):
     assert not out[2]["target_like"]
     # two unigrams + one bigram
     assert out[3]["n_feats"] == 3
+
+
+def test_ccnet_buckets_thirds_and_rank_equivalence(spark):
+    """ccnet_buckets: (a) the two-phase distributed rank equals a naive
+    per-language row_number window on the same integer scores; (b)
+    bucket sizes follow the exact-thirds rule; (c) head really is the
+    low-score (low-perplexity) end."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from podcast_crawler_spark.operators.textstats import (
+        ccnet_buckets,
+        lm_surprisal,
+    )
+
+    # two languages, 10 + 7 docs, mixed common/rare tokens so scores
+    # spread; doc text deterministic from the id
+    rows = []
+    for i in range(10):
+        rows.append((i, "en", ("the of and " * (i % 3 + 1))
+                     + f"rare{i} " + "web page text " * (i % 4)))
+    for i in range(10, 17):
+        rows.append((i, "fr", ("le la et " * (i % 2 + 1))
+                     + f"rare{i} mot"))
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = ccnet_buckets(df, vocab_size=8).toPandas()
+    assert len(out) == 17
+    # (a) rank equivalence vs a naive window
+    scored = lm_surprisal(df, vocab_size=8).select(
+        "id", F.expr("1000000 * sum_bits div n_tokens").alias("score_ppm")
+    ).join(df.select(F.col("doc_id").alias("id"), "lang"), "id")
+    naive = scored.withColumn(
+        "rk_naive",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy("score_ppm", "id")
+        ),
+    ).toPandas().set_index("id")
+    for r in out.itertuples(index=False):
+        assert int(r.rk) == int(naive.loc[r.id].rk_naive), r
+    # (b) exact thirds: en 10 → 4/3/3, fr 7 → 3/2/2
+    en = out[out.lang == "en"].bucket.value_counts().to_dict()
+    fr = out[out.lang == "fr"].bucket.value_counts().to_dict()
+    assert en == {"head": 4, "middle": 3, "tail": 3}
+    assert fr == {"head": 3, "middle": 2, "tail": 2}
+    # (c) every head score <= every tail score within a language
+    for lang in ("en", "fr"):
+        sub = out[out.lang == lang]
+        assert (sub[sub.bucket == "head"].score_ppm.max()
+                <= sub[sub.bucket == "tail"].score_ppm.min())
+
+
+def test_ccnet_buckets_single_lang_and_ties(spark):
+    """All-tied scores (identical docs) still produce a total order
+    (ties broken by id) and exact thirds."""
+    from podcast_crawler_spark.operators.textstats import ccnet_buckets
+
+    df = spark.createDataFrame(
+        [(i, "en", "same words here") for i in range(9)],
+        "doc_id long, lang string, text string",
+    )
+    out = ccnet_buckets(df, vocab_size=8).orderBy("rk").toPandas()
+    assert list(out.rk) == list(range(1, 10))
+    assert list(out.id) == list(range(9))  # tie → id order
+    assert list(out.bucket) == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3

@@ -225,3 +225,68 @@ def test_revisit_records_first_capture_rule(spark):
     assert str(out[4]["refers_to_ts"]) == "2024-01-01"
     assert out[5]["rec_type"] == "response"
     assert out[1]["refers_to_ts"] is None
+
+
+def test_wet_export_roundtrip_layout_and_md5(spark, tmp_path):
+    """WET sink → read_wet round-trip: shards are byte-valid WARC
+    conversion records, every manifest (offset, length) slices exactly
+    one record whose md5 matches, and the reader recovers (url, ts,
+    text) — including multibyte payloads — exactly."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from podcast_crawler_spark.sources.warc import (
+        parse_warc_records,
+        read_wet,
+        wet_export,
+    )
+
+    out = str(tmp_path / "wet")
+    rows = [
+        # multibyte text (é) exercises octet-vs-char planning math
+        (i, f"https://h{i}.example/t/{i}", ("texte-é-" * (i + 1)) + str(i))
+        for i in range(7)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, url string, text string"
+    ).select(
+        "doc_id", "url",
+        F.expr(
+            "timestamp '2024-01-01 00:00:00'"
+            " + make_dt_interval(0, 0, 0, doc_id)"
+        ).alias("warc_ts"),
+        "text",
+    )
+    man = wet_export(docs, out, shard_rows=3).toPandas()
+    assert len(man) == 7
+    assert sorted(man.shard_id.value_counts().to_dict().items()) == [
+        (0, 3), (1, 3), (2, 1)
+    ]
+    # every manifest row slices out exactly one parseable conversion
+    # record with the manifest's md5
+    for fname in sorted(set(man.file_name)):
+        data = open(f"{out}/{fname}", "rb").read()
+        sub = man[man.file_name == fname]
+        assert len(data) == int((sub.rec_offset + sub.rec_length).max())
+        for r in sub.itertuples(index=False):
+            rec = data[r.rec_offset:r.rec_offset + r.rec_length]
+            assert hashlib.md5(rec).hexdigest() == r.record_md5
+            parsed = parse_warc_records(rec, record_types=(b"conversion",))
+            assert len(parsed) == 1
+            url, ts, status, body, off, rlen = parsed[0]
+            assert url == r.url and status is None
+            assert off == 0 and rlen == len(rec)
+    # reader round-trip: url/ts/text recovered exactly
+    got = read_wet(spark, out).orderBy("url").collect()
+    want = {u: t for _i, u, t in rows}
+    assert len(got) == 7
+    for row in got:
+        assert want[row.url] == row.text
+        assert row.warc_ts is not None
+    # response-record scanner ignores conversion records (and vice
+    # versa): a WET shard yields zero pages
+    from podcast_crawler_spark.sources.warc import parse_warc_bytes
+
+    first = sorted(set(man.file_name))[0]
+    assert parse_warc_bytes(open(f"{out}/{first}", "rb").read()) == []
