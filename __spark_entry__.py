@@ -2264,6 +2264,14 @@ from podcast_crawler_spark.operators import sampling as _sampling
 def _sampling_mod():
     return _sampling
 
+
+from podcast_crawler_spark.operators import seen as _seen
+
+
+def _seen_mod():
+    return _seen
+
+
 from podcast_crawler_spark.operators import refetch as _refetch
 
 
@@ -5242,6 +5250,121 @@ def _wet_export_oracle() -> str:
     return wet_export_oracle_sql(docs_sql, shard_rows=250)
 
 
+_BLOCKLIST_ROWS = [
+    ("site3.com", "block", "ads"),
+    ("ads.site7.net", "block", "tracker"),
+    ("site11.org", "block", "spam"),
+    ("www.site11.org", "allow", "exception"),
+    ("net", "block", "tldwide"),
+    ("cdn.site11.org", "block", "spam2"),
+]
+
+_BLOCKLIST_SQL = "SELECT * FROM (VALUES " + ", ".join(
+    f"('{p}', '{a}', '{c}')" for p, a, c in _BLOCKLIST_ROWS
+) + ") AS bl(pattern, action, category)"
+
+
+def _blocklist_gate(spark, sf_dir):
+    # UT1-style domain blocklist with subdomain inheritance: hosts are
+    # sub.siteN.tld (4 subs × 29 sites × 3 tlds), the list mixes a
+    # registered-domain block (site3.com — every subdomain inherits),
+    # a deep block (ads.site7.net), a whole-TLD block (net — longest
+    # match loses to the deeper entry), and an allow that punches a
+    # hole (www.site11.org overrides site11.org's block).  Every
+    # verdict + matched pattern replays.
+    from podcast_crawler_spark.operators.frontier import blocklist_gate
+
+    ev = _t(spark, sf_dir, "events")
+    u = F.col("user_id")
+    sub = (
+        F.when(u % 4 == 0, F.lit("www."))
+        .when(u % 4 == 1, F.lit("ads."))
+        .when(u % 4 == 2, F.lit("cdn."))
+        .otherwise(F.lit(""))
+    )
+    tld = (
+        F.when(u % 3 == 0, F.lit("com"))
+        .when(u % 3 == 1, F.lit("net"))
+        .otherwise(F.lit("org"))
+    )
+    host = F.concat(sub, F.lit("site"), (u % 29).cast("string"),
+                    F.lit("."), tld)
+    urls = ev.select(
+        F.concat(F.lit("https://"), host, F.lit("/p/"),
+                 F.col("event_id").cast("string")).alias("url"),
+        host.alias("host"),
+    )
+    bl = spark.createDataFrame(
+        _BLOCKLIST_ROWS, "pattern string, action string, category string"
+    )
+    return blocklist_gate(urls, bl)
+
+
+_BLOCKLIST_URLS_SQL = """
+    select 'https://' || host || '/p/' || cast(event_id as varchar) as url,
+           host
+    from (
+      select event_id,
+             (case when user_id % 4 = 0 then 'www.'
+                   when user_id % 4 = 1 then 'ads.'
+                   when user_id % 4 = 2 then 'cdn.'
+                   else '' end)
+             || 'site' || cast(user_id % 29 as varchar) || '.'
+             || (case when user_id % 3 = 0 then 'com'
+                      when user_id % 3 = 1 then 'net'
+                      else 'org' end) as host
+      from events) s
+"""
+
+
+def _bloom_capacity_plan(spark, sf_dir):
+    # seen-shard saturation planning: 32 shards with data-derived key
+    # counts, a small-geometry stripe (m=4096: saturated → epochs_left
+    # 0, rebuild now), a zero-rate stripe (never fills → NULL), and
+    # the power-of-two rebuild geometry — every integer division and
+    # the bit-length identity replay.
+    from podcast_crawler_spark.operators.seen import bloom_capacity_plan
+
+    ev = _t(spark, sf_dir, "events")
+    shards = ev.groupBy((F.col("event_id") % 32).alias("shard")).agg(
+        (F.count("*") * 7).alias("keys_now")
+    ).select(
+        "shard",
+        F.when(F.col("shard") % 4 == 1, F.lit(4096))
+        .otherwise(F.lit(262144)).cast("long").alias("m_bits"),
+        "keys_now",
+        F.when(F.col("shard") % 5 == 0, F.lit(0))
+        .otherwise((F.col("shard") % 7 + 1) * 50).cast("long")
+        .alias("rate_per_epoch"),
+    )
+    return bloom_capacity_plan(shards, bits_per_key=10, horizon_epochs=30)
+
+
+_SHARDS_SQL = """
+    select shard,
+           case when shard % 4 = 1 then 4096 else 262144 end::BIGINT
+               as m_bits,
+           keys_now,
+           case when shard % 5 = 0 then 0
+                else (shard % 7 + 1) * 50 end::BIGINT as rate_per_epoch
+    from (select event_id % 32 as shard, (count(*) * 7)::BIGINT keys_now
+          from events group by 1) s
+"""
+
+
+def _holdout_allocation(spark, sf_dir):
+    # exact proportional stratified holdout over (lang, source):
+    # largest-remainder allocation (ties lexical), md5-rank selection
+    # via the distributed two-phase rank — exactly 100 docs held out,
+    # each stratum in exact proportion; the oracle replays allocation
+    # AND every rank with a naive per-stratum window.
+    from podcast_crawler_spark.operators.sampling import holdout_allocation
+
+    return holdout_allocation(
+        _t(spark, sf_dir, "documents"), holdout_total=100
+    )
+
+
 # Per-query bootstrap steps the bench times separately (as
 # "<name>_build" rows) so steady-state query rows measure steady-state
 # cost: in production these run once and amortize across crawl batches.
@@ -5460,6 +5583,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_template_lines": _host_template_lines,
         "ccnet_buckets": _ccnet_buckets,
         "wet_export": _wet_export,
+        "blocklist_gate": _blocklist_gate,
+        "bloom_capacity_plan": _bloom_capacity_plan,
+        "holdout_allocation": _holdout_allocation,
     }
 
 
@@ -8064,4 +8190,20 @@ def oracle_sql() -> dict[str, str]:
         # every record's md5 (incl. the deterministic Refers-To digest)
         # rebuilt from field values
         "wet_export": _wet_export_oracle(),
+        # domain blocklist: ancestor suffixes, longest-match argmax,
+        # allow-punches-hole precedence all replayed
+        "blocklist_gate": _frontier_mod().blocklist_oracle_sql(
+            _BLOCKLIST_URLS_SQL, _BLOCKLIST_SQL
+        ),
+        # seen-shard capacity plan: integer divisions, NULL/0 epoch
+        # cases, bit-length power-of-two rebuild geometry
+        "bloom_capacity_plan": _seen_mod().capacity_plan_oracle_sql(
+            _SHARDS_SQL, bits_per_key=10, horizon_epochs=30
+        ),
+        # exact stratified holdout: largest-remainder allocation and
+        # every md5 rank vs a naive per-stratum window
+        "holdout_allocation": _sampling_mod().holdout_oracle_sql(
+            "select doc_id id, lang, source from documents",
+            holdout_total=100,
+        ),
     }

@@ -167,6 +167,9 @@ BENCH_QUERIES = [
     "host_template_lines",
     "ccnet_buckets",
     "wet_export",
+    "blocklist_gate",
+    "bloom_capacity_plan",
+    "holdout_allocation",
 ]
 
 

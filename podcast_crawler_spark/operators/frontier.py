@@ -883,3 +883,110 @@ def drain_oracle_sql(
                  AS epochs_to_drain_net
         FROM c
     """
+
+
+def blocklist_gate(
+    urls: DataFrame,
+    blocklist: DataFrame,
+    host_col: str = "host",
+    max_labels: int = 8,
+) -> DataFrame:
+    """UT1/squidGuard-style domain blocklist gate with subdomain
+    inheritance — the category deny-list every production crawl runs at
+    admission (porn/malware/ads domain lists): an entry ``example.com``
+    blocks every host UNDER it (``a.b.example.com``), and a LONGER
+    entry punches holes (``good.example.com`` with action ``allow``
+    overrides the shorter block) — longest-suffix-match precedence,
+    the domain-label analogue of robots' longest-path rule
+    (:mod:`operators.robots`).  Distinct from :func:`gate_frontier`'s
+    trap/circuit denials: this is policy (externally curated
+    categories), not observed behavior.
+
+    *blocklist* columns: ``(pattern, action, category)`` — pattern is
+    a domain suffix on label boundaries, action ``block`` | ``allow``.
+    Output: one row per input row with ``verdict`` (``blocked`` /
+    ``allowed``), ``matched_pattern`` / ``category`` (NULL when no
+    entry matched; unmatched hosts default to ``allowed``).
+
+    Scale shape: each host explodes into its ≤ *max_labels* ancestor
+    label-suffixes (built with ``transform`` over ``split(host,'.')``
+    — pure codegen, narrow), inner-joined against the BROADCAST
+    blocklist (a curated list is thousands of rows), so only matching
+    suffix rows survive the join; the per-url longest-match argmax is
+    a ``max_by`` over struct (pattern length wins; suffixes of one
+    host have distinct lengths, so the order is total) whose exchange
+    carries only MATCHED urls.  Verdicts join back to the corpus on
+    the url key — bounded by the blocklist hit rate, broadcast under
+    AQE at real-world rates.  A clean URL never crosses an exchange.
+    """
+    parts = F.split(F.col(host_col), r"\.")
+    n = F.size(parts)
+    k = F.least(n, F.lit(int(max_labels)))
+    suffixes = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.array_join(F.slice(parts, n - i + 1, i), "."),
+    )
+    key = F.col("__gate_url")
+    with_key = urls.withColumn(
+        "__gate_url", F.monotonically_increasing_id()
+    )
+    exploded = with_key.select(
+        key.alias("__k"), F.explode(suffixes).alias("suffix")
+    )
+    matched = exploded.join(
+        F.broadcast(blocklist),
+        exploded["suffix"] == blocklist["pattern"],
+        "inner",
+    )
+    best = matched.groupBy("__k").agg(
+        F.max_by(
+            F.struct("pattern", "action", "category"),
+            # suffixes of one host have distinct lengths; the pattern
+            # tie-break only guards duplicate blocklist rows
+            F.struct(F.length("pattern").alias("l"),
+                     F.col("pattern").alias("p")),
+        ).alias("m")
+    )
+    out = with_key.join(best, with_key["__gate_url"] == best["__k"], "left")
+    return out.select(
+        *[c for c in urls.columns],
+        F.when(F.col("m.action") == "block", F.lit("blocked"))
+        .otherwise(F.lit("allowed"))
+        .alias("verdict"),
+        F.col("m.pattern").alias("matched_pattern"),
+        F.col("m.category").alias("category"),
+    )
+
+
+def blocklist_oracle_sql(urls_sql: str, blocklist_sql: str) -> str:
+    """DuckDB replay of :func:`blocklist_gate`: ancestor suffixes via a
+    list comprehension over the label split, the longest-match argmax
+    as a plain ``row_number`` window, allow-punches-hole precedence
+    included.  *urls_sql* must yield distinct url rows with a ``host``
+    column; *blocklist_sql* yields (pattern, action, category)."""
+    return f"""
+        WITH u AS ({urls_sql}),
+        bl AS ({blocklist_sql}),
+        sfx AS (
+          SELECT u.*, unnest(
+            [array_to_string(p[len(p)-i+1:len(p)], '.')
+             for i in range(1, least(len(p), 8) + 1)]
+          ) AS suffix
+          FROM (SELECT *, string_split(host, '.') p FROM u) u
+        ),
+        m AS (
+          SELECT sfx.*, bl.pattern, bl.action, bl.category,
+                 row_number() OVER (
+                     PARTITION BY sfx.url
+                     ORDER BY length(bl.pattern) DESC, bl.pattern DESC
+                 ) rn
+          FROM sfx JOIN bl ON sfx.suffix = bl.pattern
+        ),
+        best AS (SELECT * FROM m WHERE rn = 1)
+        SELECT u.*,
+               CASE WHEN b.action = 'block' THEN 'blocked'
+                    ELSE 'allowed' END AS verdict,
+               b.pattern AS matched_pattern,
+               b.category AS category
+        FROM u LEFT JOIN best b ON u.url = b.url
+    """

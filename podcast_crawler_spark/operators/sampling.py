@@ -520,3 +520,151 @@ def dsir_oracle_sql(num_buckets: int = 256) -> str:
                coalesce(w, 0) > 0 target_like
         from documents d left join docw using (doc_id)
     """
+
+
+def holdout_allocation(
+    df: DataFrame,
+    holdout_total: int,
+    strata_cols: tuple = ("lang", "source"),
+    id_col: str = "doc_id",
+    bins_per_stratum: int = 256,
+) -> DataFrame:
+    """Exact proportional stratified holdout — carve EXACTLY
+    *holdout_total* eval docs out of the corpus with each stratum
+    (lang × source) represented in exact proportion: allocation by
+    largest remainder (the apportionment rule the budget operators
+    use), selection by each stratum's lowest md5 ranks (deterministic,
+    seedless, replayable).  Unlike :func:`dataset_split` (per-doc hash
+    → EXPECTED proportions, count varies run to run at small n) this
+    yields exact counts — what an eval-set contract requires ("1000
+    docs, language-balanced") — and unlike ``stratified_sample`` it
+    needs no per-stratum rate arithmetic from the caller.
+
+    Allocation: ``alloc_s = floor(H·n_s/N)`` + one extra for the
+    ``H − Σfloor`` largest remainders ``(H·n_s) mod N`` (ties → lexical
+    stratum order) — an O(strata) computation.
+
+    Selection: doc at within-stratum md5-rank ≤ ``alloc_s`` is held
+    out.  The rank is NOT a per-stratum global window (one task per
+    stratum, and the dominant language IS the corpus): the same
+    two-phase bucketed prefix sum as :func:`textstats.ccnet_buckets` —
+    ``bkt = stratum_idx · bins + md5-prefix bin`` is monotone in the
+    global (stratum, md5, id) order, so each task sorts one hash slice
+    (uniform by construction: md5 prefixes are uniform even when
+    stratum sizes are not) and per-stratum rank = global prefix −
+    stratum start.
+
+    Output: every doc with ``(…strata, rk, alloc, is_holdout)`` — the
+    complement (``NOT is_holdout``) is the training split.
+    """
+    from .curation import _bucketed_prefix_sum
+
+    sk = F.concat_ws("\x1f", *[F.col(c) for c in strata_cols])
+    rows = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in strata_cols],
+        sk.alias("__sk"),
+        F.md5(F.concat_ws("\x1f", sk, F.col(id_col).cast("string"))).alias(
+            "__r"
+        ),
+    )
+    n_total = rows.count()
+    if n_total == 0:
+        raise ValueError("holdout_allocation: empty input")
+    h = int(holdout_total)
+    if not (0 <= h <= n_total):
+        raise ValueError(f"holdout_total {h} outside [0, {n_total}]")
+
+    counts = rows.groupBy("__sk").agg(F.count("*").alias("n_s"))
+    w_ord = Window.orderBy("__sk")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    w_rem = Window.orderBy(
+        F.col("rem").desc(), F.col("__sk")
+    )
+    alloc = (
+        counts.withColumn("floor_a", F.expr(f"{h} * n_s div {n_total}"))
+        .withColumn("rem", F.expr(f"({h} * n_s) % {n_total}"))
+        .withColumn("sidx", F.row_number().over(w_ord) - 1)
+        .withColumn("s_before", F.coalesce(F.sum("n_s").over(w_prev),
+                                           F.lit(0).cast("long")))
+    )
+    # H - Σfloor extras to the largest remainders — O(strata) window
+    extras = alloc.withColumn("rrank", F.row_number().over(w_rem))
+    total_floor = extras.agg(F.sum("floor_a")).collect()[0][0] or 0
+    n_extra = h - int(total_floor)
+    alloc = extras.withColumn(
+        "alloc",
+        (F.col("floor_a")
+         + (F.col("rrank") <= F.lit(n_extra)).cast("long")).cast("long"),
+    ).select("__sk", "n_s", "sidx", "s_before", "alloc")
+
+    bins = int(bins_per_stratum)
+    staged = rows.join(F.broadcast(alloc), "__sk").select(
+        "id", *strata_cols, "__sk", "__r", "s_before", "alloc",
+        (
+            F.col("sidx") * bins
+            + F.least(
+                (F.conv(F.substring("__r", 1, 2), 16, 10).cast("long")),
+                F.lit(bins - 1),
+            )
+        ).alias("bkt"),
+        F.lit(1).cast("long").alias("one"),
+    )
+    pr = _bucketed_prefix_sum(staged, "one", ["__sk", "__r", "id"])
+    return pr.select(
+        "id",
+        *strata_cols,
+        (F.col("bkt_offset") + F.col("local_cum") - F.col("s_before"))
+        .alias("rk"),
+        F.col("alloc"),
+        (
+            F.col("bkt_offset") + F.col("local_cum") - F.col("s_before")
+            <= F.col("alloc")
+        ).alias("is_holdout"),
+    )
+
+
+def holdout_oracle_sql(docs_sql: str, holdout_total: int) -> str:
+    """DuckDB replay of :func:`holdout_allocation` over strata
+    (lang, source): largest-remainder allocation as plain windows, the
+    same md5 ranking key, naive per-stratum row_number vs the engine's
+    distributed rank.  *docs_sql* must yield (id, lang, source)."""
+    h = int(holdout_total)
+    return f"""
+        WITH base AS ({docs_sql}),
+        r AS (
+          SELECT id, lang, source,
+                 lang || chr(31) || source AS sk,
+                 md5(lang || chr(31) || source || chr(31)
+                     || CAST(id AS VARCHAR)) AS rnd
+          FROM base
+        ),
+        n AS (SELECT count(*)::BIGINT AS n_total FROM r),
+        c AS (SELECT sk, count(*)::BIGINT n_s FROM r GROUP BY sk),
+        a AS (
+          SELECT sk, n_s,
+                 ({h} * n_s // (SELECT n_total FROM n))::BIGINT floor_a,
+                 (({h} * n_s) % (SELECT n_total FROM n))::BIGINT rem
+          FROM c
+        ),
+        e AS (
+          SELECT *, row_number() OVER (ORDER BY rem DESC, sk) rrank,
+                 (SELECT {h} - sum(floor_a) FROM a) n_extra
+          FROM a
+        ),
+        al AS (
+          SELECT sk,
+                 (floor_a + CASE WHEN rrank <= n_extra THEN 1 ELSE 0 END
+                 )::BIGINT alloc
+          FROM e
+        ),
+        rk AS (
+          SELECT r.*, al.alloc,
+                 row_number() OVER (
+                     PARTITION BY r.sk ORDER BY r.rnd, r.id
+                 )::BIGINT rk
+          FROM r JOIN al ON r.sk = al.sk
+        )
+        SELECT id, lang, source, rk, alloc, rk <= alloc AS is_holdout
+        FROM rk
+    """

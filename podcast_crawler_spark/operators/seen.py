@@ -761,3 +761,121 @@ def bloom_fpp_oracle_sql(
                  <= {2 * target_ppm} fpp_within_2x
         from agg
     """
+
+
+def bloom_capacity_plan(
+    shards: DataFrame,
+    bits_per_key: int = 10,
+    horizon_epochs: int = 30,
+    shard_col: str = "shard",
+    m_col: str = "m_bits",
+    keys_col: str = "keys_now",
+    rate_col: str = "rate_per_epoch",
+) -> DataFrame:
+    """Capacity planning for the persisted seen-set shards — WHEN does
+    each shard's Bloom filter saturate past its design point, and what
+    geometry does the rebuild need?  The operational question a
+    10^10-frontier crawl asks every epoch: a bloom sized at bootstrap
+    keeps absorbing admissions (`update_bloom_shards` folds new keys in
+    — the filter never forgets), so its effective bits-per-key decays
+    and the false-positive rate climbs; past the design point every
+    extra fp burns an exact-verify probe (`admit_urls`' verify join).
+    Reference anchor: the Rust crawler's seen set is an in-memory
+    HashSet (`crawler/mod.rs` visited) — saturation planning has no
+    equivalent there; it exists only at frontier scale.
+
+    Rule set (pure integers — the float log sizing lives in
+    :func:`bloom_params` at BUILD time; the audit/plan side follows
+    :func:`audit_geometry`'s integer discipline so DuckDB replays the
+    plan): per shard with ``m`` bits, ``keys_now`` resident keys and
+    ``rate_per_epoch`` new keys folding in per epoch,
+
+    - ``capacity = m div bits_per_key`` — keys the geometry supports
+      at its design fpp;
+    - ``headroom = capacity - keys_now`` (may be negative: already
+      saturated);
+    - ``epochs_left = headroom div rate`` for positive headroom and
+      rate (0 when saturated, NULL when rate is 0 — never fills);
+    - ``needs_rebuild`` iff the shard saturates within
+      *horizon_epochs*;
+    - ``next_m_bits``: smallest power of two ≥ ``bits_per_key ×
+      (keys_now + horizon_epochs × rate)`` — the rebuild geometry that
+      survives the horizon (power of two keeps the splitmix bit-slot
+      mixing uniform and the shard layout aligned).
+
+    Scale shape: input is one row per shard (the O(shards) manifest
+    metrics table, not the frontier) — the whole plan is a single
+    codegen projection over ≤ thousands of rows; zero exchanges.
+    """
+    m = F.col(m_col).cast("long")
+    keys = F.col(keys_col).cast("long")
+    rate = F.col(rate_col).cast("long")
+    capacity = F.expr(f"cast({m_col} as bigint) div {int(bits_per_key)}")
+    headroom = (capacity - keys).alias("headroom")
+    epochs_left = (
+        F.when(rate <= 0, F.lit(None).cast("long"))
+        .when(capacity - keys <= 0, F.lit(0).cast("long"))
+        .otherwise(F.expr(
+            f"(cast({m_col} as bigint) div {int(bits_per_key)}"
+            f" - cast({keys_col} as bigint)) div cast({rate_col} as bigint)"
+        ))
+    )
+    # smallest power of two >= bits_per_key * projected keys:
+    # 2^bitlen(x - 1) — integer, replayable (64 floor guards x = 0)
+    next_m = F.expr(
+        f"cast(power(2, length(bin("
+        f"greatest({int(bits_per_key)} * (cast({keys_col} as bigint)"
+        f" + {int(horizon_epochs)} * cast({rate_col} as bigint)), 64)"
+        f" - 1))) as bigint)"
+    )
+    return shards.select(
+        F.col(shard_col).alias("shard"),
+        m.alias("m_bits"),
+        keys.alias("keys_now"),
+        rate.alias("rate_per_epoch"),
+        capacity.alias("capacity"),
+        headroom,
+        epochs_left.alias("epochs_left"),
+        (
+            F.coalesce(epochs_left, F.lit(int(horizon_epochs)) + 1)
+            <= F.lit(int(horizon_epochs))
+        ).alias("needs_rebuild"),
+        next_m.alias("next_m_bits"),
+    )
+
+
+def capacity_plan_oracle_sql(
+    shards_sql: str,
+    bits_per_key: int = 10,
+    horizon_epochs: int = 30,
+) -> str:
+    """DuckDB replay of :func:`bloom_capacity_plan` — same integer
+    divisions, the NULL/0 epoch cases, and the power-of-two rebuild
+    geometry via the same bit-length identity.  *shards_sql* must
+    yield (shard, m_bits, keys_now, rate_per_epoch)."""
+    b = int(bits_per_key)
+    h = int(horizon_epochs)
+    return f"""
+        WITH s AS ({shards_sql}),
+        c AS (
+          SELECT shard, m_bits::BIGINT m_bits, keys_now::BIGINT keys_now,
+                 rate_per_epoch::BIGINT rate_per_epoch,
+                 (m_bits::BIGINT // {b})::BIGINT capacity
+          FROM s
+        ),
+        e AS (
+          SELECT *, (capacity - keys_now)::BIGINT headroom,
+                 CASE WHEN rate_per_epoch <= 0 THEN NULL
+                      WHEN capacity - keys_now <= 0 THEN 0
+                      ELSE (capacity - keys_now) // rate_per_epoch
+                 END::BIGINT epochs_left,
+                 greatest({b} * (keys_now + {h} * rate_per_epoch),
+                          64)::BIGINT need
+          FROM c
+        )
+        SELECT shard, m_bits, keys_now, rate_per_epoch, capacity,
+               headroom, epochs_left,
+               coalesce(epochs_left, {h} + 1) <= {h} AS needs_rebuild,
+               (2 ** length(bin(need - 1)))::BIGINT AS next_m_bits
+        FROM e
+    """

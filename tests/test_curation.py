@@ -700,3 +700,66 @@ def test_host_template_min_frac_threshold(spark):
     assert sum(r.n_template for r in at50) == 0
     at40 = host_template_lines(df, min_frac_ppm=400_000).collect()
     assert sum(r.n_template for r in at40) == 2
+
+
+def test_holdout_allocation_exact_counts_and_ranks(spark):
+    """Exactly holdout_total docs held out; per-stratum allocation is
+    the largest-remainder apportionment; the distributed rank equals a
+    naive per-stratum window; deterministic across runs."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from podcast_crawler_spark.operators.sampling import holdout_allocation
+
+    rows = [(i, "en" if i % 7 else "fr", f"s{i % 3}") for i in range(97)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    out = holdout_allocation(df, holdout_total=20).toPandas()
+    assert len(out) == 97
+    assert int(out.is_holdout.sum()) == 20
+    # largest remainder: strata counts → exact floors + remainders
+    import collections
+    cnt = collections.Counter((l, s) for _i, l, s in rows)
+    n = 97
+    floors = {k: 20 * v // n for k, v in cnt.items()}
+    rems = {k: (20 * v) % n for k, v in cnt.items()}
+    extra = 20 - sum(floors.values())
+    order = sorted(cnt, key=lambda k: (-rems[k], "\x1f".join(k)))
+    want = {k: floors[k] + (1 if i < extra else 0)
+            for i, k in enumerate(order)}
+    got = out[out.is_holdout].groupby(["lang", "source"]).size().to_dict()
+    assert got == {k: v for k, v in want.items() if v > 0}
+    # rank equivalence vs naive window on the same md5 key
+    sk = F.concat_ws("\x1f", F.col("lang"), F.col("source"))
+    naive = df.select(
+        F.col("doc_id").alias("id"), "lang", "source",
+        F.row_number().over(
+            Window.partitionBy("lang", "source").orderBy(
+                F.md5(F.concat_ws("\x1f", sk,
+                                  F.col("doc_id").cast("string"))),
+                "doc_id",
+            )
+        ).alias("rk_naive"),
+    ).toPandas().set_index("id")
+    for r in out.itertuples(index=False):
+        assert int(r.rk) == int(naive.loc[r.id].rk_naive)
+    # determinism
+    again = holdout_allocation(df, holdout_total=20).toPandas()
+    a = out.sort_values("id").reset_index(drop=True)
+    b = again.sort_values("id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_holdout_allocation_bounds(spark):
+    """holdout_total 0 and N are exact; out-of-range raises."""
+    import pytest as _pytest
+
+    from podcast_crawler_spark.operators.sampling import holdout_allocation
+
+    df = spark.createDataFrame(
+        [(i, "en", "s") for i in range(10)],
+        "doc_id long, lang string, source string",
+    )
+    assert int(holdout_allocation(df, 0).toPandas().is_holdout.sum()) == 0
+    assert int(holdout_allocation(df, 10).toPandas().is_holdout.sum()) == 10
+    with _pytest.raises(ValueError):
+        holdout_allocation(df, 11)

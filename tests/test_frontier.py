@@ -800,3 +800,44 @@ def test_drain_feasibility_no_exchange_plan(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_blocklist_gate_inheritance_and_precedence(spark):
+    """Subdomain inheritance (example.com blocks a.b.example.com), the
+    longest-match rule (a deeper entry beats a TLD-wide one), the
+    allow-punches-hole override, and the unmatched default."""
+    from podcast_crawler_spark.operators.frontier import blocklist_gate
+
+    hosts = [
+        "a.b.example.com",     # inherits example.com block
+        "example.com",         # exact block
+        "notexample.com",      # NOT a suffix on label boundary → clean
+        "x.bad.net",           # tld-wide net block
+        "good.bad.net",        # allow punches the net + bad.net blocks
+        "clean.org",           # no entry
+    ]
+    urls = spark.createDataFrame(
+        [(f"https://{h}/", h) for h in hosts], "url string, host string"
+    )
+    bl = spark.createDataFrame(
+        [
+            ("example.com", "block", "spam"),
+            ("net", "block", "tldwide"),
+            ("bad.net", "block", "malware"),
+            ("good.bad.net", "allow", "exception"),
+        ],
+        "pattern string, action string, category string",
+    )
+    out = {r.host: r for r in blocklist_gate(urls, bl).collect()}
+    assert out["a.b.example.com"].verdict == "blocked"
+    assert out["a.b.example.com"].matched_pattern == "example.com"
+    assert out["example.com"].verdict == "blocked"
+    # label boundary: 'notexample.com' must not match 'example.com'
+    assert out["notexample.com"].verdict == "allowed"
+    assert out["notexample.com"].matched_pattern is None
+    assert out["x.bad.net"].verdict == "blocked"
+    assert out["x.bad.net"].matched_pattern == "bad.net"  # longest wins
+    assert out["good.bad.net"].verdict == "allowed"
+    assert out["good.bad.net"].matched_pattern == "good.bad.net"
+    assert out["clean.org"].verdict == "allowed"
+    assert out["clean.org"].category is None

@@ -243,3 +243,41 @@ def test_bloom_fpp_audit_uses_production_bit_path(spark):
     # reads the built bitmap
     row = bloom_fpp_audit(seen, seen, num_bits=m, num_hashes=k).collect()[0]
     assert row["n_false_pos"] == row["n_probe"] == 500
+
+
+def test_bloom_capacity_plan_cases(spark):
+    """All four planning regimes: healthy (no rebuild in horizon),
+    filling (rebuild inside horizon), saturated (epochs_left 0), and
+    zero-rate (NULL epochs_left, never rebuild); next_m_bits is the
+    exact power of two covering the horizon."""
+    from podcast_crawler_spark.operators.seen import bloom_capacity_plan
+
+    rows = [
+        # shard, m_bits, keys_now, rate
+        (0, 1 << 20, 1000, 10),      # healthy: cap 104857, ages slowly
+        (1, 16384, 1500, 5),         # filling: cap 1638, 27 epochs left
+        (2, 4096, 900, 50),          # saturated: cap 409 < keys
+        (3, 1 << 20, 1000, 0),       # never fills
+    ]
+    df = spark.createDataFrame(
+        rows, "shard int, m_bits long, keys_now long, rate_per_epoch long"
+    )
+    out = {r.shard: r for r in
+           bloom_capacity_plan(df, bits_per_key=10,
+                               horizon_epochs=30).collect()}
+    assert out[0].capacity == (1 << 20) // 10
+    assert not out[0].needs_rebuild
+    assert out[1].capacity == 1638 and out[1].epochs_left == 27
+    assert out[1].needs_rebuild
+    assert out[2].epochs_left == 0 and out[2].needs_rebuild
+    assert out[2].headroom == 409 - 900
+    assert out[3].epochs_left is None and not out[3].needs_rebuild
+    # rebuild geometry: 10 * (1500 + 30*5) = 16500 → next pow2 = 32768
+    assert out[1].next_m_bits == 32768
+    # zero-projection floor: min geometry is 64 bits
+    df0 = spark.createDataFrame(
+        [(9, 64, 0, 0)],
+        "shard int, m_bits long, keys_now long, rate_per_epoch long",
+    )
+    z = bloom_capacity_plan(df0).collect()[0]
+    assert z.next_m_bits == 64
