@@ -5365,6 +5365,80 @@ def _holdout_allocation(spark, sf_dir):
     )
 
 
+def _quality_drift(spark, sf_dir):
+    # per-source quality-drift CUSUM: 8 sources × 12 epochs from
+    # events; source s3's quality drops 200 units from epoch 6 on
+    # (the mid-crawl template-swap case), s5 gets a sub-slack 3-unit
+    # dip (must NOT alarm).  Baseline = first 3 epochs; k = 5 units,
+    # h = 300 units (micro-units in the operator).  The prefix-min
+    # CUSUM identity replays as two windows in both engines.
+    from podcast_crawler_spark.operators.stats import quality_drift
+
+    ev = _t(spark, sf_dir, "events")
+    u, eid = F.col("user_id"), F.col("event_id")
+    rows = ev.select(
+        F.concat(F.lit("s"), (u % 8).cast("string")).alias("source"),
+        (eid % 12).alias("epoch"),
+        (
+            F.lit(500) + (eid % 97)
+            - F.when((u % 8 == 3) & (eid % 12 >= 6), F.lit(200))
+            .otherwise(F.lit(0))
+            - F.when((u % 8 == 5) & (eid % 12 >= 6), F.lit(3))
+            .otherwise(F.lit(0))
+        ).alias("quality"),
+    )
+    return quality_drift(
+        rows, baseline_epochs=3,
+        slack_k=5_000_000, threshold_h=300_000_000,
+    )
+
+
+_DRIFT_DOCS_SQL = """
+    select 's' || cast(user_id % 8 as varchar) as source,
+           event_id % 12 as epoch,
+           500 + (event_id % 97)
+             - case when user_id % 8 = 3 and event_id % 12 >= 6
+                    then 200 else 0 end
+             - case when user_id % 8 = 5 and event_id % 12 >= 6
+                    then 3 else 0 end as quality
+    from events
+"""
+
+
+_AGREE_GATES = ("g_len", "g_the", "g_words")
+
+
+def _filter_agreement(spark, sf_dir):
+    # pairwise Cohen's kappa between three quality gates on the same
+    # docs (length floor, contains-' the ', min word count): raw
+    # agreement is inflated when gates pass almost everything; kappa
+    # corrects for chance.  Exact integer confusion cells and ppm
+    # kappa (div/// both truncate, so negatives replay too).
+    from podcast_crawler_spark.operators.curation import filter_agreement
+
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        (F.col("n_chars") >= 300).alias("g_len"),
+        F.col("text").like("% the %").alias("g_the"),
+        (
+            F.size(
+                F.filter(F.split(F.col("text"), " "),
+                         lambda t: F.length(t) > 0)
+            ) >= 50
+        ).alias("g_words"),
+    )
+    return filter_agreement(staged, gate_cols=_AGREE_GATES)
+
+
+_AGREE_DOCS_SQL = """
+    select n_chars >= 300 as g_len,
+           text like '% the %' as g_the,
+           len(list_filter(string_split(text, ' '), x -> len(x) > 0)) >= 50
+               as g_words
+    from documents
+"""
+
+
 # Per-query bootstrap steps the bench times separately (as
 # "<name>_build" rows) so steady-state query rows measure steady-state
 # cost: in production these run once and amortize across crawl batches.
@@ -5586,6 +5660,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_gate": _blocklist_gate,
         "bloom_capacity_plan": _bloom_capacity_plan,
         "holdout_allocation": _holdout_allocation,
+        "quality_drift": _quality_drift,
+        "filter_agreement": _filter_agreement,
     }
 
 
@@ -8205,5 +8281,16 @@ def oracle_sql() -> dict[str, str]:
         "holdout_allocation": _sampling_mod().holdout_oracle_sql(
             "select doc_id id, lang, source from documents",
             holdout_total=100,
+        ),
+        # per-source CUSUM drift: identical windows, same prefix-min
+        # identity, every alarm epoch replayed
+        "quality_drift": _stats_mod().drift_oracle_sql(
+            _DRIFT_DOCS_SQL, baseline_epochs=3,
+            slack_k=5_000_000, threshold_h=300_000_000,
+        ),
+        # filter kappa: one aggregate's confusion cells + exact
+        # integer kappa ppm per pair
+        "filter_agreement": curation.agreement_oracle_sql(
+            _AGREE_DOCS_SQL, _AGREE_GATES
         ),
     }

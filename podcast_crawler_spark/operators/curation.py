@@ -1296,3 +1296,125 @@ def host_template_oracle_sql(
                               chr(10) ORDER BY idx), '')) AS clean_md5
         FROM fl GROUP BY id, host
     """
+
+
+def filter_agreement(
+    df: DataFrame,
+    gate_cols: tuple = ("gate_a", "gate_b", "gate_c"),
+) -> DataFrame:
+    """Pairwise agreement audit between quality filters — Cohen's
+    kappa in exact ppm for every unordered pair of boolean gate
+    columns.  The pipeline-governance question behind stacking C4 +
+    Gopher + a classifier: raw agreement is inflated when both gates
+    pass almost everything; kappa corrects for chance, and a
+    low-kappa pair means the filters encode DIFFERENT quality notions
+    (union/intersection choices change the corpus materially), while
+    kappa ≈ 1 means one gate is redundant.
+
+    Exact integer form (no float ever crosses an engine): with n docs,
+    ``a`` both-pass, ``d`` both-fail, marginals ``p1/q1``,
+    ``kappa = (n·(a+d) − p1·q1 − p0·q0) / (n² − p1·q1 − p0·q0)``
+    — numerator and denominator are exact BIGINT products, reported as
+    ``kappa_ppm = 1e6·num div den`` (NULL when the denominator is 0:
+    both gates constant, kappa undefined).  ``agree_ppm`` is the raw
+    ``1e6·(a+d) div n``.
+
+    Scale shape: ONE map-side-combined aggregate over the corpus
+    computes every pair's four confusion cells simultaneously (sums of
+    boolean products — pure codegen); the k·(k−1)/2 result rows
+    materialize from a literal pair list.  Nothing but the counts
+    crosses the exchange.
+    """
+    n = F.count("*").cast("long")
+    aggs = [n.alias("n")]
+    names = list(gate_cols)
+    for c in names:
+        aggs.append(F.sum(F.col(c).cast("long")).alias(f"__t_{c}"))
+    for i, ca in enumerate(names):
+        for cb in names[i + 1:]:
+            both = F.sum(
+                (F.col(ca) & F.col(cb)).cast("long")
+            ).alias(f"__b_{ca}_{cb}")
+            aggs.append(both)
+    tot = df.agg(*aggs)
+    pairs = []
+    for i, ca in enumerate(names):
+        for cb in names[i + 1:]:
+            nn = F.col("n")
+            p1 = F.col(f"__t_{ca}")
+            q1 = F.col(f"__t_{cb}")
+            n11 = F.col(f"__b_{ca}_{cb}")
+            n10 = p1 - n11
+            n01 = q1 - n11
+            n00 = nn - p1 - q1 + n11
+            den = nn * nn - p1 * q1 - (nn - p1) * (nn - q1)
+            # `div` (Spark) and `//` (DuckDB) both truncate toward
+            # zero, so a negative kappa divides identically cross-engine
+            agree_ppm = F.expr(
+                f"1000000 * (__b_{ca}_{cb} + n - __t_{ca} - __t_{cb}"
+                f" + __b_{ca}_{cb}) div n"
+            )
+            kappa_ppm = F.when(den == 0, F.lit(None).cast("long")).otherwise(
+                F.expr(
+                    f"1000000 * (n * (2 * __b_{ca}_{cb} + n - __t_{ca}"
+                    f" - __t_{cb}) - __t_{ca} * __t_{cb}"
+                    f" - (n - __t_{ca}) * (n - __t_{cb}))"
+                    f" div (n * n - __t_{ca} * __t_{cb}"
+                    f" - (n - __t_{ca}) * (n - __t_{cb}))"
+                )
+            )
+            pairs.append(F.struct(
+                F.lit(ca).alias("filter_a"),
+                F.lit(cb).alias("filter_b"),
+                nn.alias("n"),
+                n11.alias("n11"),
+                n10.alias("n10"),
+                n01.alias("n01"),
+                n00.alias("n00"),
+                agree_ppm.cast("long").alias("agree_ppm"),
+                kappa_ppm.cast("long").alias("kappa_ppm"),
+            ))
+    return tot.select(
+        F.explode(F.array(*pairs)).alias("p")
+    ).select("p.*")
+
+
+def agreement_oracle_sql(docs_sql: str, gate_cols: tuple) -> str:
+    """DuckDB replay of :func:`filter_agreement`: one aggregate over
+    the gated docs, pair rows via UNION ALL, identical integer kappa
+    (``//`` and Spark's ``div`` both truncate toward zero, so negative
+    kappas divide identically).  *docs_sql* must yield the boolean
+    *gate_cols*."""
+    names = list(gate_cols)
+    sums = ", ".join(
+        [f"count(*)::BIGINT n"]
+        + [f"sum(CASE WHEN {c} THEN 1 ELSE 0 END)::BIGINT t_{c}"
+           for c in names]
+        + [f"sum(CASE WHEN {a} AND {b} THEN 1 ELSE 0 END)::BIGINT b_{a}_{b}"
+           for i, a in enumerate(names) for b in names[i + 1:]]
+    )
+    selects = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            selects.append(f"""
+        SELECT '{a}' AS filter_a, '{b}' AS filter_b, n,
+               b_{a}_{b}::BIGINT AS n11,
+               (t_{a} - b_{a}_{b})::BIGINT AS n10,
+               (t_{b} - b_{a}_{b})::BIGINT AS n01,
+               (n - t_{a} - t_{b} + b_{a}_{b})::BIGINT AS n00,
+               (1000000 * (2 * b_{a}_{b} + n - t_{a} - t_{b}) // n
+               )::BIGINT AS agree_ppm,
+               CASE WHEN n * n - t_{a} * t_{b}
+                         - (n - t_{a}) * (n - t_{b}) = 0 THEN NULL
+                    ELSE 1000000 * (n * (2 * b_{a}_{b} + n - t_{a} - t_{b})
+                          - t_{a} * t_{b} - (n - t_{a}) * (n - t_{b}))
+                         // (n * n - t_{a} * t_{b}
+                             - (n - t_{a}) * (n - t_{b}))
+               END::BIGINT AS kappa_ppm
+        FROM s""")
+    body = "\n        UNION ALL\n".join(selects)
+    return f"""
+        WITH d AS ({docs_sql}),
+        s AS (SELECT {sums} FROM d)
+        {body}
+    """

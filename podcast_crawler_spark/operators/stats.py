@@ -171,3 +171,119 @@ def concentration_oracle_sql(
                ((1000000 * topk) // n_urls)::BIGINT AS topk_ppm
         FROM g, t
     """
+
+
+def quality_drift(
+    docs: DataFrame,
+    group_col: str = "source",
+    epoch_col: str = "epoch",
+    value_col: str = "quality",
+    baseline_epochs: int = 3,
+    slack_k: int = 20_000,
+    threshold_h: int = 100_000,
+) -> DataFrame:
+    """Per-source quality-drift alarm — integer one-sided CUSUM (Page
+    1954) over each source's per-epoch mean quality, detecting the
+    DOWNWARD shift that says a feed/site/dump started serving junk
+    mid-crawl (template swap, spam takeover, extractor regression on a
+    redesign).  The pipeline-governance twin of `change_rates`: that
+    one watches page bytes churn, this one watches the quality of what
+    the corpus is absorbing.
+
+    Everything is integer micro-units so both engines replay the
+    decision: per (group, epoch) mean = ``1e6·Σvalue div n``; the
+    baseline target is the mean of the first *baseline_epochs* epoch
+    means; the CUSUM increment is ``d_t = (target − k) − x_t`` and the
+    statistic uses the prefix identity ``s_t = P_t − min(0, min_{j≤t}
+    P_j)`` (P = running sum of d) — the max(0, s+d) recurrence in
+    closed windowed form, so NO recursion/UDF: two window functions.
+    Alarm when ``s_t > h``.
+
+    Scale shape: one map-side-combined aggregate to (group, epoch)
+    rows — the only corpus-size exchange; the CUSUM windows partition
+    by group over per-epoch rows (a group has at most `epochs` rows —
+    hundreds — so a per-group window task is O(epochs), never
+    corpus-sized).  Baseline join is an O(groups) broadcast.
+
+    Output per (group, epoch): ``(group, epoch, x_micro, target_micro,
+    cusum, alarm)``.
+    """
+    from pyspark.sql import Window
+
+    g, ep = F.col(group_col), F.col(epoch_col)
+    per_epoch = docs.groupBy(
+        g.alias("grp"), ep.cast("long").alias("epoch")
+    ).agg(
+        F.expr(f"1000000 * sum(cast({value_col} as bigint))"
+               f" div count(*)").alias("x_micro")
+    )
+    base = (
+        per_epoch.filter(F.col("epoch") < int(baseline_epochs))
+        .groupBy("grp")
+        .agg(
+            F.expr("sum(x_micro) div count(*)").alias("target_micro")
+        )
+    )
+    w_ord = Window.partitionBy("grp").orderBy("epoch")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = F.col("target_micro") - F.lit(int(slack_k)) - F.col("x_micro")
+    scored = (
+        per_epoch.join(F.broadcast(base), "grp")
+        .withColumn("p", F.sum(d).over(w_run))
+        .withColumn(
+            "cusum",
+            F.col("p") - F.least(F.lit(0).cast("long"),
+                                 F.min("p").over(w_run)),
+        )
+    )
+    return scored.select(
+        F.col("grp").alias(group_col),
+        "epoch",
+        "x_micro",
+        "target_micro",
+        "cusum",
+        (F.col("cusum") > F.lit(int(threshold_h))).alias("alarm"),
+    )
+
+
+def drift_oracle_sql(
+    docs_sql: str,
+    baseline_epochs: int = 3,
+    slack_k: int = 20_000,
+    threshold_h: int = 100_000,
+) -> str:
+    """DuckDB replay of :func:`quality_drift` — identical windows and
+    the same prefix-min CUSUM identity.  *docs_sql* must yield
+    (source, epoch, quality)."""
+    return f"""
+        WITH d AS ({docs_sql}),
+        pe AS (
+          SELECT source AS grp, epoch::BIGINT epoch,
+                 (1000000 * sum(quality::BIGINT) // count(*))::BIGINT
+                     x_micro
+          FROM d GROUP BY 1, 2
+        ),
+        b AS (
+          SELECT grp,
+                 (sum(x_micro) // count(*))::BIGINT target_micro
+          FROM pe WHERE epoch < {int(baseline_epochs)} GROUP BY grp
+        ),
+        p AS (
+          SELECT pe.*, b.target_micro,
+                 sum(b.target_micro - {int(slack_k)} - pe.x_micro) OVER (
+                     PARTITION BY pe.grp ORDER BY pe.epoch
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 )::BIGINT pref
+          FROM pe JOIN b USING (grp)
+        )
+        SELECT grp AS source, epoch, x_micro, target_micro,
+               (pref - least(0, min(pref) OVER (
+                    PARTITION BY grp ORDER BY epoch
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )))::BIGINT AS cusum,
+               (pref - least(0, min(pref) OVER (
+                    PARTITION BY grp ORDER BY epoch
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ))) > {int(threshold_h)} AS alarm
+        FROM p
+    """

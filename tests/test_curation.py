@@ -763,3 +763,54 @@ def test_holdout_allocation_bounds(spark):
     assert int(holdout_allocation(df, 10).toPandas().is_holdout.sum()) == 10
     with _pytest.raises(ValueError):
         holdout_allocation(df, 11)
+
+
+def test_filter_agreement_kappa_exact(spark):
+    """Confusion cells and kappa ppm against a hand replay, including
+    a negative kappa (systematic disagreement) and the NULL case
+    (constant gate)."""
+    from podcast_crawler_spark.operators.curation import filter_agreement
+
+    rows = [
+        # a b c: a == b mostly (high kappa), c anti-correlated with a
+        (True, True, False),
+        (True, True, False),
+        (True, True, True),
+        (False, False, True),
+        (False, False, True),
+        (False, True, True),
+        (False, False, True),
+        (True, True, False),
+    ]
+    df = spark.createDataFrame(rows, "a boolean, b boolean, c boolean")
+    out = {(r.filter_a, r.filter_b): r
+           for r in filter_agreement(df, gate_cols=("a", "b", "c")).collect()}
+    n = len(rows)
+
+    def kappa_ppm(x, y):
+        n11 = sum(1 for r in rows if r[x] and r[y])
+        p1 = sum(1 for r in rows if r[x]); q1 = sum(1 for r in rows if r[y])
+        n00 = n - p1 - q1 + n11
+        num = n * (n11 + n00) - p1 * q1 - (n - p1) * (n - q1)
+        den = n * n - p1 * q1 - (n - p1) * (n - q1)
+        return int(1_000_000 * num / den) if den else None
+
+    idx = {"a": 0, "b": 1, "c": 2}
+    for (fa, fb), r in out.items():
+        want = kappa_ppm(idx[fa], idx[fb])
+        assert r.kappa_ppm == want, (fa, fb, r.kappa_ppm, want)
+        assert r.n == n and r.n11 + r.n10 + r.n01 + r.n00 == n
+    assert out[("a", "b")].kappa_ppm > 700_000       # strong agreement
+    assert out[("a", "c")].kappa_ppm < -500_000      # anti-correlated
+    # ONE constant gate → kappa exactly 0 (chance-level, den > 0);
+    # BOTH constant → den = 0 → NULL kappa, agree_ppm still defined
+    df2 = spark.createDataFrame(
+        [(True, True), (True, False)], "a boolean, b boolean"
+    )
+    r2 = filter_agreement(df2, gate_cols=("a", "b")).collect()[0]
+    assert r2.kappa_ppm == 0 and r2.agree_ppm == 500_000
+    df3 = spark.createDataFrame(
+        [(True, True), (True, True)], "a boolean, b boolean"
+    )
+    r3 = filter_agreement(df3, gate_cols=("a", "b")).collect()[0]
+    assert r3.kappa_ppm is None and r3.agree_ppm == 1_000_000

@@ -157,3 +157,48 @@ def test_host_concentration_shares(spark):
     assert (r.n_urls, r.n_hosts, r.max_host_urls) == (20, 4, 10)
     assert r.top1_ppm == 500_000
     assert r.topk_ppm == 750_000  # big(10) + a(5)
+
+
+def test_quality_drift_cusum_identity_and_alarm(spark):
+    """The prefix-min windowed CUSUM equals the textbook max(0, s+d)
+    recurrence; a real downward shift alarms after enough evidence, a
+    sub-slack dip never does, and recovery resets the statistic."""
+    from podcast_crawler_spark.operators.stats import quality_drift
+
+    # source 'bad': mean 100 for epochs 0-2 (baseline), drops to 40
+    # for epochs 3-5, recovers to 100 at 6-7
+    # source 'ok': constant 100; source 'dip': 100 then 97 (sub-slack)
+    rows = []
+    for ep in range(8):
+        for i in range(5):
+            bad = 100 if ep < 3 or ep >= 6 else 40
+            rows.append(("bad", ep, bad))
+            rows.append(("ok", ep, 100))
+            rows.append(("dip", ep, 100 if ep < 3 else 97))
+    df = spark.createDataFrame(rows, "source string, epoch int, quality int")
+    out = quality_drift(
+        df, baseline_epochs=3, slack_k=5_000_000, threshold_h=80_000_000
+    ).toPandas()
+
+    # python replay of the recurrence s = max(0, s + (target-k) - x)
+    import collections
+    series = collections.defaultdict(dict)
+    for s, ep, q in rows:
+        series[s][ep] = q * 1_000_000  # constant per epoch here
+    for src, per in series.items():
+        target = sum(per[e] for e in range(3)) // 3
+        s = 0
+        for ep in sorted(per):
+            s = max(0, s + (target - 5_000_000) - per[ep])
+            row = out[(out.source == src) & (out.epoch == ep)].iloc[0]
+            assert int(row.cusum) == s, (src, ep, int(row.cusum), s)
+            assert bool(row.alarm) == (s > 80_000_000)
+    # shape: 'bad' alarms within the shifted window; after recovery the
+    # statistic DRAINS at only k per epoch (CUSUM memory: 165M − 5M/ep),
+    # so it is still alarming at epoch 7 — the deliberate held-alarm
+    # property that keeps a briefly-recovered source under scrutiny
+    bad = out[out.source == "bad"].set_index("epoch")
+    assert bool(bad.loc[4].alarm) and bool(bad.loc[5].alarm)
+    assert int(bad.loc[7].cusum) == 165_000_000 - 2 * 5_000_000
+    assert not out[out.source == "ok"].alarm.any()
+    assert not out[out.source == "dip"].alarm.any()  # sub-slack
