@@ -5439,6 +5439,75 @@ _AGREE_DOCS_SQL = """
 """
 
 
+def _seen_ttl(spark, sf_dir):
+    # generation-rotated seen set: admissions replay from events (4000
+    # keys × epochs 0-39, latest admission wins), an offered batch of
+    # 6000 keys (a third never admitted → 'new'), now=45, ttl=10 —
+    # live/expired/new all present and every age + action replays.
+    from podcast_crawler_spark.operators.seen import seen_ttl
+
+    ev = _t(spark, sf_dir, "events")
+    admissions = ev.select(
+        F.concat(F.lit("u"), (F.col("event_id") % 4000).cast("string"))
+        .alias("key"),
+        (F.col("user_id") % 40).alias("admit_epoch"),
+    )
+    offered = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("u"), (F.col("o_orderkey") % 6000).cast("string"))
+        .alias("key")
+    )
+    return seen_ttl(admissions, offered, now_epoch=45, ttl_epochs=10)
+
+
+def _self_dedup(spark, sf_dir):
+    # within-doc keep-first line dedup over a synthesized line
+    # structure: 6-token lines, line 0 re-appended to EVERY doc (one
+    # guaranteed dup) and line 1 to every 3rd doc; natural token-window
+    # collisions replay too.  clean_md5 checks the transform.
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: F.length(t) > 0)
+    nline = F.greatest(
+        F.expr(
+            "(size(filter(split(text, ' '), t -> length(t) > 0)) + 5)"
+            " div 6"
+        ),
+        F.lit(1),
+    )
+    lines = F.transform(
+        F.sequence(F.lit(0), (nline - 1).cast("int")),
+        lambda i: F.array_join(F.slice(toks, i * 6 + 1, 6), " "),
+    )
+    empty = F.array().cast("array<string>")
+    extra = F.concat(
+        F.array(F.array_join(F.slice(toks, 1, 6), " ")),
+        F.when(
+            d % 3 == 0, F.array(F.array_join(F.slice(toks, 7, 6), " "))
+        ).otherwise(empty),
+    )
+    staged = docs.select(
+        "doc_id",
+        F.array_join(F.concat(lines, extra), "\n").alias("text"),
+    )
+    return curation.self_dedup(staged)
+
+
+_SELF_DEDUP_DOCS_SQL = """
+    select id, array_to_string(all_lines, chr(10)) as text
+    from (
+      select doc_id id,
+             [array_to_string(t[(i-1)*6+1:(i-1)*6+6], ' ')
+              for i in range(1, greatest((len(t)+5)//6, 1) + 1)]
+             || [array_to_string(t[1:6], ' ')]
+             || case when doc_id % 3 = 0
+                then [array_to_string(t[7:12], ' ')]
+                else []::VARCHAR[] end as all_lines
+      from (select doc_id,
+                   list_filter(string_split(text, ' '), x -> len(x) > 0) t
+            from documents) s) z
+"""
+
+
 # Per-query bootstrap steps the bench times separately (as
 # "<name>_build" rows) so steady-state query rows measure steady-state
 # cost: in production these run once and amortize across crawl batches.
@@ -5662,6 +5731,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holdout_allocation": _holdout_allocation,
         "quality_drift": _quality_drift,
         "filter_agreement": _filter_agreement,
+        "seen_ttl": _seen_ttl,
+        "self_dedup": _self_dedup,
     }
 
 
@@ -8293,4 +8364,16 @@ def oracle_sql() -> dict[str, str]:
         "filter_agreement": curation.agreement_oracle_sql(
             _AGREE_DOCS_SQL, _AGREE_GATES
         ),
+        # TTL'd seen set: latest-admission ages and every
+        # skip/readmit/new decision replayed
+        "seen_ttl": _seen_mod().seen_ttl_oracle_sql(
+            """select 'u' || cast(event_id % 4000 as varchar) as key,
+                      user_id % 40 as admit_epoch from events""",
+            """select 'u' || cast(o_orderkey % 6000 as varchar) as key
+               from orders""",
+            now_epoch=45, ttl_epochs=10,
+        ),
+        # within-doc keep-first line dedup: first-occurrence rule and
+        # the cleaned-text md5 over the same synthesized lines
+        "self_dedup": curation.self_dedup_oracle_sql(_SELF_DEDUP_DOCS_SQL),
     }

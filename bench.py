@@ -172,6 +172,8 @@ BENCH_QUERIES = [
     "holdout_allocation",
     "quality_drift",
     "filter_agreement",
+    "seen_ttl",
+    "self_dedup",
 ]
 
 

@@ -1418,3 +1418,72 @@ def agreement_oracle_sql(docs_sql: str, gate_cols: tuple) -> str:
         s AS (SELECT {sums} FROM d)
         {body}
     """
+
+
+def self_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Within-document exact line dedup, keep-FIRST-occurrence — the
+    intra-page repetition cleaner (scraped pages repeat nav blocks,
+    "read more" stubs and list fragments inside one page; LM training
+    then memorizes the repeat).  Complements the corpus-level passes:
+    :func:`paragraph_dedup` counts across documents,
+    :func:`host_template_lines` across a host's pages — this one never
+    looks outside the row, so it is a pure column expression: zero
+    shuffle, whole-stage codegen, embarrassingly parallel at 100 TB.
+
+    ``(id, n_lines, n_dupes, clean_md5)`` where the clean text keeps
+    every line whose position is its digest's FIRST occurrence,
+    original order preserved, rejoined with *sep* (md5-compared by the
+    oracle, so the transform itself is checked).
+
+    Per-doc cost is O(L²) in the LINE count (array_position scan per
+    line) — bounded by lines-per-page, the same discipline as
+    :func:`repetition_scores`' max_tokens² note; a page is thousands
+    of lines at most, not corpus-sized.
+    """
+    lines = F.split(F.col(text_col), sep)
+    digs = F.transform(lines, F.md5)
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        lines.alias("ln"),
+        digs.alias("dg"),
+    )
+    keep = F.filter(
+        F.col("ln"),
+        lambda x, i: F.array_position(F.col("dg"), F.md5(x)) == i + 1,
+    )
+    return staged.select(
+        "id",
+        F.size("ln").alias("n_lines"),
+        (F.size("ln") - F.size(keep)).alias("n_dupes"),
+        F.md5(F.array_join(keep, sep)).alias("clean_md5"),
+    )
+
+
+def self_dedup_oracle_sql(docs_sql: str) -> str:
+    """DuckDB replay of :func:`self_dedup` (sep = newline): the same
+    first-occurrence-by-digest rule via a range comprehension over the
+    line list.  *docs_sql* must yield (id, text)."""
+    return f"""
+        WITH base AS ({docs_sql}),
+        s AS (
+          SELECT id, string_split(text, chr(10)) ln,
+                 [md5(x) for x in string_split(text, chr(10))] dg
+          FROM base
+        ),
+        k AS (
+          SELECT id, ln, dg,
+                 [ln[i] for i in range(1, len(ln) + 1)
+                  if list_position(dg, dg[i]) = i] kept
+          FROM s
+        )
+        SELECT id,
+               len(ln)::BIGINT AS n_lines,
+               (len(ln) - len(kept))::BIGINT AS n_dupes,
+               md5(array_to_string(kept, chr(10))) AS clean_md5
+        FROM k
+    """

@@ -879,3 +879,82 @@ def capacity_plan_oracle_sql(
                (2 ** length(bin(need - 1)))::BIGINT AS next_m_bits
         FROM e
     """
+
+
+def seen_ttl(
+    admissions: DataFrame,
+    offered: DataFrame,
+    now_epoch: int,
+    ttl_epochs: int,
+    key_col: str = "key",
+    epoch_col: str = "admit_epoch",
+) -> DataFrame:
+    """Generation-rotated (TTL'd) seen-set membership — the mechanism
+    that BOUNDS the URL-seen structure at 10^10 scale and re-admits
+    stale content on schedule: a key admitted at epoch e is *seen*
+    while ``now − e < ttl``; past that its generation has rotated out
+    and the URL is eligible again (Heritrix's re-crawl-on-expiry;
+    the companion policy to :func:`bloom_capacity_plan` — rotation is
+    what keeps each generation's bloom at its design bits-per-key
+    forever instead of saturating).  The reference's seen set is an
+    in-memory HashSet that never forgets (`crawler/mod.rs` visited);
+    TTL semantics only exist at frontier scale.
+
+    Per offered key: ``(key, last_admit_epoch NULL-able, age NULL-able,
+    is_seen, action)`` with ``action`` ∈ ``skip`` (live generation) /
+    ``readmit`` (expired) / ``new`` (never admitted).  Re-admission
+    uses the LATEST admission (max epoch per key): a key re-admitted
+    every ttl−1 epochs stays permanently live — the intended
+    hot-content behavior.
+
+    Scale shape: one map-side-combined ``max(epoch)`` per admitted key
+    (digest-width rows), one key-equi join against the offered batch —
+    the offered side is the small crawl batch, broadcast in practice;
+    the admissions log never re-scans more than its key column.
+    """
+    latest = admissions.groupBy(F.col(key_col).alias("key")).agg(
+        F.max(F.col(epoch_col).cast("long")).alias("last_admit_epoch")
+    )
+    off = offered.select(F.col(key_col).alias("key")).distinct()
+    j = off.join(latest, "key", "left")
+    age = (F.lit(int(now_epoch)) - F.col("last_admit_epoch")).cast("long")
+    is_seen = F.when(
+        F.col("last_admit_epoch").isNull(), F.lit(False)
+    ).otherwise(age < int(ttl_epochs))
+    return j.select(
+        "key",
+        "last_admit_epoch",
+        F.when(F.col("last_admit_epoch").isNull(),
+               F.lit(None).cast("long")).otherwise(age).alias("age"),
+        is_seen.alias("is_seen"),
+        F.when(F.col("last_admit_epoch").isNull(), F.lit("new"))
+        .when(age < int(ttl_epochs), F.lit("skip"))
+        .otherwise(F.lit("readmit"))
+        .alias("action"),
+    )
+
+
+def seen_ttl_oracle_sql(
+    admissions_sql: str,
+    offered_sql: str,
+    now_epoch: int,
+    ttl_epochs: int,
+) -> str:
+    """DuckDB replay of :func:`seen_ttl`.  *admissions_sql* yields
+    (key, admit_epoch); *offered_sql* yields (key)."""
+    return f"""
+        WITH a AS ({admissions_sql}),
+        o AS (SELECT DISTINCT key FROM ({offered_sql})),
+        l AS (SELECT key, max(admit_epoch)::BIGINT last_admit_epoch
+              FROM a GROUP BY key)
+        SELECT o.key, l.last_admit_epoch,
+               ({int(now_epoch)} - l.last_admit_epoch)::BIGINT AS age,
+               CASE WHEN l.last_admit_epoch IS NULL THEN FALSE
+                    ELSE {int(now_epoch)} - l.last_admit_epoch
+                         < {int(ttl_epochs)} END AS is_seen,
+               CASE WHEN l.last_admit_epoch IS NULL THEN 'new'
+                    WHEN {int(now_epoch)} - l.last_admit_epoch
+                         < {int(ttl_epochs)} THEN 'skip'
+                    ELSE 'readmit' END AS action
+        FROM o LEFT JOIN l ON o.key = l.key
+    """

@@ -814,3 +814,25 @@ def test_filter_agreement_kappa_exact(spark):
     )
     r3 = filter_agreement(df3, gate_cols=("a", "b")).collect()[0]
     assert r3.kappa_ppm is None and r3.agree_ppm == 1_000_000
+
+
+def test_self_dedup_keep_first_and_md5(spark):
+    """Keep-first-occurrence semantics, order preservation, and the
+    cleaned-text md5; a dup-free doc hashes to itself."""
+    import hashlib
+
+    from podcast_crawler_spark.operators.curation import self_dedup
+
+    rows = [
+        (0, "x\ny\nx\nz\ny\nx"),   # dups of x (×2) and y (×1)
+        (1, "a\nb\nc"),            # clean
+        (2, "s\ns\ns\ns"),         # all same → one survivor
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in self_dedup(df).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert out[0].n_lines == 6 and out[0].n_dupes == 3
+    assert out[0].clean_md5 == md5("x\ny\nz")
+    assert out[1].n_dupes == 0 and out[1].clean_md5 == md5("a\nb\nc")
+    assert out[2].n_lines == 4 and out[2].n_dupes == 3
+    assert out[2].clean_md5 == md5("s")

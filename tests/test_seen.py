@@ -281,3 +281,28 @@ def test_bloom_capacity_plan_cases(spark):
     )
     z = bloom_capacity_plan(df0).collect()[0]
     assert z.next_m_bits == 64
+
+
+def test_seen_ttl_actions(spark):
+    """Live generation → skip; expired → readmit; never admitted →
+    new; a re-admitted key uses its LATEST admission."""
+    from podcast_crawler_spark.operators.seen import seen_ttl
+
+    adm = spark.createDataFrame(
+        [("a", 40), ("a", 5), ("b", 30), ("c", 35), ("c", 20)],
+        "key string, admit_epoch int",
+    )
+    off = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",)], "key string"
+    )
+    out = {r.key: r for r in
+           seen_ttl(adm, off, now_epoch=45, ttl_epochs=10).collect()}
+    assert out["a"].action == "skip" and out["a"].age == 5   # latest wins
+    assert out["b"].action == "readmit" and out["b"].age == 15
+    assert out["c"].action == "skip" and out["c"].last_admit_epoch == 35
+    assert out["d"].action == "new" and out["d"].age is None
+    assert out["a"].is_seen and not out["b"].is_seen
+    # boundary: age == ttl is expired (strict <)
+    out2 = {r.key: r for r in
+            seen_ttl(adm, off, now_epoch=40, ttl_epochs=10).collect()}
+    assert out2["b"].age == 10 and out2["b"].action == "readmit"
