@@ -299,7 +299,8 @@ def test_seen_ttl_actions(spark):
            seen_ttl(adm, off, now_epoch=45, ttl_epochs=10).collect()}
     assert out["a"].action == "skip" and out["a"].age == 5   # latest wins
     assert out["b"].action == "readmit" and out["b"].age == 15
-    assert out["c"].action == "skip" and out["c"].last_admit_epoch == 35
+    # age == ttl (45-35) is already expired — strict <
+    assert out["c"].action == "readmit" and out["c"].last_admit_epoch == 35
     assert out["d"].action == "new" and out["d"].age is None
     assert out["a"].is_seen and not out["b"].is_seen
     # boundary: age == ttl is expired (strict <)
