@@ -5508,6 +5508,45 @@ _SELF_DEDUP_DOCS_SQL = """
 """
 
 
+def _ingest_accounting(spark, sf_dir):
+    # net-new accounting for a synthetic crawl batch vs the documents
+    # corpus: every 7th corpus doc re-fetched verbatim (corpus_dup),
+    # every 5th re-fetched with a fresh suffix (net), and every 3rd
+    # fresh doc offered twice under two ids (min-id keeps one,
+    # batch_dup the other).  Rollup per language, all digest-exact.
+    from podcast_crawler_spark.operators.dedup import ingest_accounting
+
+    docs = _t(spark, sf_dir, "documents")
+    refetch = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "lang", "text"
+    )
+    fresh = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        "lang",
+        F.concat(F.col("text"), F.lit(" fresh "),
+                 (F.col("doc_id") + 2000000).cast("string")).alias("text"),
+    )
+    dup2 = fresh.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "lang", "text"
+    )
+    batch = refetch.unionByName(fresh).unionByName(dup2)
+    return ingest_accounting(batch, docs)
+
+
+_INGEST_BATCH_SQL = """
+    select doc_id + 1000000 as id, lang, text
+    from documents where doc_id % 7 = 0
+    union all
+    select doc_id + 2000000 as id, lang,
+           text || ' fresh ' || cast(doc_id + 2000000 as varchar) as text
+    from documents where doc_id % 5 = 0
+    union all
+    select doc_id + 3000000 as id, lang,
+           text || ' fresh ' || cast(doc_id + 2000000 as varchar) as text
+    from documents where doc_id % 5 = 0 and (doc_id + 2000000) % 3 = 0
+"""
+
+
 # Per-query bootstrap steps the bench times separately (as
 # "<name>_build" rows) so steady-state query rows measure steady-state
 # cost: in production these run once and amortize across crawl batches.
@@ -5733,6 +5772,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_agreement": _filter_agreement,
         "seen_ttl": _seen_ttl,
         "self_dedup": _self_dedup,
+        "ingest_accounting": _ingest_accounting,
     }
 
 
@@ -8376,4 +8416,9 @@ def oracle_sql() -> dict[str, str]:
         # within-doc keep-first line dedup: first-occurrence rule and
         # the cleaned-text md5 over the same synthesized lines
         "self_dedup": curation.self_dedup_oracle_sql(_SELF_DEDUP_DOCS_SQL),
+        # net-new batch accounting: digest-exact statuses and both
+        # token rollups per language
+        "ingest_accounting": dedup.ingest_accounting_oracle_sql(
+            _INGEST_BATCH_SQL, "select text from documents"
+        ),
     }

@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "filter_agreement",
     "seen_ttl",
     "self_dedup",
+    "ingest_accounting",
 ]
 
 

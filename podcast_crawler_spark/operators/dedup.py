@@ -1591,3 +1591,112 @@ def hot_shingles_oracle_sql(
         ORDER BY n_docs DESC, shingle ASC
         LIMIT {int(k)}
     """
+
+
+def ingest_accounting(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-language NET-NEW accounting for a crawl batch against the
+    standing corpus — the weekly report a crawl-for-training operation
+    actually publishes: of the docs/tokens this batch fetched, how much
+    survives exact dedup (vs the corpus AND within the batch) and lands
+    as new training mass?  Fetch throughput without this number
+    over-credits recrawls; the reference has no corpus notion at all
+    (each feed upserts row-by-row, `podcast_repository.rs` ON
+    CONFLICT), so this is the batch-level generalization of its upsert
+    accounting.
+
+    Rules (all exact, digest-based): a batch doc is ``corpus_dup`` if
+    its text md5 exists in the corpus; else ``batch_dup`` if an
+    earlier batch doc (min id per digest wins — deterministic) has the
+    same digest; else ``net``.  Tokens are whitespace tokens of the
+    batch doc.  Output one row per language: ``(lang, n_docs,
+    n_corpus_dup, n_batch_dup, n_net, tokens_in, net_tokens)``.
+
+    Scale shape: the corpus contributes ONLY distinct 16-byte digests
+    (map-side distinct → semi-join build side); batch digests carry
+    (id, lang, n_tokens) — fixed width, never the text.  Intra-batch
+    keep-first is a min(id) per digest (map-side combined) joined
+    back; the final rollup is an O(langs) aggregate.  Nothing
+    corpus-scale crosses an exchange except digest columns.
+    """
+    b = batch.select(
+        F.col(id_col).alias("id"),
+        F.col(lang_col).alias("lang"),
+        F.md5(F.col(text_col)).alias("digest"),
+        F.size(
+            F.filter(F.split(F.col(text_col), " "),
+                     lambda t: F.length(t) > 0)
+        ).cast("long").alias("n_tokens"),
+    )
+    corpus_digests = corpus.select(
+        F.md5(F.col(text_col)).alias("digest")
+    ).distinct()
+    flagged = b.join(
+        corpus_digests.withColumn("in_corpus", F.lit(True)),
+        "digest",
+        "left",
+    ).withColumn("in_corpus", F.coalesce(F.col("in_corpus"), F.lit(False)))
+    first_ids = b.groupBy("digest").agg(F.min("id").alias("first_id"))
+    flagged = flagged.join(first_ids, "digest").withColumn(
+        "status",
+        F.when(F.col("in_corpus"), F.lit("corpus_dup"))
+        .when(F.col("id") != F.col("first_id"), F.lit("batch_dup"))
+        .otherwise(F.lit("net")),
+    )
+    return flagged.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("status") == "corpus_dup").cast("long"))
+        .alias("n_corpus_dup"),
+        F.sum((F.col("status") == "batch_dup").cast("long"))
+        .alias("n_batch_dup"),
+        F.sum((F.col("status") == "net").cast("long")).alias("n_net"),
+        F.sum("n_tokens").alias("tokens_in"),
+        F.sum(
+            F.when(F.col("status") == "net", F.col("n_tokens"))
+            .otherwise(F.lit(0))
+        ).alias("net_tokens"),
+    )
+
+
+def ingest_accounting_oracle_sql(batch_sql: str, corpus_sql: str) -> str:
+    """DuckDB replay of :func:`ingest_accounting`.  *batch_sql* yields
+    (id, lang, text); *corpus_sql* yields (text)."""
+    return f"""
+        WITH b0 AS ({batch_sql}),
+        c AS (SELECT DISTINCT md5(text) digest FROM ({corpus_sql})),
+        b AS (
+          SELECT id, lang, md5(text) digest,
+                 len(list_filter(string_split(text, ' '),
+                                 x -> len(x) > 0))::BIGINT n_tokens
+          FROM b0
+        ),
+        f AS (
+          SELECT b.*, (c.digest IS NOT NULL) in_corpus,
+                 min(b.id) OVER (PARTITION BY b.digest) first_id
+          FROM b LEFT JOIN c ON b.digest = c.digest
+        ),
+        s AS (
+          SELECT *,
+                 CASE WHEN in_corpus THEN 'corpus_dup'
+                      WHEN id != first_id THEN 'batch_dup'
+                      ELSE 'net' END status
+          FROM f
+        )
+        SELECT lang,
+               count(*)::BIGINT n_docs,
+               sum(CASE WHEN status = 'corpus_dup' THEN 1 ELSE 0 END
+               )::BIGINT n_corpus_dup,
+               sum(CASE WHEN status = 'batch_dup' THEN 1 ELSE 0 END
+               )::BIGINT n_batch_dup,
+               sum(CASE WHEN status = 'net' THEN 1 ELSE 0 END
+               )::BIGINT n_net,
+               sum(n_tokens)::BIGINT tokens_in,
+               sum(CASE WHEN status = 'net' THEN n_tokens ELSE 0 END
+               )::BIGINT net_tokens
+        FROM s GROUP BY lang
+    """

@@ -802,3 +802,35 @@ def test_hot_shingles_plan_is_take_ordered(spark):
         hot_shingles(docs)._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ingest_accounting_statuses(spark):
+    """corpus_dup / batch_dup / net statuses, min-id-keeps-first, and
+    both token rollups per language."""
+    from podcast_crawler_spark.operators.dedup import ingest_accounting
+
+    corpus = spark.createDataFrame(
+        [(1, "en", "old text one"), (2, "fr", "vieux texte")],
+        "doc_id long, lang string, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "en", "old text one"),        # corpus_dup
+            (11, "en", "brand new words here"),  # net (4 tokens)
+            (12, "en", "brand new words here"),  # batch_dup of 11
+            (13, "fr", "texte neuf"),           # net (2 tokens)
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {r.lang: r for r in ingest_accounting(batch, corpus).collect()}
+    en, fr = out["en"], out["fr"]
+    assert (en.n_docs, en.n_corpus_dup, en.n_batch_dup, en.n_net) == (3, 1, 1, 1)
+    assert en.tokens_in == 3 + 4 + 4 and en.net_tokens == 4
+    assert (fr.n_docs, fr.n_net, fr.net_tokens) == (1, 1, 2)
+    # keep-first is by MIN id: swap ids and the batch_dup flips
+    batch2 = spark.createDataFrame(
+        [(12, "en", "x y"), (10, "en", "x y")],
+        "doc_id long, lang string, text string",
+    )
+    r = ingest_accounting(batch2, corpus).collect()[0]
+    assert r.n_net == 1 and r.n_batch_dup == 1 and r.net_tokens == 2
