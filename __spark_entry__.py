@@ -5547,6 +5547,50 @@ _INGEST_BATCH_SQL = """
 """
 
 
+def _calibration_audit(spark, sf_dir):
+    # reliability diagram for the hashed-linear classifier score
+    # (mean_milli in [-1000, 1000]) against an independent length
+    # label: 10 bins, integer midpoint prediction, per-bin ECE
+    # contribution — the audit run before a score is used as a keep
+    # probability.  Hash-noise scores → near-flat observed rate, which
+    # exercises every bin and both gap directions.
+    docs = _t(spark, sf_dir, "documents")
+    scored = textstats.classifier_score(docs).select(
+        "id", "mean_milli"
+    ).filter(F.col("mean_milli").isNotNull())
+    labels = docs.select(
+        F.col("doc_id").alias("id"),
+        (F.col("n_chars") >= 300).alias("label"),
+    )
+    joined = scored.join(labels, "id")
+    return textstats.calibration_audit(
+        joined, "mean_milli", "label", score_min=-1000, score_max=1000,
+        n_bins=10,
+    )
+
+
+_CALIB_DOCS_SQL = """
+    select s.mean_milli as score, d.n_chars >= 300 as label
+    from (
+      select id,
+             (case when score_sum < 0 then -1
+                   when score_sum > 0 then 1 else 0 end
+              * ((abs(score_sum) * 1000) // n_tokens))::BIGINT mean_milli
+      from (
+        select doc_id id, len(toks)::BIGINT n_tokens,
+               coalesce(list_sum(list_transform(toks,
+                 x -> try_cast('0x' || substr(md5('w:' || x), 1, 5)
+                               as bigint) % 2001 - 1000)), 0)::BIGINT
+                   score_sum
+        from (select doc_id,
+                     list_filter(string_split(text, ' '),
+                                 x -> length(x) > 0) toks
+              from documents) t) z
+      where n_tokens > 0) s
+    join documents d on s.id = d.doc_id
+"""
+
+
 # Per-query bootstrap steps the bench times separately (as
 # "<name>_build" rows) so steady-state query rows measure steady-state
 # cost: in production these run once and amortize across crawl batches.
@@ -5773,6 +5817,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seen_ttl": _seen_ttl,
         "self_dedup": _self_dedup,
         "ingest_accounting": _ingest_accounting,
+        "calibration_audit": _calibration_audit,
     }
 
 
@@ -8420,5 +8465,10 @@ def oracle_sql() -> dict[str, str]:
         # token rollups per language
         "ingest_accounting": dedup.ingest_accounting_oracle_sql(
             _INGEST_BATCH_SQL, "select text from documents"
+        ),
+        # classifier calibration: score chain, bin clamp, midpoint
+        # prediction and per-bin gap all integer-replayed
+        "calibration_audit": textstats.calibration_oracle_sql(
+            _CALIB_DOCS_SQL, score_min=-1000, score_max=1000, n_bins=10
         ),
     }

@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "seen_ttl",
     "self_dedup",
     "ingest_accounting",
+    "calibration_audit",
 ]
 
 

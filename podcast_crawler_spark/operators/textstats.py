@@ -1450,3 +1450,87 @@ def ccnet_oracle_sql(docs_sql: str, vocab_size: int = 4096) -> str:
                     ELSE 'tail' END AS bucket
         FROM r
     """
+
+
+def calibration_audit(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    score_min: int,
+    score_max: int,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram table for a quality classifier — the
+    calibration audit run before a score is used as a KEEP probability
+    (CCNet-style head/tail cuts, sampling weights, mixture temperature
+    all assume the score MEANS something): min-max-normalize the score
+    into *n_bins* equal bins and report, per bin, the observed positive
+    rate vs the bin midpoint's predicted rate.  A well-calibrated
+    filter tracks the diagonal; the per-bin ``gap_ppm`` column is the
+    binned-ECE contribution (Σ n·gap/N is ECE — left to the consumer so
+    the output stays one row per bin).
+
+    All integer: ``bin = (score − min)·n_bins div (max − min + 1)``
+    clamped to [0, n_bins), ``obs_ppm = 1e6·n_pos div n``,
+    ``pred_ppm = 1e6·(2·bin + 1) div (2·n_bins)`` (midpoint),
+    ``gap_ppm = |pred − obs|``.  Scale shape: one map-side-combined
+    aggregate to ≤ *n_bins* rows; the codegen bin expression is the
+    only per-row work.  Output: ``(bin, n, n_pos, mean_score,
+    obs_ppm, pred_ppm, gap_ppm)``.
+    """
+    lo, hi = int(score_min), int(score_max)
+    width = hi - lo + 1
+    b = F.expr(
+        f"least(greatest((cast({score_col} as bigint) - {lo})"
+        f" * {int(n_bins)} div {width}, 0), {int(n_bins) - 1})"
+    )
+    agg = df.select(
+        b.alias("bin"),
+        F.col(score_col).cast("long").alias("s"),
+        F.col(label_col).cast("long").alias("y"),
+    ).groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("n_pos"),
+        F.expr("sum(s) div count(*)").alias("mean_score"),
+        F.expr("1000000 * sum(y) div count(*)").alias("obs_ppm"),
+    )
+    pred = F.expr(f"1000000 * (2 * bin + 1) div {2 * int(n_bins)}")
+    return agg.select(
+        "bin", "n", "n_pos", "mean_score", "obs_ppm",
+        pred.alias("pred_ppm"),
+        F.abs(pred - F.col("obs_ppm")).alias("gap_ppm"),
+    )
+
+
+def calibration_oracle_sql(
+    docs_sql: str,
+    score_min: int,
+    score_max: int,
+    n_bins: int = 10,
+) -> str:
+    """DuckDB replay of :func:`calibration_audit`.  *docs_sql* must
+    yield (score, label BOOLEAN)."""
+    lo, hi = int(score_min), int(score_max)
+    width = hi - lo + 1
+    nb = int(n_bins)
+    return f"""
+        WITH d AS ({docs_sql}),
+        b AS (
+          SELECT least(greatest((score::BIGINT - {lo}) * {nb} // {width},
+                                0), {nb - 1})::BIGINT bin,
+                 score::BIGINT s,
+                 (CASE WHEN label THEN 1 ELSE 0 END)::BIGINT y
+          FROM d
+        ),
+        g AS (
+          SELECT bin, count(*)::BIGINT n, sum(y)::BIGINT n_pos,
+                 (sum(s) // count(*))::BIGINT mean_score,
+                 (1000000 * sum(y) // count(*))::BIGINT obs_ppm
+          FROM b GROUP BY bin
+        )
+        SELECT bin, n, n_pos, mean_score, obs_ppm,
+               (1000000 * (2 * bin + 1) // {2 * nb})::BIGINT pred_ppm,
+               abs((1000000 * (2 * bin + 1) // {2 * nb}) - obs_ppm
+               )::BIGINT gap_ppm
+        FROM g
+    """

@@ -1008,3 +1008,41 @@ def test_ccnet_buckets_single_lang_and_ties(spark):
     assert list(out.rk) == list(range(1, 10))
     assert list(out.id) == list(range(9))  # tie → id order
     assert list(out.bucket) == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+
+
+def test_calibration_audit_bins_and_gaps(spark):
+    """Bin clamping at both edges, integer obs/pred/gap, and a
+    perfectly calibrated construction landing gap 0 in its bin."""
+    from podcast_crawler_spark.operators.textstats import (
+        calibration_audit,
+    )
+
+    rows = []
+    # bin 0 midpoint pred = 50000 ppm; make obs exactly 50000: 1 pos
+    # in 20 docs at score 0 (score range [0, 99] → bin 0 of 10 over
+    # [0, 999])
+    for i in range(20):
+        rows.append((0, i == 0))
+    # bin 9: scores at the top edge, all positive → obs 1e6, pred
+    # 950000, gap 50000
+    for i in range(4):
+        rows.append((999, True))
+    # out-of-range scores clamp: -50 → bin 0, 2000 → bin 9
+    rows.append((-50, False))
+    rows.append((2000, True))
+    df = spark.createDataFrame(rows, "score int, label boolean")
+    out = {r.bin: r for r in calibration_audit(
+        df, "score", "label", score_min=0, score_max=999, n_bins=10
+    ).collect()}
+    assert set(out) == {0, 9}
+    b0, b9 = out[0], out[9]
+    assert b0.n == 21 and b0.n_pos == 1   # includes the clamped -50
+    assert b0.pred_ppm == 50_000
+    assert b0.obs_ppm == 1_000_000 * 1 // 21
+    assert b0.gap_ppm == abs(50_000 - b0.obs_ppm)
+    assert b9.n == 5 and b9.n_pos == 5 and b9.obs_ppm == 1_000_000
+    assert b9.pred_ppm == 950_000 and b9.gap_ppm == 50_000
+    # mean_score is the TRUNCATED integer mean (includes clamped rows):
+    # bin 0 sum is -50 over 21 rows → -2 (toward zero; floor would be -3)
+    assert b0.mean_score == -2
+    assert b9.mean_score == (999 * 4 + 2000) // 5
