@@ -5591,6 +5591,52 @@ _CALIB_DOCS_SQL = """
 """
 
 
+def _url_tombstones(spark, sf_dir):
+    # per-URL dead-link lifecycle from a synthetic fetch history:
+    # 3000 urls × repeated fetches (epoch = event_id div 3000, unique
+    # per url), status mix 70% 200 / 404 / 403 / 503 via a spread
+    # hash, plus a 410 stripe (every 97th url) and a 451 stripe
+    # (every 89th) — alive/retry/tombstone_404/tombstone_gone/
+    # legal_block all live; trailing runs and shifted backoffs replay.
+    from podcast_crawler_spark.operators.refetch import url_tombstones
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    un = eid % 3000
+    h = (eid * 7919) % 10
+    fetches = ev.select(
+        F.concat(F.lit("https://h"), (un % 40).cast("string"),
+                 F.lit(".ex/p/"), un.cast("string")).alias("url"),
+        F.expr("event_id div 3000").alias("epoch"),
+        F.when((un % 97 == 0) & (F.expr("event_id div 3000") % 4 == 1),
+               F.lit(410))
+        .when((un % 89 == 0) & (F.expr("event_id div 3000") % 5 == 2),
+              F.lit(451))
+        .when(h <= 6, F.lit(200))
+        .when(h == 7, F.lit(404))
+        .when(h == 8, F.lit(403))
+        .otherwise(F.lit(503))
+        .alias("status"),
+    )
+    return url_tombstones(fetches)
+
+
+_TOMBSTONE_FETCHES_SQL = """
+    select 'https://h' || cast((event_id % 3000) % 40 as varchar)
+               || '.ex/p/' || cast(event_id % 3000 as varchar) as url,
+           event_id // 3000 as epoch,
+           case when event_id % 3000 % 97 = 0
+                     and (event_id // 3000) % 4 = 1 then 410
+                when event_id % 3000 % 89 = 0
+                     and (event_id // 3000) % 5 = 2 then 451
+                when (event_id * 7919) % 10 <= 6 then 200
+                when (event_id * 7919) % 10 = 7 then 404
+                when (event_id * 7919) % 10 = 8 then 403
+                else 503 end as status
+    from events
+"""
+
+
 # Per-query bootstrap steps the bench times separately (as
 # "<name>_build" rows) so steady-state query rows measure steady-state
 # cost: in production these run once and amortize across crawl batches.
@@ -5818,6 +5864,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "self_dedup": _self_dedup,
         "ingest_accounting": _ingest_accounting,
         "calibration_audit": _calibration_audit,
+        "url_tombstones": _url_tombstones,
     }
 
 
@@ -8470,5 +8517,10 @@ def oracle_sql() -> dict[str, str]:
         # prediction and per-bin gap all integer-replayed
         "calibration_audit": textstats.calibration_oracle_sql(
             _CALIB_DOCS_SQL, score_min=-1000, score_max=1000, n_bins=10
+        ),
+        # dead-link lifecycle: precedence chain, trailing failed run
+        # (fold vs last-success position) and shifted backoff replayed
+        "url_tombstones": _refetch_mod().tombstone_oracle_sql(
+            _TOMBSTONE_FETCHES_SQL
         ),
     }

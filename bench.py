@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "self_dedup",
     "ingest_accounting",
     "calibration_audit",
+    "url_tombstones",
 ]
 
 

@@ -1182,3 +1182,143 @@ def scorecard_oracle_sql(
                (s_fresh + s_reval + s_resp)::BIGINT AS score
         FROM s
     """
+
+
+def url_tombstones(
+    fetches: DataFrame,
+    url_col: str = "url",
+    epoch_col: str = "epoch",
+    status_col: str = "status",
+    max_404: int = 3,
+    max_backoff_epochs: int = 64,
+) -> DataFrame:
+    """Per-URL dead-link lifecycle from the fetch history — the
+    negative cache a frontier needs so dead URLs stop consuming
+    politeness slots (Heritrix's no-retry status classes; the
+    reference retries every failure identically,
+    `crawler/rss_fetcher.rs` retry loop, because its seed list is
+    curated — a discovery frontier meets rot at scale and must
+    classify it):
+
+    - any **451** → ``legal_block`` (kept distinct from rot: it is a
+      compliance record, not a dead link);
+    - else any **410 Gone** → ``tombstone_gone`` (the server said
+      permanent — believe it);
+    - else last status < 400 → ``alive``;
+    - else: ``trailing_run`` = consecutive trailing failed fetches;
+      if the last status is 404/403 and the run has reached *max_404*
+      → ``tombstone_404`` (soft rot confirmed); otherwise ``retry``
+      with ``next_retry_epoch = last_epoch + min(2^run,
+      max_backoff_epochs)`` — the same doubling discipline as
+      :func:`circuit_state`, per URL instead of per host.
+
+    Scale shape: ONE ``groupBy(url)`` exchange of (epoch, status)
+    pairs; the trailing-run scan is an array fold over the URL's own
+    bounded fetch history (a URL is fetched dozens of times, not
+    corpus-many) — same in-group array discipline as
+    ``curation.repetition_scores``.  Output: ``(url, n_fetches,
+    last_epoch, last_status, trailing_run, state,
+    next_retry_epoch)``.
+    """
+    hist = F.sort_array(
+        F.collect_list(F.struct(F.col("e").alias("e"),
+                                F.col("s").alias("s")))
+    )
+    rev = F.reverse(hist)
+    run = F.aggregate(
+        rev,
+        F.struct(F.lit(0).cast("long").alias("run"),
+                 F.lit(False).alias("stopped")),
+        lambda acc, x: F.struct(
+            F.when(~acc.stopped & (x.s >= 400), acc.run + 1)
+            .otherwise(acc.run).alias("run"),
+            (acc.stopped | (x.s < 400)).alias("stopped"),
+        ),
+        lambda acc: acc.run,
+    )
+    g = fetches.select(
+        F.col(url_col).alias("url"),
+        F.col(epoch_col).cast("long").alias("e"),
+        F.col(status_col).cast("int").alias("s"),
+    ).groupBy("url").agg(
+        F.count("*").alias("n_fetches"),
+        F.max("e").alias("last_epoch"),
+        F.max_by("s", "e").alias("last_status"),
+        F.max((F.col("s") == 410).cast("int")).alias("_gone"),
+        F.max((F.col("s") == 451).cast("int")).alias("_legal"),
+        run.alias("trailing_run"),
+    )
+    backoff = F.expr(
+        f"least(shiftleft(cast(1 as bigint),"
+        f" cast(least(trailing_run, 20) as int)),"
+        f" cast({int(max_backoff_epochs)} as bigint))"
+    )
+    state = (
+        F.when(F.col("_legal") == 1, F.lit("legal_block"))
+        .when(F.col("_gone") == 1, F.lit("tombstone_gone"))
+        .when(F.col("last_status") < 400, F.lit("alive"))
+        .when(
+            F.col("last_status").isin(403, 404)
+            & (F.col("trailing_run") >= int(max_404)),
+            F.lit("tombstone_404"),
+        )
+        .otherwise(F.lit("retry"))
+    )
+    return g.select(
+        "url", "n_fetches", "last_epoch", "last_status", "trailing_run",
+        state.alias("state"),
+        F.when(state == "retry", F.col("last_epoch") + backoff)
+        .otherwise(F.lit(None).cast("long")).alias("next_retry_epoch"),
+    )
+
+
+def tombstone_oracle_sql(
+    fetches_sql: str,
+    max_404: int = 3,
+    max_backoff_epochs: int = 64,
+) -> str:
+    """DuckDB replay of :func:`url_tombstones`: the trailing failed
+    run via last-success position, the same precedence chain and the
+    shifted backoff.  *fetches_sql* must yield (url, epoch, status)
+    with per-url unique epochs."""
+    return f"""
+        WITH f AS ({fetches_sql}),
+        a AS (
+          SELECT url,
+                 count(*)::BIGINT n_fetches,
+                 max(epoch)::BIGINT last_epoch,
+                 max_by(status, epoch)::INT last_status,
+                 max(CASE WHEN status = 410 THEN 1 ELSE 0 END) gone,
+                 max(CASE WHEN status = 451 THEN 1 ELSE 0 END) legal,
+                 max(CASE WHEN status < 400 THEN epoch END) last_ok
+          FROM f GROUP BY url
+        ),
+        t AS (
+          SELECT a.*,
+                 (SELECT count(*) FROM f
+                  WHERE f.url = a.url
+                    AND f.epoch > coalesce(a.last_ok, -1))::BIGINT
+                     trailing_run
+          FROM a
+        ),
+        s AS (
+          SELECT *,
+                 CASE WHEN legal = 1 THEN 'legal_block'
+                      WHEN gone = 1 THEN 'tombstone_gone'
+                      WHEN last_status < 400 THEN 'alive'
+                      WHEN last_status IN (403, 404)
+                           AND trailing_run >= {int(max_404)}
+                          THEN 'tombstone_404'
+                      ELSE 'retry' END state
+          FROM t
+        )
+        SELECT url, n_fetches, last_epoch, last_status, trailing_run,
+               state,
+               CASE WHEN state = 'retry'
+                    THEN last_epoch
+                         + least(1::BIGINT
+                                 << least(trailing_run, 20)::INT,
+                                 {int(max_backoff_epochs)})
+               END::BIGINT next_retry_epoch
+        FROM s
+    """

@@ -458,3 +458,41 @@ def test_host_scorecard_composition(spark):
     assert (b.s_fresh, b.s_reval, b.s_resp, b.score) == (4, 0, 25, 29)
     c = out["c"]  # only validators saw it
     assert (c.s_fresh, c.s_reval, c.s_resp, c.score) == (0, 15, 0, 15)
+
+
+def test_url_tombstones_precedence_and_backoff(spark):
+    """Every lifecycle state from handcrafted histories: precedence
+    (451 > 410 > alive), the trailing-run count, the 404 cap, and the
+    shifted-capped retry schedule."""
+    from podcast_crawler_spark.operators.refetch import url_tombstones
+
+    rows = [
+        # alive: fails then recovers
+        ("a", 1, 404), ("a", 2, 500), ("a", 3, 200),
+        # retry: one trailing 404 (run 1 < 3) → next = 5 + 2
+        ("b", 4, 200), ("b", 5, 404),
+        # tombstone_404: three straight 404s
+        ("c", 1, 404), ("c", 2, 404), ("c", 3, 404),
+        # gone beats a later 200
+        ("d", 1, 410), ("d", 2, 200),
+        # legal beats gone
+        ("e", 1, 410), ("e", 2, 451), ("e", 3, 200),
+        # retry on 5xx even after many: run 4 → next = 9 + 16
+        ("f", 5, 503), ("f", 6, 503), ("f", 7, 503), ("f", 8, 503),
+        ("f", 9, 503),
+        # backoff cap: 8 trailing 5xx → 2^8=256 capped at 64
+        *[("g", 10 + i, 500) for i in range(8)],
+    ]
+    df = spark.createDataFrame(rows, "url string, epoch int, status int")
+    out = {r.url: r for r in url_tombstones(df).collect()}
+    assert out["a"].state == "alive" and out["a"].trailing_run == 0
+    assert out["a"].next_retry_epoch is None
+    assert out["b"].state == "retry" and out["b"].trailing_run == 1
+    assert out["b"].next_retry_epoch == 5 + 2
+    assert out["c"].state == "tombstone_404" and out["c"].trailing_run == 3
+    assert out["d"].state == "tombstone_gone"
+    assert out["e"].state == "legal_block"
+    assert out["f"].state == "retry" and out["f"].trailing_run == 5
+    assert out["f"].next_retry_epoch == 9 + 32
+    assert out["g"].state == "retry"
+    assert out["g"].next_retry_epoch == 17 + 64  # capped
