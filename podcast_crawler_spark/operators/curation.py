@@ -1458,8 +1458,8 @@ def self_dedup(
     )
     return staged.select(
         "id",
-        F.size("ln").alias("n_lines"),
-        (F.size("ln") - F.size(keep)).alias("n_dupes"),
+        F.size("ln").cast("long").alias("n_lines"),
+        (F.size("ln") - F.size(keep)).cast("long").alias("n_dupes"),
         F.md5(F.array_join(keep, sep)).alias("clean_md5"),
     )
 

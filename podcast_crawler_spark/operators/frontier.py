@@ -890,6 +890,7 @@ def blocklist_gate(
     blocklist: DataFrame,
     host_col: str = "host",
     max_labels: int = 8,
+    url_col: str = "url",
 ) -> DataFrame:
     """UT1/squidGuard-style domain blocklist gate with subdomain
     inheritance — the category deny-list every production crawl runs at
@@ -916,8 +917,13 @@ def blocklist_gate(
     a ``max_by`` over struct (pattern length wins; suffixes of one
     host have distinct lengths, so the order is total) whose exchange
     carries only MATCHED urls.  Verdicts join back to the corpus on
-    the url key — bounded by the blocklist hit rate, broadcast under
-    AQE at real-world rates.  A clean URL never crosses an exchange.
+    *url_col* — a DETERMINISTIC key the caller must keep distinct
+    (frontiers are url-keyed already; a synthetic
+    monotonically_increasing_id here would be recomputed differently
+    per plan branch under task retry / AQE re-partitioning and silently
+    attach verdicts to the wrong rows).  The join back is bounded by
+    the blocklist hit rate, broadcast under AQE at real-world rates.
+    A clean URL never crosses an exchange.
     """
     parts = F.split(F.col(host_col), r"\.")
     n = F.size(parts)
@@ -926,12 +932,8 @@ def blocklist_gate(
         F.sequence(F.lit(1), k),
         lambda i: F.array_join(F.slice(parts, n - i + 1, i), "."),
     )
-    key = F.col("__gate_url")
-    with_key = urls.withColumn(
-        "__gate_url", F.monotonically_increasing_id()
-    )
-    exploded = with_key.select(
-        key.alias("__k"), F.explode(suffixes).alias("suffix")
+    exploded = urls.select(
+        F.col(url_col).alias("__k"), F.explode(suffixes).alias("suffix")
     )
     matched = exploded.join(
         F.broadcast(blocklist),
@@ -947,9 +949,9 @@ def blocklist_gate(
                      F.col("pattern").alias("p")),
         ).alias("m")
     )
-    out = with_key.join(best, with_key["__gate_url"] == best["__k"], "left")
+    out = urls.join(best, urls[url_col] == best["__k"], "left")
     return out.select(
-        *[c for c in urls.columns],
+        *[urls[c] for c in urls.columns],
         F.when(F.col("m.action") == "block", F.lit("blocked"))
         .otherwise(F.lit("allowed"))
         .alias("verdict"),

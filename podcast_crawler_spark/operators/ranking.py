@@ -216,7 +216,10 @@ def doc_keywords(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("doc", "term", "tf", "doc_freq", "score", "rank")
+        .select(
+            "doc", "term", "tf", "doc_freq", "score",
+            F.col("rank").cast("long").alias("rank"),
+        )
     )
 
 

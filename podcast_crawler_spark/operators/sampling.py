@@ -99,6 +99,7 @@ def topk_sample(
     return (
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
+        .withColumn("sample_rank", F.col("sample_rank").cast("long"))
     )
 
 

@@ -635,7 +635,8 @@ def pq_encode(
         err = err + F.element_at(dists, F.col(f"code_{j}") + 1)
     return out.select(
         id_col,
-        *[f"code_{j}" for j in range(m)],
+        *[F.col(f"code_{j}").cast("long").alias(f"code_{j}")
+          for j in range(m)],
         F.floor(err * 1000 + F.lit(0.5)).cast("long").alias("err_milli"),
     )
 
@@ -671,7 +672,10 @@ def pq_adc_topk(
     dist = F.lit(0.0)
     for j in range(m):
         lut = F.array(*[F.lit(v) for v in luts[j]])
-        dist = dist + F.element_at(lut, F.col(f"code_{j}") + 1)
+        # codes are BIGINT in the encoded table; element_at wants INT
+        dist = dist + F.element_at(
+            lut, (F.col(f"code_{j}") + 1).cast("int")
+        )
     return (
         encoded.select(id_col, F.round(dist, 6).alias("adc_dist"))
         .orderBy(F.col("adc_dist"), F.col(id_col))

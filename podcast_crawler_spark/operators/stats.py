@@ -192,8 +192,12 @@ def quality_drift(
 
     Everything is integer micro-units so both engines replay the
     decision: per (group, epoch) mean = ``1e6·Σvalue div n``; the
-    baseline target is the mean of the first *baseline_epochs* epoch
-    means; the CUSUM increment is ``d_t = (target − k) − x_t`` and the
+    baseline target is the mean of each group's first
+    *baseline_epochs* OBSERVED epoch means (per-group rank, not an
+    absolute epoch cutoff — a source that first appears mid-crawl
+    still gets a baseline and drift monitoring instead of being
+    silently dropped by the join); the CUSUM increment is
+    ``d_t = (target − k) − x_t`` and the
     statistic uses the prefix identity ``s_t = P_t − min(0, min_{j≤t}
     P_j)`` (P = running sum of d) — the max(0, s+d) recurrence in
     closed windowed form, so NO recursion/UDF: two window functions.
@@ -217,8 +221,10 @@ def quality_drift(
         F.expr(f"1000000 * sum(cast({value_col} as bigint))"
                f" div count(*)").alias("x_micro")
     )
+    w_rank = Window.partitionBy("grp").orderBy("epoch")
     base = (
-        per_epoch.filter(F.col("epoch") < int(baseline_epochs))
+        per_epoch.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= int(baseline_epochs))
         .groupBy("grp")
         .agg(
             F.expr("sum(x_micro) div count(*)").alias("target_micro")
@@ -266,7 +272,11 @@ def drift_oracle_sql(
         b AS (
           SELECT grp,
                  (sum(x_micro) // count(*))::BIGINT target_micro
-          FROM pe WHERE epoch < {int(baseline_epochs)} GROUP BY grp
+          FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY grp ORDER BY epoch
+            ) rk FROM pe
+          ) WHERE rk <= {int(baseline_epochs)} GROUP BY grp
         ),
         p AS (
           SELECT pe.*, b.target_micro,

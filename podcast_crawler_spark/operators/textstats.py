@@ -105,8 +105,8 @@ def quality_scores(df: DataFrame, text_col: str = "text",
     )
     return df.select(
         F.col(id_col).alias("id"),
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
         F.round(mean_tok, 6).alias("mean_token_len"),
         F.round(stopword_ratio, 6).alias("stopword_ratio"),
         F.round(alnum_ratio, 6).alias("alnum_ratio"),
@@ -138,7 +138,7 @@ def token_counts(df: DataFrame, text_col: str = "text",
     ws_tokens, bpe = _token_count_cols(F.col(text_col))
     return df.select(
         F.col(id_col).alias("id"),
-        ws_tokens.alias("ws_tokens"),
+        ws_tokens.cast("long").alias("ws_tokens"),
         bpe.alias("bpe_pieces"),
     )
 

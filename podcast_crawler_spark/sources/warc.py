@@ -710,11 +710,16 @@ def wet_export(
 
     if shard_rows <= 0:
         raise ValueError(f"shard_rows must be positive, got {shard_rows}")
-    staged = docs.filter(F.col(id_col).isNotNull()).select(
+    # Fail fast on null body: a null reaching the writer would surface
+    # as an opaque planned-offset mismatch deep in applyInPandas (the
+    # planned rec_length is NULL while the writer would emit "None").
+    staged = docs.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
         F.col(id_col).cast("long").alias("id"),
         F.col(url_col).alias("url"),
         F.col(ts_col).alias("ts"),
-        F.col(text_col).alias("body"),
+        F.col(text_col).cast("string").alias("body"),
     ).withColumn(
         "rec_length", wet_record_length_expr("url", "body")
     ).withColumn("one", F.lit(1).cast("long"))
@@ -764,7 +769,10 @@ def wet_export(
                     f"planned offset {r.rec_offset} != actual {buf.tell()}"
                     f" for {r.url} in shard {sid}"
                 )
-            rec = _format_wet_record(r.url, r.ts, str(r.body).encode())
+            # body is null-filtered + string-cast at staging; a non-str
+            # here is a real bug and should fail loudly, not be masked
+            # by str() coercion.
+            rec = _format_wet_record(r.url, r.ts, r.body.encode())
             if len(rec) != int(r.rec_length):
                 raise ValueError(
                     f"planned length {r.rec_length} != actual {len(rec)}"

@@ -202,3 +202,28 @@ def test_quality_drift_cusum_identity_and_alarm(spark):
     assert int(bad.loc[7].cusum) == 165_000_000 - 2 * 5_000_000
     assert not out[out.source == "ok"].alarm.any()
     assert not out[out.source == "dip"].alarm.any()  # sub-slack
+
+
+def test_quality_drift_late_source_gets_observed_baseline(spark):
+    """A source first appearing at epoch >= baseline_epochs is NOT
+    dropped: its baseline is its first N OBSERVED epochs (per-group
+    rank), so a mid-crawl new source that later degrades still alarms."""
+    from podcast_crawler_spark.operators.stats import quality_drift
+
+    rows = []
+    for ep in range(10):
+        rows.append(("early", ep, 100))
+        if ep >= 5:  # 'late' appears mid-crawl at epoch 5
+            rows.append(("late", ep, 100 if ep < 8 else 40))
+    df = spark.createDataFrame(rows, "source string, epoch int, quality int")
+    out = quality_drift(
+        df, baseline_epochs=3, slack_k=5_000_000, threshold_h=80_000_000
+    ).toPandas()
+    late = out[out.source == "late"].set_index("epoch")
+    # present in output at every observed epoch (not silently dropped)
+    assert sorted(late.index) == list(range(5, 10))
+    # baseline = mean of epochs 5..7 (its first 3 observed) = 100
+    assert (late.target_micro == 100_000_000).all()
+    # the epoch-8 drop accumulates 55M/epoch; alarms at epoch 9
+    assert int(late.loc[8].cusum) == 55_000_000
+    assert bool(late.loc[9].alarm)

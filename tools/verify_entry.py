@@ -210,7 +210,13 @@ def main():
             print(f"[FAIL-types] {name}: {hard}")
             continue
         if soft:
-            print(f"[warn-int-width] {name}: {soft}")
+            # Int-width drift (int32 vs int64) is exactly the class that
+            # made hierarchical_budget/ip_politeness driver-red in r03:
+            # a type-sensitive driver hash sees a different value stream.
+            # Hard-fail so the class stays extinct.
+            failures.append((name, f"int-width mismatch: {soft}"))
+            print(f"[FAIL-int-width] {name}: {soft}")
+            continue
         sc, sm = as_multiset(scols, srows)
         oc, om = as_multiset(ocols, orows)
         if sc != oc:
