@@ -105,6 +105,18 @@ class CrawlConfig:
     # feeds/local[32], tmpfs shuffle being nearly free — but the shuffle
     # becomes the bottleneck once an exchange means real network).
     pages_bucketed_table: Optional[str] = None
+    # scoped AQE override for the epoch's commit writes: the delta/
+    # frontier writers are shuffle-final jobs over O(delta) bytes, and
+    # AQE's default parallelism-first coalescing leaves them as dozens
+    # of sub-MB files whose task+file overhead IS the commit phase's
+    # fixed constant (measured 46 files for a 35 MB episodes delta at
+    # local[32]; overlap wall 3.4 s cold / 1.7 s warm → 1.5 s with the
+    # override, 12 right-sized files).  Size-based coalescing
+    # (parallelismFirst=false + this advisory size) makes file count
+    # track delta BYTES, so the same setting yields full write
+    # parallelism on a 100 GB cluster delta and a handful of files on
+    # a small one.  None disables the scoped override.
+    commit_advisory_bytes: Optional[str] = "8m"
 
 
 def seed_scan(seeds: DataFrame) -> DataFrame:

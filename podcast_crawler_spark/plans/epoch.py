@@ -366,18 +366,44 @@ def run_epoch(
         if table.num_segments() >= cfg.compact_segments:
             table.compact(spark, metrics={"epoch": epoch_no})
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        f_front = pool.submit(state.frontier.prepare, new_frontier)
-        if m["n_parse_ok"] > 0:
-            f_pod = pool.submit(
-                _commit_out, state.podcasts, podcasts_new, "rss_feed_url"
-            )
-            f_ep = pool.submit(
-                _commit_out, state.episodes, episodes_new, "guid"
-            )
-            f_pod.result()
-            f_ep.result()
-        frontier_staged = f_front.result()
+    # Scoped AQE override (see CrawlConfig.commit_advisory_bytes): the
+    # commit writers are shuffle-final jobs over O(delta) bytes; size-
+    # based coalescing keeps their file count proportional to delta
+    # bytes instead of cluster parallelism.  Only the commit jobs plan
+    # under these values — restored before any other work runs.
+    _scoped = {}
+    if cfg.commit_advisory_bytes:
+        for k, v in (
+            (
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                cfg.commit_advisory_bytes,
+            ),
+            (
+                "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                "false",
+            ),
+        ):
+            _scoped[k] = spark.conf.get(k, None)
+            spark.conf.set(k, v)
+    try:
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_front = pool.submit(state.frontier.prepare, new_frontier)
+            if m["n_parse_ok"] > 0:
+                f_pod = pool.submit(
+                    _commit_out, state.podcasts, podcasts_new, "rss_feed_url"
+                )
+                f_ep = pool.submit(
+                    _commit_out, state.episodes, episodes_new, "guid"
+                )
+                f_pod.result()
+                f_ep.result()
+            frontier_staged = f_front.result()
+    finally:
+        for k, old in _scoped.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
     t = _tick("podcasts+episodes commit + frontier prepare", t)
     pod_man = state.podcasts.manifest() or {}
     ep_man = state.episodes.manifest() or {}
