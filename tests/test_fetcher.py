@@ -134,3 +134,98 @@ def test_epoch_with_live_fetcher_matches_join_mode(spark, tmp_path, corpus):
         )
     assert results["live"] == results["join"]
     assert len(results["join"]) > 0
+
+
+def test_live_fetch_real_socket_end_to_end(spark, tmp_path):
+    """Soak the REAL urllib transport against a local fixture HTTP
+    server: body round-trip, politeness UA on the wire, non-200 →
+    fetch failure, socket timeout → fetch failure (bounded), scheme
+    allowlist, and per-host sequential request order as observed by
+    the server."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from podcast_crawler_spark.operators.fetcher import (
+        live_fetch,
+        urllib_transport,
+    )
+
+    log_path = str(tmp_path / "req_log.jsonl")
+    log_lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            # executor python workers are separate processes — log to a
+            # file so the test process can read the request record
+            with log_lock, open(log_path, "a") as fh:
+                fh.write(json.dumps({
+                    "path": self.path,
+                    "ua": self.headers.get("User-Agent"),
+                }) + "\n")
+            if self.path.startswith("/missing"):
+                self.send_error(404)
+                return
+            if self.path.startswith("/slow"):
+                time.sleep(2.0)  # > the 0.5 s timeout below
+            body = f"<rss>{self.path}</rss>".encode()
+            try:
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except BrokenPipeError:
+                pass  # timed-out client already hung up (the /slow case)
+
+        def log_message(self, *a):  # silence stderr
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        rows = []
+        for h in ("a", "b"):
+            for i in range(3):
+                rows.append((f"{base}/feed/{h}/{i}", h, hash(h) & 7, i))
+        rows.append((f"{base}/missing/x", "c", 2, 0))
+        rows.append((f"{base}/slow/y", "d", 3, 0))
+        rows.append(("file:///etc/hostname", "e", 4, 0))  # scheme gate
+        scheduled = spark.createDataFrame(
+            rows, "url string, host string, host_hash long, host_seq long"
+        )
+        fetched = live_fetch(
+            scheduled, urllib_transport, EPOCH0, timeout_s=0.5
+        )
+        t0 = time.time()
+        got = {r.url: r for r in fetched.collect()}
+        wall = time.time() - t0
+
+        # body round-trip, exact bytes
+        for h in ("a", "b"):
+            for i in range(3):
+                u = f"{base}/feed/{h}/{i}"
+                assert got[u].fetch_ok
+                assert bytes(got[u].html) == f"<rss>/feed/{h}/{i}</rss>".encode()
+        # non-200 and timeout and non-http scheme are fetch failures
+        assert not got[f"{base}/missing/x"].fetch_ok
+        assert got[f"{base}/missing/x"].html is None
+        assert not got[f"{base}/slow/y"].fetch_ok
+        assert not got["file:///etc/hostname"].fetch_ok
+        # the timeout actually bounded the slow request (hosts fetch in
+        # parallel tasks; generous bound, just proves no hang)
+        assert wall < 30
+
+        reqs = [json.loads(l) for l in open(log_path)]
+        # politeness UA on the wire for every request (file:// never hit)
+        assert reqs and all(r["ua"] == "PodcastCrawler/1.0" for r in reqs)
+        assert not any("hostname" in r["path"] for r in reqs)
+        # per-host sequential order as the server saw it
+        for h in ("a", "b"):
+            seen = [r["path"] for r in reqs if r["path"].startswith(f"/feed/{h}/")]
+            assert seen == [f"/feed/{h}/{i}" for i in range(3)]
+    finally:
+        srv.shutdown()
+        srv.server_close()
