@@ -177,6 +177,15 @@ BENCH_QUERIES = [
     "ingest_accounting",
     "calibration_audit",
     "url_tombstones",
+    # round 5: episode_rank analytics tier + streaming≡batch equivalence
+    # (the stream_* rows time a REAL streaming run: micro-batch replay
+    # through the state store, not just a batch plan)
+    "episode_rank_ingest",
+    "episode_rank_top",
+    "podcast_rank_rollup",
+    "stream_dedup_equiv",
+    "stream_sessions_equiv",
+    "stream_circuit_equiv",
 ]
 
 
