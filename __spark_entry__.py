@@ -6287,6 +6287,8 @@ def _run_stream_to_sink(spark, stream_df, root, mode="append"):
     run and restores it.  Results are partition-count-independent."""
     import uuid
 
+    import shutil
+
     key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key)
     name = "pcs_sink_" + uuid.uuid4().hex[:12]
@@ -6305,6 +6307,10 @@ def _run_stream_to_sink(spark, stream_df, root, mode="append"):
             q.stop()
     finally:
         spark.conf.set(key, old)
+        # sink rows live in memory; the staged files + checkpoint are
+        # dead weight once the drain finished (repeat driver/bench runs
+        # would otherwise accumulate dirs on /dev/shm)
+        shutil.rmtree(root, ignore_errors=True)
     return spark.table(name)
 
 
@@ -6500,6 +6506,9 @@ def _stream_circuit_equiv(spark, sf_dir):
             q.stop()
     finally:
         spark.conf.set(_pkey, _pold)
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)  # see sink helper
     final_pdf = captured[max(captured)]
     # explicit python rows: pandas stores nullable longs as float
     # (NaN), which a non-Arrow session's row verifier rejects for

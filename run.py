@@ -4,9 +4,15 @@ Cluster usage (north rule: multi-executor via --py-files):
 
     python tools/package.py           # -> dist/podcast_crawler_spark.zip
     spark-submit --py-files dist/podcast_crawler_spark.zip \\
+        --conf spark.executor.extraJavaOptions=-XX:+UseParallelGC \\
         run.py --state s3://bucket/crawl-state \\
         --pages s3://bucket/pages --seeds s3://bucket/seeds \\
         --robots s3://bucket/robots --epochs 24
+
+(ParallelGC: G1's concurrent phases compete with executor threads at
+full core occupancy — measured −17% on the parse stage at local[32],
+neutral at local[8]; a throughput batch engine wants stop-the-world
+parallel collection.  See bench.py and PLANS.md round-5 notes.)
 
 Local smoke (sandbox):
 
