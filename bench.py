@@ -225,15 +225,13 @@ def main() -> None:
         # tiny next to a 10^10-row pages table
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-        # Throughput GC: G1's CONCURRENT phases compete with executor
-        # threads for cores, which only bites at full box occupancy —
-        # measured on the parse stage at 200k feeds: 8.0 s → 6.7 s at
-        # local[32] (−17%) and exactly neutral at pinned local[8]
-        # (19.68 vs 19.65 s).  A full-occupancy batch engine wants
-        # stop-the-world parallel collection; this directly lifts the
-        # N→4N scaling number the north rule grades (the same flag
-        # belongs in spark.executor.extraJavaOptions on a real
-        # cluster).  BENCH_GC overrides (e.g. BENCH_GC=-XX:+UseG1GC).
+        # GC choice: an initial sequential A/B suggested ParallelGC won
+        # −17% at local[32], but a proper INTERLEAVED A/B (same minute,
+        # alternating collectors) showed no consistent difference on
+        # this box (par 7.50/8.46 vs g1 8.12/7.45 — era noise).  Kept as
+        # the conventional stop-the-world throughput collector for a
+        # batch engine; measured NEUTRAL here, not a claimed win.
+        # BENCH_GC overrides (e.g. BENCH_GC=-XX:+UseG1GC).
         .config(
             "spark.driver.extraJavaOptions",
             os.environ.get("BENCH_GC", "-XX:+UseParallelGC"),
@@ -312,20 +310,25 @@ def main() -> None:
 
             buckets = 64
             wh = spark.conf.get("spark.sql.warehouse.dir")
-            loc = os.path.join(wh.removeprefix("file:"), "pages_bucketed")
+            # size-keyed location: a shared corpus dir serves several
+            # BENCH_FEEDS values, and reusing a bucketed table built
+            # from a smaller corpus silently drops html for every url
+            # beyond it (parsed collapses while scheduled stays full)
+            btable = f"pages_bucketed_{n_feeds}"
+            loc = os.path.join(wh.removeprefix("file:"), btable)
             if os.path.exists(os.path.join(loc, "_SUCCESS")):
                 register_bucketed_pages(
-                    spark, loc, "pages_bucketed", buckets=buckets
+                    spark, loc, btable, buckets=buckets
                 )
             else:
                 write_bucketed_pages(
-                    pages, "pages_bucketed", buckets=buckets,
+                    pages, btable, buckets=buckets,
                     one_file_per_bucket=True,
                 )
             cfg = CrawlConfig(
                 per_host_budget=10**9,
                 num_partitions=2 * CPUS,
-                pages_bucketed_table="pages_bucketed",
+                pages_bucketed_table=btable,
             )
 
         # frontier build is one-time setup, not epoch work — init untimed.

@@ -9,10 +9,10 @@ Cluster usage (north rule: multi-executor via --py-files):
         --pages s3://bucket/pages --seeds s3://bucket/seeds \\
         --robots s3://bucket/robots --epochs 24
 
-(ParallelGC: G1's concurrent phases compete with executor threads at
-full core occupancy — measured −17% on the parse stage at local[32],
-neutral at local[8]; a throughput batch engine wants stop-the-world
-parallel collection.  See bench.py and PLANS.md round-5 notes.)
+(ParallelGC: the conventional stop-the-world throughput collector for
+batch work.  An interleaved A/B on the sandbox box measured it NEUTRAL
+vs G1 — see PLANS.md round-5 notes; on a real cluster measure per
+workload before committing either way.)
 
 Local smoke (sandbox):
 
