@@ -5877,6 +5877,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_equiv": _stream_dedup_equiv,
         "stream_sessions_equiv": _stream_sessions_equiv,
         "stream_circuit_equiv": _stream_circuit_equiv,
+        "rank_momentum": _rank_momentum,
     }
 
 
@@ -6235,6 +6236,31 @@ def _podcast_rank_rollup(spark, sf_dir):
 
 def _eprank_ingest_sql():
     return _rank_mod().episode_rank_ingest_oracle_sql(_EPRANK_RAW_SQL)
+
+
+def _rank_momentum(spark, sf_dir):
+    # epoch-over-epoch chart movement: 97 podcasts × 6 chart scrapes
+    # (one observation per (podcast, epoch) via the event_id < 582
+    # grid), rank trajectory = deterministic drift so all four statuses
+    # (new/up/down/flat) are live; one podcast_id-keyed window.
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 582)
+    eid = F.col("event_id")
+    p, e = eid % 97, (eid.cast("long") / 97).cast("long")
+    obs = ev.select(
+        F.concat(F.lit("pod"), p.cast("string")).alias("podcast_id"),
+        e.alias("epoch"),
+        (F.lit(1) + (p * 31 + e * (p % 7)) % 100).alias("rank"),
+    )
+    return _rank_mod().rank_momentum(obs)
+
+
+_RANK_OBS_SQL = """
+    select 'pod' || cast(event_id % 97 as varchar) as podcast_id,
+           event_id // 97 as epoch,
+           1 + (event_id % 97 * 31
+                + (event_id // 97) * (event_id % 97 % 7)) % 100 as rank
+    from events where event_id < 582
+"""
 
 
 # --- streaming ≡ batch equivalence queries --------------------------------
@@ -9006,5 +9032,9 @@ def oracle_sql() -> dict[str, str]:
                 _CIRCUIT_EQUIV_OBS_SQL, k_open=3, max_backoff=64
             )
             + ")"
+        ),
+        # chart-movement trend over the rank observations (lag window)
+        "rank_momentum": _rank_mod().rank_momentum_oracle_sql(
+            _RANK_OBS_SQL
         ),
     }

@@ -217,3 +217,62 @@ def podcast_rank_rollup_oracle_sql(
         FROM r
         GROUP BY podcast_id, podcast_name
     """
+
+
+def rank_momentum(obs: DataFrame) -> DataFrame:
+    """Epoch-over-epoch chart movement — the trend view the reference's
+    rank columns exist to feed (``podcast_rank.rank``,
+    ``schema.rs:54-75``: the crawler re-scrapes the chart every run;
+    what a consumer wants is who moved): per (podcast_id, epoch) —
+    ``prev_rank`` (the podcast's rank at its previous OBSERVED epoch),
+    ``delta`` (positive = climbed, rank numbers shrink upward) and
+    ``status`` ∈ ``new`` (first observation) / ``up`` / ``down`` /
+    ``flat``.
+
+    Input: ``(podcast_id, epoch, rank)`` observations.  One window
+    keyed on podcast_id over per-epoch rows — a podcast has O(epochs)
+    rows, so window tasks are bounded; the only exchange is the
+    podcast_id hash partitioning.
+    """
+    w = Window.partitionBy("podcast_id").orderBy("epoch")
+    return (
+        obs.select(
+            "podcast_id",
+            F.col("epoch").cast("long").alias("epoch"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .withColumn("prev_rank", F.lag("rank").over(w))
+        .select(
+            "podcast_id",
+            "epoch",
+            "rank",
+            "prev_rank",
+            (F.col("prev_rank") - F.col("rank")).alias("delta"),
+            F.when(F.col("prev_rank").isNull(), F.lit("new"))
+            .when(F.col("prev_rank") > F.col("rank"), F.lit("up"))
+            .when(F.col("prev_rank") < F.col("rank"), F.lit("down"))
+            .otherwise(F.lit("flat"))
+            .alias("status"),
+        )
+    )
+
+
+def rank_momentum_oracle_sql(obs_sql: str) -> str:
+    """DuckDB replay of :func:`rank_momentum`."""
+    return f"""
+        WITH o AS ({obs_sql}),
+        l AS (
+          SELECT podcast_id, epoch::BIGINT AS epoch, rank::BIGINT AS rank,
+                 lag(rank::BIGINT) OVER (
+                     PARTITION BY podcast_id ORDER BY epoch
+                 ) AS prev_rank
+          FROM o
+        )
+        SELECT podcast_id, epoch, rank, prev_rank,
+               (prev_rank - rank)::BIGINT AS delta,
+               CASE WHEN prev_rank IS NULL THEN 'new'
+                    WHEN prev_rank > rank THEN 'up'
+                    WHEN prev_rank < rank THEN 'down'
+                    ELSE 'flat' END AS status
+        FROM l
+    """

@@ -75,3 +75,26 @@ def test_ingest_is_shuffle_free(spark):
     plan = ra.episode_rank_ingest(_raw(spark))._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_rank_momentum_statuses(spark):
+    """new / up / down / flat all derived from the lag window; delta
+    sign convention: positive = climbed (rank number shrank)."""
+    obs = spark.createDataFrame(
+        [
+            ("a", 0, 10), ("a", 1, 4), ("a", 2, 7), ("a", 3, 7),
+            ("b", 2, 50),  # first seen mid-crawl
+        ],
+        "podcast_id string, epoch long, rank long",
+    )
+    out = (
+        ra.rank_momentum(obs).toPandas()
+        .set_index(["podcast_id", "epoch"]).sort_index()
+    )
+    assert out.loc[("a", 0)].status == "new"
+    assert out.loc[("a", 1)].status == "up" and out.loc[("a", 1)].delta == 6
+    assert out.loc[("a", 2)].status == "down" and out.loc[("a", 2)].delta == -3
+    assert out.loc[("a", 3)].status == "flat" and out.loc[("a", 3)].delta == 0
+    assert out.loc[("b", 2)].status == "new"
+    import pandas as pd
+    assert pd.isna(out.loc[("a", 0)].prev_rank)
