@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "stream_dedup_equiv",
     "stream_sessions_equiv",
     "stream_circuit_equiv",
+    "rank_momentum",
 ]
 
 
